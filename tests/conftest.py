@@ -1,0 +1,90 @@
+"""Shared fixtures: one local SparkSession + a DuckDB oracle comparator.
+
+Differential testing against DuckDB is the golden corpus (SURVEY §5): every
+operator test can assert spark_df ≡ duckdb_sql on the same parquet inputs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = (
+        SparkSession.builder.appName("timefence-spark-tests")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def assert_df_equals_sql(spark_df, con, sql: str, sort_cols=None):
+    """Order-insensitive comparison of a Spark DataFrame vs a DuckDB query
+    (row count + column names + values), like the driver's harness."""
+    actual = spark_df.toPandas()
+    expected = con.execute(sql).fetchdf()
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"columns differ: {sorted(actual.columns)} vs {sorted(expected.columns)}"
+    )
+    cols = sorted(actual.columns)
+    a_rows = sorted(
+        [tuple(_norm(v) for v in row) for row in actual[cols].itertuples(index=False)],
+        key=repr,
+    )
+    e_rows = sorted(
+        [tuple(_norm(v) for v in row) for row in expected[cols].itertuples(index=False)],
+        key=repr,
+    )
+    assert len(a_rows) == len(e_rows), f"row counts differ: {len(a_rows)} vs {len(e_rows)}"
+    for i, (a, e) in enumerate(zip(a_rows, e_rows)):
+        assert a == e, f"row {i} differs:\n  spark:  {a}\n  duckdb: {e}"

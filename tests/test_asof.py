@@ -1,0 +1,184 @@
+"""PIT/as-of join correctness vs a DuckDB ROW_NUMBER oracle, both strategies."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefence_spark.operators.asof import asof_join
+
+from tests.conftest import assert_df_equals_sql
+
+DAY = 86400
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _prev_order_feature(spark, sf_dir):
+    """One row per (custkey, orderdate): the max total of that day's orders.
+    Pre-aggregated so (key, feature_time) is unique -> deterministic pick."""
+    return (
+        _orders(spark, sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("prev_total"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("feature_time"),
+            "prev_total",
+        )
+    )
+
+
+def _oracle_sql(upper_op: str, embargo_days: int, lower_days: int) -> str:
+    upper = f"l.o_orderdate - INTERVAL {embargo_days} DAY" if embargo_days else "l.o_orderdate"
+    return f"""
+    WITH feat AS (
+        SELECT o_custkey AS user_id, o_orderdate AS feature_time,
+               MAX(o_totalprice) AS prev_total
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.o_totalprice,
+               f.prev_total AS f__prev_total, f.feature_time AS f__feature_time,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.o_orderkey ORDER BY f.feature_time DESC
+               ) AS rn
+        FROM orders l
+        LEFT JOIN feat f
+          ON f.user_id = l.o_custkey
+         AND f.feature_time {upper_op} {upper}
+         AND f.feature_time >= l.o_orderdate - INTERVAL {lower_days} DAY
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           f__prev_total, f__feature_time
+    FROM ranked WHERE rn = 1
+    """
+
+
+CASES = [
+    ("strict_no_embargo", "<", 0, 365, True),
+    ("strict_embargo_7d", "<", 7, 365, True),
+    ("inclusive_no_embargo", "<=", 0, 365, False),
+    ("inclusive_embargo_30d", "<=", 30, 365, False),
+    ("tight_lookback_60d", "<", 0, 60, True),
+]
+
+
+@pytest.mark.parametrize("strategy", ["join", "union"])
+@pytest.mark.parametrize("name,op,embargo_d,lookback_d,strict", CASES)
+def test_asof_vs_oracle(spark, sf_dir, oracle, strategy, name, op, embargo_d, lookback_d, strict):
+    labels = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    feat = _prev_order_feature(spark, sf_dir)
+    out = asof_join(
+        labels,
+        feat,
+        on=[("o_custkey", "user_id")],
+        left_time="o_orderdate",
+        right_time="feature_time",
+        value_cols=["prev_total"],
+        prefix="f",
+        embargo=embargo_d * DAY,
+        lookback=lookback_d * DAY,
+        strict=strict,
+        strategy=strategy,
+    )
+    assert_df_equals_sql(out, oracle, _oracle_sql(op, embargo_d, lookback_d))
+
+
+@pytest.mark.parametrize("strategy", ["join", "union"])
+def test_asof_staleness(spark, sf_dir, oracle, strategy):
+    labels = _orders(spark, sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    feat = _prev_order_feature(spark, sf_dir)
+    out = asof_join(
+        labels,
+        feat,
+        on=[("o_custkey", "user_id")],
+        left_time="o_orderdate",
+        right_time="feature_time",
+        value_cols=["prev_total"],
+        prefix="f",
+        embargo=0,
+        lookback=365 * DAY,
+        staleness=90 * DAY,
+        strict=True,
+        strategy=strategy,
+    )
+    sql = """
+    WITH feat AS (
+        SELECT o_custkey AS user_id, o_orderdate AS feature_time,
+               MAX(o_totalprice) AS prev_total
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+               f.prev_total AS f__prev_total, f.feature_time AS f__feature_time,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.o_orderkey ORDER BY f.feature_time DESC
+               ) AS rn
+        FROM orders l
+        LEFT JOIN feat f
+          ON f.user_id = l.o_custkey
+         AND f.feature_time < l.o_orderdate
+         AND f.feature_time >= l.o_orderdate - INTERVAL 365 DAY
+         AND f.feature_time >= l.o_orderdate - INTERVAL 90 DAY
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate, f__prev_total, f__feature_time
+    FROM ranked WHERE rn = 1
+    """
+    assert_df_equals_sql(out, oracle, sql)
+
+
+@pytest.mark.parametrize("strategy", ["join", "union"])
+def test_asof_composite_keys(spark, sf_dir, oracle, strategy):
+    """Composite (l_partkey, l_suppkey) keys: prior shipment price."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    labels = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate")
+    feat = (
+        li.groupBy("l_partkey", "l_suppkey", "l_shipdate")
+        .agg(F.max("l_extendedprice").alias("prior_price"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_shipdate").alias("feature_time"),
+            "prior_price",
+        )
+    )
+    out = asof_join(
+        labels,
+        feat,
+        on=["l_partkey", "l_suppkey"],
+        left_time="l_shipdate",
+        right_time="feature_time",
+        value_cols=["prior_price"],
+        prefix="f",
+        embargo=0,
+        lookback=365 * DAY,
+        strict=True,
+        strategy=strategy,
+    )
+    sql = """
+    WITH labels AS (
+        SELECT ROW_NUMBER() OVER () AS rid, * FROM lineitem
+    ), feat AS (
+        SELECT l_partkey, l_suppkey, l_shipdate AS feature_time,
+               MAX(l_extendedprice) AS prior_price
+        FROM lineitem GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, l.l_shipdate,
+               f.prior_price AS f__prior_price, f.feature_time AS f__feature_time,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.rid ORDER BY f.feature_time DESC
+               ) AS rn
+        FROM labels l
+        LEFT JOIN feat f
+          ON f.l_partkey = l.l_partkey AND f.l_suppkey = l.l_suppkey
+         AND f.feature_time < l.l_shipdate
+         AND f.feature_time >= l.l_shipdate - INTERVAL 365 DAY
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+           f__prior_price, f__feature_time
+    FROM ranked WHERE rn = 1
+    """
+    assert_df_equals_sql(out, oracle, sql)

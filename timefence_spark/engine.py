@@ -1,0 +1,1285 @@
+"""Engine entry points: build / audit / explain / diff.
+
+Spark-first re-implementation of the reference lifecycle
+(/root/reference/src/timefence/engine.py:933-2089). The reference generates
+DuckDB SQL strings step by step; here every step is a declarative DataFrame
+plan so Catalyst handles predicate pushdown, column pruning, join selection
+and AQE does runtime re-planning. The only physical decisions the engine owns
+are the ones Spark cannot infer:
+
+* as-of strategy per feature (broadcast range-join for small feature tables,
+  no-fanout union/last_value plan for big ones) — see operators/asof.py;
+* a single persist() of the label spine (pins the nondeterministic row id)
+  and of the final result (one materialization serving write + count + stats,
+  the reference's deliberate perf fix, CHANGELOG.md:46).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import shutil
+import time
+import uuid
+import warnings
+from collections.abc import Sequence
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timefence_spark._constants import (
+    DEFAULT_ATOL,
+    DEFAULT_MAX_LOOKBACK,
+    DEFAULT_MAX_LOOKBACK_DAYS,
+    DEFAULT_ON_MISSING,
+    DEFAULT_RTOL,
+)
+from timefence_spark._duration import (
+    duration_seconds,
+    format_duration,
+    parse_duration,
+)
+from timefence_spark.core import (
+    Feature,
+    FeatureSet,
+    Labels,
+    Source,
+    SQLSource,
+    flatten_features,
+    safe_name,
+)
+from timefence_spark.errors import (
+    TimefenceConfigError,
+    TimefenceSchemaError,
+    TimefenceValidationError,
+    config_error_embargo_lookback,
+    duplicate_error,
+    schema_error_missing_key,
+    timezone_error,
+)
+from timefence_spark.operators.asof import ROW_ID, pit_match
+from timefence_spark.results import (
+    AuditReport,
+    BuildResult,
+    BuildStats,
+    DiffResult,
+    ExplainResult,
+    FeatureAuditDetail,
+    classify_severity,
+)
+from timefence_spark.sources.readers import (
+    load_labels_df,
+    load_source_df,
+    read_parquet,
+    register_view,
+)
+
+logger = logging.getLogger(__name__)
+
+__version__ = "0.1.0"
+
+# Feature tables at or below this row count are broadcast in the PIT join.
+DEFAULT_BROADCAST_MAX_ROWS = 5_000_000
+
+
+# ---------------------------------------------------------------------------
+# Session + misc helpers
+# ---------------------------------------------------------------------------
+
+
+def get_spark(spark: SparkSession | None = None) -> SparkSession:
+    """Active session, or a local one with scale-sane defaults."""
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return (
+        SparkSession.builder.appName("timefence-spark")
+        .master("local[*]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+
+
+def _is_tz_aware(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.TimestampType)
+
+
+def _is_tz_naive(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.TimestampNTZType)
+
+
+def _epoch_us(col: F.Column, dtype: T.DataType) -> F.Column:
+    """Microseconds since epoch for any temporal column. Session timezone is
+    pinned to UTC by tests/CLI, making NTZ -> TS casts the identity mapping."""
+    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+        col = col.cast("timestamp")
+    return F.unix_micros(col)
+
+
+def _write_single_parquet(df: DataFrame, path: Path) -> None:
+    """Write a DataFrame as ONE parquet file at `path` (reference UX parity:
+    COPY TO writes a single file, engine.py:1312-1317). Only sensible at
+    driver scale — directory outputs are the 100 TB path."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp_dir = path.parent / f".{path.name}.tmp-{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
+    parts = glob.glob(str(tmp_dir / "part-*.parquet"))
+    if not parts:
+        raise TimefenceValidationError(f"No parquet part written under {tmp_dir}")
+    if path.exists():
+        path.unlink()
+    shutil.move(parts[0], str(path))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _write_output(df: DataFrame, output: str | Path) -> None:
+    out = str(output)
+    if out.endswith(".parquet") or out.endswith(".pq"):
+        _write_single_parquet(df, Path(out))
+    else:
+        df.write.mode("overwrite").parquet(out)
+
+
+def _content_hash_safe(path: Path | None, store: Any) -> str | None:
+    if path is None:
+        return None
+    try:
+        if store is not None and hasattr(store, "cached_content_hash"):
+            return store.cached_content_hash(path)
+        from timefence_spark.store import Store
+
+        return Store.content_hash(path)
+    except OSError as exc:
+        logger.debug("Content hash failed for %s: %s", path, exc)
+        return None
+
+
+def _definition_hash(feat: Feature) -> str:
+    import hashlib
+
+    from timefence_spark._constants import CACHE_KEY_LENGTH
+
+    digest = hashlib.sha256(feat.definition_hash_input.encode()).hexdigest()
+    return f"sha256:{digest[:CACHE_KEY_LENGTH]}"
+
+
+def _python_version() -> str:
+    import sys
+
+    v = sys.version_info
+    return f"{v.major}.{v.minor}.{v.micro}"
+
+
+# ---------------------------------------------------------------------------
+# Validation (semantic invariants; reference engine.py:508-675)
+# ---------------------------------------------------------------------------
+
+
+def _validate_source_schema(
+    src_df: DataFrame, feature: Feature, label_keys: list[str]
+) -> None:
+    columns = src_df.columns
+    for key in feature.source_keys:
+        if key not in columns:
+            raise schema_error_missing_key(feature.name, feature.source_keys, columns)
+    ts = feature.source.timestamp
+    if ts not in columns:
+        raise TimefenceSchemaError(
+            f"Feature '{feature.name}' source is missing timestamp column '{ts}'.\n\n"
+            f"  Available columns: {columns}\n"
+        )
+    if feature.mode == "columns":
+        for src_col in feature._columns:
+            if src_col not in columns:
+                raise TimefenceSchemaError(
+                    f"Feature '{feature.name}' references column '{src_col}' "
+                    f"which does not exist in source '{feature.source.name}'.\n\n"
+                    f"  Available columns: {columns}\n"
+                )
+
+
+def _validate_timezones(
+    label_dtype: T.DataType,
+    feat_df: DataFrame,
+    feature: Feature,
+    label_sample: str,
+) -> None:
+    """Naive-vs-aware mismatch is a hard error (reference engine.py:539-583).
+    Spark's schema carries the distinction (TimestampType vs TimestampNTZType),
+    so no data probing is needed."""
+    if "feature_time" not in feat_df.columns:
+        return
+    feat_dtype = feat_df.schema["feature_time"].dataType
+    label_aware = _is_tz_aware(label_dtype)
+    feat_aware = _is_tz_aware(feat_dtype)
+    label_temporal = label_aware or _is_tz_naive(label_dtype)
+    feat_temporal = feat_aware or _is_tz_naive(feat_dtype)
+    if label_temporal and feat_temporal and label_aware != feat_aware:
+        feat_sample = "N/A"
+        row = feat_df.select("feature_time").where(F.col("feature_time").isNotNull()).head(1)
+        if row:
+            feat_sample = str(row[0][0])
+        raise timezone_error(
+            feature.name,
+            "UTC" if label_aware else None,
+            "UTC" if feat_aware else None,
+            label_sample,
+            feat_sample,
+        )
+
+
+def _check_duplicates_and_count(
+    src_df: DataFrame, feature: Feature
+) -> tuple[int, int]:
+    """One shuffle: (source row count, duplicate (key, ts) group count).
+    Raises / warns per on_duplicate (reference engine.py:586-627)."""
+    key_ts = [*feature.source_keys, feature.source.timestamp]
+    grouped = src_df.groupBy(*key_ts).agg(F.count(F.lit(1)).alias("cnt"))
+    row = grouped.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.when(F.col("cnt") > 1, F.lit(1))).alias("dup_pairs"),
+    ).first()
+    n_rows = int(row["n_rows"] or 0)
+    dup_pairs = int(row["dup_pairs"] or 0)
+    if dup_pairs > 0:
+        if feature.on_duplicate == "error":
+            examples = [
+                r.asDict()
+                for r in grouped.where(F.col("cnt") > 1)
+                .orderBy(F.desc("cnt"))
+                .limit(3)
+                .collect()
+            ]
+            raise duplicate_error(feature.name, dup_pairs, examples)
+        warnings.warn(
+            f"Feature '{feature.name}' has {dup_pairs} duplicate "
+            f"(key, feature_time) pairs. Using on_duplicate='keep_any' — "
+            "one row will be selected deterministically (max payload).",
+            stacklevel=3,
+        )
+    return n_rows, dup_pairs
+
+
+def _validate_splits(
+    splits: dict[str, tuple[str, str]], labels_df: DataFrame, label_time_col: str
+) -> None:
+    """Overlap = error; gaps and non-coverage = warnings
+    (reference engine.py:630-675)."""
+    sorted_splits = sorted(splits.items(), key=lambda x: x[1][0])
+    for i in range(len(sorted_splits) - 1):
+        name_a, (_, end_a) = sorted_splits[i]
+        name_b, (start_b, _) = sorted_splits[i + 1]
+        if end_a > start_b:
+            raise TimefenceConfigError(
+                f"Split ranges overlap: '{name_a}' ends at {end_a} "
+                f"but '{name_b}' starts at {start_b}."
+            )
+        if end_a < start_b:
+            warnings.warn(
+                f"Gap between splits '{name_a}' (ends {end_a}) and '{name_b}' "
+                f"(starts {start_b}). Labels in this range will not appear in any split.",
+                stacklevel=3,
+            )
+    row = labels_df.agg(
+        F.min(label_time_col).alias("mn"), F.max(label_time_col).alias("mx")
+    ).first()
+    if row and row["mn"] is not None and sorted_splits:
+        first_start = sorted_splits[0][1][0]
+        last_end = sorted_splits[-1][1][1]
+        min_label = str(row["mn"])[:19]
+        max_label = str(row["mx"])[:19]
+        if first_start > min_label:
+            warnings.warn(
+                f"Splits start at {first_start} but labels start at {min_label}.",
+                stacklevel=3,
+            )
+        if last_end < max_label:
+            warnings.warn(
+                f"Splits end at {last_end} but labels extend to {max_label}.",
+                stacklevel=3,
+            )
+
+
+def _validate_feature_names(flat_features: list[Feature]) -> None:
+    seen_names: dict[str, int] = {}
+    seen_safe: dict[str, list[str]] = {}
+    for feat in flat_features:
+        seen_names[feat.name] = seen_names.get(feat.name, 0) + 1
+        seen_safe.setdefault(safe_name(feat.name), []).append(feat.name)
+    duplicates = {n: c for n, c in seen_names.items() if c > 1}
+    if duplicates:
+        dup_str = ", ".join(f"'{n}' (x{c})" for n, c in duplicates.items())
+        raise TimefenceConfigError(
+            f"Duplicate feature names: {dup_str}.\n\n"
+            "  Each feature must have a unique name; duplicates would silently\n"
+            "  overwrite one another.\n\n"
+            '  Fix: set an explicit name: Feature(..., name="unique_name")\n'
+        )
+    collisions = {s: n for s, n in seen_safe.items() if len(set(n)) > 1}
+    if collisions:
+        pairs = ", ".join(str(sorted(set(n))) for n in collisions.values())
+        raise TimefenceConfigError(
+            f"Feature names collide after sanitization: {pairs}.\n\n"
+            "  These names are distinct but map to the same internal identifier.\n"
+            "  Fix: rename features to avoid ambiguity.\n"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Feature table computation (reference engine.py:678-749)
+# ---------------------------------------------------------------------------
+
+
+def _compute_feature_df(
+    spark: SparkSession, feat: Feature, src_df: DataFrame
+) -> tuple[DataFrame, list[str]]:
+    """Normalize a feature to [*source_keys, feature_time, *value_cols].
+    Returns (df, value_cols)."""
+    if feat.mode == "columns":
+        projected = src_df.select(
+            *[F.col(k) for k in feat.source_keys],
+            F.col(feat.source.timestamp).alias("feature_time"),
+            *[
+                F.col(s).alias(o) if s != o else F.col(s)
+                for s, o in feat._columns.items()
+            ],
+        )
+        return projected, list(feat._columns.values())
+    if feat.mode == "sql":
+        view = register_view(src_df, f"src_{feat.source.name}")
+        fdf = spark.sql(feat._sql_text.replace("{source}", view))  # type: ignore[union-attr]
+    else:
+        fdf = feat._transform(spark, src_df)  # type: ignore[misc]
+        if not isinstance(fdf, DataFrame):
+            raise TimefenceValidationError(
+                f"Feature '{feat.name}' transform must return a Spark DataFrame, "
+                f"got {type(fdf).__name__}."
+            )
+    if "feature_time" not in fdf.columns:
+        raise TimefenceSchemaError(
+            f"Feature '{feat.name}' ({feat.mode} mode) must emit a 'feature_time' "
+            f"column.\n  Emitted columns: {fdf.columns}"
+        )
+    value_cols = [
+        c for c in fdf.columns if c != "feature_time" and c not in feat.source_keys
+    ]
+    return fdf, value_cols
+
+
+# ---------------------------------------------------------------------------
+# Public API: build
+# ---------------------------------------------------------------------------
+
+
+def build(
+    labels: Labels,
+    features: Sequence[Feature | FeatureSet],
+    output: str | Path | None = None,
+    *,
+    max_lookback: str | timedelta = DEFAULT_MAX_LOOKBACK,
+    max_staleness: str | timedelta | None = None,
+    join: str = "strict",
+    on_missing: str = DEFAULT_ON_MISSING,
+    splits: dict[str, tuple[str, str]] | None = None,
+    store: Any = None,
+    flatten_columns: bool = False,
+    progress: Callable[[str], None] | None = None,
+    spark: SparkSession | None = None,
+    strategy: str = "auto",
+    broadcast_max_rows: int = DEFAULT_BROADCAST_MAX_ROWS,
+) -> BuildResult:
+    """Build a point-in-time correct training set.
+
+    Lifecycle parity with reference build() (engine.py:933-1500); Spark
+    extras: ``spark`` (session), ``strategy`` ('auto' | 'join' | 'union'
+    as-of plan selection), ``broadcast_max_rows`` (feature tables at or
+    below this size are broadcast).
+    """
+    start_time = time.time()
+    spark = get_spark(spark)
+
+    def _emit(msg: str) -> None:
+        if progress is not None:
+            progress(msg)
+
+    max_lookback_td = parse_duration(max_lookback) or timedelta(
+        days=DEFAULT_MAX_LOOKBACK_DAYS
+    )
+    max_staleness_td = parse_duration(max_staleness)
+
+    if join not in ("strict", "inclusive"):
+        raise TimefenceConfigError(f"join must be 'strict' or 'inclusive', got '{join}'.")
+    if on_missing not in ("null", "skip"):
+        raise TimefenceConfigError(
+            f"on_missing must be 'null' or 'skip', got '{on_missing}'."
+        )
+
+    flat_features = flatten_features(features)
+    _validate_feature_names(flat_features)
+
+    for feat in flat_features:
+        if feat.embargo >= max_lookback_td:
+            raise config_error_embargo_lookback(
+                format_duration(feat.embargo) or "0d",
+                format_duration(max_lookback_td) or DEFAULT_MAX_LOOKBACK,
+            )
+        if max_staleness_td is not None and max_staleness_td <= feat.embargo:
+            raise TimefenceConfigError(
+                f"max_staleness ({format_duration(max_staleness_td)}) must be greater "
+                f"than embargo ({format_duration(feat.embargo)}) for feature '{feat.name}'."
+            )
+
+    # Build-level cache probe (reference engine.py:1017-1057)
+    if store is not None and output is not None:
+        label_hash = _content_hash_safe(labels.path, store)
+        feat_cache_keys = [
+            store.feature_cache_key(
+                _definition_hash(feat),
+                _content_hash_safe(feat.source.path, store),
+                format_duration(feat.embargo),
+            )
+            for feat in flat_features
+        ]
+        bck = store.build_cache_key(
+            label_hash,
+            feat_cache_keys,
+            format_duration(max_lookback_td),
+            format_duration(max_staleness_td),
+            join,
+            on_missing,
+        )
+        cached_build = store.find_cached_build(bck)
+        if cached_build is not None:
+            elapsed = time.time() - start_time
+            cached_build["duration_seconds"] = elapsed
+            return BuildResult(
+                output_path=cached_build.get("output", {}).get("path"),
+                manifest=cached_build,
+                stats=BuildStats(
+                    row_count=cached_build.get("output", {}).get("row_count", 0),
+                    column_count=cached_build.get("output", {}).get("column_count", 0),
+                    feature_stats={
+                        k: {
+                            "matched": v.get("matched_rows", 0),
+                            "missing": v.get("missing_rows", 0),
+                            "cached": True,
+                        }
+                        for k, v in cached_build.get("features", {}).items()
+                    },
+                    duration_seconds=elapsed,
+                ),
+                sql="-- cached build",
+            )
+
+    transcript: list[str] = []
+    lt = labels.label_time
+
+    # ---- Step 1: labels -> spine with pinned row id --------------------
+    _emit("Loading labels")
+    labels_raw = load_labels_df(spark, labels)
+    label_cols = labels_raw.columns
+    for key in labels.keys:
+        if key not in label_cols:
+            raise TimefenceSchemaError(
+                f"Labels missing key column '{key}'.\n  Available: {label_cols}"
+            )
+    if lt not in label_cols:
+        raise TimefenceSchemaError(
+            f"Labels missing label_time column '{lt}'.\n  Available: {label_cols}"
+        )
+
+    spine = labels_raw.withColumn(ROW_ID, F.monotonically_increasing_id())
+    # Persist pins the row id: monotonically_increasing_id is otherwise
+    # recomputed per action and unstable (SURVEY §7.3 trap 2).
+    spine = spine.persist()
+    label_count = spine.count()
+    transcript.append(
+        f"-- spine: {label_count} label rows, keys={labels.keys}, label_time={lt}"
+    )
+
+    label_dtype = spine.schema[lt].dataType
+    time_range_row = spine.agg(F.min(lt).alias("mn"), F.max(lt).alias("mx")).first()
+    label_time_range = (
+        [str(time_range_row["mn"]), str(time_range_row["mx"])]
+        if time_range_row and time_range_row["mn"] is not None
+        else None
+    )
+    label_sample = str(time_range_row["mn"]) if label_time_range else "N/A"
+
+    if splits:
+        _validate_splits(splits, spine, lt)
+
+    try:
+        # ---- Step 2: sources + feature tables --------------------------
+        registered_sources: dict[str, DataFrame] = {}
+        source_counts: dict[str, int] = {}
+        feature_tables: dict[str, tuple[DataFrame, list[str]]] = {}
+        feature_cache_keys: list[str] = []
+        feature_cache_status: dict[str, bool] = {}
+        dup_checked: set[tuple[str, tuple[str, ...], str]] = set()
+
+        for i, feat in enumerate(flat_features, 1):
+            _emit(f"Computing {feat.name} ({i}/{len(flat_features)})")
+            src_name = feat.source.name
+            if src_name not in registered_sources:
+                registered_sources[src_name] = load_source_df(spark, feat.source)
+            src_df = registered_sources[src_name]
+            _validate_source_schema(src_df, feat, labels.keys)
+
+            dup_key = (src_name, tuple(feat.source_keys), feat.source.timestamp)
+            if dup_key not in dup_checked:
+                n_rows, _ = _check_duplicates_and_count(src_df, feat)
+                source_counts[src_name] = n_rows
+                dup_checked.add(dup_key)
+
+            cached = False
+            fck = None
+            if store is not None:
+                src_hash = _content_hash_safe(feat.source.path, store)
+                fck = store.feature_cache_key(
+                    _definition_hash(feat), src_hash, format_duration(feat.embargo)
+                )
+                feature_cache_keys.append(fck)
+                if store.has_feature_cache(feat.name, fck):
+                    cache_path = store.feature_cache_path(feat.name, fck)
+                    fdf = spark.read.parquet(str(cache_path))
+                    value_cols = [
+                        c
+                        for c in fdf.columns
+                        if c != "feature_time" and c not in feat.source_keys
+                    ]
+                    feature_tables[feat.name] = (fdf, value_cols)
+                    cached = True
+                    feature_cache_status[feat.name] = True
+
+            if not cached:
+                feature_cache_status[feat.name] = False
+                fdf, value_cols = _compute_feature_df(spark, feat, src_df)
+                if store is not None and fck is not None:
+                    cache_path = store.feature_cache_path(feat.name, fck)
+                    try:
+                        fdf.write.mode("overwrite").parquet(str(cache_path))
+                        fdf = spark.read.parquet(str(cache_path))
+                    except Exception as exc:  # cache write is best-effort
+                        logger.warning(
+                            "Feature cache write failed for %s: %s", feat.name, exc
+                        )
+                feature_tables[feat.name] = (fdf, value_cols)
+
+            if feature_tables[feat.name][1]:
+                _validate_timezones(
+                    label_dtype, feature_tables[feat.name][0], feat, label_sample
+                )
+
+        # ---- Step 3: point-in-time joins -------------------------------
+        matched: dict[str, DataFrame] = {}
+        strategies: dict[str, str] = {}
+        for i, feat in enumerate(flat_features, 1):
+            _emit(f"Joining {feat.name} ({i}/{len(flat_features)})")
+            fdf, value_cols = feature_tables[feat.name]
+            key_pairs = [(lk, feat.key_mapping.get(lk, lk)) for lk in labels.keys]
+            src_rows = source_counts.get(feat.source.name)
+            small = src_rows is not None and src_rows <= broadcast_max_rows
+            feat_strategy = strategy
+            if strategy == "auto":
+                feat_strategy = "join" if small else "union"
+            matched[feat.name] = pit_match(
+                spine,
+                fdf,
+                key_pairs=key_pairs,
+                label_time=lt,
+                value_cols=value_cols,
+                prefix=feat.name,
+                embargo_s=duration_seconds(feat.embargo) or 0,
+                lookback_s=duration_seconds(max_lookback_td),
+                staleness_s=duration_seconds(max_staleness_td),
+                strict=(join == "strict"),
+                strategy=feat_strategy,
+                broadcast_feature=small and feat_strategy == "join",
+            )
+            strategies[feat.name] = feat_strategy
+            op = "<" if join == "strict" else "<="
+            transcript.append(
+                f"-- pit_match[{feat.name}] strategy={feat_strategy} "
+                f"broadcast={small and feat_strategy == 'join'} "
+                f"invariant: feature_time {op} {lt} - {format_duration(feat.embargo)} "
+                f"AND feature_time >= {lt} - {format_duration(max_lookback_td)}"
+                + (
+                    f" AND feature_time >= {lt} - {format_duration(max_staleness_td)}"
+                    if max_staleness_td
+                    else ""
+                )
+            )
+
+        # ---- Step 4: recombine on the spine row id ---------------------
+        combined = spine
+        for feat in flat_features:
+            combined = combined.join(matched[feat.name], ROW_ID, "left")
+        transcript.append(
+            f"-- recombine: {len(flat_features)}-way left join on {ROW_ID}"
+        )
+
+        value_col_names: list[str] = []
+        for feat in flat_features:
+            _, value_cols = feature_tables[feat.name]
+            value_col_names.extend(f"{feat.name}__{c}" for c in value_cols)
+
+        out_cols = [*labels.keys, lt, *labels.target, *value_col_names]
+        result = combined
+        if on_missing == "skip" and value_col_names:
+            cond = None
+            for c in value_col_names:
+                nn = F.col(c).isNotNull()
+                cond = nn if cond is None else (cond & nn)
+            result = result.where(cond)
+        result = result.select(*out_cols).orderBy(*labels.keys, lt)
+
+        # Optional prefix flattening (reference engine.py:1281-1304)
+        if flatten_columns:
+            shorts = [c.split("__", 1)[1] if "__" in c else c for c in result.columns]
+            if len(set(shorts)) == len(shorts):
+                result = result.toDF(*shorts)
+
+        # ---- Step 5: one materialization -> write + count + stats ------
+        _emit("Writing output")
+        result = result.persist()
+        if output is not None:
+            _write_output(result, output)
+        result_count = result.count()
+        result_cols = result.columns
+
+        first_cols: dict[str, str] = {}
+        for feat in flat_features:
+            _, value_cols = feature_tables[feat.name]
+            if value_cols:
+                name = f"{feat.name}__{value_cols[0]}"
+                if flatten_columns and name not in result_cols:
+                    name = value_cols[0]
+                if name in result_cols:
+                    first_cols[feat.name] = name
+        feature_stats: dict[str, dict[str, Any]] = {}
+        if first_cols:
+            null_row = result.agg(
+                *[
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_{i}")
+                    for i, c in enumerate(first_cols.values())
+                ]
+            ).first()
+            for i, fname in enumerate(first_cols):
+                null_count = int(null_row[f"n_{i}"])
+                feature_stats[fname] = {
+                    "matched": result_count - null_count,
+                    "missing": null_count,
+                    "cached": feature_cache_status.get(fname, False),
+                }
+
+        # ---- Step 6: post-build temporal verification ------------------
+        # One pass over the pre-projection combined table: for every feature,
+        # count matches violating the invariant (reference engine.py:1342-1384).
+        _emit("Verifying temporal correctness")
+        audit_passed = True
+        if flat_features:
+            checks = []
+            for feat in flat_features:
+                ft_col = F.col(f"{feat.name}__feature_time")
+                embargo_s = duration_seconds(feat.embargo) or 0
+                bound = F.col(lt)
+                if embargo_s:
+                    bound = bound - F.make_dt_interval(secs=F.lit(embargo_s))
+                viol = (ft_col >= bound) if join == "strict" else (ft_col > bound)
+                checks.append(
+                    F.count(F.when(ft_col.isNotNull() & viol, 1)).alias(
+                        f"v_{safe_name(feat.name)}"
+                    )
+                )
+            vrow = combined.agg(*checks).first()
+            audit_passed = all(int(v or 0) == 0 for v in vrow)
+
+        # ---- splits ----------------------------------------------------
+        split_paths = None
+        if splits and output:
+            split_paths = {}
+            output_path = Path(str(output))
+            lt_out = lt if lt in result_cols else lt  # label_time survives flatten
+            ts_type = result.schema[lt_out].dataType
+            for split_name, (start, end) in splits.items():
+                split_file = (
+                    output_path.parent
+                    / f"{output_path.stem}_{split_name}{output_path.suffix or '.parquet'}"
+                )
+                split_df = result.where(
+                    (F.col(lt_out) >= F.lit(start).cast(ts_type))
+                    & (F.col(lt_out) < F.lit(end).cast(ts_type))
+                )
+                _write_output(split_df, split_file)
+                split_paths[split_name] = split_file
+
+        elapsed = time.time() - start_time
+        stats = BuildStats(
+            row_count=result_count,
+            column_count=len(result_cols),
+            feature_stats=feature_stats,
+            duration_seconds=elapsed,
+        )
+
+        output_file_size = None
+        if output is not None:
+            p = Path(str(output))
+            if p.is_file():
+                output_file_size = p.stat().st_size
+            elif p.is_dir():
+                output_file_size = sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+        build_id = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+        manifest: dict[str, Any] = {
+            "timefence_spark_version": __version__,
+            "build_id": build_id,
+            "created_at": datetime.now(timezone.utc).isoformat(),
+            "duration_seconds": elapsed,
+            "labels": {
+                "path": str(labels.path) if labels.path else None,
+                "content_hash": _content_hash_safe(labels.path, store),
+                "row_count": label_count,
+                "time_range": label_time_range,
+                "keys": labels.keys,
+                "label_time_column": lt,
+                "target_columns": labels.target,
+            },
+            "features": {},
+            "parameters": {
+                "max_lookback": format_duration(max_lookback_td),
+                "max_staleness": format_duration(max_staleness_td),
+                "join": join,
+                "on_missing": on_missing,
+            },
+            "output": {
+                "path": str(output) if output else None,
+                "content_hash": _content_hash_safe(
+                    Path(str(output)) if output else None, store
+                ),
+                "row_count": result_count,
+                "column_count": len(result_cols),
+                "file_size_bytes": output_file_size,
+            },
+            "audit": {
+                "passed": audit_passed,
+                "invariant": (
+                    f"feature_time {'<' if join == 'strict' else '<='} "
+                    "label_time - embargo"
+                ),
+                "rows_checked": result_count,
+            },
+            "environment": {
+                "python_version": _python_version(),
+                "spark_version": spark.version,
+                "os": "spark-local",
+            },
+        }
+        for feat in flat_features:
+            fstats = feature_stats.get(feat.name, {})
+            manifest["features"][feat.name] = {
+                "definition_hash": _definition_hash(feat),
+                "source_content_hash": _content_hash_safe(feat.source.path, store),
+                "embargo": format_duration(feat.embargo),
+                "matched_rows": fstats.get("matched", 0),
+                "missing_rows": fstats.get("missing", 0),
+                "output_columns": feature_tables[feat.name][1],
+                "strategy": strategies.get(feat.name),
+                "cached": feature_cache_status.get(feat.name, False),
+            }
+
+        if store is not None and feature_cache_keys:
+            bck = store.build_cache_key(
+                _content_hash_safe(labels.path, store),
+                feature_cache_keys,
+                format_duration(max_lookback_td),
+                format_duration(max_staleness_td),
+                join,
+                on_missing,
+            )
+            manifest["build_cache_key"] = bck
+            manifest_path = store.save_build(manifest)
+            manifest["manifest_path"] = str(manifest_path)
+
+        result.unpersist()
+        return BuildResult(
+            output_path=str(output) if output else None,
+            manifest=manifest,
+            stats=stats,
+            splits=split_paths,
+            sql="\n\n".join(transcript),
+        )
+    finally:
+        spine.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Public API: audit (reference engine.py:1508-1872)
+# ---------------------------------------------------------------------------
+
+
+def _load_dataset_df(spark: SparkSession, data: str | Path | Any) -> DataFrame:
+    if isinstance(data, (str, Path)):
+        return read_parquet(spark, data)
+    if isinstance(data, DataFrame):
+        return data
+    return spark.createDataFrame(data)
+
+
+def audit(
+    data: str | Path | Any,
+    features: Sequence[Feature | FeatureSet] | None = None,
+    *,
+    keys: str | list[str] | None = None,
+    label_time: str | None = None,
+    feature_time_columns: dict[str, str] | None = None,
+    max_lookback: str | timedelta = DEFAULT_MAX_LOOKBACK,
+    max_staleness: str | timedelta | None = None,
+    join: str = "strict",
+    spark: SparkSession | None = None,
+) -> AuditReport:
+    """Audit a dataset for temporal leakage.
+
+    Two modes (dispatch mirrors reference engine.py:1525-1546):
+    1. Rebuild-and-compare: provide features, keys, label_time.
+    2. Temporal check: provide feature_time_columns.
+    """
+    if feature_time_columns is not None:
+        return _audit_temporal(
+            data, feature_time_columns, label_time or "label_time", spark=spark
+        )
+    if features is None:
+        raise TimefenceValidationError(
+            "audit() requires either 'features' (for rebuild-and-compare) "
+            "or 'feature_time_columns' (for temporal check)."
+        )
+    if keys is None or label_time is None:
+        raise TimefenceValidationError(
+            "audit() in rebuild-and-compare mode requires 'keys' and 'label_time'."
+        )
+    return _audit_rebuild(
+        data,
+        features,
+        keys,
+        label_time,
+        max_lookback=max_lookback,
+        max_staleness=max_staleness,
+        join=join,
+        spark=spark,
+    )
+
+
+def _audit_temporal_api(
+    data: str | Path | Any,
+    feature_time_columns: dict[str, str],
+    label_time: str = "label_time",
+    spark: SparkSession | None = None,
+) -> AuditReport:
+    """Lightweight temporal check mode (public API: audit.temporal)."""
+    return _audit_temporal(data, feature_time_columns, label_time, spark=spark)
+
+
+audit.temporal = _audit_temporal_api  # type: ignore[attr-defined]
+
+
+def _audit_temporal(
+    data: str | Path | Any,
+    feature_time_columns: dict[str, str],
+    label_time: str,
+    spark: SparkSession | None = None,
+) -> AuditReport:
+    """Per-row check ``feature_time < label_time``: a single scan computing
+    every feature's leak/null counts at once (the reference runs one query
+    per feature, engine.py:1561-1632 — one pass is the 100 TB shape)."""
+    spark = get_spark(spark)
+    df = _load_dataset_df(spark, data)
+    df = df.persist()
+    try:
+        items = list(feature_time_columns.items())
+        lt_col = F.col(label_time)
+        aggs: list[F.Column] = [F.count(F.lit(1)).alias("__total")]
+        for i, (_, ft_name) in enumerate(items):
+            ft = F.col(ft_name)
+            leak = ft.isNotNull() & (ft >= lt_col)
+            aggs.append(F.count(F.when(leak, 1)).alias(f"leak_{i}"))
+            aggs.append(F.count(F.when(ft.isNull(), 1)).alias(f"null_{i}"))
+            ft_dtype = df.schema[ft_name].dataType
+            lt_dtype = df.schema[label_time].dataType
+            diff_us = _epoch_us(ft, ft_dtype) - _epoch_us(lt_col, lt_dtype)
+            leaked_diff = F.when(ft >= lt_col, diff_us)
+            aggs.append(F.max(leaked_diff).alias(f"max_{i}"))
+            # Exact median, matching DuckDB MEDIAN (SURVEY §7.3 trap 4).
+            aggs.append(F.percentile(leaked_diff, F.lit(0.5)).alias(f"med_{i}"))
+        row = df.agg(*aggs).first()
+        total = int(row["__total"])
+
+        report = AuditReport(total_rows=total, mode="temporal")
+        for i, (feat_col, ft_name) in enumerate(items):
+            leaky_count = int(row[f"leak_{i}"])
+            if leaky_count > 0:
+                max_us = row[f"max_{i}"]
+                med_us = row[f"med_{i}"]
+                max_leak = timedelta(microseconds=int(max_us)) if max_us is not None else None
+                med_leak = timedelta(microseconds=int(med_us)) if med_us is not None else None
+                pct = leaky_count / total if total > 0 else 0.0
+                leaky_rows_df = None
+                try:
+                    leaky_rows_df = (
+                        df.where(F.col(ft_name) >= lt_col).limit(1000).toPandas()
+                    )
+                except Exception as exc:  # capture is best-effort
+                    logger.debug("Could not capture leaky rows for %s: %s", feat_col, exc)
+                report.features[feat_col] = FeatureAuditDetail(
+                    name=feat_col,
+                    leaky_row_count=leaky_count,
+                    leaky_row_pct=pct,
+                    max_leakage=max_leak,
+                    median_leakage=med_leak,
+                    severity=classify_severity(pct, max_leak),
+                    total_rows=total,
+                    clean=False,
+                    leaky_rows=leaky_rows_df,
+                )
+            else:
+                report.features[feat_col] = FeatureAuditDetail(
+                    name=feat_col,
+                    total_rows=total,
+                    null_rows=int(row[f"null_{i}"]),
+                    clean=True,
+                )
+        return report
+    finally:
+        df.unpersist()
+
+
+def _audit_rebuild(
+    data: str | Path | Any,
+    features: Sequence[Feature | FeatureSet],
+    keys: str | list[str],
+    label_time: str,
+    *,
+    max_lookback: str | timedelta = DEFAULT_MAX_LOOKBACK,
+    max_staleness: str | timedelta | None = None,
+    join: str = "strict",
+    spark: SparkSession | None = None,
+) -> AuditReport:
+    """Rebuild-and-compare: recompute every feature with the correct PIT join
+    and diff values against the existing dataset (reference engine.py:1635-1872)."""
+    spark = get_spark(spark)
+    keys_list = [keys] if isinstance(keys, str) else list(keys)
+    flat_features = flatten_features(features)
+    max_lookback_td = parse_duration(max_lookback) or timedelta(
+        days=DEFAULT_MAX_LOOKBACK_DAYS
+    )
+    max_staleness_td = parse_duration(max_staleness)
+
+    existing = _load_dataset_df(spark, data)
+    existing = existing.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
+    total = existing.count()
+    existing_cols = [c for c in existing.columns if c != ROW_ID]
+
+    try:
+        report = AuditReport(total_rows=total, mode="rebuild")
+        lt_dtype = existing.schema[label_time].dataType
+
+        registered: dict[str, DataFrame] = {}
+        for feat in flat_features:
+            src_name = feat.source.name
+            if src_name not in registered:
+                registered[src_name] = load_source_df(spark, feat.source)
+            src_df = registered[src_name]
+            fdf, value_cols = _compute_feature_df(spark, feat, src_df)
+            key_pairs = [(lk, feat.key_mapping.get(lk, lk)) for lk in keys_list]
+
+            correct = pit_match(
+                existing,
+                fdf,
+                key_pairs=key_pairs,
+                label_time=label_time,
+                value_cols=value_cols,
+                prefix=feat.name,
+                embargo_s=duration_seconds(feat.embargo) or 0,
+                lookback_s=duration_seconds(max_lookback_td),
+                staleness_s=duration_seconds(max_staleness_td),
+                strict=(join == "strict"),
+            )
+
+            matching_cols = []
+            for col in value_cols:
+                namespaced = f"{feat.name}__{col}"
+                if namespaced in existing_cols:
+                    matching_cols.append((namespaced, namespaced))
+                elif col in existing_cols:
+                    matching_cols.append((col, namespaced))
+            if not matching_cols:
+                report.features[feat.name] = FeatureAuditDetail(
+                    name=feat.name, total_rows=total, clean=True
+                )
+                continue
+
+            cmp = existing.join(correct, ROW_ID, "inner").persist()
+            try:
+                ft_name = f"{feat.name}__feature_time"
+                ft_dtype = cmp.schema[ft_name].dataType
+                diff_us = _epoch_us(F.col(label_time), lt_dtype) - _epoch_us(
+                    F.col(ft_name), ft_dtype
+                )
+                aggs: list[F.Column] = [
+                    F.max(diff_us).alias("__max_lag"),
+                    F.percentile(diff_us, F.lit(0.5)).alias("__med_lag"),
+                    F.count(
+                        F.when(F.col(f"{feat.name}__{value_cols[0]}").isNull(), 1)
+                    ).alias("__nulls"),
+                ]
+                mismatch_exprs: dict[str, F.Column] = {}
+                for j, (exist_col, correct_col) in enumerate(matching_cols):
+                    e = F.col(exist_col)
+                    c = F.col(correct_col)
+                    if isinstance(cmp.schema[exist_col].dataType, T.NumericType) and isinstance(
+                        cmp.schema[correct_col].dataType, T.NumericType
+                    ):
+                        # numpy.allclose-style: |a-b| > atol + rtol*|b|
+                        bad = F.abs(e.cast("double") - c.cast("double")) > (
+                            F.lit(DEFAULT_ATOL)
+                            + F.lit(DEFAULT_RTOL) * F.abs(c.cast("double"))
+                        )
+                    else:
+                        bad = e.cast("string") != c.cast("string")
+                    mismatch = e.isNotNull() & c.isNotNull() & bad
+                    mismatch_exprs[exist_col] = mismatch
+                    aggs.append(F.count(F.when(mismatch, 1)).alias(f"bad_{j}"))
+                row = cmp.agg(*aggs).first()
+
+                leaky_count = 0
+                worst: str | None = None
+                for j, (exist_col, _) in enumerate(matching_cols):
+                    n = int(row[f"bad_{j}"])
+                    if n > leaky_count:
+                        leaky_count = n
+                        worst = exist_col
+
+                if leaky_count > 0:
+                    pct = leaky_count / total if total > 0 else 0.0
+                    max_leak = (
+                        timedelta(microseconds=int(row["__max_lag"]))
+                        if row["__max_lag"] is not None
+                        else None
+                    )
+                    med_leak = (
+                        timedelta(microseconds=int(row["__med_lag"]))
+                        if row["__med_lag"] is not None
+                        else None
+                    )
+                    leaky_rows_df = None
+                    try:
+                        leaky_rows_df = (
+                            cmp.where(mismatch_exprs[worst])
+                            .select(*existing_cols)
+                            .limit(1000)
+                            .toPandas()
+                        )
+                    except Exception as exc:
+                        logger.debug(
+                            "Could not capture leaky rows for %s: %s", feat.name, exc
+                        )
+                    report.features[feat.name] = FeatureAuditDetail(
+                        name=feat.name,
+                        leaky_row_count=leaky_count,
+                        leaky_row_pct=pct,
+                        max_leakage=max_leak,
+                        median_leakage=med_leak,
+                        severity=classify_severity(pct, max_leak),
+                        total_rows=total,
+                        clean=False,
+                        leaky_rows=leaky_rows_df,
+                    )
+                else:
+                    report.features[feat.name] = FeatureAuditDetail(
+                        name=feat.name,
+                        total_rows=total,
+                        null_rows=int(row["__nulls"]),
+                        clean=True,
+                    )
+            finally:
+                cmp.unpersist()
+        return report
+    finally:
+        existing.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Public API: explain (reference engine.py:1880-1964)
+# ---------------------------------------------------------------------------
+
+
+def explain(
+    labels: Labels,
+    features: Sequence[Feature | FeatureSet],
+    *,
+    max_lookback: str | timedelta = DEFAULT_MAX_LOOKBACK,
+    max_staleness: str | timedelta | None = None,
+    join: str = "strict",
+    spark: SparkSession | None = None,
+) -> ExplainResult:
+    """Preview the join plan without executing it."""
+    spark = get_spark(spark)
+    max_lookback_td = parse_duration(max_lookback) or timedelta(
+        days=DEFAULT_MAX_LOOKBACK_DAYS
+    )
+    flat_features = flatten_features(features)
+
+    label_count = load_labels_df(spark, labels).count()
+    result = ExplainResult(label_count=label_count)
+    op = "<" if join == "strict" else "<="
+
+    for feat in flat_features:
+        embargo_str = format_duration(feat.embargo) or "none"
+        lookback_str = format_duration(max_lookback_td)
+        has_embargo = feat.embargo.total_seconds() > 0
+        if has_embargo:
+            join_cond = f"feature_time {op} label_time - INTERVAL '{embargo_str}'"
+            window = f"[label_time - {lookback_str}, label_time - {embargo_str})"
+        else:
+            join_cond = f"feature_time {op} label_time"
+            window = f"[label_time - {lookback_str}, label_time)"
+
+        source_ref = str(feat.source.path) if feat.source.path else feat.source.name
+        if feat.mode == "columns":
+            cols = ", ".join(feat._columns.values())
+            ts = feat.source.timestamp
+            key_col = feat.source_keys[0]
+            embargo_clause = f" - INTERVAL '{embargo_str}'" if has_embargo else ""
+            example = (
+                f"SELECT {key_col}, {ts} AS feature_time, {cols}\n"
+                f"FROM '{source_ref}'\n"
+                f"WHERE {key_col} = {{K}}\n"
+                f"  AND {ts} {op} {{T}}{embargo_clause}\n"
+                f"  AND {ts} >= {{T}} - INTERVAL '{lookback_str}'\n"
+                f"ORDER BY {ts} DESC\nLIMIT 1"
+            )
+        elif feat.mode == "sql":
+            example = (
+                f"WITH feature AS (\n  {feat._sql_text.strip()}\n)\n"  # type: ignore[union-attr]
+                "SELECT * FROM feature\n..."
+            )
+        else:
+            example = f"-- Python transform: {feat._transform.__name__}"  # type: ignore[union-attr]
+
+        result.plan.append(
+            {
+                "name": feat.name,
+                "source": source_ref,
+                "join_condition": join_cond,
+                "window": window,
+                "embargo_str": embargo_str if has_embargo else "none",
+                "strategy": "union-asof (no-fanout) or broadcast range-join",
+                "sql": example,
+            }
+        )
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Public API: diff (reference engine.py:1972-2088)
+# ---------------------------------------------------------------------------
+
+
+def diff(
+    old: str | Path,
+    new: str | Path,
+    *,
+    keys: str | list[str],
+    label_time: str,
+    atol: float = DEFAULT_ATOL,
+    rtol: float = DEFAULT_RTOL,
+    spark: SparkSession | None = None,
+) -> DiffResult:
+    """Compare two training datasets: schema changes + per-column value
+    changes with numeric tolerance. One aggregation pass computes every
+    column's change counts (the reference runs ~3 queries per column)."""
+    spark = get_spark(spark)
+    keys_list = [keys] if isinstance(keys, str) else list(keys)
+
+    old_df = read_parquet(spark, old).alias("o")
+    new_df = read_parquet(spark, new).alias("n")
+    old_count = old_df.count()
+    new_count = new_df.count()
+
+    old_cols = set(old_df.columns)
+    new_cols = set(new_df.columns)
+    result = DiffResult(old_rows=old_count, new_rows=new_count)
+
+    meta_cols = set(keys_list) | {label_time}
+    for col in sorted(new_cols - old_cols):
+        result.schema_changes.append({"type": "+", "column": col, "detail": "(new column)"})
+    for col in sorted(old_cols - new_cols):
+        result.schema_changes.append({"type": "-", "column": col, "detail": "(removed)"})
+    common = sorted((old_cols & new_cols) - meta_cols)
+
+    join_cond = None
+    for k in [*keys_list, label_time]:
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = old_df.join(new_df, join_cond, "inner").persist()
+
+    try:
+        numeric: dict[str, bool] = {}
+        aggs: list[F.Column] = []
+        for j, col in enumerate(common):
+            o = F.col(f"o.{col}")
+            n = F.col(f"n.{col}")
+            is_num = isinstance(
+                old_df.schema[col].dataType, T.NumericType
+            ) and isinstance(new_df.schema[col].dataType, T.NumericType)
+            numeric[col] = is_num
+            if is_num:
+                changed = (
+                    o.isNotNull()
+                    & n.isNotNull()
+                    & (
+                        F.abs(o.cast("double") - n.cast("double"))
+                        > F.lit(atol) + F.lit(rtol) * F.abs(n.cast("double"))
+                    )
+                ) | (o.isNull() != n.isNull())
+            else:
+                changed = ~o.eqNullSafe(n)
+            aggs.append(F.count(F.when(changed, 1)).alias(f"chg_{j}"))
+            if is_num:
+                delta = F.when(~o.eqNullSafe(n), n.cast("double") - o.cast("double"))
+                aggs.append(F.avg(delta).alias(f"avg_{j}"))
+                aggs.append(F.max(F.abs(delta)).alias(f"max_{j}"))
+        row = joined.agg(*aggs).first() if aggs else None
+
+        for j, col in enumerate(common):
+            changed = int(row[f"chg_{j}"]) if row is not None else 0
+            if changed > 0:
+                joined_n = min(old_count, new_count)
+                pct = changed / joined_n if joined_n > 0 else 0.0
+                entry: dict[str, Any] = {"changed_count": changed, "changed_pct": pct}
+                if numeric[col] and row[f"avg_{j}"] is not None:
+                    entry["mean_delta"] = float(row[f"avg_{j}"])
+                    entry["max_delta"] = float(row[f"max_{j}"])
+                result.value_changes[col] = entry
+                result.schema_changes.append(
+                    {
+                        "type": "~",
+                        "column": col,
+                        "detail": f"{changed} values changed ({pct:.1%})",
+                    }
+                )
+            else:
+                result.schema_changes.append(
+                    {"type": "=", "column": col, "detail": "unchanged"}
+                )
+        return result
+    finally:
+        joined.unpersist()

@@ -1,0 +1,321 @@
+"""Point-in-time (as-of backward) join — the heart of the engine.
+
+Semantics (parity with the reference's two generated-SQL strategies,
+/root/reference/src/timefence/engine.py:762-925): for every label row
+``(keys, label_time)`` pick the single most recent feature row satisfying
+
+    feature_time  <  label_time - embargo      (strict;  <= inclusive)
+    feature_time  >= label_time - max_lookback
+    feature_time  >= label_time - max_staleness   (when set)
+
+and emit its value columns namespaced ``{prefix}__{col}`` plus a
+``{prefix}__feature_time`` provenance column; unmatched labels get NULLs
+(left-join semantics).
+
+Spark has no native ASOF join, so two physical strategies are provided —
+both are pure DataFrame plans (Catalyst/Tungsten execute them; no UDFs):
+
+* ``join``: range-predicate left join on the entity keys followed by a
+  map-side-combinable ``max_by`` per label row. One shuffle of each side by
+  key for the join + one shuffle by row-id for the aggregation. The join
+  fans out to every candidate inside the lookback window, so keep
+  ``max_lookback`` tight. Small feature sides are broadcast.
+
+* ``union``: the scalable sort-merge formulation — union label rows and
+  feature rows on (key, time), sort inside each key partition, and propagate
+  the latest feature payload with ``last(..., ignorenulls=True)`` over a
+  running window. No fanout at all: cost is one shuffle of each side by key
+  plus an in-partition sort, independent of window width. This is the plan
+  that survives 100 TB; it is the default for large feature tables.
+
+Strict-vs-inclusive boundaries are handled order-side in the union strategy:
+at equal timestamps label rows sort before feature rows for strict (the
+feature is invisible) and after them for inclusive.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ROW_ID = "__label_rowid"
+
+
+def _interval(seconds: int) -> Column:
+    """Fixed-width day-time interval (durations never contain months)."""
+    return F.make_dt_interval(secs=F.lit(int(seconds)))
+
+
+def _minus(ts: Column, seconds: int | None) -> Column:
+    if not seconds:
+        return ts
+    return ts - _interval(seconds)
+
+
+def _effective_lower_bound_s(
+    lookback_s: int | None, staleness_s: int | None
+) -> int | None:
+    """Both lookback and staleness are lower bounds on feature_time; the
+    binding one is the smaller window."""
+    bounds = [b for b in (lookback_s, staleness_s) if b is not None]
+    return min(bounds) if bounds else None
+
+
+def pit_match(
+    labels: DataFrame,
+    feature: DataFrame,
+    *,
+    key_pairs: Sequence[tuple[str, str]],
+    label_time: str,
+    feature_time: str = "feature_time",
+    value_cols: Sequence[str],
+    prefix: str,
+    embargo_s: int = 0,
+    lookback_s: int | None = None,
+    staleness_s: int | None = None,
+    strict: bool = True,
+    row_id: str = ROW_ID,
+    strategy: str = "auto",
+    broadcast_feature: bool = False,
+) -> DataFrame:
+    """Match each label row to its as-of feature row.
+
+    ``labels`` must already carry a unique ``row_id`` column. Returns a
+    DataFrame ``[row_id, {prefix}__{c}..., {prefix}__feature_time]`` with
+    exactly one row per label row.
+    """
+    if strategy == "auto":
+        # Broadcast-able feature sides keep the fanout join cheap (no shuffle
+        # of the big labels side beyond the final row-id aggregation); big
+        # feature sides take the no-fanout union plan.
+        strategy = "join" if broadcast_feature else "union"
+
+    if strategy == "join":
+        return _pit_match_join(
+            labels,
+            feature,
+            key_pairs=key_pairs,
+            label_time=label_time,
+            feature_time=feature_time,
+            value_cols=value_cols,
+            prefix=prefix,
+            embargo_s=embargo_s,
+            lookback_s=lookback_s,
+            staleness_s=staleness_s,
+            strict=strict,
+            row_id=row_id,
+            broadcast_feature=broadcast_feature,
+        )
+    if strategy == "union":
+        return _pit_match_union(
+            labels,
+            feature,
+            key_pairs=key_pairs,
+            label_time=label_time,
+            feature_time=feature_time,
+            value_cols=value_cols,
+            prefix=prefix,
+            embargo_s=embargo_s,
+            lookback_s=lookback_s,
+            staleness_s=staleness_s,
+            strict=strict,
+            row_id=row_id,
+        )
+    raise ValueError(f"Unknown as-of strategy '{strategy}' (auto|join|union).")
+
+
+def _pit_match_join(
+    labels: DataFrame,
+    feature: DataFrame,
+    *,
+    key_pairs: Sequence[tuple[str, str]],
+    label_time: str,
+    feature_time: str,
+    value_cols: Sequence[str],
+    prefix: str,
+    embargo_s: int,
+    lookback_s: int | None,
+    staleness_s: int | None,
+    strict: bool,
+    row_id: str,
+    broadcast_feature: bool,
+) -> DataFrame:
+    """Range left join on keys + per-label max_by dedup.
+
+    Mirrors the reference ROW_NUMBER strategy (engine.py:762-828) but uses
+    ``max_by`` instead of a window so Spark gets map-side partial
+    aggregation on the fanned-out candidate set before the row-id shuffle.
+    """
+    l = labels.select(row_id, *[lk for lk, _ in key_pairs], label_time).alias("l")
+    f = feature.alias("f")
+    if broadcast_feature:
+        f = F.broadcast(f)
+
+    lt = F.col(f"l.{label_time}")
+    ft = F.col(f"f.{feature_time}")
+
+    cond = None
+    for lk, sk in key_pairs:
+        c = F.col(f"l.{lk}") == F.col(f"f.{sk}")
+        cond = c if cond is None else (cond & c)
+
+    upper_ref = _minus(lt, embargo_s)
+    cond = cond & ((ft < upper_ref) if strict else (ft <= upper_ref))
+    lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
+    if lower_s is not None:
+        # Keeping the lower bound inside the join keeps the fanout bounded
+        # by the window width (SURVEY §7.3 trap 1).
+        cond = cond & (ft >= _minus(lt, lower_s))
+
+    joined = l.join(f, cond, "left")
+
+    payload = F.struct(
+        *[F.col(f"f.{c}").alias(f"{prefix}__{c}") for c in value_cols],
+        ft.alias(f"{prefix}__feature_time"),
+    )
+    # max_by ignores rows with a NULL ordering value, so unmatched label rows
+    # (all-NULL candidates from the left join) aggregate to a NULL payload.
+    best = joined.groupBy(F.col(f"l.{row_id}").alias(row_id)).agg(
+        F.max_by(payload, ft).alias("__best")
+    )
+    return best.select(
+        row_id,
+        *[F.col(f"__best.{prefix}__{c}").alias(f"{prefix}__{c}") for c in value_cols],
+        F.col(f"__best.{prefix}__feature_time").alias(f"{prefix}__feature_time"),
+    )
+
+
+def _pit_match_union(
+    labels: DataFrame,
+    feature: DataFrame,
+    *,
+    key_pairs: Sequence[tuple[str, str]],
+    label_time: str,
+    feature_time: str,
+    value_cols: Sequence[str],
+    prefix: str,
+    embargo_s: int,
+    lookback_s: int | None,
+    staleness_s: int | None,
+    strict: bool,
+    row_id: str,
+) -> DataFrame:
+    """Union + running ``last(ignorenulls)`` — the no-fanout as-of plan.
+
+    Label rows are sorted at ``label_time - embargo`` so the running window
+    naturally enforces the embargoed upper bound; the lookback/staleness
+    lower bound is applied as a post-filter, which is equivalent because the
+    propagated match is the *most recent* candidate — if it is out of
+    window, every older candidate is too (same argument as the reference's
+    ASOF post-join CASE, engine.py:899-917).
+    """
+    n_keys = len(key_pairs)
+    key_aliases = [f"__k{i}" for i in range(n_keys)]
+    ft = F.col(feature_time)
+
+    payload = F.struct(
+        *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
+        ft.alias("ft"),
+    )
+    feat_side = feature.select(
+        *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
+        ft.alias("__t"),
+        payload.alias("__payload"),
+    ).withColumn("__is_label", F.lit(False))
+
+    lt = F.col(label_time)
+    lbl_side = labels.select(
+        *[F.col(lk).alias(a) for (lk, _), a in zip(key_pairs, key_aliases)],
+        _minus(lt, embargo_s).alias("__t"),
+        F.col(row_id),
+        lt.alias("__lt"),
+    ).withColumn("__is_label", F.lit(True))
+
+    unioned = lbl_side.unionByName(feat_side, allowMissingColumns=True)
+
+    # Strict: at equal sort time the label row must NOT see the feature row
+    # -> labels order first. Inclusive: feature rows order first.
+    label_tag = 0 if strict else 1
+    tag = F.when(F.col("__is_label"), F.lit(label_tag)).otherwise(F.lit(1 - label_tag))
+    # Final __payload sort key makes keep_any deterministic when several
+    # feature rows share (key, feature_time) — any stable pick is valid.
+    w = (
+        Window.partitionBy(*key_aliases)
+        .orderBy(F.col("__t").asc(), tag.asc(), F.col("__payload").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+
+    matched = filled.where(F.col("__is_label"))
+    match_ft = F.col("__match.ft")
+    lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
+    if lower_s is not None:
+        in_window = match_ft >= _minus(F.col("__lt"), lower_s)
+        matched = matched.withColumn(
+            "__match", F.when(in_window, F.col("__match")).otherwise(F.lit(None))
+        )
+
+    return matched.select(
+        F.col(row_id),
+        *[
+            F.col(f"__match.v{i}").alias(f"{prefix}__{c}")
+            for i, c in enumerate(value_cols)
+        ],
+        F.col("__match.ft").alias(f"{prefix}__feature_time"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str] | Sequence[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+    prefix: str | None = None,
+    embargo: int = 0,
+    lookback: int | None = None,
+    staleness: int | None = None,
+    strict: bool = True,
+    strategy: str = "auto",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Standalone as-of join: all of ``left``'s columns plus the matched
+    right-side values. Durations are in seconds. ``on`` accepts a column
+    name, a list of names, or (left, right) name pairs."""
+    if isinstance(on, str):
+        pairs = [(on, on)]
+    else:
+        pairs = [(p, p) if isinstance(p, str) else (p[0], p[1]) for p in on]
+    if value_cols is None:
+        skip = {r for _, r in pairs} | {right_time}
+        value_cols = [c for c in right.columns if c not in skip]
+    pfx = prefix if prefix is not None else "r"
+
+    rid = "__asof_rowid"
+    left_id = left.withColumn(rid, F.monotonically_increasing_id())
+    # Pin the nondeterministic id before it is used on both sides of the
+    # recombination join (SURVEY §7.3 trap 2).
+    left_id = left_id.persist()
+    left_id.count()
+    matches = pit_match(
+        left_id,
+        right,
+        key_pairs=pairs,
+        label_time=left_time,
+        feature_time=right_time,
+        value_cols=value_cols,
+        prefix=pfx,
+        embargo_s=embargo,
+        lookback_s=lookback,
+        staleness_s=staleness,
+        strict=strict,
+        row_id=rid,
+        strategy=strategy,
+        broadcast_feature=broadcast_right,
+    )
+    return left_id.join(matches, rid, "left").drop(rid)

@@ -1,0 +1,114 @@
+"""Source/Labels loading — every reader surface of the reference
+(S1-S4,S6 in SURVEY §2.1; reference engine.py:457-505), Spark-native.
+
+All paths go through ``spark.read`` so Catalyst keeps predicate pushdown,
+column pruning and partition pruning on the scans; in-memory inputs go
+through ``spark.createDataFrame`` (Arrow-accelerated for pandas).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timefence_spark.core import Labels, Source, SQLSource, safe_name
+from timefence_spark.errors import TimefenceValidationError
+
+
+def read_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's vectorized reader rejects nanosecond parquet timestamps
+    (PARQUET_TYPE_ILLEGAL). When the footer declares timestamp[ns] columns we
+    flip ``spark.sql.legacy.parquet.nanosAsLong``, read them as long nanos,
+    and rebuild TIMESTAMP_NTZ values with integer division (exact — double
+    division would lose microseconds at 1e18 nanos).
+    """
+    path = str(path)
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+
+        schema = ds.dataset(path, format="parquet").schema
+        ns_cols = [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:  # pragma: no cover - footer probe is best-effort
+        pass
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def _df_to_spark(spark: SparkSession, df: Any) -> DataFrame:
+    """Accept a Spark DataFrame as-is; convert pandas/Arrow via Spark."""
+    if isinstance(df, DataFrame):
+        return df
+    try:
+        return spark.createDataFrame(df)
+    except Exception as exc:  # pragma: no cover - defensive
+        raise TimefenceValidationError(
+            f"Cannot ingest DataFrame of type {type(df).__name__}. "
+            "Provide a Spark or pandas DataFrame, or save to parquet first."
+        ) from exc
+
+
+def load_source_df(spark: SparkSession, source: Source | SQLSource) -> DataFrame:
+    """Load a source into a DataFrame (S1 parquet, S2 csv, S3 df, S4 sql)."""
+    if isinstance(source, SQLSource):
+        for view, path in source.views.items():
+            spark.read.parquet(str(path)).createOrReplaceTempView(view)
+        return spark.sql(source.query)
+    if source.df is not None:
+        df = _df_to_spark(spark, source.df)
+    elif source.format == "parquet":
+        df = read_parquet(spark, source.path)
+    elif source.format == "csv":
+        df = (
+            spark.read.option("header", True)
+            .option("delimiter", source.delimiter)
+            .option("inferSchema", True)
+            .csv(str(source.path))
+        )
+    else:
+        raise TimefenceValidationError(f"Unsupported source format: {source.format}")
+
+    # S6: declared strftime format for string timestamp columns.
+    if source.timestamp_format and source.timestamp in df.columns:
+        dtype = df.schema[source.timestamp].dataType
+        if isinstance(dtype, T.StringType):
+            df = df.withColumn(
+                source.timestamp,
+                F.to_timestamp(F.col(source.timestamp), source.timestamp_format),
+            )
+    return df
+
+
+def load_labels_df(spark: SparkSession, labels: Labels) -> DataFrame:
+    """Load the label spine."""
+    if labels.df is not None:
+        return _df_to_spark(spark, labels.df)
+    if labels.path is not None:
+        return read_parquet(spark, labels.path)
+    raise TimefenceValidationError("Labels must have either path or df.")
+
+
+def register_view(df: DataFrame, base: str) -> str:
+    """Register a temp view with a sanitized name; returns the view name."""
+    view = f"__tf_{safe_name(base)}"
+    df.createOrReplaceTempView(view)
+    return view
