@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-feature PIT build at sf0.001.
+``queries()`` exposes each implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) as (spark, sf_dir) -> DataFrame; every entry has
+a DuckDB-equivalent ``oracle_sql()`` unless marked rows-only.
+
+All computed/aggregate columns are aliased identically on both sides; computed
+floats are rounded (or summed as DECIMAL) so cross-engine value hashes match.
 """
 
 from __future__ import annotations
@@ -12,27 +14,572 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timefence_spark.operators.asof import asof_join
+from timefence_spark.sources.readers import read_parquet
+
+DAY = 86400
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# PIT / as-of joins (SURVEY §2.3 J1-J5)
+# ---------------------------------------------------------------------------
+
+
+def _prev_order_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (custkey, orderdate): max total — unique (key, ts) by construction."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("prev_total"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("feature_time"),
+            "prev_total",
+        )
+    )
+
+
+def _pit_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    embargo_d: int = 0,
+    strict: bool = True,
+    staleness_d: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    labels = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        labels,
+        _prev_order_feature(spark, sf_dir),
+        on=[("o_custkey", "user_id")],
+        left_time="o_orderdate",
+        right_time="feature_time",
+        value_cols=["prev_total"],
+        prefix="f",
+        embargo=embargo_d * DAY,
+        lookback=365 * DAY,
+        staleness=None if staleness_d is None else staleness_d * DAY,
+        strict=strict,
+        strategy=strategy,
+    )
+
+
+def _pit_orders_oracle(
+    *, op: str = "<", embargo_d: int = 0, staleness_d: int | None = None
+) -> str:
+    upper = (
+        f"l.o_orderdate - INTERVAL {embargo_d} DAY" if embargo_d else "l.o_orderdate"
+    )
+    staleness = (
+        f"\n         AND f.feature_time >= l.o_orderdate - INTERVAL {staleness_d} DAY"
+        if staleness_d is not None
+        else ""
+    )
+    return f"""
+    WITH labels AS (SELECT ROW_NUMBER() OVER () AS rid, * FROM orders),
+    feat AS (
+        SELECT o_custkey AS user_id, o_orderdate AS feature_time,
+               MAX(o_totalprice) AS prev_total
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.o_totalprice,
+               f.prev_total AS f__prev_total, f.feature_time AS f__feature_time,
+               ROW_NUMBER() OVER (PARTITION BY l.rid ORDER BY f.feature_time DESC) AS rn
+        FROM labels l
+        LEFT JOIN feat f
+          ON f.user_id = l.o_custkey
+         AND f.feature_time {op} {upper}
+         AND f.feature_time >= l.o_orderdate - INTERVAL 365 DAY{staleness}
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           f__prev_total, f__feature_time
+    FROM ranked WHERE rn = 1
+    """
+
+
+def q_pit_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_orders(spark, sf_dir)
+
+
+def q_pit_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_orders(spark, sf_dir, embargo_d=7)
+
+
+def q_pit_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_orders(spark, sf_dir, strict=False, embargo_d=30)
+
+
+def q_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_orders(spark, sf_dir, staleness_d=90)
+
+
+def q_pit_union_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same invariant as q_pit_strict through the no-fanout union plan."""
+    return _pit_orders(spark, sf_dir, strategy="union")
+
+
+def q_pit_composite_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    labels = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    feat = (
+        li.groupBy("l_partkey", "l_suppkey", "l_shipdate")
+        .agg(F.max("l_extendedprice").alias("prior_price"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_shipdate").alias("feature_time"),
+            "prior_price",
+        )
+    )
+    return asof_join(
+        labels,
+        feat,
+        on=["l_partkey", "l_suppkey"],
+        left_time="l_shipdate",
+        right_time="feature_time",
+        value_cols=["prior_price"],
+        prefix="f",
+        lookback=365 * DAY,
+        strict=True,
+    )
+
+
+ORACLE_PIT_COMPOSITE = """
+    WITH labels AS (SELECT ROW_NUMBER() OVER () AS rid, * FROM lineitem),
+    feat AS (
+        SELECT l_partkey, l_suppkey, l_shipdate AS feature_time,
+               MAX(l_extendedprice) AS prior_price
+        FROM lineitem GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, l.l_shipdate,
+               f.prior_price AS f__prior_price, f.feature_time AS f__feature_time,
+               ROW_NUMBER() OVER (PARTITION BY l.rid ORDER BY f.feature_time DESC) AS rn
+        FROM labels l
+        LEFT JOIN feat f
+          ON f.l_partkey = l.l_partkey AND f.l_suppkey = l.l_suppkey
+         AND f.feature_time < l.l_shipdate
+         AND f.feature_time >= l.l_shipdate - INTERVAL 365 DAY
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+           f__prior_price, f__feature_time
+    FROM ranked WHERE rn = 1
+"""
+
+
+def q_pit_events_keymap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained (sub-second) timestamps + key mapping user_id->entity."""
+    ev = _t(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id", F.col("user_id").alias("entity"), F.col("ts").alias("label_time")
+    )
+    feat = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select("user_id", F.col("ts").alias("feature_time"), "v")
+    )
+    return asof_join(
+        labels,
+        feat,
+        on=[("entity", "user_id")],
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["v"],
+        prefix="f",
+        embargo=3600,
+        lookback=7 * DAY,
+        strict=True,
+    )
+
+
+ORACLE_PIT_EVENTS = """
+    WITH labels AS (
+        SELECT event_id, user_id AS entity, ts AS label_time
+        FROM events WHERE event_id % 5 = 0
+    ), feat AS (
+        SELECT user_id, ts AS feature_time, MAX(value) AS v
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l.event_id, l.entity, l.label_time,
+               f.v AS f__v, f.feature_time AS f__feature_time,
+               ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY f.feature_time DESC) AS rn
+        FROM labels l
+        LEFT JOIN feat f
+          ON f.user_id = l.entity
+         AND f.feature_time < l.label_time - INTERVAL 1 HOUR
+         AND f.feature_time >= l.label_time - INTERVAL 7 DAY
+    )
+    SELECT event_id, entity, label_time, f__v, f__feature_time
+    FROM ranked WHERE rn = 1
+"""
+
+
+def q_pit_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two features recombined on the spine (J5): as-of prev_total plus an
+    as-of 30d rolling DECIMAL spend (sql-mode-style derived feature)."""
+    orders = _t(spark, sf_dir, "orders")
+    labels = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    f1 = _prev_order_feature(spark, sf_dir)
+    day_spend = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * DAY * 1_000_000, 0)
+    )
+    f2 = day_spend.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("feature_time"),
+        F.sum("day_spend").over(w).cast("double").alias("spend_30d"),
+    )
+    step1 = asof_join(
+        labels,
+        f1,
+        on=[("o_custkey", "user_id")],
+        left_time="o_orderdate",
+        right_time="feature_time",
+        value_cols=["prev_total"],
+        prefix="prev",
+        lookback=365 * DAY,
+        strict=True,
+    )
+    return asof_join(
+        step1,
+        f2,
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="feature_time",
+        value_cols=["spend_30d"],
+        prefix="roll",
+        embargo=1 * DAY,
+        lookback=365 * DAY,
+        strict=True,
+    )
+
+
+ORACLE_PIT_MULTI = """
+    WITH labels AS (SELECT ROW_NUMBER() OVER () AS rid, * FROM orders),
+    f1 AS (
+        SELECT o_custkey AS user_id, o_orderdate AS feature_time,
+               MAX(o_totalprice) AS prev_total
+        FROM orders GROUP BY 1, 2
+    ),
+    day_spend AS (
+        SELECT o_custkey, o_orderdate,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_spend
+        FROM orders GROUP BY 1, 2
+    ),
+    f2 AS (
+        SELECT o_custkey, o_orderdate AS feature_time,
+               CAST(SUM(day_spend) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_30d
+        FROM day_spend
+    ),
+    j1 AS (
+        SELECT l.rid, f.prev_total AS prev__prev_total,
+               f.feature_time AS prev__feature_time,
+               ROW_NUMBER() OVER (PARTITION BY l.rid ORDER BY f.feature_time DESC) AS rn
+        FROM labels l
+        LEFT JOIN f1 f
+          ON f.user_id = l.o_custkey
+         AND f.feature_time < l.o_orderdate
+         AND f.feature_time >= l.o_orderdate - INTERVAL 365 DAY
+    ),
+    j2 AS (
+        SELECT l.rid, f.spend_30d AS roll__spend_30d,
+               f.feature_time AS roll__feature_time,
+               ROW_NUMBER() OVER (PARTITION BY l.rid ORDER BY f.feature_time DESC) AS rn
+        FROM labels l
+        LEFT JOIN f2 f
+          ON f.o_custkey = l.o_custkey
+         AND f.feature_time < l.o_orderdate - INTERVAL 1 DAY
+         AND f.feature_time >= l.o_orderdate - INTERVAL 365 DAY
+    )
+    SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.o_totalprice,
+           j1.prev__prev_total, j1.prev__feature_time,
+           j2.roll__spend_30d, j2.roll__feature_time
+    FROM labels l
+    LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1 ON j1.rid = l.rid
+    LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2 ON j2.rid = l.rid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation (SURVEY §2.4 A7 / §2.5 W3)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * DAY * 1_000_000, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+ORACLE_ROLLING = """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate detection (SURVEY §2.4 A3)
+# ---------------------------------------------------------------------------
+
+
+def q_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+ORACLE_DUPLICATES = """
+    SELECT o_custkey, o_orderdate, COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audit-temporal counts (SURVEY §3.2 temporal mode) on a planted-leak dataset
+# ---------------------------------------------------------------------------
+
+
+def q_audit_temporal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leaky dataset (feature_time = label_time + 3d for even
+    keys, -3d for odd) -> per-feature leak count/pct like audit.temporal."""
+    orders = _t(spark, sf_dir, "orders")
+    shifted = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("label_time"),
+        F.when(
+            F.col("o_custkey") % 2 == 0,
+            F.col("o_orderdate") + F.make_dt_interval(days=F.lit(3)),
+        )
+        .otherwise(F.col("o_orderdate") - F.make_dt_interval(days=F.lit(3)))
+        .alias("f__feature_time"),
+    )
+    lt = F.col("label_time")
+    ft = F.col("f__feature_time")
+    return shifted.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(ft.isNotNull() & (ft >= lt), 1)).alias("leaky_rows"),
+        F.max(
+            F.when(ft >= lt, F.unix_micros(ft.cast("timestamp")) - F.unix_micros(lt.cast("timestamp")))
+        ).alias("max_leak_us"),
+    )
+
+
+ORACLE_AUDIT_TEMPORAL = """
+    WITH shifted AS (
+        SELECT o_orderkey, o_orderdate AS label_time,
+               CASE WHEN o_custkey % 2 = 0
+                    THEN o_orderdate + INTERVAL 3 DAY
+                    ELSE o_orderdate - INTERVAL 3 DAY END AS f__feature_time
+        FROM orders
+    )
+    SELECT COUNT(*) AS total_rows,
+           COUNT(*) FILTER (f__feature_time IS NOT NULL AND f__feature_time >= label_time) AS leaky_rows,
+           MAX(CASE WHEN f__feature_time >= label_time
+                    THEN epoch_us(f__feature_time) - epoch_us(label_time) END) AS max_leak_us
+    FROM shifted
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: survivor = min doc_id per md5(text)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type/token profile per document."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_types"),
+    )
+
+
+ORACLE_TEXT_TOKENS = r"""
+    SELECT doc_id, LENGTH(text) AS n_chars,
+           LEN(string_split_regex(text, '\s+')) AS n_tokens,
+           LEN(list_distinct(string_split_regex(text, '\s+'))) AS n_types
+    FROM documents
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language profile: exact-integer aggregates (deterministic cross-engine)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+ORACLE_LANG_PROFILE = """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 20).
+    Sequential double fold on both engines; score rounded to 4dp."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = q.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("nv"))), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ORACLE_KNN = """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(q.embedding, c.embedding) /
+                   (SQRT(list_dot_product(q.embedding, q.embedding)) *
+                    SQRT(list_dot_product(c.embedding, c.embedding))), 4
+               ) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-feature PIT training-set build at sf0.001."""
+    return q_pit_multi_feature(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pit_strict": q_pit_strict,
+        "pit_embargo": q_pit_embargo,
+        "pit_inclusive": q_pit_inclusive,
+        "pit_staleness": q_pit_staleness,
+        "pit_union_strategy": q_pit_union_strategy,
+        "pit_composite_keys": q_pit_composite_keys,
+        "pit_events_keymap": q_pit_events_keymap,
+        "pit_multi_feature": q_pit_multi_feature,
+        "rolling_spend_30d": q_rolling_spend_30d,
+        "duplicate_pairs": q_duplicate_pairs,
+        "audit_temporal_counts": q_audit_temporal_counts,
+        "dedup_exact": q_dedup_exact,
+        "text_token_stats": q_text_token_stats,
+        "lang_profile": q_lang_profile,
+        "knn_cosine": q_knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pit_strict": _pit_orders_oracle(),
+        "pit_embargo": _pit_orders_oracle(embargo_d=7),
+        "pit_inclusive": _pit_orders_oracle(op="<=", embargo_d=30),
+        "pit_staleness": _pit_orders_oracle(staleness_d=90),
+        "pit_union_strategy": _pit_orders_oracle(),
+        "pit_composite_keys": ORACLE_PIT_COMPOSITE,
+        "pit_events_keymap": ORACLE_PIT_EVENTS,
+        "pit_multi_feature": ORACLE_PIT_MULTI,
+        "rolling_spend_30d": ORACLE_ROLLING,
+        "duplicate_pairs": ORACLE_DUPLICATES,
+        "audit_temporal_counts": ORACLE_AUDIT_TEMPORAL,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "text_token_stats": ORACLE_TEXT_TOKENS,
+        "lang_profile": ORACLE_LANG_PROFILE,
+        "knn_cosine": ORACLE_KNN,
+    }
