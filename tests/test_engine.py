@@ -1,0 +1,509 @@
+"""Engine behavior tests: build lifecycle, knobs, audit, diff, store.
+
+Mirrors the reference test strategy (SURVEY §5, tests/test_engine.py):
+temporal invariant per mode, param validation, schema errors, splits,
+flatten conflicts, on_missing, caching, empty/single-row labels.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+import timefence_spark as tf
+from timefence_spark.errors import (
+    TimefenceConfigError,
+    TimefenceDuplicateError,
+    TimefenceLeakageError,
+    TimefenceSchemaError,
+)
+
+
+@pytest.fixture()
+def users_feat_labels(spark, tmp_path):
+    """Reference conftest trio (FIXTURES.md §1): users / transactions / labels."""
+    users = spark.createDataFrame(
+        [
+            (
+                i,
+                ["US", "UK", "DE"][i % 3],
+                dt.datetime(2023, 1, 1) + dt.timedelta(days=i * 3),
+            )
+            for i in range(1, 101)
+        ],
+        "user_id int, country string, updated_at timestamp_ntz",
+    )
+    txns = spark.createDataFrame(
+        [
+            (
+                ((i - 1) % 100) + 1,
+                dt.datetime(2023, 1, 1)
+                + dt.timedelta(days=(i * 7) % 365, hours=(i * 3) % 24),
+                round((10 + (i * 17) % 200) / 10.0, 2),
+            )
+            for i in range(1, 2001)
+        ],
+        "user_id int, created_at timestamp_ntz, amount double",
+    )
+    labels = spark.createDataFrame(
+        [
+            (
+                i,
+                dt.datetime(2024, 1, 15) + dt.timedelta(days=i * 5),
+                i % 4 == 0,
+            )
+            for i in range(1, 51)
+        ],
+        "user_id int, label_time timestamp_ntz, churned boolean",
+    )
+    users_path = str(tmp_path / "users.parquet")
+    txns_path = str(tmp_path / "txns.parquet")
+    labels_path = str(tmp_path / "labels.parquet")
+    users.coalesce(1).write.parquet(users_path)
+    txns.coalesce(1).write.parquet(txns_path)
+    labels.coalesce(1).write.parquet(labels_path)
+    return users_path, txns_path, labels_path
+
+
+def _country_feature(users_path):
+    return tf.Feature(
+        tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+        columns="country",
+        name="user_country",
+    )
+
+
+def _spend_feature(txns_path, embargo="1d"):
+    return tf.Feature(
+        tf.Source(txns_path, keys="user_id", timestamp="created_at"),
+        sql="""
+            SELECT user_id, created_at AS feature_time,
+                   SUM(amount) OVER (
+                       PARTITION BY user_id ORDER BY created_at
+                       RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+                   ) AS spend_30d
+            FROM {source}
+        """,
+        name="rolling_spend",
+        embargo=embargo,
+        on_duplicate="keep_any",
+    )
+
+
+def _labels(labels_path):
+    return tf.Labels(
+        path=labels_path, keys="user_id", label_time="label_time", target="churned"
+    )
+
+
+def test_build_basics_and_invariant(spark, tmp_path, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    out = str(tmp_path / "train.parquet")
+    res = tf.build(
+        _labels(labels_path),
+        [_country_feature(users_path), _spend_feature(txns_path)],
+        out,
+        spark=spark,
+    )
+    assert res.stats.row_count == 50
+    assert res.validate()  # post-build verification passed
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "user_id",
+        "label_time",
+        "churned",
+        "user_country__country",
+        "rolling_spend__spend_30d",
+    }
+    assert got.count() == 50
+    # users snapshots are all >365d older than their labels -> out of lookback
+    assert res.manifest["features"]["user_country"]["missing_rows"] == 50
+    assert res.manifest["features"]["rolling_spend"]["matched_rows"] > 0
+
+
+@pytest.mark.parametrize("join_mode", ["strict", "inclusive"])
+def test_temporal_invariant_modes(spark, tmp_path, users_feat_labels, join_mode):
+    """Every matched feature_time must satisfy the invariant — checked by
+    rebuilding through audit (build output lacks __feature_time by design)."""
+    users_path, txns_path, labels_path = users_feat_labels
+    out = str(tmp_path / f"train_{join_mode}.parquet")
+    res = tf.build(
+        _labels(labels_path),
+        [_spend_feature(txns_path, embargo="2d")],
+        out,
+        join=join_mode,
+        spark=spark,
+    )
+    assert res.validate()
+    report = tf.audit(
+        out,
+        [_spend_feature(txns_path, embargo="2d")],
+        keys="user_id",
+        label_time="label_time",
+        join=join_mode,
+        spark=spark,
+    )
+    assert not report.has_leakage
+
+
+def test_param_validation(spark, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    with pytest.raises(TimefenceConfigError, match="join must be"):
+        tf.build(_labels(labels_path), [_country_feature(users_path)], join="outer", spark=spark)
+    with pytest.raises(TimefenceConfigError, match="on_missing"):
+        tf.build(
+            _labels(labels_path),
+            [_country_feature(users_path)],
+            on_missing="drop",
+            spark=spark,
+        )
+    with pytest.raises(TimefenceConfigError, match="embargo"):
+        feat = tf.Feature(
+            tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+            columns="country",
+            embargo="400d",
+        )
+        tf.build(_labels(labels_path), [feat], max_lookback="365d", spark=spark)
+    with pytest.raises(TimefenceConfigError, match="max_staleness"):
+        feat = tf.Feature(
+            tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+            columns="country",
+            embargo="10d",
+        )
+        tf.build(_labels(labels_path), [feat], max_staleness="5d", spark=spark)
+
+
+def test_duplicate_feature_names(spark, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    f1 = _country_feature(users_path)
+    f2 = _country_feature(users_path)
+    with pytest.raises(TimefenceConfigError, match="Duplicate feature names"):
+        tf.build(_labels(labels_path), [f1, f2], spark=spark)
+    f3 = tf.Feature(
+        tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+        columns="country",
+        name="a b",
+    )
+    f4 = tf.Feature(
+        tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+        columns="country",
+        name="a.b",
+    )
+    with pytest.raises(TimefenceConfigError, match="collide after sanitization"):
+        tf.build(_labels(labels_path), [f3, f4], spark=spark)
+
+
+def test_schema_errors(spark, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    feat = tf.Feature(
+        tf.Source(users_path, keys="customer_id", timestamp="updated_at"),
+        columns="country",
+        name="f",
+    )
+    with pytest.raises(TimefenceSchemaError, match="missing required key"):
+        tf.build(_labels(labels_path), [feat], spark=spark)
+    feat2 = tf.Feature(
+        tf.Source(users_path, keys="user_id", timestamp="nope"),
+        columns="country",
+        name="f2",
+    )
+    with pytest.raises(TimefenceSchemaError, match="timestamp column"):
+        tf.build(_labels(labels_path), [feat2], spark=spark)
+
+
+def test_on_missing_skip(spark, tmp_path, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    out = str(tmp_path / "skip.parquet")
+    res = tf.build(
+        _labels(labels_path),
+        [_spend_feature(txns_path)],
+        out,
+        on_missing="skip",
+        max_lookback="30d",
+        spark=spark,
+    )
+    got = spark.read.parquet(out)
+    assert got.where(F.col("rolling_spend__spend_30d").isNull()).count() == 0
+    assert res.stats.row_count == got.count()
+
+
+def test_flatten_columns(spark, tmp_path, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    out = str(tmp_path / "flat.parquet")
+    tf.build(
+        _labels(labels_path),
+        [_country_feature(users_path), _spend_feature(txns_path)],
+        out,
+        flatten_columns=True,
+        spark=spark,
+    )
+    got = spark.read.parquet(out)
+    assert "country" in got.columns and "spend_30d" in got.columns
+
+
+def test_flatten_collision_keeps_prefixes(spark, tmp_path, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    f1 = _country_feature(users_path)
+    f2 = tf.Feature(
+        tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+        columns={"country": "country"},
+        name="c2",
+    )
+    out = str(tmp_path / "flatcol.parquet")
+    tf.build(_labels(labels_path), [f1, f2], out, flatten_columns=True, spark=spark)
+    got = spark.read.parquet(out)
+    assert "user_country__country" in got.columns and "c2__country" in got.columns
+
+
+def test_splits(spark, tmp_path, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    out = str(tmp_path / "split.parquet")
+    res = tf.build(
+        _labels(labels_path),
+        [_country_feature(users_path)],
+        out,
+        splits={
+            "train": ("2024-01-01", "2024-04-01"),
+            "test": ("2024-04-01", "2024-12-31"),
+        },
+        spark=spark,
+    )
+    assert set(res.splits) == {"train", "test"}
+    train = spark.read.parquet(str(res.splits["train"]))
+    test = spark.read.parquet(str(res.splits["test"]))
+    assert train.count() + test.count() <= 50
+    assert train.agg(F.max("label_time")).first()[0] < dt.datetime(2024, 4, 1)
+
+
+def test_split_overlap_error(spark, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    with pytest.raises(TimefenceConfigError, match="overlap"):
+        tf.build(
+            _labels(labels_path),
+            [_country_feature(users_path)],
+            "/tmp/never.parquet",
+            splits={
+                "a": ("2024-01-01", "2024-06-01"),
+                "b": ("2024-05-01", "2024-12-31"),
+            },
+            spark=spark,
+        )
+
+
+def test_duplicate_detection_error_and_keep_any(spark, tmp_path):
+    dup = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (1, dt.datetime(2024, 1, 1), 2.0)],
+        "user_id int, ts timestamp_ntz, v double",
+    )
+    p = str(tmp_path / "dup.parquet")
+    dup.coalesce(1).write.parquet(p)
+    labels = tf.Labels(
+        df=spark.createDataFrame(
+            [(1, dt.datetime(2024, 2, 1), True)],
+            "user_id int, label_time timestamp_ntz, y boolean",
+        ),
+        keys="user_id",
+        label_time="label_time",
+        target="y",
+    )
+    feat_err = tf.Feature(
+        tf.Source(p, keys="user_id", timestamp="ts"), columns="v", name="f"
+    )
+    with pytest.raises(TimefenceDuplicateError):
+        tf.build(labels, [feat_err], spark=spark)
+    feat_ok = tf.Feature(
+        tf.Source(p, keys="user_id", timestamp="ts"),
+        columns="v",
+        name="f",
+        on_duplicate="keep_any",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = tf.build(labels, [feat_ok], spark=spark)
+    assert res.stats.row_count == 1
+
+
+def test_empty_and_single_row_labels(spark, tmp_path, users_feat_labels):
+    users_path, _, _ = users_feat_labels
+    empty = spark.createDataFrame(
+        [], "user_id int, label_time timestamp_ntz, y boolean"
+    )
+    res = tf.build(
+        tf.Labels(df=empty, keys="user_id", label_time="label_time", target="y"),
+        [_country_feature(users_path)],
+        str(tmp_path / "empty.parquet"),
+        spark=spark,
+    )
+    assert res.stats.row_count == 0 and res.validate()
+    single = spark.createDataFrame(
+        [(5, dt.datetime(2024, 6, 1), True)],
+        "user_id int, label_time timestamp_ntz, y boolean",
+    )
+    res = tf.build(
+        tf.Labels(df=single, keys="user_id", label_time="label_time", target="y"),
+        [_country_feature(users_path)],
+        spark=spark,
+    )
+    assert res.stats.row_count == 1
+
+
+def test_transform_mode(spark, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+
+    def txn_count(spark_session, src_df):
+        return src_df.groupBy("user_id", F.col("created_at").alias("feature_time")).agg(
+            F.count(F.lit(1)).alias("n_txn")
+        )
+
+    feat = tf.Feature(
+        tf.Source(txns_path, keys="user_id", timestamp="created_at"),
+        transform=txn_count,
+        on_duplicate="keep_any",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = tf.build(_labels(labels_path), [feat], spark=spark)
+    assert res.validate()
+    assert "txn_count" in res.manifest["features"]
+
+
+def test_csv_source(spark, tmp_path, users_feat_labels):
+    _, _, labels_path = users_feat_labels
+    csv_path = tmp_path / "users.csv"
+    csv_path.write_text(
+        "user_id;country;updated_at\n"
+        + "\n".join(
+            f"{i};C{i % 3};2023-06-0{1 + i % 9} 00:00:00" for i in range(1, 51)
+        )
+    )
+    feat = tf.Feature(
+        tf.CSVSource(str(csv_path), keys="user_id", timestamp="updated_at", delimiter=";"),
+        columns="country",
+        name="csv_country",
+        on_duplicate="keep_any",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = tf.build(_labels(labels_path), [feat], spark=spark)
+    assert res.validate()
+
+
+def test_tz_mismatch_error(spark, users_feat_labels):
+    users_path, _, _ = users_feat_labels
+    aware_labels = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), True)],
+        "user_id int, label_time timestamp, y boolean",  # tz-aware
+    )
+    with pytest.raises(tf.errors.TimefenceTimezoneError):
+        tf.build(
+            tf.Labels(df=aware_labels, keys="user_id", label_time="label_time", target="y"),
+            [_country_feature(users_path)],  # users updated_at is NTZ
+            spark=spark,
+        )
+
+
+def test_audit_temporal_detects_planted_leak(spark, users_feat_labels):
+    _, _, labels_path = users_feat_labels
+    leaky = (
+        spark.read.parquet(labels_path)
+        .withColumn("f__feature_time", F.col("label_time") + F.expr("INTERVAL 2 DAYS"))
+    )
+    report = tf.audit(
+        leaky,
+        feature_time_columns={"f": "f__feature_time"},
+        label_time="label_time",
+        spark=spark,
+    )
+    assert report.has_leakage
+    detail = report["f"]
+    assert detail.leaky_row_count == 50
+    assert detail.max_leakage == dt.timedelta(days=2)
+    assert detail.median_leakage == dt.timedelta(days=2)
+    assert detail.severity == "HIGH"  # 100% leaky rows > 5% threshold
+    with pytest.raises(TimefenceLeakageError):
+        report.assert_clean()
+
+
+def test_audit_rebuild_detects_wrong_values(spark, tmp_path, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    out = str(tmp_path / "ok.parquet")
+    tf.build(_labels(labels_path), [_spend_feature(txns_path)], out, spark=spark)
+    # corrupt: bump every matched value by 100 -> rebuild must flag them
+    bad = spark.read.parquet(out).withColumn(
+        "rolling_spend__spend_30d", F.col("rolling_spend__spend_30d") + 100.0
+    )
+    bad_path = str(tmp_path / "bad.parquet")
+    bad.coalesce(1).write.parquet(bad_path)
+    report = tf.audit(
+        bad_path,
+        [_spend_feature(txns_path)],
+        keys="user_id",
+        label_time="label_time",
+        spark=spark,
+    )
+    assert report.has_leakage
+    assert report["rolling_spend"].leaky_row_count > 0
+
+
+def test_diff(spark, tmp_path, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    out1 = str(tmp_path / "d1.parquet")
+    out2 = str(tmp_path / "d2.parquet")
+    tf.build(_labels(labels_path), [_spend_feature(txns_path)], out1, spark=spark)
+    doubled = tf.Feature(
+        tf.Source(txns_path, keys="user_id", timestamp="created_at"),
+        sql="""
+            SELECT user_id, created_at AS feature_time,
+                   SUM(amount * 2) OVER (
+                       PARTITION BY user_id ORDER BY created_at
+                       RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+                   ) AS spend_30d
+            FROM {source}
+        """,
+        name="rolling_spend",
+        embargo="1d",
+        on_duplicate="keep_any",
+    )
+    tf.build(
+        _labels(labels_path),
+        [doubled, _country_feature(users_path)],
+        out2,
+        spark=spark,
+    )
+    d = tf.diff(out1, out2, keys="user_id", label_time="label_time", spark=spark)
+    assert d.old_rows == d.new_rows == 50
+    added = [c["column"] for c in d.schema_changes if c["type"] == "+"]
+    assert "user_country__country" in added
+    assert "rolling_spend__spend_30d" in d.value_changes
+
+
+def test_store_cache_roundtrip(spark, tmp_path, users_feat_labels):
+    users_path, _, labels_path = users_feat_labels
+    store = tf.Store(tmp_path / "store")
+    out = str(tmp_path / "cached.parquet")
+    res1 = tf.build(
+        _labels(labels_path), [_country_feature(users_path)], out, store=store, spark=spark
+    )
+    assert not res1.stats.feature_stats["user_country"]["cached"]
+    res2 = tf.build(
+        _labels(labels_path), [_country_feature(users_path)], out, store=store, spark=spark
+    )
+    assert res2.sql == "-- cached build"  # build-level cache hit
+    assert res2.stats.row_count == res1.stats.row_count
+    assert len(store.list_builds()) == 1
+
+
+def test_explain(spark, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    res = tf.explain(
+        _labels(labels_path),
+        [_country_feature(users_path), _spend_feature(txns_path, embargo="1d")],
+        spark=spark,
+    )
+    assert res.label_count == 50
+    assert len(res.plan) == 2
+    s = str(res)
+    assert "user_country" in s and "rolling_spend" in s and "1d" in s

@@ -1013,13 +1013,24 @@ def _audit_rebuild(
                 strict=(join == "strict"),
             )
 
+            # The audited dataset usually carries the same namespaced column
+            # names the rebuild produces — prefix the rebuilt side to keep
+            # the comparison join unambiguous.
+            correct = correct.select(
+                ROW_ID,
+                *[
+                    F.col(c).alias(f"__c_{c}")
+                    for c in correct.columns
+                    if c != ROW_ID
+                ],
+            )
             matching_cols = []
             for col in value_cols:
                 namespaced = f"{feat.name}__{col}"
                 if namespaced in existing_cols:
-                    matching_cols.append((namespaced, namespaced))
+                    matching_cols.append((namespaced, f"__c_{namespaced}"))
                 elif col in existing_cols:
-                    matching_cols.append((col, namespaced))
+                    matching_cols.append((col, f"__c_{namespaced}"))
             if not matching_cols:
                 report.features[feat.name] = FeatureAuditDetail(
                     name=feat.name, total_rows=total, clean=True
@@ -1028,7 +1039,7 @@ def _audit_rebuild(
 
             cmp = existing.join(correct, ROW_ID, "inner").persist()
             try:
-                ft_name = f"{feat.name}__feature_time"
+                ft_name = f"__c_{feat.name}__feature_time"
                 ft_dtype = cmp.schema[ft_name].dataType
                 diff_us = _epoch_us(F.col(label_time), lt_dtype) - _epoch_us(
                     F.col(ft_name), ft_dtype
@@ -1037,7 +1048,7 @@ def _audit_rebuild(
                     F.max(diff_us).alias("__max_lag"),
                     F.percentile(diff_us, F.lit(0.5)).alias("__med_lag"),
                     F.count(
-                        F.when(F.col(f"{feat.name}__{value_cols[0]}").isNull(), 1)
+                        F.when(F.col(f"__c_{feat.name}__{value_cols[0]}").isNull(), 1)
                     ).alias("__nulls"),
                 ]
                 mismatch_exprs: dict[str, F.Column] = {}

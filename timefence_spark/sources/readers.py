@@ -78,12 +78,20 @@ def load_source_df(spark: SparkSession, source: Source | SQLSource) -> DataFrame
     elif source.format == "parquet":
         df = read_parquet(spark, source.path)
     elif source.format == "csv":
-        df = (
-            spark.read.option("header", True)
-            .option("delimiter", source.delimiter)
-            .option("inferSchema", True)
-            .csv(str(source.path))
-        )
+        # Infer timestamps as TIMESTAMP_NTZ (naive) — CSV text carries no
+        # zone, and the reference's CSV reader yields naive timestamps too.
+        prev = spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        try:
+            df = (
+                spark.read.option("header", True)
+                .option("delimiter", source.delimiter)
+                .option("inferSchema", True)
+                .csv(str(source.path))
+            )
+            df.schema  # force eager schema inference under this conf
+        finally:
+            spark.conf.set("spark.sql.timestampType", prev)
     else:
         raise TimefenceValidationError(f"Unsupported source format: {source.format}")
 
