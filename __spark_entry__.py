@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timefence_spark.operators import dedup, similarity, text
 from timefence_spark.operators.asof import asof_join
 from timefence_spark.sources.readers import read_parquet
 
@@ -535,6 +536,149 @@ ORACLE_KNN = """
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (inverted index) — verified
+    against a brute-force O(n^2) DuckDB join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.2,
+        max_doc_freq=100_000,
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+               ]) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(
+               len(list_intersect(a.grams, b.grams))::DOUBLE /
+               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+               6
+           ) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_score(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_QUALITY = r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(text), '\s+') AS toks,
+               LENGTH(text) AS n_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id, text, toks, n_chars,
+               LEN(toks) AS n_tokens,
+               LEN(list_distinct(toks)) AS n_types,
+               n_chars - LENGTH(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct,
+               n_chars - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               n_chars - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers,
+               LEN(list_filter(toks, x -> list_contains(
+                   ['the','and','of','to','in','is','that','it','for','with',
+                    'a','an','on','at','by','as','be','are'], x))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(punct::DOUBLE / n_chars, 6) AS punct_ratio,
+           ROUND(digits::DOUBLE / n_chars, 6) AS digit_ratio,
+           ROUND(uppers::DOUBLE / n_chars, 6) AS upper_ratio,
+           ROUND(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
+           ROUND(1.0 - n_types::DOUBLE / n_tokens, 6) AS repetition,
+           ROUND(
+               (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN ROUND(punct::DOUBLE / n_chars, 6) <= 0.2 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN ROUND(1.0 - n_types::DOUBLE / n_tokens, 6) <= 0.5 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN ROUND(digits::DOUBLE / n_chars, 6) <= 0.2 THEN 0.25 ELSE 0.0 END),
+               2) AS quality_score
+    FROM m
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup survivors (rows-only check: xxhash64 has no
+    DuckDB equivalent; the exact-Jaccard verification stage IS oracle-checked
+    via ngram_jaccard)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_dedup(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
+        threshold=0.7,
+    ).select("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64-based signatures)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lang_id(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_LANG_ID = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id, LEN(toks) AS n_tokens,
+            [
+              {'hits': LEN(list_filter(toks, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','mit','ein','zu','auf'], x))),
+               'lang': 'de'},
+              {'hits': LEN(list_filter(toks, x -> list_contains(
+                  ['the','and','of','to','in','is','that','it','for','with'], x))),
+               'lang': 'en'},
+              {'hits': LEN(list_filter(toks, x -> list_contains(
+                  ['el','la','los','de','que','es','en','un','por','con'], x))),
+               'lang': 'es'},
+              {'hits': LEN(list_filter(toks, x -> list_contains(
+                  ['le','la','les','et','est','pas','pour','dans','que','une'], x))),
+               'lang': 'fr'},
+              {'hits': LEN(list_filter(toks, x -> list_contains(
+                  ['的','是','在','了','和','有','我','不','这','人'], x))),
+               'lang': 'zh'}
+            ] AS scores
+        FROM t
+    )
+    SELECT doc_id,
+           list_max(scores)['lang'] AS lang_pred,
+           ROUND(list_max(scores)['hits']::DOUBLE / n_tokens, 6) AS lang_score
+    FROM scored
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via random-hyperplane LSH (rows-only check —
+    exact counterpart knn_cosine is oracle-checked)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.rp_lsh_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=16,
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via RP-LSH blocking (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.embedding_near_dup_pairs(
+        emb, id_col="vec_id", threshold=0.9, bits=4, tables=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -562,6 +706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "lang_profile": q_lang_profile,
         "knn_cosine": q_knn_cosine,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_lsh": q_knn_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -582,4 +733,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": ORACLE_TEXT_TOKENS,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "quality_score": ORACLE_QUALITY,
+        "lang_id": ORACLE_LANG_ID,
+        # minhash_dedup / simhash_pairs / knn_lsh / embedding_near_dup:
+        # intentionally omitted — xxhash64/LSH has no DuckDB equivalent;
+        # the driver records a rows-only check for these.
     }

@@ -1,0 +1,139 @@
+"""Dedup operators: exact vs DuckDB oracle; minhash/simhash via planted dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefence_spark.operators import dedup
+
+from tests.conftest import assert_df_equals_sql
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents + planted exact copies and near-copies (one word changed)."""
+    base = docs.select("doc_id", "text")
+    exact_copies = base.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near_copies = base.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    return base.unionByName(exact_copies).unionByName(near_copies)
+
+
+def test_exact_dedup_vs_oracle(spark, sf_dir, oracle, docs):
+    out = dedup.exact_dedup(
+        docs.select("doc_id", "text"), id_col="doc_id", content_cols=["text"]
+    ).select("doc_id")
+    assert_df_equals_sql(
+        out,
+        oracle,
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    )
+
+
+def test_exact_dedup_drops_planted_copies(spark, docs_with_dups):
+    survivors = dedup.exact_dedup(
+        docs_with_dups, id_col="doc_id", content_cols=["text"]
+    )
+    ids = {r.doc_id for r in survivors.collect()}
+    # every planted exact copy (id >= 100000, < 200000) loses to its original
+    assert not any(100000 <= i < 200000 for i in ids)
+    assert all(i in ids for i in range(10))
+
+
+def test_duplicate_groups(spark, docs_with_dups):
+    groups = dedup.duplicate_groups(
+        docs_with_dups, id_col="doc_id", content_cols=["text"]
+    ).collect()
+    assert len(groups) == 10
+    for g in groups:
+        assert g.n_copies == 2
+        assert g.ids[1] == g.ids[0] + 100000
+
+
+def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups,
+        id_col="doc_id",
+        text_col="text",
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact copies must always collide with jaccard 1.0
+    exact_found = sum((i, i + 100000) in found for i in range(10))
+    assert exact_found == 10
+    for r in pairs:
+        if (r.id_a, r.id_b) in {(i, i + 100000) for i in range(10)}:
+            assert r.jaccard == 1.0
+    # near copies (one appended token) should mostly collide with high jaccard
+    near_found = sum((i, i + 200000) in found for i in range(10, 20))
+    assert near_found >= 8
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    d = docs.select("doc_id", "text").limit(20)
+    s1 = dedup.minhash_signatures(d, id_col="doc_id", text_col="text").collect()
+    s2 = dedup.minhash_signatures(d, id_col="doc_id", text_col="text").collect()
+    assert {r.doc_id: r.signature for r in s1} == {r.doc_id: r.signature for r in s2}
+
+
+def test_minhash_dedup_removes_losers(spark, docs_with_dups):
+    kept = dedup.minhash_dedup(
+        docs_with_dups, id_col="doc_id", text_col="text", threshold=0.9
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not any(100000 <= i < 200000 for i in ids)  # exact dups dropped
+    assert all(i in ids for i in range(10))  # originals kept
+
+
+def test_simhash_identical_and_near(spark, docs_with_dups):
+    pairs = dedup.simhash_pairs(
+        docs_with_dups, id_col="doc_id", text_col="text", max_hamming=3
+    ).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for i in range(10):
+        assert found.get((i, i + 100000)) == 0  # identical docs: hamming 0
+
+
+def test_ngram_jaccard_vs_bruteforce_oracle(spark, sf_dir, oracle, docs):
+    """Exact algorithm -> full differential test against an O(n^2) DuckDB join."""
+    out = dedup.ngram_jaccard_pairs(
+        docs.select("doc_id", "text"),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.2,
+        max_doc_freq=10_000,
+    )
+    sql = r"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+               ]) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(
+               len(list_intersect(a.grams, b.grams))::DOUBLE /
+               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+               6
+           ) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+    """
+    assert_df_equals_sql(out, oracle, sql)

@@ -1,0 +1,91 @@
+"""Similarity search: exact kNN vs DuckDB; LSH/IVF recall vs exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefence_spark.operators import similarity
+
+from tests.conftest import assert_df_equals_sql
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_cosine_topk_vs_oracle(spark, oracle, emb):
+    out = similarity.cosine_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        round_to=4,
+    )
+    sql = """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.embedding, c.embedding) /
+                     (SQRT(list_dot_product(q.embedding, q.embedding)) *
+                      SQRT(list_dot_product(c.embedding, c.embedding))), 4) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+    assert_df_equals_sql(out, oracle, sql)
+
+
+def _recall_vs_exact(approx_df, exact_df) -> float:
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in exact_df.collect()}
+    return len(approx & exact) / len(exact)
+
+
+def test_rp_lsh_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=5
+    )
+    approx = similarity.rp_lsh_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=5,
+        bits=4, tables=16,
+    )
+    # dim-64 vectors, 500 corpus rows: 16 tables x 16 buckets -> ~0.9 recall
+    assert _recall_vs_exact(approx, exact) >= 0.6
+
+
+def test_ivf_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=5
+    )
+    approx = similarity.ivf_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=5,
+        nlist=8, nprobe=4,
+    )
+    assert _recall_vs_exact(approx, exact) >= 0.4
+
+
+def test_embedding_near_dup_finds_planted_copies(spark, emb):
+    copies = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    with_dups = emb.unionByName(copies)
+    pairs = similarity.embedding_near_dup_pairs(
+        with_dups, id_col="vec_id", threshold=0.99, bits=6, tables=8
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # identical vectors share every LSH bucket -> always found, cosine 1.0
+    assert all((i, i + 50000) in found for i in range(10))
+    for r in pairs:
+        if (r.id_a, r.id_b) in {(i, i + 50000) for i in range(10)}:
+            assert r.cosine >= 0.999999

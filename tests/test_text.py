@@ -1,0 +1,90 @@
+"""Text operators: token stats/quality vs DuckDB oracles; lang-id/fingerprint
+properties."""
+
+from __future__ import annotations
+
+import pytest
+
+from timefence_spark.operators import text as text_ops
+
+from tests.conftest import assert_df_equals_sql
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_stats_vs_oracle(spark, oracle, docs):
+    out = text_ops.token_stats(docs, id_col="doc_id", text_col="text")
+    sql = r"""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(toks) AS n_tokens,
+           LEN(list_distinct(toks)) AS n_types,
+           ROUND(LEN(list_distinct(toks))::DOUBLE / LEN(toks), 6) AS type_token_ratio,
+           ROUND(list_sum(list_transform(toks, t -> LENGTH(t)))::DOUBLE / LEN(toks), 6)
+               AS mean_token_len
+    FROM t
+    """
+    assert_df_equals_sql(out, oracle, sql)
+
+
+def test_quality_score_ranges(spark, docs):
+    rows = text_ops.quality_score(docs, id_col="doc_id", text_col="text").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.repetition <= 1.0
+        assert r.stopword_ratio >= 0.0
+
+
+def test_lang_id_deterministic_and_scored(spark, docs):
+    out1 = text_ops.lang_id(docs, id_col="doc_id", text_col="text").collect()
+    out2 = text_ops.lang_id(docs, id_col="doc_id", text_col="text").collect()
+    assert {r.doc_id: r.lang_pred for r in out1} == {
+        r.doc_id: r.lang_pred for r in out2
+    }
+    assert all(r.lang_pred in text_ops.LANG_MARKERS for r in out1)
+
+
+def test_lang_id_on_real_language_text(spark):
+    samples = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is warm in the sun"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "le chat est dans la maison et il est pour les enfants"),
+            (4, "el perro es de la casa y es un amigo con el gato"),
+        ],
+        "doc_id int, text string",
+    )
+    preds = {
+        r.doc_id: r.lang_pred
+        for r in text_ops.lang_id(samples, id_col="doc_id", text_col="text").collect()
+    }
+    assert preds == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_fingerprint_properties(spark, docs):
+    fp = text_ops.fingerprint(docs, id_col="doc_id", text_col="text", num_hashes=8)
+    rows = fp.collect()
+    assert all(1 <= len(r.fingerprint) <= 8 for r in rows)
+    assert all(r.fingerprint == sorted(r.fingerprint) for r in rows)
+    # identical text -> identical fingerprint
+    import pyspark.sql.functions as F
+
+    dup = docs.limit(5).select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+    both = text_ops.fingerprint(
+        docs.limit(5).select("doc_id", "text").unionByName(dup),
+        id_col="doc_id",
+        text_col="text",
+    ).collect()
+    by_id = {r.doc_id: r.fingerprint for r in both}
+    for i in by_id:
+        if i >= 9000:
+            assert by_id[i] == by_id[i - 9000]

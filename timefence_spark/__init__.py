@@ -18,6 +18,7 @@ from timefence_spark.core import (
     SQLSource,
 )
 from timefence_spark.engine import audit, build, diff, explain, get_spark
+from timefence_spark.operators import dedup, multimodal, similarity, text
 from timefence_spark.operators.asof import asof_join, pit_match
 from timefence_spark.store import Store
 
@@ -36,8 +37,12 @@ __all__ = [
     "asof_join",
     "audit",
     "build",
+    "dedup",
     "diff",
     "explain",
     "get_spark",
+    "multimodal",
     "pit_match",
+    "similarity",
+    "text",
 ]

@@ -1,0 +1,341 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame/expression plans (JVM-side, whole-stage
+codegen, no Python UDFs in the hot path), designed for 100 TB corpora:
+
+* exact_dedup        — content-hash groupBy; one shuffle on the hash.
+* minhash_signatures / minhash_lsh_pairs / minhash_dedup
+                     — shingle -> minhash -> banded LSH bucket join ->
+                       exact-Jaccard verification. Candidate generation cost
+                       is bounded by bucket sizes, never all-pairs.
+* simhash / simhash_pairs — 64-bit SimHash + chunk-banding for Hamming<=k.
+* ngram_jaccard_pairs — exact n-gram Jaccard via inverted index with a
+                       document-frequency cap (classic all-pairs pruning).
+
+Hash function: xxhash64 (Spark built-in, deterministic across executors and
+runs). Permutations for MinHash are the standard (a*h + b) mod p family with
+constants derived from a seed on the driver, so signatures are reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31 - 1: keeps a*h + b inside int64 (a, h < p -> a*h < 2^62), so the
+# permutation family (a*h + b) mod p runs in native long arithmetic.
+_MERSENNE_P = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    content_cols: Sequence[str],
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per distinct content (md5 of the concatenated columns).
+
+    One hash-partitioned aggregation; survivor is the min (or max) id, which
+    is deterministic. Returns the surviving rows (all original columns).
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    hash_col = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
+    survivors = (
+        df.groupBy(hash_col.alias("__content_hash"))
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def duplicate_groups(
+    df: DataFrame, *, id_col: str, content_cols: Sequence[str]
+) -> DataFrame:
+    """Groups of exact duplicates: (content_hash, n_copies, member ids)."""
+    hash_col = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.groupBy(hash_col.alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as a deduplicated array of strings."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingles, signature: array<bigint>[num_perm]).
+
+    min over shingles of (a_j * h(s) + b_j) mod p per permutation — entirely
+    Spark expressions, vectorized by codegen; no data leaves the JVM.
+    """
+    sh = shingles(F.col(text_col), shingle_k).alias("__shingles")
+    base = df.select(F.col(id_col), sh)
+    # Positive 61-bit shingle hash.
+    h = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))  # noqa: E731
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__shingles"),
+                    lambda s: F.pmod(F.lit(a) * h(s) + F.lit(b), F.lit(_MERSENNE_P)),
+                )
+            )
+            for a, b in _perm_constants(num_perm, seed)
+        ]
+    )
+    return base.select(id_col, "__shingles", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH, verified with exact
+    Jaccard over shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Scale shape: explode to (band_hash, id) — bands x N rows — shuffle by
+    band_hash, self-join inside buckets only, dedup pairs, then one exact
+    verification per distinct candidate pair.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_k=shingle_k, seed=seed,
+    )
+
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.col("__shingles"), F.explode(band_hashes).alias("band_hash")
+    )
+
+    left = buckets.select(
+        F.col("band_hash"),
+        F.col(id_col).alias("id_a"),
+        F.col("__shingles").alias("sh_a"),
+    )
+    right = buckets.select(
+        F.col("band_hash"),
+        F.col(id_col).alias("id_b"),
+        F.col("__shingles").alias("sh_b"),
+    )
+    candidates = (
+        left.join(right, "band_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = inter.cast("double") / union
+    return (
+        candidates.withColumn("jaccard", F.round(jaccard, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop every row that has a near-duplicate with a smaller id.
+
+    (Pairwise canonicalization, the standard practical policy — not a full
+    transitive closure, which needs iterative connected components.)
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, threshold=threshold, seed=seed,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: bit i is set iff the sum over tokens
+    of ±1 (sign of bit i of the token hash) is positive. Pure expressions."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    bit_sum = lambda i: F.aggregate(  # noqa: E731
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    # 64 per-bit sums as one array, folded into a single long signature.
+    # Bit 63 is the sign bit: its power-of-two literal is long-min.
+    sums = F.array(*[bit_sum(i) for i in range(64)])
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    fold = F.aggregate(
+        F.zip_with(
+            sums,
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), fold.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: split the 64-bit signature into 4 16-bit chunks; any pair within
+    Hamming<=3 shares at least one exact chunk (pigeonhole), so candidates
+    come from equi-joins on chunks — no all-pairs comparison.
+    """
+    sigs = simhash(df, id_col=id_col, text_col=text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ]
+    )
+    exploded = sigs.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk_id", "c.chunk"
+    )
+    left = exploded.select(
+        "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    right = exploded.select(
+        "chunk_id", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard similarity join over word n-gram sets.
+
+    Inverted index: explode n-grams, drop grams appearing in more than
+    ``max_doc_freq`` docs (they generate quadratic candidates but carry no
+    selectivity), count co-occurring grams per pair, compute
+    |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard)."""
+    grams = shingles(F.col(text_col), n)
+    base = df.select(F.col(id_col), grams.alias("__grams")).withColumn(
+        "__n", F.size("__grams")
+    )
+    inv = base.select(id_col, "__n", F.explode("__grams").alias("gram"))
+    rare = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("gram")
+    )
+    inv = inv.join(rare, "gram", "left_semi")
+    a = inv.select(F.col("gram"), F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
+    b = inv.select(F.col("gram"), F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
+    co = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        co.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,179 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB media pipelines:
+
+* Media travel as ``binary`` columns next to a typed metadata struct —
+  never decoded until a stage needs pixels/samples.
+* Decode / resize / feature-extract / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages (one Python worker per partition, zero-copy
+  batches), NOT row-at-a-time UDFs.
+* The actual codec calls are STUBBED in this environment (no PIL/ffmpeg in
+  the container): ``decode_fn=None`` uses a deterministic fake decoder that
+  derives stable pseudo-metadata from the bytes, keeping every Spark-side
+  contract (schema, batch shape, partitioning) real and testable. Pass a
+  real ``decode_fn(bytes) -> dict`` to swap in PIL/ffmpeg in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_size", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+IMAGE_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, *, binary_col: str, media_type: str
+) -> DataFrame:
+    """Add the typed metadata struct next to a binary column — pure
+    expressions (sha2/length run JVM-side, no decode)."""
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(F.col(binary_col)).cast("long").alias("byte_size"),
+            F.sha2(F.col(binary_col), 256).alias("content_sha"),
+        ),
+    )
+
+
+def _fake_decode(data: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: stable pseudo-dimensions
+    derived from a content hash. Replace with PIL in production."""
+    h = hashlib.sha256(data or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 3,
+        "format": "fake",
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    decode_fn: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode image metadata via Arrow-batched mapInPandas.
+
+    Output: (id, width, height, channels, format). Partitioning is preserved;
+    each partition's rows stream through Python in Arrow batches."""
+    import pandas as pd
+
+    fn = decode_fn or _fake_decode
+    out_schema = T.StructType(
+        [df.schema[id_col], *IMAGE_INFO_SCHEMA.fields]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            infos = [fn(b if b is not None else b"") for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": [i["width"] for i in infos],
+                    "height": [i["height"] for i in infos],
+                    "channels": [i["channels"] for i in infos],
+                    "format": [i["format"] for i in infos],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage: binary in -> binary out, Arrow-batched.
+
+    The stub 'resize' is a deterministic re-hash of (bytes, w, h) — real
+    pipelines pass a PIL/libvips ``resize_fn``."""
+    import pandas as pd
+
+    def _stub(data: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "No image codec in this environment. Pass resize_fn=... "
+            "(e.g. PIL-based) to resize_images()."
+        )
+
+    fn = resize_fn
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("resized", T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                (fn or _stub)(b if b is not None else b"", width, height)
+                for b in pdf[binary_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "resized": resized})
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 10,
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame-sampling stage for video: one input row -> N frame rows
+    (mapInPandas fan-out). The stub emits deterministic pseudo-frames
+    (sliced content hashes) so the explode shape is real."""
+    import pandas as pd
+
+    def _stub(data: bytes, n: int) -> list[bytes]:
+        h = hashlib.sha256(data or b"").digest()
+        count = 1 + h[2] % 4
+        return [hashlib.sha256(h + bytes([i])).digest() for i in range(count)]
+
+    fn = extract_fn or _stub
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[binary_col]):
+                for i, fr in enumerate(fn(b if b is not None else b"", every_n)):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)

@@ -1,0 +1,271 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_topk        — exact brute-force top-k; the correctness baseline.
+                       Broadcast the query side; the corpus is never shuffled.
+* rp_lsh_topk        — random-hyperplane LSH: bucket by sign-bit signature,
+                       search only same-bucket candidates. The scale path:
+                       candidate count ~ N / 2^bits per table.
+* ivf_topk           — inverted-file index: deterministic sampled centroids,
+                       assign corpus to nearest centroid, probe the query's
+                       closest ``nprobe`` lists.
+
+Vector math is pure Spark expressions (zip_with + aggregate fold — sequential
+double accumulation, deterministic). No UDFs; survives codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    round_to: int | None = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) are excluded. The query side is broadcast by
+    default so the big corpus streams through map-side — one window shuffle
+    keyed by query_id on the (|Q| x |C|) scored set; keep |Q| bounded or
+    pre-filter the corpus (see rp_lsh_topk / ivf_topk)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    score = cosine(F.col("__qv"), F.col("__cv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side constants)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).tolist()
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of a vector against fixed hyperplanes -> int."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH candidate generation +
+    exact cosine re-ranking of candidates.
+
+    ``tables`` independent signatures; a corpus vector is a candidate if it
+    shares any table's bucket with the query. Expected candidates per query
+    ~ tables * N / 2^bits. Recall rises with tables, cost with candidates."""
+    if dim is None:
+        first = corpus.select(F.size(corpus_vec).alias("d")).head(1)
+        if not first:
+            return cosine_topk(
+                queries, corpus, query_id=query_id, corpus_id=corpus_id,
+                query_vec=query_vec, corpus_vec=corpus_vec, k=k,
+            )
+        dim = first[0]["d"]
+
+    def signatures(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    rp_signature(F.col(vecc), _hyperplanes(dim, bits, seed + t)).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(f"__{out_id}_v"),
+            F.explode(sigs).alias("s"),
+        ).select(out_id, f"__{out_id}_v", "s.table_id", "s.bucket")
+
+    qs = signatures(queries, query_id, query_vec, "query_id")
+    cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
+    cand = (
+        qs.join(cs, ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    score = cosine(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cand.select("query_id", "neighbor_id", score.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-flat: centroids = deterministic hash-sample of ``nlist`` corpus
+    vectors; corpus rows are assigned to their nearest centroid (one broadcast
+    pass); each query probes its ``nprobe`` nearest lists and re-ranks
+    exactly. Probing fraction nprobe/nlist of the corpus per query."""
+    sampled = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid").cast("string"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(nlist)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("__h")) - 1)
+        .select("centroid_id", F.col("cv").alias("centroid"))
+    )
+    cent = F.broadcast(sampled)
+
+    def assign(df: DataFrame, idc: str, vecc: str, out: str, n_lists: int) -> DataFrame:
+        scored = df.crossJoin(cent).select(
+            F.col(idc),
+            F.col(vecc),
+            "centroid_id",
+            cosine(F.col(vecc), F.col("centroid")).alias("__cs"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__cs"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= n_lists)
+            .select(idc, vecc, "centroid_id")
+        )
+
+    corpus_assigned = assign(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")),
+        "neighbor_id", "__cv", "list", 1,
+    )
+    query_probes = assign(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")),
+        "query_id", "__qv", "probe", nprobe,
+    )
+    cand = query_probes.join(corpus_assigned, "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    score = cosine(F.col("__qv"), F.col("__cv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cand.select("query_id", "neighbor_id", score.alias("cosine")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t),
+    using the same RP-LSH blocking as rp_lsh_topk."""
+    first = df.select(F.size(vec_col).alias("d")).head(1)
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = first[0]["d"]
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                rp_signature(F.col(vec_col), _hyperplanes(dim, bits, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), F.explode(sigs).alias("s")
+    ).select(id_col, "__v", "s.table_id", "s.bucket")
+    a = exploded.select(
+        "table_id", "bucket", F.col(id_col).alias("id_a"), F.col("__v").alias("va")
+    )
+    b = exploded.select(
+        "table_id", "bucket", F.col(id_col).alias("id_b"), F.col("__v").alias("vb")
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
