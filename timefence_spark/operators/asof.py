@@ -268,6 +268,19 @@ def _pit_match_union(
     )
 
 
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a DataFrame (None if unavailable)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - connect mode / API drift
+        return None
+
+
+# Right sides estimated at or under this are broadcast through the fanout
+# join; larger ones take the no-fanout union plan.
+BROADCAST_BYTES_THRESHOLD = 64 * 1024 * 1024
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -282,11 +295,18 @@ def asof_join(
     staleness: int | None = None,
     strict: bool = True,
     strategy: str = "auto",
-    broadcast_right: bool = False,
+    broadcast_right: bool | None = None,
 ) -> DataFrame:
     """Standalone as-of join: all of ``left``'s columns plus the matched
     right-side values. Durations are in seconds. ``on`` accepts a column
-    name, a list of names, or (left, right) name pairs."""
+    name, a list of names, or (left, right) name pairs.
+
+    Physical shape: with ``strategy='auto'`` the right side's Catalyst size
+    estimate picks broadcast range-join (small right) vs the single-pass
+    union/last_value plan (big right). The union path needs NO row id, NO
+    persist and NO recombination join — the label row rides through the
+    window as a struct. One shuffle per side, total.
+    """
     if isinstance(on, str):
         pairs = [(on, on)]
     else:
@@ -296,26 +316,159 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in skip]
     pfx = prefix if prefix is not None else "r"
 
-    rid = "__asof_rowid"
-    left_id = left.withColumn(rid, F.monotonically_increasing_id())
-    # Pin the nondeterministic id before it is used on both sides of the
-    # recombination join (SURVEY §7.3 trap 2).
-    left_id = left_id.persist()
-    left_id.count()
-    matches = pit_match(
-        left_id,
+    if strategy == "auto":
+        if broadcast_right is None:
+            est = estimated_size_bytes(right)
+            broadcast_right = est is not None and est <= BROADCAST_BYTES_THRESHOLD
+        strategy = "join" if broadcast_right else "union"
+
+    if strategy == "union":
+        return _asof_union_single_pass(
+            left,
+            right,
+            key_pairs=pairs,
+            left_time=left_time,
+            right_time=right_time,
+            value_cols=value_cols,
+            prefix=pfx,
+            embargo_s=embargo,
+            lookback_s=lookback,
+            staleness_s=staleness,
+            strict=strict,
+        )
+
+    return _asof_join_single_pass(
+        left,
         right,
         key_pairs=pairs,
-        label_time=left_time,
-        feature_time=right_time,
+        left_time=left_time,
+        right_time=right_time,
         value_cols=value_cols,
         prefix=pfx,
         embargo_s=embargo,
         lookback_s=lookback,
         staleness_s=staleness,
         strict=strict,
-        row_id=rid,
-        strategy=strategy,
-        broadcast_feature=broadcast_right,
+        broadcast_right=bool(broadcast_right),
     )
-    return left_id.join(matches, rid, "left").drop(rid)
+
+
+def _asof_join_single_pass(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_pairs: Sequence[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    prefix: str,
+    embargo_s: int,
+    lookback_s: int | None,
+    staleness_s: int | None,
+    strict: bool,
+    broadcast_right: bool,
+) -> DataFrame:
+    """Fanout range-join + per-row max_by, carrying the label columns through
+    the aggregation with first() — one linear pipeline: scan -> rowid ->
+    (broadcast) join -> single shuffle by rowid -> aggregate. No persist and
+    no recombination join; the nondeterministic rowid is generated and
+    consumed inside one deterministic plan, so it never needs pinning."""
+    rid = "__asof_rowid"
+    l = left.withColumn(rid, F.monotonically_increasing_id()).alias("l")
+    f = right.alias("f")
+    if broadcast_right:
+        f = F.broadcast(f)
+
+    lt = F.col(f"l.{left_time}")
+    ft = F.col(f"f.{right_time}")
+    cond = None
+    for lk, sk in key_pairs:
+        c = F.col(f"l.{lk}") == F.col(f"f.{sk}")
+        cond = c if cond is None else (cond & c)
+    upper_ref = _minus(lt, embargo_s)
+    cond = cond & ((ft < upper_ref) if strict else (ft <= upper_ref))
+    lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
+    if lower_s is not None:
+        cond = cond & (ft >= _minus(lt, lower_s))
+
+    joined = l.join(f, cond, "left")
+    payload = F.struct(
+        *[F.col(f"f.{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
+        ft.alias("ft"),
+    )
+    agg = joined.groupBy(F.col(f"l.{rid}")).agg(
+        *[F.first(F.col(f"l.{c}")).alias(c) for c in left.columns],
+        F.max_by(payload, ft).alias("__best"),
+    )
+    return agg.select(
+        *left.columns,
+        *[
+            F.col(f"__best.v{i}").alias(f"{prefix}__{c}")
+            for i, c in enumerate(value_cols)
+        ],
+        F.col("__best.ft").alias(f"{prefix}__feature_time"),
+    )
+
+
+def _asof_union_single_pass(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_pairs: Sequence[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    prefix: str,
+    embargo_s: int,
+    lookback_s: int | None,
+    staleness_s: int | None,
+    strict: bool,
+) -> DataFrame:
+    """Union/last_value as-of join carrying the whole left row through the
+    window — no row id, no persist, no recombination join."""
+    key_aliases = [f"__k{i}" for i in range(len(key_pairs))]
+    ft = F.col(right_time)
+
+    payload = F.struct(
+        *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
+        ft.alias("ft"),
+    )
+    feat_side = right.select(
+        *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
+        ft.alias("__t"),
+        payload.alias("__payload"),
+    ).withColumn("__is_label", F.lit(False))
+
+    lt = F.col(left_time)
+    lbl_side = left.select(
+        *[F.col(lk).alias(a) for (lk, _), a in zip(key_pairs, key_aliases)],
+        _minus(lt, embargo_s).alias("__t"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        lt.alias("__lt"),
+    ).withColumn("__is_label", F.lit(True))
+
+    unioned = lbl_side.unionByName(feat_side, allowMissingColumns=True)
+    label_tag = 0 if strict else 1
+    tag = F.when(F.col("__is_label"), F.lit(label_tag)).otherwise(F.lit(1 - label_tag))
+    w = (
+        Window.partitionBy(*key_aliases)
+        .orderBy(F.col("__t").asc(), tag.asc(), F.col("__payload").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+
+    matched = filled.where(F.col("__is_label"))
+    lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
+    if lower_s is not None:
+        in_window = F.col("__match.ft") >= _minus(F.col("__lt"), lower_s)
+        matched = matched.withColumn(
+            "__match", F.when(in_window, F.col("__match")).otherwise(F.lit(None))
+        )
+    return matched.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"__match.v{i}").alias(f"{prefix}__{c}")
+            for i, c in enumerate(value_cols)
+        ],
+        F.col("__match.ft").alias(f"{prefix}__feature_time"),
+    )
