@@ -1,0 +1,179 @@
+"""Property-based tests (hypothesis): for ANY generated feature/label times,
+embargo and join mode, every as-of output row satisfies the temporal
+invariant AND matches a brute-force per-row oracle.
+
+Mirrors reference tests/test_property.py (invariant + build/audit roundtrip),
+with a python brute-force oracle instead of row counts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timefence_spark.operators.asof import asof_join
+
+BASE = dt.datetime(2024, 1, 1)
+DAY = 86400
+
+
+@st.composite
+def scenario(draw):
+    n_feat = draw(st.integers(min_value=0, max_value=30))
+    n_labels = draw(st.integers(min_value=1, max_value=20))
+    n_entities = draw(st.integers(min_value=1, max_value=4))
+    feat_offsets = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=90 * 24),  # hours
+            min_size=n_feat,
+            max_size=n_feat,
+            unique=True,
+        )
+    )
+    label_offsets = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=120 * 24),
+            min_size=n_labels,
+            max_size=n_labels,
+        )
+    )
+    embargo_h = draw(st.integers(min_value=0, max_value=168))
+    lookback_h = draw(st.integers(min_value=embargo_h + 1, max_value=24 * 365))
+    strict = draw(st.booleans())
+    return (n_entities, feat_offsets, label_offsets, embargo_h, lookback_h, strict)
+
+
+def brute_force(feats, labels, embargo_h, lookback_h, strict):
+    """Per-label-row python oracle: most recent in-window feature value."""
+    out = {}
+    for li, (ent, lt) in enumerate(labels):
+        upper = lt - dt.timedelta(hours=embargo_h)
+        lower = lt - dt.timedelta(hours=lookback_h)
+        candidates = [
+            (ft, v)
+            for (fent, ft, v) in feats
+            if fent == ent
+            and (ft < upper if strict else ft <= upper)
+            and ft >= lower
+        ]
+        out[li] = max(candidates) if candidates else None
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(s=scenario())
+def test_asof_invariant_and_oracle(spark, s):
+    n_entities, feat_offsets, label_offsets, embargo_h, lookback_h, strict = s
+
+    feats = [
+        (i % n_entities, BASE + dt.timedelta(hours=h), float(i))
+        for i, h in enumerate(feat_offsets)
+    ]
+    labels = [
+        (i % n_entities, BASE + dt.timedelta(hours=h))
+        for i, h in enumerate(label_offsets)
+    ]
+    feat_df = spark.createDataFrame(
+        [(e, t, v) for (e, t, v) in feats] or [(0, BASE, 0.0)],
+        "entity int, ts timestamp_ntz, val double",
+    )
+    if not feats:
+        feat_df = feat_df.limit(0)
+    label_df = spark.createDataFrame(
+        [(li, e, t) for li, (e, t) in enumerate(labels)],
+        "label_id int, entity int, lt timestamp_ntz",
+    )
+
+    out = asof_join(
+        label_df,
+        feat_df,
+        on=["entity"],
+        left_time="lt",
+        right_time="ts",
+        value_cols=["val"],
+        prefix="f",
+        embargo=embargo_h * 3600,
+        lookback=lookback_h * 3600,
+        strict=strict,
+    ).collect()
+
+    assert len(out) == len(labels)
+    expected = brute_force(feats, labels, embargo_h, lookback_h, strict)
+    for row in out:
+        exp = expected[row.label_id]
+        lt = row.lt
+        ft = row.f__feature_time
+        if exp is None:
+            assert ft is None and row.f__val is None, (
+                f"expected no match for label {row.label_id}, got {ft}"
+            )
+        else:
+            assert ft == exp[0] and row.f__val == exp[1], (
+                f"label {row.label_id}: expected {exp}, got ({ft}, {row.f__val})"
+            )
+        # THE invariant
+        if ft is not None:
+            bound = lt - dt.timedelta(hours=embargo_h)
+            assert (ft < bound) if strict else (ft <= bound)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    embargo_h=st.integers(min_value=0, max_value=72),
+    join_mode=st.sampled_from(["strict", "inclusive"]),
+)
+def test_build_passes_own_audit(spark, tmp_path_factory, embargo_h, join_mode):
+    """Every built dataset passes its own rebuild audit (reference
+    test_property.py:183-225)."""
+    import timefence_spark as tf
+
+    tmp = tmp_path_factory.mktemp("prop")
+    feats = [
+        (i % 5, BASE + dt.timedelta(hours=i * 7), float(i)) for i in range(40)
+    ]
+    labels = [
+        (i % 5, BASE + dt.timedelta(days=30, hours=i * 11), i % 2 == 0)
+        for i in range(15)
+    ]
+    fp = str(tmp / "f.parquet")
+    lp = str(tmp / "l.parquet")
+    spark.createDataFrame(
+        feats, "user_id int, ts timestamp_ntz, val double"
+    ).coalesce(1).write.mode("overwrite").parquet(fp)
+    spark.createDataFrame(
+        labels, "user_id int, label_time timestamp_ntz, target boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(lp)
+
+    feat = tf.Feature(
+        tf.Source(fp, keys="user_id", timestamp="ts"),
+        columns="val",
+        embargo=dt.timedelta(hours=embargo_h),
+        name="f",
+    )
+    out = str(tmp / "out.parquet")
+    res = tf.build(
+        tf.Labels(path=lp, keys="user_id", label_time="label_time", target="target"),
+        [feat],
+        out,
+        join=join_mode,
+        spark=spark,
+    )
+    assert res.validate()
+    report = tf.audit(
+        out, [feat], keys="user_id", label_time="label_time", join=join_mode,
+        spark=spark,
+    )
+    assert not report.has_leakage

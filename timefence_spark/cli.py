@@ -1,0 +1,536 @@
+"""Command-line interface.
+
+Same command surface as the reference CLI (cli.py:1-1134): build, audit,
+explain, diff, catalog, doctor, inspect, init, quickstart — plus the
+``timefence.yaml`` config file and ``features.py`` dynamic-import conventions.
+Plain-text output (no rich dependency in this environment).
+
+Usage: ``python -m timefence_spark.cli <command>`` or the ``timefence-spark``
+entry point.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import click
+
+from timefence_spark.core import Feature, FeatureSet, Labels, Source
+from timefence_spark.errors import TimefenceError
+from timefence_spark.store import Store
+
+CONFIG_NAME = "timefence.yaml"
+
+CONFIG_TEMPLATE = """\
+# timefence-spark project configuration
+labels:
+  path: labels.parquet
+  keys: [user_id]
+  label_time: label_time
+  target: [churned]
+
+features: features.py
+
+defaults:
+  max_lookback: 365d
+  join: strict
+  on_missing: "null"
+
+output: train.parquet
+store: .timefence_spark
+"""
+
+
+def _load_config(path: str | None = None) -> dict:
+    """Load timefence.yaml (reference cli.py:103-128)."""
+    import yaml
+
+    cfg_path = Path(path) if path else Path(CONFIG_NAME)
+    if not cfg_path.exists():
+        return {}
+    try:
+        loaded = yaml.safe_load(cfg_path.read_text())
+    except yaml.YAMLError as exc:
+        raise click.ClickException(f"Malformed {cfg_path}: {exc}") from exc
+    if loaded is None:
+        return {}
+    if not isinstance(loaded, dict):
+        raise click.ClickException(f"{cfg_path} must contain a mapping.")
+    return loaded
+
+
+def _import_features(spec: str) -> list[Feature | FeatureSet]:
+    """Dynamic import of features.py; 'file.py:name' selects one object
+    (reference cli.py:47-100)."""
+    if ":" in spec and not spec.endswith(".py"):
+        file_part, obj_name = spec.rsplit(":", 1)
+    else:
+        file_part, obj_name = spec, None
+
+    path = Path(file_part)
+    if not path.exists():
+        raise click.ClickException(f"Features file not found: {path}")
+    module_spec = importlib.util.spec_from_file_location("__tf_features__", path)
+    module = importlib.util.module_from_spec(module_spec)  # type: ignore[arg-type]
+    module_spec.loader.exec_module(module)  # type: ignore[union-attr]
+
+    if obj_name is not None:
+        obj = getattr(module, obj_name, None)
+        if obj is None or not isinstance(obj, (Feature, FeatureSet)):
+            raise click.ClickException(
+                f"'{obj_name}' in {path} is not a Feature or FeatureSet."
+            )
+        return [obj]
+
+    found: list[Feature | FeatureSet] = []
+    seen: set[int] = set()
+    for value in vars(module).values():
+        if isinstance(value, (Feature, FeatureSet)) and id(value) not in seen:
+            found.append(value)
+            seen.add(id(value))
+    if not found:
+        raise click.ClickException(f"No Feature or FeatureSet objects found in {path}.")
+    return found
+
+
+def _resolve_labels(cfg: dict, labels_path, keys, label_time, target) -> Labels:
+    lcfg = cfg.get("labels", {}) or {}
+    path = labels_path or lcfg.get("path")
+    if path is None:
+        raise click.ClickException(
+            "No labels specified. Pass --labels or set labels.path in timefence.yaml."
+        )
+    keys = keys or lcfg.get("keys")
+    label_time = label_time or lcfg.get("label_time") or "label_time"
+    target = target or lcfg.get("target")
+
+    if keys is None or target is None:
+        # Infer from the labels schema: first column = key, everything that is
+        # not a key / label_time = target (reference cli.py:543-571).
+        import duckdb
+
+        cols = [
+            r[0]
+            for r in duckdb.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+            ).fetchall()
+        ]
+        if keys is None:
+            keys = [cols[0]]
+            click.echo(f"Inferred keys: {keys}")
+        keys_list = [keys] if isinstance(keys, str) else list(keys)
+        if target is None:
+            target = [c for c in cols if c not in keys_list and c != label_time]
+            if not target:
+                raise click.ClickException(
+                    "Could not infer target columns; set labels.target."
+                )
+            click.echo(f"Inferred target: {target}")
+    return Labels(path=path, keys=keys, label_time=label_time, target=target)
+
+
+def _parse_splits(split_args: tuple[str, ...]) -> dict | None:
+    """--split name:start:end (reference cli.py:600-611)."""
+    if not split_args:
+        return None
+    splits = {}
+    for raw in split_args:
+        parts = raw.split(":")
+        if len(parts) != 3:
+            raise click.ClickException(
+                f"Invalid split '{raw}'. Expected name:start:end "
+                "(e.g. train:2024-01-01:2024-06-01)."
+            )
+        splits[parts[0]] = (parts[1], parts[2])
+    return splits
+
+
+@click.group()
+@click.option("-v", "--verbose", is_flag=True, help="Verbose logging.")
+def cli(verbose: bool) -> None:
+    """timefence-spark: temporal correctness for ML training data, on Spark."""
+    if verbose:
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
+
+
+@cli.command()
+@click.option("--labels", "labels_path", type=str, default=None)
+@click.option("--keys", multiple=True)
+@click.option("--label-time", default=None)
+@click.option("--target", multiple=True)
+@click.option("--features", "features_spec", type=str, default=None)
+@click.option("--output", "-o", type=str, default=None)
+@click.option("--max-lookback", default=None)
+@click.option("--max-staleness", default=None)
+@click.option("--join", type=click.Choice(["strict", "inclusive"]), default=None)
+@click.option("--on-missing", type=click.Choice(["null", "skip"]), default=None)
+@click.option("--split", "split_args", multiple=True, help="name:start:end")
+@click.option("--flatten-columns", is_flag=True)
+@click.option("--dry-run", is_flag=True, help="Show the join plan, don't execute.")
+@click.option("--config", "config_path", default=None)
+def build(
+    labels_path,
+    keys,
+    label_time,
+    target,
+    features_spec,
+    output,
+    max_lookback,
+    max_staleness,
+    join,
+    on_missing,
+    split_args,
+    flatten_columns,
+    dry_run,
+    config_path,
+) -> None:
+    """Build a point-in-time correct training set."""
+    from timefence_spark import engine
+
+    cfg = _load_config(config_path)
+    defaults = cfg.get("defaults", {}) or {}
+
+    features_spec = features_spec or cfg.get("features") or "features.py"
+    features = _import_features(features_spec)
+    labels = _resolve_labels(
+        cfg, labels_path, list(keys) or None, label_time, list(target) or None
+    )
+    output = output or cfg.get("output") or "train.parquet"
+
+    # Precedence: CLI > config defaults > built-ins (reference cli.py:587-591)
+    kwargs = dict(
+        max_lookback=max_lookback or defaults.get("max_lookback", "365d"),
+        max_staleness=max_staleness or defaults.get("max_staleness"),
+        join=join or defaults.get("join", "strict"),
+        on_missing=on_missing or defaults.get("on_missing", "null"),
+    )
+
+    if dry_run:
+        result = engine.explain(
+            labels, features,
+            max_lookback=kwargs["max_lookback"],
+            max_staleness=kwargs["max_staleness"],
+            join=kwargs["join"],
+        )
+        click.echo(str(result))
+        return
+
+    store = Store(cfg["store"]) if cfg.get("store") else None
+    splits = _parse_splits(split_args)
+
+    total_steps = 2 * len(list(features)) + 3
+
+    def progress(msg: str) -> None:
+        click.echo(f"  • {msg}")
+
+    click.echo(f"Building ({total_steps} steps):")
+    try:
+        result = engine.build(
+            labels,
+            features,
+            output,
+            splits=splits,
+            store=store,
+            flatten_columns=flatten_columns,
+            progress=progress,
+            **kwargs,
+        )
+    except TimefenceError as exc:
+        raise click.ClickException(str(exc)) from exc
+    click.echo(str(result))
+    if not result.validate():
+        click.echo("WARNING: post-build temporal verification FAILED", err=True)
+        sys.exit(1)
+
+
+@cli.command()
+@click.argument("data", type=str)
+@click.option("--features", "features_spec", default=None)
+@click.option("--keys", multiple=True)
+@click.option("--label-time", default="label_time")
+@click.option(
+    "--feature-time-column",
+    "ft_columns",
+    multiple=True,
+    help="feature=column mapping for temporal mode",
+)
+@click.option("--max-lookback", default="365d")
+@click.option("--join", type=click.Choice(["strict", "inclusive"]), default="strict")
+@click.option("--json", "json_out", type=str, default=None, help="Write JSON report.")
+@click.option("--html", "html_out", type=str, default=None, help="Write HTML report.")
+@click.option("--strict", "strict_exit", is_flag=True, help="Exit 1 on leakage.")
+@click.option("--config", "config_path", default=None)
+def audit(
+    data,
+    features_spec,
+    keys,
+    label_time,
+    ft_columns,
+    max_lookback,
+    join,
+    json_out,
+    html_out,
+    strict_exit,
+    config_path,
+) -> None:
+    """Audit a dataset for temporal leakage."""
+    from timefence_spark import engine
+
+    cfg = _load_config(config_path)
+    try:
+        if ft_columns:
+            mapping = {}
+            for raw in ft_columns:
+                if "=" not in raw:
+                    raise click.ClickException(
+                        f"Invalid --feature-time-column '{raw}'; expected name=column."
+                    )
+                name, col = raw.split("=", 1)
+                mapping[name] = col
+            report = engine.audit(
+                data, feature_time_columns=mapping, label_time=label_time
+            )
+        else:
+            features_spec = features_spec or cfg.get("features") or "features.py"
+            features = _import_features(features_spec)
+            keys_list = list(keys) or (cfg.get("labels", {}) or {}).get("keys")
+            if not keys_list:
+                raise click.ClickException("audit requires --keys (or config labels.keys).")
+            report = engine.audit(
+                data,
+                features,
+                keys=keys_list,
+                label_time=label_time,
+                max_lookback=max_lookback,
+                join=join,
+            )
+    except TimefenceError as exc:
+        raise click.ClickException(str(exc)) from exc
+
+    click.echo(str(report))
+    if json_out:
+        report.to_json(json_out)
+        click.echo(f"JSON report: {json_out}")
+    if html_out:
+        report.to_html(html_out)
+        click.echo(f"HTML report: {html_out}")
+    if strict_exit and report.has_leakage:
+        sys.exit(1)
+
+
+@cli.command()
+@click.option("--labels", "labels_path", default=None)
+@click.option("--keys", multiple=True)
+@click.option("--label-time", default=None)
+@click.option("--target", multiple=True)
+@click.option("--features", "features_spec", default=None)
+@click.option("--max-lookback", default="365d")
+@click.option("--join", type=click.Choice(["strict", "inclusive"]), default="strict")
+@click.option("--config", "config_path", default=None)
+def explain(
+    labels_path, keys, label_time, target, features_spec, max_lookback, join, config_path
+) -> None:
+    """Preview the join plan without executing."""
+    from timefence_spark import engine
+
+    cfg = _load_config(config_path)
+    features_spec = features_spec or cfg.get("features") or "features.py"
+    features = _import_features(features_spec)
+    labels = _resolve_labels(
+        cfg, labels_path, list(keys) or None, label_time, list(target) or None
+    )
+    click.echo(
+        str(
+            engine.explain(
+                labels, features, max_lookback=max_lookback, join=join
+            )
+        )
+    )
+
+
+@cli.command()
+@click.argument("old", type=str)
+@click.argument("new", type=str)
+@click.option("--keys", multiple=True, required=True)
+@click.option("--label-time", default="label_time")
+def diff(old, new, keys, label_time) -> None:
+    """Compare two training datasets."""
+    from timefence_spark import engine
+
+    click.echo(str(engine.diff(old, new, keys=list(keys), label_time=label_time)))
+
+
+@cli.command()
+@click.option("--store", "store_path", default=".timefence_spark")
+@click.option("--json", "json_out", is_flag=True)
+def catalog(store_path, json_out) -> None:
+    """List builds recorded in the store."""
+    store = Store(store_path)
+    builds = store.list_builds()
+    if json_out:
+        click.echo(json.dumps(builds, indent=2, default=str))
+        return
+    if not builds:
+        click.echo("No builds found.")
+        return
+    for b in builds:
+        out = b.get("output", {})
+        click.echo(
+            f"{b.get('build_id')}  rows={out.get('row_count')}  "
+            f"cols={out.get('column_count')}  path={out.get('path')}  "
+            f"audit={'PASS' if b.get('audit', {}).get('passed') else 'FAIL'}"
+        )
+
+
+@cli.command()
+@click.argument("data", type=str)
+def inspect(data) -> None:
+    """Profile a dataset: per-column types, null %, uniqueness; suggest keys
+    and timestamp columns (reference cli.py:228-334)."""
+    import duckdb
+
+    try:
+        rel = duckdb.sql(f"SELECT * FROM read_parquet('{data}')")
+    except duckdb.Error as exc:
+        raise click.ClickException(str(exc)) from exc
+    total = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{data}')").fetchone()[0]
+    click.echo(f"{data}: {total} rows")
+    click.echo(f"{'column':<28}{'type':<16}{'nulls':<8}{'unique':<10}note")
+    key_sugg, ts_sugg = [], []
+    for name, dtype in zip(rel.columns, rel.types):
+        stats = duckdb.sql(
+            f'SELECT COUNT(DISTINCT "{name}"), COUNT(*) FILTER ("{name}" IS NULL) '
+            f"FROM read_parquet('{data}')"
+        ).fetchone()
+        uniq, nulls = stats
+        note = ""
+        t = str(dtype).upper()
+        if "TIMESTAMP" in t or "DATE" in t:
+            note = "timestamp candidate"
+            ts_sugg.append(name)
+        elif total and uniq == total:
+            note = "unique — key candidate"
+            key_sugg.append(name)
+        elif total and uniq / total > 0.001 and ("INT" in t or "VARCHAR" in t):
+            note = "possible entity key"
+            key_sugg.append(name)
+        pct = f"{(nulls / total * 100):.0f}%" if total else "-"
+        click.echo(f"{name:<28}{str(dtype):<16}{pct:<8}{uniq:<10}{note}")
+    if key_sugg:
+        click.echo(f"\nSuggested keys: {key_sugg[:3]}")
+    if ts_sugg:
+        click.echo(f"Suggested timestamp: {ts_sugg[0]}")
+
+
+@cli.command()
+@click.option("--config", "config_path", default=None)
+def doctor(config_path) -> None:
+    """Check the project setup: config, Spark, features file, sources, labels
+    (reference cli.py:922-1090)."""
+    ok = True
+
+    def check(name: str, passed: bool, detail: str = "") -> None:
+        nonlocal ok
+        mark = "OK " if passed else "FAIL"
+        click.echo(f"  [{mark}] {name}" + (f" — {detail}" if detail else ""))
+        ok = ok and passed
+
+    cfg_path = Path(config_path or CONFIG_NAME)
+    cfg: dict = {}
+    if cfg_path.exists():
+        try:
+            cfg = _load_config(config_path)
+            check("config", True, str(cfg_path))
+        except click.ClickException as exc:
+            check("config", False, str(exc))
+    else:
+        check("config", True, "no timefence.yaml (using defaults)")
+
+    try:
+        import pyspark
+
+        check("pyspark", True, pyspark.__version__)
+    except ImportError as exc:  # pragma: no cover
+        check("pyspark", False, str(exc))
+
+    features_spec = cfg.get("features") or "features.py"
+    try:
+        features = _import_features(str(features_spec))
+        from timefence_spark.core import flatten_features, safe_name
+
+        flat = flatten_features(features)
+        check("features file", True, f"{len(flat)} feature(s) in {features_spec}")
+        names = [f.name for f in flat]
+        dup = {n for n in names if names.count(n) > 1}
+        check("feature names unique", not dup, ", ".join(sorted(dup)) or "")
+        safe = [safe_name(n) for n in names]
+        coll = {s for s in safe if safe.count(s) > 1}
+        check("no sanitization collisions", not coll, ", ".join(sorted(coll)) or "")
+        for f in flat:
+            if isinstance(f.source, Source) and f.source.path is not None:
+                check(
+                    f"source exists: {f.source.name}",
+                    f.source.path.exists(),
+                    str(f.source.path),
+                )
+    except click.ClickException as exc:
+        check("features file", False, str(exc))
+
+    lcfg = cfg.get("labels", {}) or {}
+    if lcfg.get("path"):
+        lp = Path(lcfg["path"])
+        check("labels file", lp.exists(), str(lp))
+        if lp.exists():
+            import duckdb
+
+            cols = [
+                r[0]
+                for r in duckdb.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{lp}')"
+                ).fetchall()
+            ]
+            for k in lcfg.get("keys", []) or []:
+                check(f"labels key '{k}'", k in cols)
+            lt = lcfg.get("label_time", "label_time")
+            check(f"labels label_time '{lt}'", lt in cols)
+    sys.exit(0 if ok else 1)
+
+
+@cli.command()
+def init() -> None:
+    """Write a template timefence.yaml into the current directory."""
+    path = Path(CONFIG_NAME)
+    if path.exists():
+        raise click.ClickException(f"{CONFIG_NAME} already exists.")
+    path.write_text(CONFIG_TEMPLATE)
+    click.echo(f"Wrote {CONFIG_NAME}")
+
+
+@cli.command()
+@click.option("--dir", "target_dir", default="timefence-quickstart")
+def quickstart(target_dir) -> None:
+    """Create a demo project: synthetic data, features.py, config, and a
+    pre-built LEAKY training set to audit (reference quickstart.py)."""
+    from timefence_spark.quickstart import create_quickstart
+
+    path = create_quickstart(Path(target_dir))
+    click.echo(f"Quickstart project created at {path}")
+    click.echo("Try:")
+    click.echo(f"  cd {path}")
+    click.echo("  python -m timefence_spark.cli build")
+    click.echo(
+        "  python -m timefence_spark.cli audit train_LEAKY.parquet --keys user_id"
+    )
+
+
+def main() -> None:  # console entry point
+    cli()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,7 @@ from timefence_spark.results import (
     classify_severity,
 )
 from timefence_spark.sources.readers import (
+    _abs,
     load_labels_df,
     load_source_df,
     read_parquet,
@@ -142,7 +143,7 @@ def _write_single_parquet(df: DataFrame, path: Path) -> None:
 
 
 def _write_output(df: DataFrame, output: str | Path) -> None:
-    out = str(output)
+    out = _abs(output)
     if out.endswith(".parquet") or out.endswith(".pq"):
         _write_single_parquet(df, Path(out))
     else:
@@ -551,7 +552,7 @@ def build(
                 feature_cache_keys.append(fck)
                 if store.has_feature_cache(feat.name, fck):
                     cache_path = store.feature_cache_path(feat.name, fck)
-                    fdf = spark.read.parquet(str(cache_path))
+                    fdf = spark.read.parquet(_abs(cache_path))
                     value_cols = [
                         c
                         for c in fdf.columns
@@ -567,8 +568,8 @@ def build(
                 if store is not None and fck is not None:
                     cache_path = store.feature_cache_path(feat.name, fck)
                     try:
-                        fdf.write.mode("overwrite").parquet(str(cache_path))
-                        fdf = spark.read.parquet(str(cache_path))
+                        fdf.write.mode("overwrite").parquet(_abs(cache_path))
+                        fdf = spark.read.parquet(_abs(cache_path))
                     except Exception as exc:  # cache write is best-effort
                         logger.warning(
                             "Feature cache write failed for %s: %s", feat.name, exc

@@ -19,6 +19,16 @@ from timefence_spark.core import Labels, Source, SQLSource, safe_name
 from timefence_spark.errors import TimefenceValidationError
 
 
+def _abs(path: str | Path) -> str:
+    """Absolutize local relative paths against the *Python* cwd — Spark's JVM
+    resolves relative paths against its own start dir, which diverges from
+    the driver process after a chdir (CLI runs inside project dirs)."""
+    s = str(path)
+    if "://" in s or s.startswith("/"):
+        return s
+    return str(Path(s).resolve())
+
+
 def read_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
 
@@ -28,7 +38,7 @@ def read_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
     and rebuild TIMESTAMP_NTZ values with integer division (exact — double
     division would lose microseconds at 1e18 nanos).
     """
-    path = str(path)
+    path = _abs(path)
     ns_cols: list[str] = []
     try:
         import pyarrow.dataset as ds
@@ -71,7 +81,7 @@ def load_source_df(spark: SparkSession, source: Source | SQLSource) -> DataFrame
     """Load a source into a DataFrame (S1 parquet, S2 csv, S3 df, S4 sql)."""
     if isinstance(source, SQLSource):
         for view, path in source.views.items():
-            spark.read.parquet(str(path)).createOrReplaceTempView(view)
+            spark.read.parquet(_abs(path)).createOrReplaceTempView(view)
         return spark.sql(source.query)
     if source.df is not None:
         df = _df_to_spark(spark, source.df)
@@ -87,7 +97,7 @@ def load_source_df(spark: SparkSession, source: Source | SQLSource) -> DataFrame
                 spark.read.option("header", True)
                 .option("delimiter", source.delimiter)
                 .option("inferSchema", True)
-                .csv(str(source.path))
+                .csv(_abs(source.path))
             )
             df.schema  # force eager schema inference under this conf
         finally:
