@@ -1,0 +1,302 @@
+"""Structured Streaming as-of join + audit tests.
+
+Strategy: feed deterministic synthetic label/feature rows through a file
+source one file per micro-batch (``maxFilesPerTrigger=1`` +
+``availableNow``), with trailing far-future sentinel feature rows that push
+the watermark past every label, and compare the emitted rows with the batch
+``asof_join`` on the same data — streaming/batch equivalence is the
+correctness oracle (same differential approach as the driver harness).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from timefence_spark.operators.asof import asof_join
+from timefence_spark.streaming import (
+    flag_leaks,
+    leak_counts,
+    stream_static_asof_join,
+    streaming_asof_join,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def ts(h: float) -> datetime:
+    return T0 + timedelta(hours=h)
+
+
+LABEL_SCHEMA = StructType(
+    [
+        StructField("entity", LongType()),
+        StructField("label_time", TimestampNTZType()),
+        StructField("target", StringType()),
+    ]
+)
+FEAT_SCHEMA = StructType(
+    [
+        StructField("entity", LongType()),
+        StructField("feature_time", TimestampNTZType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+# Entity 1: features straddle labels; entity 2: feature at exactly label
+# time (strict-boundary case); entity 3: label with no feature at all.
+FEATURES = [
+    (1, ts(0), 10.0),
+    (1, ts(2), 20.0),
+    (1, ts(5), 50.0),
+    (2, ts(4), 40.0),
+]
+LABELS = [
+    (1, ts(1), "a"),  # -> 10.0
+    (1, ts(4), "b"),  # -> 20.0
+    (2, ts(4), "c"),  # strict: None; inclusive: 40.0
+    (3, ts(6), "d"),  # no features -> None
+]
+SENTINELS = [(99, ts(1000), 0.0), (99, ts(2000), 0.0)]
+
+
+def _write_files(root: Path, name: str, schema, batches, spark):
+    d = root / name
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / f"b{i}"))
+    return d
+
+
+def _run_stream(spark, tmp: Path, joined_builder):
+    """Run a streaming query to a memory sink until all input is drained."""
+    qname = f"q{uuid.uuid4().hex[:8]}"
+    q = (
+        joined_builder.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {qname}")
+
+
+@pytest.fixture()
+def stream_dirs(spark, tmp_path):
+    # Batch 0: early features; batch 1: labels + late features; batches
+    # 2-3: sentinels that advance the watermark past every label, firing
+    # the event-time timeouts that flush pending state.
+    feat_batches = [FEATURES[:2], FEATURES[2:], [SENTINELS[0]], [SENTINELS[1]]]
+    lbl_batches = [LABELS]
+    froot = _write_files(tmp_path, "features", FEAT_SCHEMA, feat_batches, spark)
+    lroot = _write_files(tmp_path, "labels", LABEL_SCHEMA, lbl_batches, spark)
+    yield froot, lroot
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _read_stream(spark, root: Path, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root / "*"))
+    )
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_stream_stream_asof_matches_batch(spark, tmp_path, stream_dirs, strict):
+    froot, lroot = stream_dirs
+    joined = streaming_asof_join(
+        _read_stream(spark, lroot, LABEL_SCHEMA),
+        _read_stream(spark, froot, FEAT_SCHEMA),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["score"],
+        prefix="f",
+        strict=strict,
+        max_delay="0 seconds",
+    )
+    got = _run_stream(spark, tmp_path, joined)
+
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        spark.createDataFrame(FEATURES + SENTINELS, FEAT_SCHEMA),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["score"],
+        prefix="f",
+        strict=strict,
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    got_rows = sorted([r.asDict() for r in got.collect()], key=key)
+    exp_rows = sorted([r.asDict() for r in expected.collect()], key=key)
+    assert got_rows == exp_rows
+    # Spot-check the strict boundary: entity 2's feature is at label time.
+    e2 = [r for r in got_rows if r["entity"] == 2][0]
+    assert e2["f__score"] == (None if strict else 40.0)
+
+
+def test_stream_stream_embargo_and_lookback(spark, tmp_path, stream_dirs):
+    froot, lroot = stream_dirs
+    joined = streaming_asof_join(
+        _read_stream(spark, lroot, LABEL_SCHEMA),
+        _read_stream(spark, froot, FEAT_SCHEMA),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        embargo="1h",
+        lookback="3h",
+        prefix="f",
+    )
+    got = _run_stream(spark, tmp_path, joined)
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        spark.createDataFrame(FEATURES + SENTINELS, FEAT_SCHEMA),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        embargo=3600,
+        lookback=3 * 3600,
+        prefix="f",
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in expected.collect()], key=key
+    )
+
+
+def test_stream_static_asof(spark, tmp_path, stream_dirs):
+    froot, lroot = stream_dirs
+    static_feats = spark.createDataFrame(FEATURES, FEAT_SCHEMA)
+    joined = stream_static_asof_join(
+        _read_stream(spark, lroot, LABEL_SCHEMA),
+        static_feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    got = _run_stream(spark, tmp_path, joined)
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        static_feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in expected.collect()], key=key
+    )
+
+
+def test_stream_static_works_on_batch_left(spark):
+    """The broadcast lookup path is engine-agnostic: same answer on a plain
+    batch DataFrame."""
+    labels = spark.createDataFrame(LABELS, LABEL_SCHEMA)
+    feats = spark.createDataFrame(FEATURES, FEAT_SCHEMA)
+    got = stream_static_asof_join(
+        labels,
+        feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    expected = asof_join(
+        labels,
+        feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in expected.collect()], key=key
+    )
+
+
+def test_flag_leaks_and_counts(spark):
+    rows = [
+        (1, ts(10), ts(9), "ok"),
+        (2, ts(10), ts(10), "leak-eq"),
+        (3, ts(10), ts(12), "leak-future"),
+        (4, ts(10), None, "null-ft"),
+    ]
+    schema = StructType(
+        [
+            StructField("entity", LongType()),
+            StructField("label_time", TimestampNTZType()),
+            StructField("feat__feature_time", TimestampNTZType()),
+            StructField("note", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    flagged = flag_leaks(
+        df,
+        feature_time_columns={"feat": "feat__feature_time"},
+        label_time="label_time",
+    )
+    got = {r["note"]: r["__leak_any"] for r in flagged.collect()}
+    assert got == {
+        "ok": False,
+        "leak-eq": True,
+        "leak-future": True,
+        "null-ft": False,
+    }
+
+    counts = leak_counts(
+        df,
+        feature_time_columns={"feat": "feat__feature_time"},
+        label_time="label_time",
+        window="1 day",
+    ).collect()
+    assert len(counts) == 1
+    row = counts[0]
+    assert row["rows"] == 4
+    assert row["feat__leaks"] == 2
+    assert row["feat__max_leak_s"] == 2 * 3600.0
+
+
+def test_flag_leaks_streaming_smoke(spark, tmp_path):
+    """flag_leaks must stay a pure projection — assert it is accepted on a
+    streaming DataFrame and produces append-mode rows."""
+    rows = [(1, ts(10), ts(12), "leak")]
+    schema = StructType(
+        [
+            StructField("entity", LongType()),
+            StructField("label_time", TimestampNTZType()),
+            StructField("feat__feature_time", TimestampNTZType()),
+            StructField("note", StringType()),
+        ]
+    )
+    d = tmp_path / "rows"
+    spark.createDataFrame(rows, schema).write.parquet(str(d / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(d / "*"))
+    flagged = flag_leaks(
+        stream,
+        feature_time_columns={"feat": "feat__feature_time"},
+        label_time="label_time",
+    )
+    got = _run_stream(spark, tmp_path, flagged)
+    assert [r["__leak_any"] for r in got.collect()] == [True]

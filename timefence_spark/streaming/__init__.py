@@ -1,0 +1,26 @@
+"""Structured Streaming extensions (beyond reference parity).
+
+The reference is batch-only (SURVEY.md §2.9); its ``embargo`` is the static
+analogue of a streaming watermark. This package carries the same temporal
+invariant — ``feature_time < label_time - embargo`` — into Structured
+Streaming:
+
+* :func:`streaming_asof_join` — stateful stream-stream point-in-time join
+  (``applyInPandasWithState``, watermark-driven emission).
+* :func:`stream_static_asof_join` — stateless broadcast PIT join of a label
+  stream against a small static feature table (``mapInPandas``).
+* :func:`flag_leaks` / :func:`leak_counts` — streaming temporal audit.
+"""
+
+from timefence_spark.streaming.asof import (
+    stream_static_asof_join,
+    streaming_asof_join,
+)
+from timefence_spark.streaming.audit import flag_leaks, leak_counts
+
+__all__ = [
+    "streaming_asof_join",
+    "stream_static_asof_join",
+    "flag_leaks",
+    "leak_counts",
+]

@@ -1,0 +1,407 @@
+"""Streaming point-in-time (as-of) joins.
+
+Semantics are identical to the batch operator
+(:mod:`timefence_spark.operators.asof`, mirroring the reference's generated
+SQL, /root/reference/src/timefence/engine.py:762-925): for every label row
+``(keys, label_time)`` emit the single most recent feature row with
+
+    feature_time  <  label_time - embargo      (strict;  <= inclusive)
+    feature_time  >= label_time - max_lookback         (when set)
+    feature_time  >= label_time - max_staleness        (when set)
+
+Two physical forms:
+
+* :func:`streaming_asof_join` — both sides are streams. Implemented as a
+  keyed stateful operator (``applyInPandasWithState`` + event-time timeout):
+  label and feature rows are unioned, watermarked, grouped by entity key;
+  per-key state buffers pending labels and the feature history still able to
+  match a future label. A label row is emitted only once the watermark has
+  passed ``label_time - embargo`` — at that point every feature the label is
+  allowed to see (all have ``feature_time < label_time - embargo`` ≤
+  watermark) has arrived, so the emitted match is final and the output is a
+  clean append stream. The embargo therefore *is* the latency budget: a
+  larger embargo means labels can be finalized earlier relative to their own
+  timestamp. Feature history is pruned to ``watermark - lookback`` (or, with
+  no lookback, to the single newest row already shadowed for every possible
+  future label), so state is bounded by key cardinality × window width, not
+  by stream length.
+
+* :func:`stream_static_asof_join` — label stream against a *small, static*
+  feature table. The feature table is collected once, shipped to executors
+  inside the task closure (the streaming analogue of a broadcast hash join),
+  and each micro-batch does an in-memory binary-search lookup per row via
+  ``mapInPandas``. Stateless: works in append mode with no watermark.
+
+Scale notes (100 TB): the stateful plan shuffles each stream once by entity
+key — the same single-shuffle-per-side shape as the batch union strategy —
+and its state size is what RocksDB state stores are built for; enable
+``spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider``
+for large key cardinalities.
+"""
+
+from __future__ import annotations
+
+import json
+from bisect import bisect_left, bisect_right
+from datetime import date, datetime, timedelta
+from typing import Any, Callable, Iterable, Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from timefence_spark._duration import duration_seconds, parse_duration
+
+US = 1_000_000  # microseconds per second
+
+
+def _seconds(value: str | timedelta | int | None) -> int | None:
+    if value is None:
+        return None
+    if isinstance(value, int):
+        return value
+    return duration_seconds(parse_duration(value))
+
+
+def _key_pairs(
+    on: str | Sequence[str] | Sequence[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    if isinstance(on, str):
+        return [(on, on)]
+    return [(p, p) if isinstance(p, str) else (p[0], p[1]) for p in on]
+
+
+# ---------------------------------------------------------------------------
+# JSON row codec — state holds rows as JSON strings so one static state
+# schema serves every label/feature schema. Timestamps round-trip as epoch
+# micros (exact), dates as ISO strings.
+# ---------------------------------------------------------------------------
+
+
+def _encoder(dtype: DataType) -> Callable[[Any], Any]:
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return lambda v: None if v is None or v != v else int(pd.Timestamp(v).value // 1000)
+    if isinstance(dtype, DateType):
+        return lambda v: None if v is None else v.isoformat()
+    return lambda v: None if v is None or (isinstance(v, float) and v != v) else v
+
+
+def _decoder(dtype: DataType) -> Callable[[Any], Any]:
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return lambda v: None if v is None else pd.Timestamp(v, unit="us")
+    if isinstance(dtype, DateType):
+        return lambda v: None if v is None else date.fromisoformat(v)
+    if isinstance(dtype, BooleanType):
+        return lambda v: None if v is None else bool(v)
+    return lambda v: v
+
+
+def _py(v: Any) -> Any:
+    """Normalize numpy scalars to JSON-serializable Python values."""
+    if v is None:
+        return None
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return v
+    item = getattr(v, "item", None)
+    return item() if item is not None else v
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("feat_ft", ArrayType(LongType())),  # sorted epoch micros
+        StructField("feat_json", ArrayType(StringType())),
+        StructField("lbl_due", ArrayType(LongType())),  # label_time - embargo, micros
+        StructField("lbl_lt", ArrayType(LongType())),  # label_time, micros
+        StructField("lbl_json", ArrayType(StringType())),
+    ]
+)
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str] | Sequence[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "f",
+    embargo: str | timedelta | int = 0,
+    lookback: str | timedelta | int | None = None,
+    staleness: str | timedelta | int | None = None,
+    strict: bool = True,
+    max_delay: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream as-of join; returns an append-mode streaming DataFrame
+    ``[*left.columns, {prefix}__{c}..., {prefix}__feature_time]``.
+
+    ``max_delay`` is the watermark delay applied to both streams — the
+    out-of-orderness bound. A label is emitted once
+    ``watermark >= label_time - embargo``; features arriving later than
+    ``max_delay`` after their event time may be missed (standard watermark
+    semantics — the batch engine's embargo plays exactly this role for
+    training-data correctness, docs/concepts/embargo.md:1-30).
+    """
+    pairs = _key_pairs(on)
+    embargo_s = _seconds(embargo) or 0
+    lookback_s = _seconds(lookback)
+    staleness_s = _seconds(staleness)
+    bounds = [b for b in (lookback_s, staleness_s) if b is not None]
+    lower_s = min(bounds) if bounds else None
+
+    if value_cols is None:
+        skip = {r for _, r in pairs} | {right_time}
+        value_cols = [c for c in right.columns if c not in skip]
+    value_cols = list(value_cols)
+
+    left_fields = [left.schema[c] for c in left.columns]
+    value_fields = [right.schema[c] for c in value_cols]
+    ft_type = right.schema[right_time].dataType
+    out_schema = StructType(
+        list(left_fields)
+        + [StructField(f"{prefix}__{f.name}", f.dataType) for f in value_fields]
+        + [StructField(f"{prefix}__feature_time", ft_type)]
+    )
+
+    lbl_enc = [(f.name, _encoder(f.dataType)) for f in left_fields]
+    val_enc = [(f.name, _encoder(f.dataType)) for f in value_fields]
+    lbl_dec = [(f.name, _decoder(f.dataType)) for f in left_fields]
+    val_dec = [(f.name, _decoder(f.dataType)) for f in value_fields]
+    ft_dec = _decoder(ft_type)
+
+    key_aliases = [f"__k{i}" for i in range(len(pairs))]
+
+    # Normalized union: [keys..., __event_time, __is_label, __t(micros),
+    # __due(micros), __row(json)]. Event time is cast to TimestampType for
+    # the watermark (session tz is pinned to UTC, so NTZ casts are exact).
+    lt = F.col(left_time)
+    lbl_row = F.to_json(F.struct(*[F.col(c) for c in left.columns]))
+    lbl_side = left.select(
+        *[F.col(k).alias(a) for (k, _), a in zip(pairs, key_aliases)],
+        lt.cast("timestamp").alias("__event_time"),
+        F.lit(True).alias("__is_label"),
+        F.unix_micros(lt.cast("timestamp")).alias("__t"),
+        (F.unix_micros(lt.cast("timestamp")) - F.lit(embargo_s * US)).alias("__due"),
+        lbl_row.alias("__row"),
+    )
+    ft = F.col(right_time)
+    feat_row = F.to_json(F.struct(*[F.col(c) for c in value_cols]))
+    feat_side = right.select(
+        *[F.col(k).alias(a) for (_, k), a in zip(pairs, key_aliases)],
+        ft.cast("timestamp").alias("__event_time"),
+        F.lit(False).alias("__is_label"),
+        F.unix_micros(ft.cast("timestamp")).alias("__t"),
+        F.lit(None).cast("long").alias("__due"),
+        feat_row.alias("__row"),
+    )
+    unioned = lbl_side.unionByName(feat_side).withWatermark("__event_time", max_delay)
+
+    def _parse(js: str, decoders: list[tuple[str, Callable[[Any], Any]]]) -> list[Any]:
+        d = json.loads(js)
+        return [dec(d.get(name)) for name, dec in decoders]
+
+    def process(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        feat_ft: list[int]
+        feat_json: list[str]
+        lbl_due: list[int]
+        lbl_lt: list[int]
+        lbl_json: list[str]
+        if state.exists:
+            s = state.get
+            feat_ft, feat_json = list(s[0]), list(s[1])
+            lbl_due, lbl_lt, lbl_json = list(s[2]), list(s[3]), list(s[4])
+        else:
+            feat_ft, feat_json, lbl_due, lbl_lt, lbl_json = [], [], [], [], []
+
+        if not state.hasTimedOut:
+            new_feats: list[tuple[int, str]] = []
+            for pdf in pdfs:
+                for is_l, t, due, row in zip(
+                    pdf["__is_label"], pdf["__t"], pdf["__due"], pdf["__row"]
+                ):
+                    if is_l:
+                        lbl_due.append(int(due))
+                        lbl_lt.append(int(t))
+                        lbl_json.append(row)
+                    else:
+                        new_feats.append((int(t), row))
+            if new_feats:
+                merged = sorted(
+                    list(zip(feat_ft, feat_json)) + new_feats
+                )  # (ft, json) — json tiebreak keeps duplicate-ft picks stable
+                feat_ft = [t for t, _ in merged]
+                feat_json = [r for _, r in merged]
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # Emit every label finalized by the watermark.
+        out_rows: list[list[Any]] = []
+        pending = sorted(range(len(lbl_due)), key=lambda i: lbl_due[i])
+        still: list[int] = []
+        for i in pending:
+            due = lbl_due[i]
+            if due > wm_us:
+                still.append(i)
+                continue
+            idx = (bisect_left if strict else bisect_right)(feat_ft, due) - 1
+            match: list[Any] | None = None
+            match_ft: int | None = None
+            if idx >= 0:
+                cand_ft = feat_ft[idx]
+                if lower_s is None or cand_ft >= lbl_lt[i] - lower_s * US:
+                    match = _parse(feat_json[idx], val_dec)
+                    match_ft = cand_ft
+            row = _parse(lbl_json[i], lbl_dec)
+            row += match if match is not None else [None] * len(val_dec)
+            row.append(ft_dec(match_ft))
+            out_rows.append(row)
+
+        lbl_due = [lbl_due[i] for i in still]
+        lbl_lt = [lbl_lt[i] for i in still]
+        lbl_json = [lbl_json[i] for i in still]
+
+        # Prune feature history no future label can match (see module doc).
+        if lower_s is not None:
+            cut = bisect_left(feat_ft, wm_us - lower_s * US)
+        else:
+            cut = max(0, bisect_right(feat_ft, wm_us - embargo_s * US) - 1)
+        if cut:
+            feat_ft = feat_ft[cut:]
+            feat_json = feat_json[cut:]
+
+        if not feat_ft and not lbl_due:
+            state.remove()
+        else:
+            state.update((feat_ft, feat_json, lbl_due, lbl_lt, lbl_json))
+            if lbl_due:
+                # Re-fire once the watermark reaches the earliest pending
+                # label (+1ms: the timestamp must exceed the watermark).
+                state.setTimeoutTimestamp(min(lbl_due) // 1000 + 1)
+
+        cols = (
+            [n for n, _ in lbl_dec]
+            + [f"{prefix}__{n}" for n, _ in val_dec]
+            + [f"{prefix}__feature_time"]
+        )
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=cols, dtype=object)
+
+    return unioned.groupBy(*key_aliases).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_static_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str] | Sequence[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "f",
+    embargo: str | timedelta | int = 0,
+    lookback: str | timedelta | int | None = None,
+    staleness: str | timedelta | int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join of a (streaming) label DataFrame against a small *static*
+    feature DataFrame — the streaming analogue of the batch broadcast
+    strategy. ``right`` is collected to the driver once and shipped in the
+    task closure; keep it broadcast-sized (dimension tables, model feature
+    snapshots). Stateless ``mapInPandas``: append mode, no watermark needed,
+    works identically on a batch ``left``.
+    """
+    pairs = _key_pairs(on)
+    embargo_s = _seconds(embargo) or 0
+    lookback_s = _seconds(lookback)
+    staleness_s = _seconds(staleness)
+    bounds = [b for b in (lookback_s, staleness_s) if b is not None]
+    lower_s = min(bounds) if bounds else None
+
+    if value_cols is None:
+        skip = {r for _, r in pairs} | {right_time}
+        value_cols = [c for c in right.columns if c not in skip]
+    value_cols = list(value_cols)
+
+    value_fields = [right.schema[c] for c in value_cols]
+    ft_type = right.schema[right_time].dataType
+    out_schema = StructType(
+        [left.schema[c] for c in left.columns]
+        + [StructField(f"{prefix}__{f.name}", f.dataType) for f in value_fields]
+        + [StructField(f"{prefix}__feature_time", ft_type)]
+    )
+
+    right_keys = [r for _, r in pairs]
+    fpdf = (
+        right.select(*right_keys, F.col(right_time).alias("__ft"), *value_cols)
+        .orderBy(*right_keys, "__ft")
+        .toPandas()
+    )
+    # key tuple -> (sorted ft micros, row value tuples) — built once on the
+    # driver, closure-captured by every task (broadcast-style).
+    table: dict[tuple, tuple[list[int], list[tuple]]] = {}
+    ft_us = (fpdf["__ft"].astype("datetime64[us]").astype("int64")).tolist()
+    vals = list(fpdf[value_cols].itertuples(index=False, name=None))
+    for k, t, v in zip(
+        fpdf[right_keys].itertuples(index=False, name=None), ft_us, vals
+    ):
+        entry = table.setdefault(tuple(_py(x) for x in k), ([], []))
+        entry[0].append(t)
+        entry[1].append(v)
+
+    left_keys = [l for l, _ in pairs]
+    n_vals = len(value_cols)
+
+    def lookup(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            lts = pdf[left_time].astype("datetime64[us]").astype("int64")
+            matches: list[tuple] = []
+            fts: list[Any] = []
+            for k, lt_us in zip(
+                pdf[left_keys].itertuples(index=False, name=None), lts
+            ):
+                entry = table.get(tuple(_py(x) for x in k))
+                match, mft = None, None
+                if entry is not None:
+                    upper = int(lt_us) - embargo_s * US
+                    idx = (bisect_left if strict else bisect_right)(entry[0], upper) - 1
+                    if idx >= 0:
+                        cand = entry[0][idx]
+                        if lower_s is None or cand >= int(lt_us) - lower_s * US:
+                            match, mft = entry[1][idx], cand
+                matches.append(match if match is not None else (None,) * n_vals)
+                fts.append(pd.Timestamp(mft, unit="us") if mft is not None else None)
+            out = pdf.copy()
+            for i, c in enumerate(value_cols):
+                out[f"{prefix}__{c}"] = pd.Series(
+                    [m[i] for m in matches], index=pdf.index, dtype=object
+                )
+            out[f"{prefix}__feature_time"] = pd.Series(
+                fts, index=pdf.index, dtype=object
+            )
+            yield out
+
+    return left.mapInPandas(lookup, schema=out_schema)
