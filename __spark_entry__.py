@@ -418,6 +418,53 @@ ORACLE_AUDIT_TEMPORAL = """
 """
 
 
+def q_leak_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level leak flagging (streaming audit's flag_leaks, batch form) on
+    the planted-leak dataset with a 1d embargo: a row leaks when
+    feature_time >= label_time - 1d."""
+    from timefence_spark.streaming import flag_leaks
+
+    orders = _t(spark, sf_dir, "orders")
+    shifted = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("label_time"),
+        F.when(
+            F.col("o_custkey") % 2 == 0,
+            F.col("o_orderdate") + F.make_dt_interval(days=F.lit(3)),
+        )
+        .otherwise(F.col("o_orderdate") - F.make_dt_interval(days=F.lit(3)))
+        .alias("f__feature_time"),
+    )
+    return flag_leaks(
+        shifted,
+        feature_time_columns={"f": "f__feature_time"},
+        label_time="label_time",
+        embargo="1d",
+    ).select(
+        "o_orderkey",
+        "label_time",
+        F.col("__leak__f").alias("leak_f"),
+        F.col("__leak_any").alias("leak_any"),
+    )
+
+
+ORACLE_LEAK_FLAGS = """
+    WITH shifted AS (
+        SELECT o_orderkey, o_orderdate AS label_time,
+               CASE WHEN o_custkey % 2 = 0
+                    THEN o_orderdate + INTERVAL 3 DAY
+                    ELSE o_orderdate - INTERVAL 3 DAY END AS f__feature_time
+        FROM orders
+    )
+    SELECT o_orderkey, label_time,
+           (f__feature_time IS NOT NULL
+            AND f__feature_time >= label_time - INTERVAL 1 DAY) AS leak_f,
+           (f__feature_time IS NOT NULL
+            AND f__feature_time >= label_time - INTERVAL 1 DAY) AS leak_any
+    FROM shifted
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions: dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
@@ -702,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_spend_30d": q_rolling_spend_30d,
         "duplicate_pairs": q_duplicate_pairs,
         "audit_temporal_counts": q_audit_temporal_counts,
+        "leak_flags": q_leak_flags,
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
         "lang_profile": q_lang_profile,
@@ -729,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_spend_30d": ORACLE_ROLLING,
         "duplicate_pairs": ORACLE_DUPLICATES,
         "audit_temporal_counts": ORACLE_AUDIT_TEMPORAL,
+        "leak_flags": ORACLE_LEAK_FLAGS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_token_stats": ORACLE_TEXT_TOKENS,
         "lang_profile": ORACLE_LANG_PROFILE,
