@@ -1,0 +1,210 @@
+"""Fast no-Spark unit layer: durations, data model validation, store
+hashing/caching, severity — mirrors the reference's test_duration/test_core/
+test_store pyramid (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import time
+from datetime import timedelta
+from pathlib import Path
+
+import pytest
+
+from timefence_spark import (
+    CSVSource,
+    Feature,
+    FeatureSet,
+    Labels,
+    ParquetSource,
+    Source,
+)
+from timefence_spark._duration import (
+    duration_seconds,
+    format_duration,
+    parse_duration,
+)
+from timefence_spark.core import flatten_features, safe_name
+from timefence_spark.errors import TimefenceConfigError, TimefenceValidationError
+from timefence_spark.results import classify_severity, format_leakage
+from timefence_spark.store import Store
+
+
+# ---------------------------------------------------------------------------
+# Durations
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("30d", timedelta(days=30)),
+        ("1d12h", timedelta(days=1, hours=12)),
+        ("6h", timedelta(hours=6)),
+        ("30m", timedelta(minutes=30)),
+        ("15s", timedelta(seconds=15)),
+        ("2d3h4m5s", timedelta(days=2, hours=3, minutes=4, seconds=5)),
+        ("0", timedelta(0)),
+    ],
+)
+def test_parse_duration(text, expected):
+    assert parse_duration(text) == expected
+
+
+@pytest.mark.parametrize("bad", ["", "abc", "3x", "h6", "1.5d", "-2d", "12"])
+def test_parse_duration_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_duration(bad)
+
+
+@pytest.mark.parametrize("text", ["30d", "1d12h", "6h", "45m", "15s", "2d3h4m5s"])
+def test_duration_round_trip(text):
+    assert format_duration(parse_duration(text)) == text
+
+
+def test_duration_passthrough_and_seconds():
+    td = timedelta(hours=2)
+    assert parse_duration(td) is td
+    assert parse_duration(None) is None
+    assert duration_seconds(td) == 7200
+    assert format_duration(timedelta(0)) == "0d"
+
+
+# ---------------------------------------------------------------------------
+# Data model
+# ---------------------------------------------------------------------------
+
+
+def test_source_validation_and_format_detection(tmp_path):
+    with pytest.raises(TimefenceValidationError):
+        Source(keys="k", timestamp="t")  # neither path nor df
+    with pytest.raises(TimefenceValidationError):
+        Source("x.parquet", keys="k", timestamp="t", df=object())  # both
+    with pytest.raises(TimefenceValidationError):
+        Source("x.parquet", keys=[], timestamp="t")  # empty keys
+    with pytest.raises(TimefenceValidationError):
+        Source("x.unknown", keys="k", timestamp="t")  # undetectable format
+
+    s = Source("events.parquet", keys="user_id", timestamp="ts")
+    assert (s.name, s.format, s.keys) == ("events", "parquet", ["user_id"])
+    assert Source("d.csv", keys="k", timestamp="t").format == "csv"
+    # Spark parquet outputs are extensionless directories.
+    assert Source("out_dir", keys="k", timestamp="t").format == "parquet"
+    assert ParquetSource("x.pq", keys="k", timestamp="t").format == "parquet"
+    assert CSVSource("x.csv", keys="k", timestamp="t").format == "csv"
+
+
+def test_feature_mode_exclusivity_and_names():
+    src = Source("events.parquet", keys="user_id", timestamp="ts")
+    with pytest.raises(TimefenceConfigError):
+        Feature(src)  # no mode
+    with pytest.raises(TimefenceConfigError):
+        Feature(src, columns="a", sql="SELECT 1")  # two modes
+    with pytest.raises(TimefenceConfigError):
+        Feature(src, columns=[])  # empty projection
+    with pytest.raises(TimefenceConfigError):
+        Feature(src, sql="SELECT 1")  # inline SQL requires a name
+    with pytest.raises(TimefenceConfigError):
+        Feature(src, columns="a", on_duplicate="bogus")
+
+    f = Feature(src, columns={"amount": "spend", "n": "n"})
+    assert f.name == "spend_n"  # derived from output names
+    assert f.output_columns == ["spend", "n"]
+    assert f.embargo == timedelta(0)
+
+    def my_transform(spark, df):
+        return df
+
+    t = Feature(src, transform=my_transform, embargo="1d")
+    assert t.name == "my_transform"
+    assert t.embargo == timedelta(days=1)
+    assert "my_transform" in t.definition_hash_input
+
+
+def test_labels_and_featureset_flatten():
+    lbl = Labels(path="labels.parquet", keys="uid", label_time="lt", target="y")
+    assert lbl.keys == ["uid"] and lbl.target == ["y"]
+
+    src = Source("e.parquet", keys="k", timestamp="ts")
+    f1 = Feature(src, columns="a", name="f1")
+    f2 = Feature(src, columns="b", name="f2")
+    fs = FeatureSet("grp", [f2])
+    flat = flatten_features([f1, fs])
+    assert [f.name for f in flat] == ["f1", "f2"]
+    assert len(fs) == 1
+
+
+def test_safe_name():
+    assert safe_name("my-feature.v2") == "my_feature_v2"
+    assert safe_name("ok_name1") == "ok_name1"
+    # Distinct raw names can collide after sanitization — the engine must
+    # detect this (it is a build error); safe_name itself is deterministic.
+    assert safe_name("a-b") == safe_name("a.b")
+
+
+# ---------------------------------------------------------------------------
+# Store: hashing + cache keys
+# ---------------------------------------------------------------------------
+
+
+def test_content_hash_deterministic_and_mtime_invalidation(tmp_path):
+    store = Store(tmp_path / "store")
+    f = tmp_path / "data.bin"
+    f.write_bytes(b"hello")
+    h1 = store.cached_content_hash(f)
+    assert h1 == store.cached_content_hash(f) == Store.content_hash(f)
+
+    time.sleep(0.01)  # ensure a new mtime_ns
+    f.write_bytes(b"world")
+    h2 = store.cached_content_hash(f)
+    assert h2 != h1
+    assert h2 == Store.content_hash(f)
+
+
+def test_cache_keys_vary_with_inputs(tmp_path):
+    store = Store(tmp_path / "store")
+    base = store.feature_cache_key("def1", "src1", "1d")
+    assert base == store.feature_cache_key("def1", "src1", "1d")
+    assert base != store.feature_cache_key("def2", "src1", "1d")
+    assert base != store.feature_cache_key("def1", "src2", "1d")
+    assert base != store.feature_cache_key("def1", "src1", "2d")
+
+    bk = store.build_cache_key("lh", ["a", "b"], "365d", None, "strict", "null")
+    assert bk == store.build_cache_key("lh", ["b", "a"], "365d", None, "strict", "null")
+    assert bk != store.build_cache_key("lh", ["a"], "365d", None, "strict", "null")
+    assert bk != store.build_cache_key("lh", ["a", "b"], "365d", None, "inclusive", "null")
+
+
+def test_store_manifest_roundtrip(tmp_path):
+    store = Store(tmp_path / "store")
+    p = store.save_build({"build_id": "b1", "output": {"path": "/x"}})
+    assert Path(p).exists()
+    assert store.get_build("b1")["build_id"] == "b1"
+    assert store.get_build("missing") is None
+    assert [b["build_id"] for b in store.list_builds()] == ["b1"]
+
+
+# ---------------------------------------------------------------------------
+# Severity / formatting
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pct,leak,expected",
+    [
+        (0.06, None, "HIGH"),  # >5% of rows
+        (0.005, timedelta(days=8), "HIGH"),  # >7d magnitude
+        (0.02, None, "MEDIUM"),  # >1% of rows
+        (0.005, timedelta(days=1), "MEDIUM"),  # >=1d magnitude
+        (0.005, timedelta(hours=12), "LOW"),
+        (0.0, None, "LOW"),
+    ],
+)
+def test_classify_severity(pct, leak, expected):
+    assert classify_severity(pct, leak) == expected
+
+
+def test_format_leakage():
+    assert format_leakage(timedelta(days=2)) == "2 days"
+    assert format_leakage(timedelta(hours=3)) == "3 hours"
+    assert format_leakage(timedelta(minutes=1)) == "1 minute"
+    assert format_leakage(timedelta(seconds=42)) == "42 seconds"
