@@ -1,0 +1,84 @@
+"""Physical-plan regression guards: the as-of join strategies must keep
+their designed shuffle shape (SURVEY.md §4 — partitioning is the one
+physical decision we own)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from timefence_spark.operators.asof import asof_join
+from timefence_spark.plans import assert_plan, physical_summary, scan_details
+
+T0 = datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(i % 50, T0 + timedelta(hours=i), float(i)) for i in range(500)],
+        "entity long, label_time timestamp_ntz, target double",
+    )
+    right = spark.createDataFrame(
+        [(i % 50, T0 + timedelta(hours=i - 3), float(i) * 2) for i in range(500)],
+        "entity long, feature_time timestamp_ntz, score double",
+    )
+    return left, right
+
+
+def test_union_strategy_single_shuffle_per_side(sides):
+    left, right = sides
+    df = asof_join(
+        left,
+        right,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+        strategy="union",
+    )
+    # One Exchange for the window partitioning (both sides feed the same
+    # hash partitioning through the union) — no joins at all.
+    s = assert_plan(df, max_exchanges=1, forbid_sort_merge_join=True)
+    assert s.windows >= 1
+    assert s.broadcast_joins == 0
+
+
+def test_join_strategy_broadcasts_small_right(sides):
+    left, right = sides
+    df = asof_join(
+        left,
+        right,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+        strategy="join",
+        broadcast_right=True,
+    )
+    # Broadcast join + one shuffle for the per-row max_by aggregation. The
+    # equi-key condition must survive (no nested-loop fallback).
+    assert_plan(df, require_broadcast_join=True, max_exchanges=2)
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    two_cols = orders.select("o_custkey", "o_totalprice").where(
+        F.col("o_totalprice") > 100.0
+    )
+    scans = scan_details(two_cols)
+    assert scans, "expected a parquet scan in the plan"
+    assert set(scans[0]["columns"]) == {"o_custkey", "o_totalprice"}
+    assert any("o_totalprice" in p for p in scans[0]["pushed_filters"])
+
+
+def test_summary_counts_are_consistent(sides):
+    left, right = sides
+    df = left.join(F.broadcast(right), "entity").groupBy("entity").count()
+    s = physical_summary(df)
+    assert s.broadcast_joins == 1
+    assert s.nested_loop_joins == 0
+    assert s.codegen_spans >= 1
