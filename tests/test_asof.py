@@ -182,3 +182,85 @@ def test_asof_composite_keys(spark, sf_dir, oracle, strategy):
     FROM ranked WHERE rn = 1
     """
     assert_df_equals_sql(out, oracle, sql)
+
+
+def _sorted_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_asof_null_keys_match_neither_strategy(spark):
+    """SQL equality joins never match NULL keys: a NULL-key label must come
+    back unmatched under BOTH strategies, and a NULL-key feature row must
+    never be picked (ADVICE r1: Window.partitionBy would otherwise pair
+    them under strategy='union')."""
+    from datetime import datetime
+
+    labels = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10)), (None, datetime(2024, 1, 10))],
+        "entity long, label_time timestamp_ntz",
+    )
+    feats = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), 10.0), (None, datetime(2024, 1, 5), 99.0)],
+        "entity long, feature_time timestamp_ntz, score double",
+    )
+    outs = {}
+    for strategy in ("join", "union"):
+        out = asof_join(
+            labels,
+            feats,
+            on="entity",
+            left_time="label_time",
+            right_time="feature_time",
+            value_cols=["score"],
+            prefix="f",
+            strict=True,
+            strategy=strategy,
+        )
+        outs[strategy] = _sorted_rows(out)
+    assert outs["join"] == outs["union"]
+    by_entity = {r[0]: r for r in outs["union"]}
+    assert by_entity[1][2] == 10.0  # real key matches
+    assert by_entity[None][2] is None  # NULL key never matches
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_duplicate_ts_tie_break_deterministic(spark, strict):
+    """Duplicate (key, feature_time) rows: both strategies must pick the
+    SAME row (max payload at the tied max feature_time), across repeated
+    runs (mirrors reference test_engine.py:1311-1398)."""
+    from datetime import datetime
+
+    t_feat = datetime(2024, 1, 5)
+    labels = spark.createDataFrame(
+        [(k, datetime(2024, 1, 10)) for k in range(20)],
+        "entity long, label_time timestamp_ntz",
+    )
+    # three rows per key at the SAME feature_time, shuffled payload order
+    rows = []
+    for k in range(20):
+        for i, v in enumerate([5.0, 99.0, 1.0]):
+            rows.append((k, t_feat, v, f"tag{i}"))
+    feats = spark.createDataFrame(
+        rows, "entity long, feature_time timestamp_ntz, score double, tag string"
+    ).repartition(8)
+
+    results = []
+    for strategy in ("join", "union", "join", "union"):
+        out = asof_join(
+            labels,
+            feats,
+            on="entity",
+            left_time="label_time",
+            right_time="feature_time",
+            value_cols=["score", "tag"],
+            prefix="f",
+            strict=strict,
+            strategy=strategy,
+        )
+        results.append(_sorted_rows(out))
+    assert results[0] == results[1] == results[2] == results[3]
+    # max payload: score 99.0 wins on every key
+    assert all(r[2] == 99.0 for r in results[0])

@@ -78,6 +78,9 @@ def test_scan_prunes_columns(spark, sf_dir):
 def test_summary_counts_are_consistent(sides):
     left, right = sides
     df = left.join(F.broadcast(right), "entity").groupBy("entity").count()
+    # Under AQE codegen stages exist only once the plan has executed; run
+    # the plan first so the probe reads the finalized adaptive plan.
+    df.collect()
     s = physical_summary(df)
     assert s.broadcast_joins == 1
     assert s.nested_loop_joins == 0

@@ -172,19 +172,25 @@ def _pit_match_join(
 
     joined = l.join(f, cond, "left")
 
+    # ft-first struct: MAX compares feature_time first, then the payload
+    # values, so duplicate (key, ts) feature rows resolve to the max payload
+    # — deterministic, and identical to the union strategy's tie-break.
+    # Unmatched label rows (all-NULL candidates from the left join) yield a
+    # struct of NULLs, which struct ordering ranks below any real match.
     payload = F.struct(
-        *[F.col(f"f.{c}").alias(f"{prefix}__{c}") for c in value_cols],
-        ft.alias(f"{prefix}__feature_time"),
+        ft.alias("ft"),
+        *[F.col(f"f.{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
     )
-    # max_by ignores rows with a NULL ordering value, so unmatched label rows
-    # (all-NULL candidates from the left join) aggregate to a NULL payload.
     best = joined.groupBy(F.col(f"l.{row_id}").alias(row_id)).agg(
-        F.max_by(payload, ft).alias("__best")
+        F.max(payload).alias("__best")
     )
     return best.select(
         row_id,
-        *[F.col(f"__best.{prefix}__{c}").alias(f"{prefix}__{c}") for c in value_cols],
-        F.col(f"__best.{prefix}__feature_time").alias(f"{prefix}__feature_time"),
+        *[
+            F.col(f"__best.v{i}").alias(f"{prefix}__{c}")
+            for i, c in enumerate(value_cols)
+        ],
+        F.col("__best.ft").alias(f"{prefix}__feature_time"),
     )
 
 
@@ -220,7 +226,14 @@ def _pit_match_union(
         *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
         ft.alias("ft"),
     )
-    feat_side = feature.select(
+    # SQL equality joins never match NULL keys; Window.partitionBy groups
+    # NULLs into one partition, so NULL-key feature rows must be dropped
+    # here for the two strategies to agree. NULL-key label rows pass
+    # through unmatched (their partition holds no feature rows).
+    feat_rows = feature
+    for _, sk in key_pairs:
+        feat_rows = feat_rows.where(F.col(sk).isNotNull())
+    feat_side = feat_rows.select(
         *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
         ft.alias("__t"),
         payload.alias("__payload"),
@@ -392,13 +405,15 @@ def _asof_join_single_pass(
         cond = cond & (ft >= _minus(lt, lower_s))
 
     joined = l.join(f, cond, "left")
+    # ft-first struct + MAX: deterministic on tied feature_time (max payload
+    # wins), matching the union strategy — see _pit_match_join.
     payload = F.struct(
-        *[F.col(f"f.{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
         ft.alias("ft"),
+        *[F.col(f"f.{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
     )
     agg = joined.groupBy(F.col(f"l.{rid}")).agg(
         *[F.first(F.col(f"l.{c}")).alias(c) for c in left.columns],
-        F.max_by(payload, ft).alias("__best"),
+        F.max(payload).alias("__best"),
     )
     return agg.select(
         *left.columns,
@@ -433,7 +448,12 @@ def _asof_union_single_pass(
         *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
         ft.alias("ft"),
     )
-    feat_side = right.select(
+    # Drop NULL-key feature rows for equality-join NULL semantics — see
+    # _pit_match_union.
+    feat_rows = right
+    for _, sk in key_pairs:
+        feat_rows = feat_rows.where(F.col(sk).isNotNull())
+    feat_side = feat_rows.select(
         *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
         ft.alias("__t"),
         payload.alias("__payload"),

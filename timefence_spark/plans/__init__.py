@@ -30,9 +30,13 @@ from pyspark.sql import DataFrame
 
 def _executed_plan_str(df: DataFrame) -> str:
     try:
-        return df._jdf.queryExecution().executedPlan().toString()
+        text = df._jdf.queryExecution().executedPlan().toString()
     except Exception:  # pragma: no cover - connect mode / API drift
         return ""
+    # Post-execution AQE plans append the pre-adaptive plan under an
+    # "== Initial Plan ==" header; keep only the current/final plan so
+    # operators aren't double-counted.
+    return text.split("== Initial Plan ==")[0]
 
 
 def _full_qe_str(df: DataFrame) -> str:
@@ -44,14 +48,31 @@ def _full_qe_str(df: DataFrame) -> str:
 
 def _formatted_plan_str(df: DataFrame) -> str:
     """explain('formatted') text — the only mode that annotates codegen ids
-    under AQE (the executed-plan string is pre-adaptive)."""
+    under AQE (the executed-plan string is pre-adaptive).
+
+    Tries the JVM helper by its fully-qualified name first (the bare
+    ``jvm.PythonSQLUtils`` alias is not importable on every Spark build),
+    then falls back to capturing ``df.explain('formatted')`` stdout — the
+    public API — so the probe never silently degrades to an empty string
+    while Spark itself can still explain the plan.
+    """
     try:
         jvm = df.sparkSession._jvm
-        return jvm.PythonSQLUtils.explainString(
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-    except Exception:  # pragma: no cover
+    except Exception:
+        pass
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    except Exception:  # pragma: no cover - connect mode / API drift
         return ""
+    return buf.getvalue()
 
 
 @dataclass
@@ -89,11 +110,22 @@ def physical_summary(df: DataFrame) -> PlanSummary:
         sort_merge_joins=len(re.findall(r"\bSortMergeJoin\b", plan)),
         nested_loop_joins=len(re.findall(r"\bBroadcastNestedLoopJoin\b", plan)),
         windows=len(re.findall(r"\bWindow\b", plan)),
-        codegen_spans=len(
-            set(re.findall(r"codegen id : (\d+)", _formatted_plan_str(df)))
-        ),
+        codegen_spans=_codegen_spans(df, plan),
         scans=scan_details(df),
     )
+
+
+def _codegen_spans(df: DataFrame, executed_plan: str) -> int:
+    """Distinct whole-stage-codegen spans in the physical plan.
+
+    Two sources, because AQE only materializes codegen at runtime: the
+    ``formatted`` explain annotates ``codegen id : N`` for non-adaptive
+    plans, while an executed adaptive plan marks collapsed stages with
+    ``*(N)`` in its final-plan string. Take whichever view saw more.
+    """
+    formatted_ids = set(re.findall(r"codegen id : (\d+)", _formatted_plan_str(df)))
+    executed_ids = set(re.findall(r"\*\((\d+)\)", executed_plan))
+    return max(len(formatted_ids), len(executed_ids))
 
 
 _SCAN_RE = re.compile(
