@@ -655,20 +655,24 @@ ORACLE_QUALITY = r"""
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup survivors (rows-only check: xxhash64 has no
-    DuckDB equivalent; the exact-Jaccard verification stage IS oracle-checked
-    via ngram_jaccard)."""
+    """MinHash+LSH near-dup survivors, portable-hash mode: the md5-derived
+    shingle hash is bit-identical in DuckDB, so the WHOLE pipeline
+    (signatures -> banding -> bucket join -> exact-Jaccard verify -> anti
+    join) is differentially verified against the SQL oracle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.minhash_dedup(
         docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
-        threshold=0.7,
+        threshold=0.7, hash_fn="md5",
     ).select("doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64-based signatures)."""
+    """SimHash near-dup pairs, portable-hash mode (60-bit md5 signature,
+    4x15-bit chunk banding) — fully oracle-checked in DuckDB."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+    return dedup.simhash_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, hash_fn="md5"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,11 +723,197 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via RP-LSH blocking (rows-only)."""
+    """Embedding-cosine near-duplicate pairs via RP-LSH blocking. The
+    hyperplanes are seed-deterministic driver constants, so the oracle
+    reproduces the exact blocking + threshold in DuckDB. Threshold 0.4
+    because the synthetic embeddings have no pairs above ~0.51."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.embedding_near_dup_pairs(
-        emb, id_col="vec_id", threshold=0.9, bits=4, tables=8
+        emb, id_col="vec_id", threshold=0.4, bits=4, tables=8
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH oracles — rebuild the seed-deterministic constants (minhash permutation
+# pairs, random hyperplanes) in Python and inline them as SQL literals, so
+# DuckDB replays the exact candidate generation + verification pipeline.
+# ---------------------------------------------------------------------------
+
+# Portable 60-bit md5 hash, bit-identical to the Spark side
+# (dedup._content_hash with hash_fn='md5').
+_SQL_MD5_60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+_P31 = (1 << 31) - 1
+
+
+def _sql_shingles(k: int) -> str:
+    """DuckDB expression for dedup.shingles(): word k-shingles, distinct."""
+    return (
+        "list_distinct([array_to_string(t[i:i+" + str(k - 1) + "], ' ') "
+        f"FOR i IN range(1, GREATEST(len(t) - {k - 1}, 1) + 1)])"
+    )
+
+
+def _oracle_minhash_dedup_sql(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+    threshold: float = 0.7, seed: int = 42,
+) -> str:
+    from timefence_spark.operators.dedup import _perm_constants
+
+    perms = _perm_constants(num_perm, seed)
+    rpb = num_perm // bands
+    h = _SQL_MD5_60.format(x="g") + f" % {_P31}"
+    sig_terms = ",\n           ".join(
+        f"list_min(list_transform(hl, x -> ({a} * x + {b}) % {_P31}))"
+        for a, b in perms
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_sql_shingles(shingle_k)} AS grams FROM toks
+    ), hashed AS (
+        SELECT doc_id, grams, list_transform(grams, g -> {h}) AS hl FROM sh
+    ), sig AS (
+        SELECT doc_id, [{sig_terms}] AS sig FROM hashed
+    ), bands AS (
+        SELECT doc_id,
+               concat(b::VARCHAR, ':',
+                      array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')) AS band_key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+                     (len(ga.grams) + len(gb.grams)
+                      - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+        FROM cand c
+        JOIN sh ga ON ga.doc_id = c.id_a
+        JOIN sh gb ON gb.doc_id = c.id_b
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM verified v
+        WHERE v.jaccard >= {threshold} AND v.id_b = d.doc_id
+    )
+    """
+
+
+def _oracle_simhash_pairs_sql(max_hamming: int = 3) -> str:
+    h = _SQL_MD5_60.format(x="tok")
+    bit_terms = "\n             + ".join(
+        f"(CASE WHEN list_sum(list_transform(hl, h -> "
+        f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(text), '\\s+')) AS tk
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, list_transform(tk, tok -> {h}) AS hl FROM toks
+    ), sig AS (
+        SELECT doc_id, ({bit_terms}) AS sh FROM hashed
+    ), chunks AS (
+        SELECT doc_id, sh, c, (sh >> (c * 15)) & 32767 AS chunk
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS sa, b.sh AS sb
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _rp_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    from timefence_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(dim, bits, seed)
+
+
+def _sql_rp_sigs(
+    dim: int, bits: int, tables: int, seed: int, src: str = "e"
+) -> str:
+    """UNION ALL of one bucket-signature SELECT per LSH table, with the
+    hyperplane constants inlined (identical floats to the Spark plan)."""
+    selects = []
+    for t in range(tables):
+        planes = _rp_planes(dim, bits, seed + t)
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        bucket = " + ".join(terms)
+        selects.append(
+            f"SELECT vec_id, v, {t} AS table_id, {bucket} AS bucket FROM {src}"
+        )
+    return "\n        UNION ALL ".join(selects)
+
+
+def _oracle_knn_lsh_sql(
+    k: int = 5, bits: int = 4, tables: int = 16, dim: int = 64, seed: int = 42,
+) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sigs AS (
+        {_sql_rp_sigs(dim, bits, tables, seed)}
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        q.v AS qv, c.v AS cv
+        FROM sigs q JOIN sigs c
+          ON c.table_id = q.table_id AND c.bucket = q.bucket
+         AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv) /
+                     (SQRT(list_dot_product(qv, qv)) *
+                      SQRT(list_dot_product(cv, cv))), 6) AS cosine
+        FROM cand
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _oracle_embedding_near_dup_sql(
+    threshold: float = 0.4, bits: int = 4, tables: int = 8, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sigs AS (
+        {_sql_rp_sigs(dim, bits, tables, seed)}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                        a.v AS va, b.v AS vb
+        FROM sigs a JOIN sigs b
+          ON b.table_id = a.table_id AND b.bucket = a.bucket
+         AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT id_a, id_b,
+               ROUND(list_dot_product(va, vb) /
+                     (SQRT(list_dot_product(va, va)) *
+                      SQRT(list_dot_product(vb, vb))), 6) AS cosine
+        FROM cand
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -785,7 +975,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "quality_score": ORACLE_QUALITY,
         "lang_id": ORACLE_LANG_ID,
-        # minhash_dedup / simhash_pairs / knn_lsh / embedding_near_dup:
-        # intentionally omitted — xxhash64/LSH has no DuckDB equivalent;
-        # the driver records a rows-only check for these.
+        # LSH queries run in portable-hash / deterministic-plane mode, so
+        # the oracle replays candidate generation + verification exactly.
+        "minhash_dedup": _oracle_minhash_dedup_sql(),
+        "simhash_pairs": _oracle_simhash_pairs_sql(),
+        "knn_lsh": _oracle_knn_lsh_sql(),
+        "embedding_near_dup": _oracle_embedding_near_dup_sql(),
     }

@@ -137,3 +137,38 @@ def test_ngram_jaccard_vs_bruteforce_oracle(spark, sf_dir, oracle, docs):
           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
     """
     assert_df_equals_sql(out, oracle, sql)
+
+
+def test_minhash_bucket_shuffle_carries_ids_only(spark, docs):
+    """Scale guard (VERDICT r1 item 6): exchanges feeding the LSH bucket
+    self-join must carry only (band_hash, id) — never the shingle arrays.
+    Shingles re-attach after candidate dedup."""
+    import re
+
+    from timefence_spark.plans import _formatted_plan_str
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", num_perm=16, bands=4,
+        threshold=0.5,
+    )
+    txt = _formatted_plan_str(pairs)
+    # Any exchange kind (shuffle or broadcast): the bucket-join key may
+    # travel either way, but must never ride with the shingle payload.
+    blocks = re.findall(r"\(\d+\) \w*Exchange\w*\s*\nInput \[\d+\]: \[([^\]]*)\]", txt)
+    assert blocks, "expected Exchange nodes in the LSH plan"
+    band_blocks = [b for b in blocks if "band_hash" in b]
+    assert band_blocks, "expected an exchange carrying band_hash"
+    for b in band_blocks:
+        assert "__shingles" not in b, f"shingles shipped pre-dedup: [{b}]"
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_minhash_hash_fn_modes_agree_on_planted_dups(spark, docs_with_dups, hash_fn):
+    """Both hash modes must find the planted near-duplicate pairs — the
+    algorithm is identical, only the hash primitive differs."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, id_col="doc_id", text_col="text", num_perm=64,
+        bands=16, threshold=0.7, hash_fn=hash_fn,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 100001) in found and (2, 100002) in found

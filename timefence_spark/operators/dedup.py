@@ -98,6 +98,23 @@ def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _content_hash(s: Column, hash_fn: str) -> Column:
+    """Positive 31-bit content hash of a string.
+
+    ``xxhash64`` is the fast default (JVM intrinsic). ``md5`` is the
+    *portable* variant — bit-identical in any engine with a standard md5
+    (DuckDB: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647``),
+    which lets LSH outputs be differentially verified against external SQL
+    oracles. Same algorithm either way; only the hash primitive changes.
+    """
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+    if hash_fn == "md5":
+        h60 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        return F.pmod(h60, F.lit(_MERSENNE_P))
+    raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -106,22 +123,24 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingles, signature: array<bigint>[num_perm]).
 
     min over shingles of (a_j * h(s) + b_j) mod p per permutation — entirely
     Spark expressions, vectorized by codegen; no data leaves the JVM.
+    Hash each shingle once, then derive all permutations from the hash array.
     """
     sh = shingles(F.col(text_col), shingle_k).alias("__shingles")
-    base = df.select(F.col(id_col), sh)
-    # Positive 61-bit shingle hash.
-    h = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))  # noqa: E731
+    base = df.select(F.col(id_col), sh).withColumn(
+        "__h", F.transform(F.col("__shingles"), lambda s: _content_hash(s, hash_fn))
+    )
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
-                    F.col("__shingles"),
-                    lambda s: F.pmod(F.lit(a) * h(s) + F.lit(b), F.lit(_MERSENNE_P)),
+                    F.col("__h"),
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)),
                 )
             )
             for a, b in _perm_constants(num_perm, seed)
@@ -140,13 +159,16 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH, verified with exact
     Jaccard over shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Scale shape: explode to (band_hash, id) — bands x N rows — shuffle by
-    band_hash, self-join inside buckets only, dedup pairs, then one exact
-    verification per distinct candidate pair.
+    Scale shape: the bucket self-join carries ONLY (band_hash, id) — never
+    the shingle arrays — so shuffle volume for candidate generation is
+    O(bands x N x 16 bytes), independent of corpus text size. Shingles are
+    re-attached by two joins against the (id, shingles) table per *distinct*
+    candidate pair for the exact-Jaccard verification.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -154,43 +176,48 @@ def minhash_lsh_pairs(
 
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        shingle_k=shingle_k, seed=seed,
+        shingle_k=shingle_k, seed=seed, hash_fn=hash_fn,
     )
 
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band)),
-            )
-            for b in range(bands)
-        ]
+    band_str = lambda b: F.concat_ws(  # noqa: E731
+        ",", F.slice("signature", b * rows_per_band + 1, rows_per_band)
     )
-    buckets = sigs.select(
-        F.col(id_col), F.col("__shingles"), F.explode(band_hashes).alias("band_hash")
-    )
+    if hash_fn == "xxhash64":
+        band_keys = F.array(*[F.xxhash64(F.lit(b), band_str(b)) for b in range(bands)])
+    else:
+        # Portable mode: keep the raw "band:sig,sig,.." string as the join
+        # key so an external SQL oracle reproduces identical buckets.
+        band_keys = F.array(
+            *[F.concat_ws(":", F.lit(str(b)), band_str(b)) for b in range(bands)]
+        )
+    buckets = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_hash"))
 
-    left = buckets.select(
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("__shingles").alias("sh_a"),
-    )
-    right = buckets.select(
-        F.col("band_hash"),
-        F.col(id_col).alias("id_b"),
-        F.col("__shingles").alias("sh_b"),
-    )
+    left = buckets.select("band_hash", F.col(id_col).alias("id_a"))
+    right = buckets.select("band_hash", F.col(id_col).alias("id_b"))
     candidates = (
         left.join(right, "band_hash")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    shingle_tbl = sigs.select(F.col(id_col), F.col("__shingles"))
+    with_sets = candidates.join(
+        shingle_tbl.select(
+            F.col(id_col).alias("id_a"), F.col("__shingles").alias("sh_a")
+        ),
+        "id_a",
+    ).join(
+        shingle_tbl.select(
+            F.col(id_col).alias("id_b"), F.col("__shingles").alias("sh_b")
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jaccard = inter.cast("double") / union
     return (
-        candidates.withColumn("jaccard", F.round(jaccard, 6))
+        with_sets.withColumn("jaccard", F.round(jaccard, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -206,6 +233,7 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id.
 
@@ -214,7 +242,7 @@ def minhash_dedup(
     """
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, threshold=threshold, seed=seed,
+        shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -225,22 +253,41 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens: bit i is set iff the sum over tokens
-    of ±1 (sign of bit i of the token hash) is positive. Pure expressions."""
+def _simhash_bits(hash_fn: str) -> int:
+    # md5 mode uses the 60-bit portable hash, so the signature is 60 bits
+    # (4 chunks x 15); xxhash64 mode keeps the full 64 (4 x 16).
+    return 64 if hash_fn == "xxhash64" else 60
+
+
+def simhash(
+    df: DataFrame, *, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash over word tokens: bit i is set iff the sum over tokens of ±1
+    (sign of bit i of the token hash) is positive. Pure expressions;
+    each token is hashed once, then all bits derive from the hash array."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
+    if hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    elif hash_fn == "md5":
+        tok_hash = lambda t: (  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
+    nbits = _simhash_bits(hash_fn)
+    hl = F.transform(toks, tok_hash)
     bit_sum = lambda i: F.aggregate(  # noqa: E731
-        toks,
+        hl,
         F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
     )
-    # 64 per-bit sums as one array, folded into a single long signature.
-    # Bit 63 is the sign bit: its power-of-two literal is long-min.
-    sums = F.array(*[bit_sum(i) for i in range(64)])
+    # Per-bit sums as one array, folded into a single long signature.
+    # In 64-bit mode bit 63 is the sign bit: its power-of-two is long-min.
+    sums = F.array(*[bit_sum(i) for i in range(nbits)])
     powers = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(63)],
-        F.lit(-(1 << 63)).cast("long"),
+        *[F.lit(1 << i).cast("long") for i in range(min(nbits, 63))],
+        *([F.lit(-(1 << 63)).cast("long")] if nbits == 64 else []),
     )
     fold = F.aggregate(
         F.zip_with(
@@ -255,20 +302,29 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, *, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) <= max_hamming.
 
-    Banding: split the 64-bit signature into 4 16-bit chunks; any pair within
-    Hamming<=3 shares at least one exact chunk (pigeonhole), so candidates
-    come from equi-joins on chunks — no all-pairs comparison.
+    Banding: split the signature into 4 chunks; any pair within Hamming<=3
+    shares at least one exact chunk (pigeonhole), so candidates come from
+    equi-joins on chunks — no all-pairs comparison.
     """
-    sigs = simhash(df, id_col=id_col, text_col=text_col)
+    sigs = simhash(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
+    chunk_bits = _simhash_bits(hash_fn) // 4
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                F.shiftright("simhash", c * chunk_bits)
+                .bitwiseAND(F.lit(chunk_mask))
+                .alias("chunk"),
             )
             for c in range(4)
         ]
