@@ -96,6 +96,24 @@ def _import_features(spec: str) -> list[Feature | FeatureSet]:
     return found
 
 
+def _parquet_columns(path) -> list[str]:
+    """Column names from the parquet footer via pyarrow — a metadata read,
+    no engine involved (replaces the reference's DuckDB DESCRIBE probes,
+    cli.py:543-555)."""
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    if p.is_dir():
+        parts = sorted(p.glob("*.parquet"))
+        if not parts:
+            raise click.ClickException(f"No parquet files in {p}")
+        p = parts[0]
+    try:
+        return list(pq.read_schema(p).names)
+    except Exception as exc:
+        raise click.ClickException(str(exc)) from exc
+
+
 def _resolve_labels(cfg: dict, labels_path, keys, label_time, target) -> Labels:
     lcfg = cfg.get("labels", {}) or {}
     path = labels_path or lcfg.get("path")
@@ -110,14 +128,7 @@ def _resolve_labels(cfg: dict, labels_path, keys, label_time, target) -> Labels:
     if keys is None or target is None:
         # Infer from the labels schema: first column = key, everything that is
         # not a key / label_time = target (reference cli.py:543-571).
-        import duckdb
-
-        cols = [
-            r[0]
-            for r in duckdb.sql(
-                f"DESCRIBE SELECT * FROM read_parquet('{path}')"
-            ).fetchall()
-        ]
+        cols = _parquet_columns(path)
         if keys is None:
             keys = [cols[0]]
             click.echo(f"Inferred keys: {keys}")
@@ -391,36 +402,49 @@ def catalog(store_path, json_out) -> None:
 @click.argument("data", type=str)
 def inspect(data) -> None:
     """Profile a dataset: per-column types, null %, uniqueness; suggest keys
-    and timestamp columns (reference cli.py:228-334)."""
-    import duckdb
+    and timestamp columns (reference cli.py:228-334).
 
+    ONE distributed aggregation pass: every column's approx-distinct and
+    null count come back in a single agg row, so profiling a 100 TB table
+    costs one scan — not a per-column full scan on the driver machine."""
+    from pyspark.sql import functions as F
+
+    from timefence_spark.engine import get_spark
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
     try:
-        rel = duckdb.sql(f"SELECT * FROM read_parquet('{data}')")
-    except duckdb.Error as exc:
+        df = read_parquet(spark, data)
+    except Exception as exc:
         raise click.ClickException(str(exc)) from exc
-    total = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{data}')").fetchone()[0]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in df.columns:
+        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"__u_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__n_{c}")
+        )
+    row = df.agg(*aggs).first()
+    total = row["__total"]
     click.echo(f"{data}: {total} rows")
     click.echo(f"{'column':<28}{'type':<16}{'nulls':<8}{'unique':<10}note")
     key_sugg, ts_sugg = [], []
-    for name, dtype in zip(rel.columns, rel.types):
-        stats = duckdb.sql(
-            f'SELECT COUNT(DISTINCT "{name}"), COUNT(*) FILTER ("{name}" IS NULL) '
-            f"FROM read_parquet('{data}')"
-        ).fetchone()
-        uniq, nulls = stats
+    for field in df.schema.fields:
+        name = field.name
+        uniq, nulls = row[f"__u_{name}"], row[f"__n_{name}"]
         note = ""
-        t = str(dtype).upper()
+        t = field.dataType.simpleString().upper()
         if "TIMESTAMP" in t or "DATE" in t:
             note = "timestamp candidate"
             ts_sugg.append(name)
-        elif total and uniq == total:
+        elif total and uniq >= total * 0.99:
+            # approx_count_distinct (rsd=1%): >=99% of rows distinct.
             note = "unique — key candidate"
             key_sugg.append(name)
-        elif total and uniq / total > 0.001 and ("INT" in t or "VARCHAR" in t):
+        elif total and uniq / total > 0.001 and ("INT" in t or "STRING" in t):
             note = "possible entity key"
             key_sugg.append(name)
         pct = f"{(nulls / total * 100):.0f}%" if total else "-"
-        click.echo(f"{name:<28}{str(dtype):<16}{pct:<8}{uniq:<10}{note}")
+        click.echo(f"{name:<28}{t.lower():<16}{pct:<8}{uniq:<10}{note}")
     if key_sugg:
         click.echo(f"\nSuggested keys: {key_sugg[:3]}")
     if ts_sugg:
@@ -486,14 +510,7 @@ def doctor(config_path) -> None:
         lp = Path(lcfg["path"])
         check("labels file", lp.exists(), str(lp))
         if lp.exists():
-            import duckdb
-
-            cols = [
-                r[0]
-                for r in duckdb.sql(
-                    f"DESCRIBE SELECT * FROM read_parquet('{lp}')"
-                ).fetchall()
-            ]
+            cols = _parquet_columns(lp)
             for k in lcfg.get("keys", []) or []:
                 check(f"labels key '{k}'", k in cols)
             lt = lcfg.get("label_time", "label_time")

@@ -150,53 +150,73 @@ def generate_labels(path: Path, n: int = 1000) -> None:
 
 def generate_leaky_training_set(dir_path: Path) -> None:
     """Join features with data up to label_time + 14 days — planted leakage
-    the audit must detect (reference quickstart.py:119-206)."""
-    import duckdb
+    the audit must detect (reference quickstart.py:119-206). Pure Spark:
+    latest-row-per-key window for the snapshot feature, range join + agg for
+    the rolling spend."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW users AS SELECT * FROM read_parquet('{dir_path / 'users.parquet'}')"
+    from timefence_spark.engine import _write_single_parquet, get_spark
+
+    spark = get_spark()
+    users = spark.read.parquet(str(dir_path / "users.parquet"))
+    txns = spark.read.parquet(str(dir_path / "transactions.parquet"))
+    labels = spark.read.parquet(str(dir_path / "labels.parquet"))
+
+    l = labels.withColumn(
+        "rid", F.row_number().over(Window.orderBy("user_id", "label_time"))
+    ).alias("l")
+
+    # Snapshot feature, LEAKY on purpose: sees updates 14 days PAST label_time.
+    u = users.alias("u")
+    snap = (
+        l.join(
+            u,
+            (F.col("u.user_id") == F.col("l.user_id"))
+            & (F.col("u.updated_at") <= F.col("l.label_time") + F.expr("INTERVAL 14 DAYS")),
+        )
+        .select("l.rid", "u.country", "u.updated_at")
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("rid").orderBy(F.desc("updated_at"))),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .alias("snap")
     )
-    con.execute(
-        "CREATE VIEW transactions AS "
-        f"SELECT * FROM read_parquet('{dir_path / 'transactions.parquet'}')"
+
+    # Rolling spend, LEAKY: window extends 2 days past label_time.
+    t = txns.alias("t")
+    spend = (
+        l.join(
+            t,
+            (F.col("t.user_id") == F.col("l.user_id"))
+            & (F.col("t.created_at") <= F.col("l.label_time") + F.expr("INTERVAL 2 DAYS"))
+            & (F.col("t.created_at") >= F.col("l.label_time") - F.expr("INTERVAL 28 DAYS")),
+        )
+        .groupBy("l.rid")
+        .agg(
+            F.sum("t.amount").alias("spend_30d"),
+            F.max("t.created_at").alias("last_txn"),
+        )
+        .alias("spend")
     )
-    con.execute(
-        f"CREATE VIEW labels AS SELECT * FROM read_parquet('{dir_path / 'labels.parquet'}')"
+
+    out = (
+        l.join(snap, "rid", "left")
+        .join(spend, "rid", "left")
+        .select(
+            F.col("l.user_id"),
+            F.col("l.label_time"),
+            F.col("l.churned"),
+            F.col("snap.country").alias("user_country__country"),
+            F.col("snap.updated_at").alias("user_country__feature_time"),
+            F.col("spend.spend_30d").alias("rolling_spend_30d__spend_30d"),
+            F.col("spend.last_txn").alias("rolling_spend_30d__feature_time"),
+        )
+        .orderBy("user_id", "label_time")
     )
-    con.execute(
-        f"""
-        COPY (
-            WITH l AS (SELECT ROW_NUMBER() OVER () AS rid, * FROM labels),
-            snap AS (
-                SELECT l.rid, u.country, u.updated_at
-                FROM l JOIN users u ON u.user_id = l.user_id
-                 AND u.updated_at <= l.label_time + INTERVAL 14 DAY
-                QUALIFY ROW_NUMBER() OVER (
-                    PARTITION BY l.rid ORDER BY u.updated_at DESC) = 1
-            ),
-            spend AS (
-                SELECT l.rid,
-                       SUM(t.amount) AS spend_30d,
-                       MAX(t.created_at) AS last_txn
-                FROM l JOIN transactions t ON t.user_id = l.user_id
-                 AND t.created_at <= l.label_time + INTERVAL 2 DAY
-                 AND t.created_at >= l.label_time - INTERVAL 28 DAY
-                GROUP BY l.rid
-            )
-            SELECT l.user_id, l.label_time, l.churned,
-                   snap.country AS user_country__country,
-                   snap.updated_at AS user_country__feature_time,
-                   spend.spend_30d AS rolling_spend_30d__spend_30d,
-                   spend.last_txn AS rolling_spend_30d__feature_time
-            FROM l
-            LEFT JOIN snap ON snap.rid = l.rid
-            LEFT JOIN spend ON spend.rid = l.rid
-            ORDER BY l.user_id, l.label_time
-        ) TO '{dir_path / "train_LEAKY.parquet"}' (FORMAT PARQUET)
-        """
-    )
-    con.close()
+    _write_single_parquet(out, dir_path / "train_LEAKY.parquet")
 
 
 def create_quickstart(target: Path) -> Path:
