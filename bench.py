@@ -4,9 +4,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full plan execution, no
-driver-side row transfer), after a warmup run of the flagship to absorb JVM
-startup. Timing methodology mirrors the reference bench (median-of-1 per
-query here; the driver records per-round trends).
+driver-side row transfer). Timing methodology matches the reference bench
+exactly (reference bench.py:11-16 / BASELINE.md: "Median of 3 runs after
+warmup"): one untimed warmup run per query absorbs plan compilation and
+codegen for that plan shape, then the median of 3 timed runs is reported.
 """
 
 from __future__ import annotations
@@ -33,11 +34,26 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_token_stats",
     "knn_cosine",
+    # 100 TB-shaped scale paths (VERDICT r1 item 9): RP-LSH ANN and banded
+    # MinHash LSH dedup, so the approximate plans have per-round trend data.
+    "knn_lsh",
+    "minhash_dedup",
 ]
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed_median3(fn) -> float:
+    """Reference methodology: 1 warmup + 3 timed runs, median reported."""
+    fn()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
 
 
 def main() -> None:
@@ -54,14 +70,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # Warmup: absorb JVM/codegen startup cost outside the timed region.
+    # Session warmup: absorb JVM startup cost outside any timed region.
     _force(queries["pit_strict"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _timed_median3(lambda: _force(queries[name](spark, SF_DIR)))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

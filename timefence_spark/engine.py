@@ -592,7 +592,10 @@ def build(
             small = src_rows is not None and src_rows <= broadcast_max_rows
             feat_strategy = strategy
             if strategy == "auto":
-                feat_strategy = "join" if small else "union"
+                # Union is the measured default at every shape (see
+                # operators/asof.pit_match); 'join' remains the explicit
+                # opt-in for extreme key skew.
+                feat_strategy = "union"
             matched[feat.name] = pit_match(
                 spine,
                 fdf,

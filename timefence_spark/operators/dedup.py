@@ -115,6 +115,50 @@ def _content_hash(s: Column, hash_fn: str) -> Column:
     raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
 
 
+def _shingle_df(
+    df: DataFrame, *, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("__shingles")
+    )
+
+
+def _signature_df(
+    shingle_tbl: DataFrame,
+    *,
+    id_col: str,
+    num_perm: int,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, signature) via explode + one hash-aggregation.
+
+    Higher-order array functions (transform/aggregate) are interpreted, not
+    codegen'd — 64 array passes per row cost ~10x the same work as flat
+    expressions. Exploding to (id, shingle_hash) rows and taking 64
+    ``min((a*h+b) mod p)`` aggregates keeps the whole pipeline inside
+    whole-stage codegen with map-side partial aggregation: shuffle volume is
+    num_perm longs per document, independent of text size.
+    """
+    exploded = shingle_tbl.select(
+        F.col(id_col), F.explode_outer("__shingles").alias("__s")
+    ).select(F.col(id_col), _content_hash(F.col("__s"), hash_fn).alias("__h"))
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"__sig{j}"
+        )
+        for j, (a, b) in enumerate(_perm_constants(num_perm, seed))
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[f"__sig{j}" for j in range(num_perm)]).alias("signature"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -128,25 +172,14 @@ def minhash_signatures(
     """(id, shingles, signature: array<bigint>[num_perm]).
 
     min over shingles of (a_j * h(s) + b_j) mod p per permutation — entirely
-    Spark expressions, vectorized by codegen; no data leaves the JVM.
-    Hash each shingle once, then derive all permutations from the hash array.
+    JVM-side; the signature aggregation runs in whole-stage codegen (see
+    :func:`_signature_df`).
     """
-    sh = shingles(F.col(text_col), shingle_k).alias("__shingles")
-    base = df.select(F.col(id_col), sh).withColumn(
-        "__h", F.transform(F.col("__shingles"), lambda s: _content_hash(s, hash_fn))
+    sh = _shingle_df(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    sig = _signature_df(
+        sh, id_col=id_col, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__h"),
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)),
-                )
-            )
-            for a, b in _perm_constants(num_perm, seed)
-        ]
-    )
-    return base.select(id_col, "__shingles", sig.alias("signature"))
+    return sh.join(sig, id_col).select(id_col, "__shingles", "signature")
 
 
 def minhash_lsh_pairs(
@@ -174,9 +207,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        shingle_k=shingle_k, seed=seed, hash_fn=hash_fn,
+    # Signatures and shingle sets as SEPARATE dataframes: bands derive from
+    # signatures only; the shingle table is touched only by the per-pair
+    # verification joins. They never need to be joined to each other.
+    shingle_tbl = _shingle_df(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    sigs = _signature_df(
+        shingle_tbl, id_col=id_col, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
 
     band_str = lambda b: F.concat_ws(  # noqa: E731
@@ -201,7 +237,6 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    shingle_tbl = sigs.select(F.col(id_col), F.col("__shingles"))
     with_sets = candidates.join(
         shingle_tbl.select(
             F.col(id_col).alias("id_a"), F.col("__shingles").alias("sh_a")

@@ -88,7 +88,7 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of a vector against fixed hyperplanes -> int."""
     bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = F.lit([float(x) for x in p])
         bits.append(
             F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
         )
@@ -96,6 +96,25 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         sig = sig.bitwiseOR(b)
     return sig
+
+
+def _rp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Same signature as :func:`rp_signature`, built as ONE ``F.expr`` string.
+
+    Column-object construction pays a py4j round-trip per node; a 16-table x
+    4-plane x 64-dim signature was ~50k round-trips (≈8 s of driver time per
+    query build). One SQL string per table parses JVM-side in microseconds.
+    Semantics are identical: sequential-fold dot product in double, sign bit
+    per plane, disjoint power-of-two sum."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot_sql} >= 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def rp_lsh_topk(
@@ -129,11 +148,14 @@ def rp_lsh_topk(
         dim = first[0]["d"]
 
     def signatures(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        # ids + buckets only: the vectors stay OUT of the bucket join and
+        # candidate dedup (they would multiply shuffle volume by the vector
+        # width x tables); they re-attach per distinct candidate pair below.
         sigs = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("table_id"),
-                    rp_signature(F.col(vecc), _hyperplanes(dim, bits, seed + t)).alias(
+                    _rp_bucket_expr(vecc, _hyperplanes(dim, bits, seed + t)).alias(
                         "bucket"
                     ),
                 )
@@ -141,18 +163,21 @@ def rp_lsh_topk(
             ]
         )
         return df.select(
-            F.col(idc).alias(out_id), F.col(vecc).alias(f"__{out_id}_v"),
-            F.explode(sigs).alias("s"),
-        ).select(out_id, f"__{out_id}_v", "s.table_id", "s.bucket")
+            F.col(idc).alias(out_id), F.explode(sigs).alias("s")
+        ).select(out_id, "s.table_id", "s.bucket")
 
     qs = signatures(queries, query_id, query_vec, "query_id")
     cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
     cand = (
         qs.join(cs, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    score = cosine(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    cand = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    score = cosine(F.col("__qv"), F.col("__cv"))
     if round_to is not None:
         score = F.round(score, round_to)
     scored = cand.select("query_id", "neighbor_id", score.alias("cosine"))
@@ -245,27 +270,34 @@ def embedding_near_dup_pairs(
         *[
             F.struct(
                 F.lit(t).alias("table_id"),
-                rp_signature(F.col(vec_col), _hyperplanes(dim, bits, seed + t)).alias(
+                _rp_bucket_expr(vec_col, _hyperplanes(dim, bits, seed + t)).alias(
                     "bucket"
                 ),
             )
             for t in range(tables)
         ]
     )
-    exploded = df.select(
-        F.col(id_col), F.col(vec_col).alias("__v"), F.explode(sigs).alias("s")
-    ).select(id_col, "__v", "s.table_id", "s.bucket")
-    a = exploded.select(
-        "table_id", "bucket", F.col(id_col).alias("id_a"), F.col("__v").alias("va")
+    # ids-only bucket join + dedup; vectors re-attach per distinct pair
+    # (same shuffle-de-amplification as minhash_lsh_pairs).
+    exploded = df.select(F.col(id_col), F.explode(sigs).alias("s")).select(
+        id_col, "s.table_id", "s.bucket"
     )
-    b = exploded.select(
-        "table_id", "bucket", F.col(id_col).alias("id_b"), F.col("__v").alias("vb")
-    )
-    return (
+    a = exploded.select("table_id", "bucket", F.col(id_col).alias("id_a"))
+    b = exploded.select("table_id", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b"
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
