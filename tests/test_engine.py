@@ -507,3 +507,62 @@ def test_explain(spark, users_feat_labels):
     assert len(res.plan) == 2
     s = str(res)
     assert "user_country" in s and "rolling_spend" in s and "1d" in s
+
+
+def test_build_result_carries_physical_plans(spark, tmp_path, users_feat_labels):
+    """VERDICT r1 item 7: BuildResult exposes the Catalyst physical summary
+    per feature join (the Spark analogue of the reference's executed-SQL
+    transcript), and the manifest records the strategy actually chosen."""
+    users_path, txns_path, labels_path = users_feat_labels
+    res = tf.build(
+        _labels(labels_path),
+        [_country_feature(users_path)],
+        str(tmp_path / "pp.parquet"),
+        spark=spark,
+    )
+    assert "user_country" in res.physical_plans
+    assert "exchanges=" in res.physical_plans["user_country"]
+    assert "-- physical[user_country]" in res.explain()
+    assert res.manifest["features"]["user_country"]["strategy"] == "union"
+
+
+def test_explain_reflects_strategy_choice(spark, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    auto = tf.explain(_labels(labels_path), [_country_feature(users_path)], spark=spark)
+    assert "union-asof" in auto.plan[0]["strategy"]
+    forced = tf.explain(
+        _labels(labels_path),
+        [_country_feature(users_path)],
+        strategy="join",
+        spark=spark,
+    )
+    assert "range join" in forced.plan[0]["strategy"]
+
+
+def test_sqlsource_connection_raises():
+    from timefence_spark.core import SQLSource
+    from timefence_spark.errors import TimefenceConfigError
+
+    with pytest.raises(TimefenceConfigError, match="views="):
+        SQLSource(
+            "SELECT 1 AS user_id, now() AS ts",
+            keys="user_id",
+            timestamp="ts",
+            name="bad",
+            connection="some.db",
+        )
+
+
+def test_size_estimate_failure_is_logged(caplog):
+    import logging
+
+    from timefence_spark.operators.asof import estimated_size_bytes
+
+    class NotADataFrame:
+        @property
+        def _jdf(self):
+            raise RuntimeError("private API drift")
+
+    with caplog.at_level(logging.WARNING, logger="timefence_spark.operators.asof"):
+        assert estimated_size_bytes(NotADataFrame()) is None
+    assert any("size estimate unavailable" in r.message for r in caplog.records)

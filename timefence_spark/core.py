@@ -136,12 +136,23 @@ class SQLSource:
         views: dict[str, str] | None = None,
         connection: str | None = None,
     ):
+        if connection is not None:
+            # The reference attaches a DuckDB database file here (reference
+            # core.py:110-149); the Spark engine has no embedded database to
+            # attach, and silently ignoring the argument would drop data the
+            # user expects the query to see.
+            raise TimefenceConfigError(
+                "SQLSource 'connection' is not supported by the Spark engine. "
+                "Register parquet inputs with views={name: path} instead — "
+                "the query can reference them as tables — or read paths "
+                "directly in the query (parquet.`/path/to/file`)."
+            )
         self.query = query
         self.keys = _as_list(keys)
         self.timestamp = timestamp
         self.name = name
         self.views = views or {}
-        self.connection = connection
+        self.connection = None
         self.path = None
         self.df = None
         self.format: Literal["sql"] = "sql"

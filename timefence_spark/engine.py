@@ -584,6 +584,7 @@ def build(
         # ---- Step 3: point-in-time joins -------------------------------
         matched: dict[str, DataFrame] = {}
         strategies: dict[str, str] = {}
+        physical_plans: dict[str, str] = {}
         for i, feat in enumerate(flat_features, 1):
             _emit(f"Joining {feat.name} ({i}/{len(flat_features)})")
             fdf, value_cols = feature_tables[feat.name]
@@ -611,6 +612,12 @@ def build(
                 broadcast_feature=small and feat_strategy == "join",
             )
             strategies[feat.name] = feat_strategy
+            try:
+                from timefence_spark.plans import physical_summary
+
+                physical_plans[feat.name] = str(physical_summary(matched[feat.name]))
+            except Exception:  # plan probe must never fail a build
+                physical_plans[feat.name] = ""
             op = "<" if join == "strict" else "<="
             transcript.append(
                 f"-- pit_match[{feat.name}] strategy={feat_strategy} "
@@ -821,6 +828,7 @@ def build(
             stats=stats,
             splits=split_paths,
             sql="\n\n".join(transcript),
+            physical_plans=physical_plans,
         )
     finally:
         spine.unpersist()
@@ -1143,10 +1151,17 @@ def explain(
     max_lookback: str | timedelta = DEFAULT_MAX_LOOKBACK,
     max_staleness: str | timedelta | None = None,
     join: str = "strict",
+    strategy: str = "auto",
     spark: SparkSession | None = None,
 ) -> ExplainResult:
-    """Preview the join plan without executing it."""
+    """Preview the join plan without executing it. ``strategy`` mirrors
+    build(): the per-feature plan shows the strategy build() would choose."""
     spark = get_spark(spark)
+    resolved_strategy = "union" if strategy == "auto" else strategy
+    strategy_desc = {
+        "union": "union-asof (single pass, no fanout; one shuffle per side)",
+        "join": "range join + per-label max (broadcast when feature is small)",
+    }.get(resolved_strategy, resolved_strategy)
     max_lookback_td = parse_duration(max_lookback) or timedelta(
         days=DEFAULT_MAX_LOOKBACK_DAYS
     )
@@ -1196,7 +1211,7 @@ def explain(
                 "join_condition": join_cond,
                 "window": window,
                 "embargo_str": embargo_str if has_embargo else "none",
-                "strategy": "union-asof (no-fanout) or broadcast range-join",
+                "strategy": strategy_desc,
                 "sql": example,
             }
         )

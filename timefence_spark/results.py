@@ -38,6 +38,10 @@ class BuildResult:
     stats: BuildStats
     splits: dict[str, Path] | None = None
     sql: str = ""  # plan transcript: generated logical-plan descriptions
+    # Catalyst physical-plan summary per feature join (exchanges, join kinds,
+    # windows, scans) — the Spark analogue of the reference's executed-SQL
+    # transcript (reference engine.py:1491-1497).
+    physical_plans: dict[str, str] = field(default_factory=dict)
 
     def __str__(self) -> str:
         lines = [
@@ -63,8 +67,12 @@ class BuildResult:
         return self.manifest.get("audit", {}).get("passed", False)
 
     def explain(self) -> str:
-        """The join-plan transcript for this build."""
-        return self.sql
+        """The join-plan transcript for this build, including the Catalyst
+        physical summary of each feature's as-of join."""
+        parts = [self.sql] if self.sql else []
+        for fname, psum in self.physical_plans.items():
+            parts.append(f"-- physical[{fname}]\n{psum}")
+        return "\n\n".join(parts)
 
     def _repr_html_(self) -> str:
         rows = []

@@ -258,7 +258,13 @@ def streaming_asof_join(
         still: list[int] = []
         for i in pending:
             due = lbl_due[i]
-            if due > wm_us:
+            # strict: matches need ft < due, and any such feature is already
+            # past the watermark once due <= wm. inclusive: ft == due is
+            # matchable and an event at exactly the watermark is NOT late
+            # (event time >= watermark is still accepted), so a label only
+            # finalizes once wm has moved strictly past its due time.
+            not_final = (due > wm_us) if strict else (due >= wm_us)
+            if not_final:
                 still.append(i)
                 continue
             idx = (bisect_left if strict else bisect_right)(feat_ft, due) - 1
