@@ -26,11 +26,12 @@ Two physical forms:
   future label), so state is bounded by key cardinality × window width, not
   by stream length.
 
-* :func:`stream_static_asof_join` — label stream against a *small, static*
-  feature table. The feature table is collected once, shipped to executors
-  inside the task closure (the streaming analogue of a broadcast hash join),
-  and each micro-batch does an in-memory binary-search lookup per row via
-  ``mapInPandas``. Stateless: works in append mode with no watermark.
+* :func:`stream_static_asof_join` — label stream against a *static* feature
+  table. The static side is compacted to one row per entity key (its
+  feature history as a sorted struct array) and broadcast through a native
+  stream-static equi-join; the as-of pick is pure array expressions.
+  Stateless, append mode, no watermark, no driver-side collect — the memory
+  bound is the executor broadcast limit.
 
 Scale notes (100 TB): the stateful plan shuffles each stream once by entity
 key — the same single-shuffle-per-side shape as the batch union strategy —
@@ -333,12 +334,19 @@ def stream_static_asof_join(
     staleness: str | timedelta | int | None = None,
     strict: bool = True,
 ) -> DataFrame:
-    """As-of join of a (streaming) label DataFrame against a small *static*
+    """As-of join of a (streaming) label DataFrame against a *static*
     feature DataFrame — the streaming analogue of the batch broadcast
-    strategy. ``right`` is collected to the driver once and shipped in the
-    task closure; keep it broadcast-sized (dimension tables, model feature
-    snapshots). Stateless ``mapInPandas``: append mode, no watermark needed,
-    works identically on a batch ``left``.
+    strategy, entirely JVM-side.
+
+    The static side is compacted to ONE row per entity key holding its
+    feature history as an array of (ft, values) structs sorted ascending,
+    then broadcast through a native stream-static equi-join (no fanout: the
+    join is 1:1 on keys). The as-of pick is pure expressions — filter the
+    array to the label's validity window and take the last element, which
+    is the latest feature_time with max-payload tie-break (identical to the
+    batch strategies). Stateless: append mode, no watermark, no state
+    store; works identically on a batch ``left``. Memory bound is the
+    executor broadcast limit, not a driver-side collect.
     """
     pairs = _key_pairs(on)
     embargo_s = _seconds(embargo) or 0
@@ -351,63 +359,46 @@ def stream_static_asof_join(
         skip = {r for _, r in pairs} | {right_time}
         value_cols = [c for c in right.columns if c not in skip]
     value_cols = list(value_cols)
+    left_keys = [lk for lk, _ in pairs]
 
-    value_fields = [right.schema[c] for c in value_cols]
-    ft_type = right.schema[right_time].dataType
-    out_schema = StructType(
-        [left.schema[c] for c in left.columns]
-        + [StructField(f"{prefix}__{f.name}", f.dataType) for f in value_fields]
-        + [StructField(f"{prefix}__feature_time", ft_type)]
-    )
-
-    right_keys = [r for _, r in pairs]
-    fpdf = (
-        right.select(*right_keys, F.col(right_time).alias("__ft"), *value_cols)
-        .orderBy(*right_keys, "__ft")
-        .toPandas()
-    )
-    # key tuple -> (sorted ft micros, row value tuples) — built once on the
-    # driver, closure-captured by every task (broadcast-style).
-    table: dict[tuple, tuple[list[int], list[tuple]]] = {}
-    ft_us = (fpdf["__ft"].astype("datetime64[us]").astype("int64")).tolist()
-    vals = list(fpdf[value_cols].itertuples(index=False, name=None))
-    for k, t, v in zip(
-        fpdf[right_keys].itertuples(index=False, name=None), ft_us, vals
-    ):
-        entry = table.setdefault(tuple(_py(x) for x in k), ([], []))
-        entry[0].append(t)
-        entry[1].append(v)
-
-    left_keys = [l for l, _ in pairs]
-    n_vals = len(value_cols)
-
-    def lookup(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            lts = pdf[left_time].astype("datetime64[us]").astype("int64")
-            matches: list[tuple] = []
-            fts: list[Any] = []
-            for k, lt_us in zip(
-                pdf[left_keys].itertuples(index=False, name=None), lts
-            ):
-                entry = table.get(tuple(_py(x) for x in k))
-                match, mft = None, None
-                if entry is not None:
-                    upper = int(lt_us) - embargo_s * US
-                    idx = (bisect_left if strict else bisect_right)(entry[0], upper) - 1
-                    if idx >= 0:
-                        cand = entry[0][idx]
-                        if lower_s is None or cand >= int(lt_us) - lower_s * US:
-                            match, mft = entry[1][idx], cand
-                matches.append(match if match is not None else (None,) * n_vals)
-                fts.append(pd.Timestamp(mft, unit="us") if mft is not None else None)
-            out = pdf.copy()
-            for i, c in enumerate(value_cols):
-                out[f"{prefix}__{c}"] = pd.Series(
-                    [m[i] for m in matches], index=pdf.index, dtype=object
-                )
-            out[f"{prefix}__feature_time"] = pd.Series(
-                fts, index=pdf.index, dtype=object
+    # One row per key: sorted feature history. Struct ordering sorts by ft
+    # first, then payload values — so element_at(..., -1) after the window
+    # filter reproduces the batch tie-break (latest ft, max payload).
+    hist = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(right_time).alias("__ft"),
+                *[F.col(c).alias(f"__v{i}") for i, c in enumerate(value_cols)],
             )
-            yield out
+        )
+    ).alias("__hist")
+    compact = right.groupBy(
+        *[F.col(rk).alias(f"__k{i}") for i, (_, rk) in enumerate(pairs)]
+    ).agg(hist)
 
-    return left.mapInPandas(lookup, schema=out_schema)
+    cond = None
+    for i, (lk, _) in enumerate(pairs):
+        c = F.col(f"__l.{lk}") == F.col(f"__r.__k{i}")
+        cond = c if cond is None else (cond & c)
+    joined = left.alias("__l").join(F.broadcast(compact.alias("__r")), cond, "left")
+
+    lt = F.col(f"__l.{left_time}")
+    upper = lt - F.make_dt_interval(secs=F.lit(embargo_s)) if embargo_s else lt
+    in_window = (
+        (lambda x: x["__ft"] < upper) if strict else (lambda x: x["__ft"] <= upper)
+    )
+    if lower_s is not None:
+        lower_bound = lt - F.make_dt_interval(secs=F.lit(lower_s))
+        outer = in_window
+        in_window = lambda x: outer(x) & (x["__ft"] >= lower_bound)  # noqa: E731
+    # try_element_at: NULL (unmatched) when no feature falls in the window.
+    match = F.try_element_at(F.filter(F.col("__r.__hist"), in_window), F.lit(-1))
+
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in left.columns],
+        *[
+            match[f"__v{i}"].alias(f"{prefix}__{c}")
+            for i, c in enumerate(value_cols)
+        ],
+        match["__ft"].alias(f"{prefix}__feature_time"),
+    )
