@@ -56,7 +56,8 @@ def test_build_dry_run(project):
 def test_build_and_catalog(project, spark):
     res = _run(["build"], project)
     assert res.exit_code == 0, res.output
-    assert "BuildResult" in res.output
+    assert "Building training set..." in res.output
+    assert "Written" in res.output
     assert (project / "train.parquet").exists()
 
     res = _run(["catalog"], project)

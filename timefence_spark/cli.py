@@ -253,10 +253,60 @@ def build(
         )
     except TimefenceError as exc:
         raise click.ClickException(str(exc)) from exc
-    click.echo(str(result))
+    _print_build_result(result, labels)
     if not result.validate():
         click.echo("WARNING: post-build temporal verification FAILED", err=True)
         sys.exit(1)
+
+
+def _print_build_result(result, labels_obj) -> None:
+    """Terminal build report (reference cli.py:673-712, rich -> ANSI).
+
+    click strips styling when stdout is not a terminal, so piped output
+    stays plain."""
+    click.echo()
+    click.secho("Building training set...", bold=True)
+    click.echo()
+    click.echo(f"  Labels     {result.stats.row_count:,} rows from {labels_obj.path}")
+    click.echo(f"  Features   {len(result.stats.feature_stats)} feature(s)")
+    click.echo()
+    join_mode = result.manifest.get("parameters", {}).get("join", "strict")
+    op = "<" if join_mode == "strict" else "<="
+    click.echo(
+        f"  Joining with point-in-time correctness (feature_time {op} label_time):"
+    )
+    click.echo()
+    features_meta = result.manifest.get("features", {})
+    for fname, fstats in result.stats.feature_stats.items():
+        matched = fstats.get("matched", 0)
+        missing = fstats.get("missing", 0)
+        total = matched + missing
+        tags = []
+        if features_meta.get(fname, {}).get("cached"):
+            tags.append("cached")
+        strat = features_meta.get(fname, {}).get("strategy")
+        if strat:
+            tags.append(strat)
+        tag = f" ({', '.join(tags)})" if tags else ""
+        detail = (
+            f"{matched:,} / {total:,} matched ({missing:,} missing -> null)"
+            if missing
+            else f"{matched:,} / {total:,} matched"
+        )
+        click.echo(
+            f"  {click.style('OK', fg='green')}  {fname:<20s} {detail}{tag}"
+        )
+    click.echo()
+    if result.output_path:
+        click.echo(
+            f"  Written   {result.output_path} "
+            f"({result.stats.row_count:,} rows, {result.stats.column_count} cols)"
+        )
+    manifest_path = result.manifest.get("manifest_path")
+    if manifest_path:
+        click.echo(f"  Manifest  {manifest_path}")
+    click.echo(f"  Time      {result.stats.duration_seconds:.1f}s")
+    click.echo()
 
 
 @cli.command()
@@ -323,7 +373,7 @@ def audit(
     except TimefenceError as exc:
         raise click.ClickException(str(exc)) from exc
 
-    click.echo(str(report))
+    _print_audit_report(report)
     if json_out:
         report.to_json(json_out)
         click.echo(f"JSON report: {json_out}")
@@ -332,6 +382,48 @@ def audit(
         click.echo(f"HTML report: {html_out}")
     if strict_exit and report.has_leakage:
         sys.exit(1)
+
+
+def _print_audit_report(report) -> None:
+    """Terminal audit report (reference cli.py:431-471, rich -> ANSI)."""
+    click.echo()
+    click.secho("TEMPORAL AUDIT REPORT", bold=True)
+    click.echo(f"Scanned {report.total_rows:,} rows")
+    click.echo()
+    if report.has_leakage:
+        leaky, total = len(report.leaky_features), len(report.features)
+        click.echo(
+            f"{click.style('WARNING', fg='yellow', bold=True)}  "
+            f"LEAKAGE DETECTED in {leaky} of {total} features"
+        )
+    else:
+        click.echo(
+            f"{click.style('ALL CLEAN', fg='green', bold=True)} "
+            "— no temporal leakage detected"
+        )
+    click.echo()
+    for name, detail in report.features.items():
+        if detail.clean:
+            null_info = f", {detail.null_rows} null" if detail.null_rows else ""
+            click.echo(
+                f"  {click.style('OK', fg='green')}    {name} — clean "
+                f"({detail.total_rows:,} rows{null_info})"
+            )
+        else:
+            click.echo(f"  {click.style('LEAK', fg='red')}  {name}")
+            click.echo(
+                f"        {detail.leaky_row_count:,} rows "
+                f"({detail.leaky_row_pct:.1%}) use feature data from the future"
+            )
+            if detail.max_leakage:
+                click.echo(f"        Max leakage: {detail.max_leakage}")
+            if detail.median_leakage:
+                click.echo(f"        Median leakage: {detail.median_leakage}")
+            click.echo(f"        Severity: {detail.severity}")
+            click.echo()
+    if report.has_leakage:
+        click.echo("\nNext step: run `timefence-spark build` to rebuild without leakage")
+    click.echo()
 
 
 @cli.command()
