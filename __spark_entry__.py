@@ -666,6 +666,17 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate grouping: every document labeled with the
+    min doc_id reachable through verified MinHash-LSH pairs (iterative
+    min-label propagation; oracle = DuckDB recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_components(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
+        threshold=0.7, hash_fn="md5",
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable-hash mode (60-bit md5 signature,
     4x15-bit chunk banding) — fully oracle-checked in DuckDB."""
@@ -753,10 +764,12 @@ def _sql_shingles(k: int) -> str:
     )
 
 
-def _oracle_minhash_dedup_sql(
-    num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-    threshold: float = 0.7, seed: int = 42,
+def _minhash_pairs_cte(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42,
 ) -> str:
+    """Shared WITH-clause body: documents -> shingles -> portable-hash
+    minhash signatures -> banding -> candidate pairs -> exact-Jaccard
+    ``verified(id_a, id_b, jaccard)``."""
     from timefence_spark.operators.dedup import _perm_constants
 
     perms = _perm_constants(num_perm, seed)
@@ -766,8 +779,7 @@ def _oracle_minhash_dedup_sql(
         f"list_min(list_transform(hl, x -> ({a} * x + {b}) % {_P31}))"
         for a, b in perms
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ), sh AS (
         SELECT doc_id, {_sql_shingles(shingle_k)} AS grams FROM toks
@@ -792,12 +804,46 @@ def _oracle_minhash_dedup_sql(
         FROM cand c
         JOIN sh ga ON ga.doc_id = c.id_a
         JOIN sh gb ON gb.doc_id = c.id_b
-    )
+    )"""
+
+
+def _oracle_minhash_dedup_sql(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+    threshold: float = 0.7, seed: int = 42,
+) -> str:
+    return f"""
+    WITH {_minhash_pairs_cte(num_perm, bands, shingle_k, seed)}
     SELECT d.doc_id FROM documents d
     WHERE NOT EXISTS (
         SELECT 1 FROM verified v
         WHERE v.jaccard >= {threshold} AND v.id_b = d.doc_id
     )
+    """
+
+
+def _oracle_dedup_components_sql(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+    threshold: float = 0.7, seed: int = 42,
+) -> str:
+    """Transitive closure over verified pairs via a recursive CTE; the
+    component id is the min doc_id reachable (matching the Spark
+    min-label-propagation result exactly)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte(num_perm, bands, shingle_k, seed)},
+    p AS (
+        SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL SELECT id_b, id_a FROM p
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component_id
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
     """
 
 
@@ -948,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
@@ -978,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),
+        "dedup_components": _oracle_dedup_components_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),

@@ -172,3 +172,26 @@ def test_minhash_hash_fn_modes_agree_on_planted_dups(spark, docs_with_dups, hash
     )
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 100001) in found and (2, 100002) in found
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C but A!~C: all three must land in one component (min id),
+    which pairwise minhash_dedup cannot express."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    out = dedup.connected_components(edges, vertices, id_col="doc_id")
+    got = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_minhash_components_groups_planted_dups(spark, docs_with_dups):
+    comp = dedup.minhash_components(
+        docs_with_dups, id_col="doc_id", text_col="text", num_perm=64,
+        bands=16, threshold=0.7,
+    )
+    got = {r["doc_id"]: r["component_id"] for r in comp.collect()}
+    # planted near-dup of doc k is doc 100000+k -> same component, min id k
+    assert got[100001] == got[1] == 1
+    assert got[100002] == got[2] == 2

@@ -430,3 +430,85 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive closure: connected components over near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, *, id_col: str, max_iter: int = 25
+) -> DataFrame:
+    """(id, component_id) where component_id is the min id reachable through
+    ``edges`` [(id_a, id_b)] — iterative min-label propagation.
+
+    Each round joins current labels across edges and keeps the elementwise
+    min; lineage is truncated with localCheckpoint per round so plans stay
+    flat. Rounds needed = graph diameter; near-duplicate clusters are
+    shallow (pairs all share a common doc), so convergence is fast. This is
+    the standard driver-coordinated loop (same shape GraphFrames uses) —
+    per-round cost is two shuffles on the edge list.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
+            .select(
+                "vid",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component_id"))
+
+
+def minhash_components(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full transitive near-duplicate grouping: (id, component_id).
+
+    minhash_dedup's pairwise policy keeps B when A~B and B~C but A!~C; the
+    transitive closure assigns {A, B, C} one component so a downstream
+    "keep min id per component" drops both B and C. This is the standard
+    corpus-dedup policy at scale (cluster then keep one representative).
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter
+    )
