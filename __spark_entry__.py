@@ -615,6 +615,27 @@ ORACLE_NGRAM_JACCARD = r"""
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token estimate per document (LLM token budgeting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_count_bpe(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_TOKEN_BPE = r"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS lt FROM documents
+    )
+    SELECT doc_id,
+           len(string_split_regex(lt, '\s+')) AS n_tokens_ws,
+           len(regexp_extract_all(lt,
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^\sa-z0-9]')) AS n_tokens_bpe,
+           ROUND(len(regexp_extract_all(lt,
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^\sa-z0-9]'))::DOUBLE /
+               len(string_split_regex(lt, '\s+')), 6) AS bpe_per_ws
+    FROM t
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.quality_score(docs, id_col="doc_id", text_col="text")
@@ -731,6 +752,70 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 20), emb,
         query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=16,
     )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via an IVF-flat index (portable md5 centroid sample
+    -> nearest-centroid assignment -> nprobe probing -> exact re-rank); the
+    oracle rebuilds the identical index in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        query_id="vec_id", corpus_id="vec_id", k=5, nlist=16, nprobe=4,
+        hash_fn="md5",
+    )
+
+
+def _oracle_knn_ivf_sql(
+    k: int = 5, nlist: int = 16, nprobe: int = 4, seed: int = 42,
+) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hashed AS (
+        SELECT vec_id, v,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':{seed}')), 1, 15))
+                    AS BIGINT) AS hh
+        FROM e
+    ), cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY hh) - 1 AS centroid_id, v AS cv
+        FROM (SELECT * FROM hashed ORDER BY hh LIMIT {nlist})
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {cos.format(a="e.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id FROM (
+            SELECT q.vec_id, q.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       {cos.format(a="q.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cent c
+        ) WHERE rn <= {nprobe}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, p.qv, a.v AS cv
+        FROM probes p JOIN assigned a USING (centroid_id)
+        WHERE a.vec_id != p.query_id
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({cos.format(a="qv", b="cv")}, 6) AS cosine
+        FROM cand
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_flags": q_leak_flags,
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
+        "token_count_bpe": q_token_count_bpe,
         "lang_profile": q_lang_profile,
         "knn_cosine": q_knn_cosine,
         "ngram_jaccard": q_ngram_jaccard,
@@ -997,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
     }
 
@@ -1017,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "leak_flags": ORACLE_LEAK_FLAGS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_token_stats": ORACLE_TEXT_TOKENS,
+        "token_count_bpe": ORACLE_TOKEN_BPE,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
@@ -1028,5 +1116,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _oracle_dedup_components_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),
+        "knn_ivf": _oracle_knn_ivf_sql(),
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
     }

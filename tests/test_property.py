@@ -92,37 +92,43 @@ def test_asof_invariant_and_oracle(spark, s):
         "label_id int, entity int, lt timestamp_ntz",
     )
 
-    out = asof_join(
-        label_df,
-        feat_df,
-        on=["entity"],
-        left_time="lt",
-        right_time="ts",
-        value_cols=["val"],
-        prefix="f",
-        embargo=embargo_h * 3600,
-        lookback=lookback_h * 3600,
-        strict=strict,
-    ).collect()
-
-    assert len(out) == len(labels)
     expected = brute_force(feats, labels, embargo_h, lookback_h, strict)
-    for row in out:
-        exp = expected[row.label_id]
-        lt = row.lt
-        ft = row.f__feature_time
-        if exp is None:
-            assert ft is None and row.f__val is None, (
-                f"expected no match for label {row.label_id}, got {ft}"
-            )
-        else:
-            assert ft == exp[0] and row.f__val == exp[1], (
-                f"label {row.label_id}: expected {exp}, got ({ft}, {row.f__val})"
-            )
-        # THE invariant
-        if ft is not None:
-            bound = lt - dt.timedelta(hours=embargo_h)
-            assert (ft < bound) if strict else (ft <= bound)
+    # BOTH physical strategies must match the brute-force oracle — the
+    # Spark analogue of the reference's ASOF-vs-ROW_NUMBER equivalence
+    # battery (reference test_engine.py:442-483).
+    for strategy in ("join", "union"):
+        out = asof_join(
+            label_df,
+            feat_df,
+            on=["entity"],
+            left_time="lt",
+            right_time="ts",
+            value_cols=["val"],
+            prefix="f",
+            embargo=embargo_h * 3600,
+            lookback=lookback_h * 3600,
+            strict=strict,
+            strategy=strategy,
+        ).collect()
+
+        assert len(out) == len(labels)
+        for row in out:
+            exp = expected[row.label_id]
+            lt = row.lt
+            ft = row.f__feature_time
+            if exp is None:
+                assert ft is None and row.f__val is None, (
+                    f"[{strategy}] expected no match for label {row.label_id}, got {ft}"
+                )
+            else:
+                assert ft == exp[0] and row.f__val == exp[1], (
+                    f"[{strategy}] label {row.label_id}: expected {exp}, "
+                    f"got ({ft}, {row.f__val})"
+                )
+            # THE invariant
+            if ft is not None:
+                bound = lt - dt.timedelta(hours=embargo_h)
+                assert (ft < bound) if strict else (ft <= bound)
 
 
 @pytest.mark.slow

@@ -198,14 +198,28 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     round_to: int | None = 6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF-flat: centroids = deterministic hash-sample of ``nlist`` corpus
     vectors; corpus rows are assigned to their nearest centroid (one broadcast
     pass); each query probes its ``nprobe`` nearest lists and re-ranks
-    exactly. Probing fraction nprobe/nlist of the corpus per query."""
+    exactly. Probing fraction nprobe/nlist of the corpus per query.
+
+    ``hash_fn='md5'`` makes the centroid sample portable (bit-identical in
+    DuckDB) so the whole index build + probe is oracle-checkable."""
+    if hash_fn == "xxhash64":
+        sample_hash = F.xxhash64(F.col("cid").cast("string"), F.lit(seed))
+    else:
+        sample_hash = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cid").cast("string"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
     sampled = (
         corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
-        .withColumn("__h", F.xxhash64(F.col("cid").cast("string"), F.lit(seed)))
+        .withColumn("__h", sample_hash)
         .orderBy("__h")
         .limit(nlist)
         .withColumn("centroid_id", F.row_number().over(Window.orderBy("__h")) - 1)

@@ -47,6 +47,29 @@ def token_stats(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer approximation: contraction suffixes, letter runs,
+# short digit runs (BPE splits long numbers), single punctuation marks.
+# Restricted to constructs RE2 and Java regex treat identically, so external
+# SQL oracles (DuckDB regexp_extract_all) count the same tokens.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^\sa-z0-9]"
+
+
+def token_count_bpe(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Sub-word token estimate: whitespace count plus a BPE-ish regex count
+    (``BPE_TOKEN_PATTERN`` over lowered text) and their ratio — the standard
+    cheap proxy for LLM token budgeting over a corpus. Scan-speed: one
+    regexp pass per row, no shuffle."""
+    lowered = F.lower(F.col(text_col))
+    n_ws = F.size(F.split(lowered, r"\s+"))
+    n_bpe = F.size(F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_ws"),
+    )
+
+
 def quality_score(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality signals + a composite [0,1] score.
 
