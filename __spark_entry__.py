@@ -830,6 +830,63 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (binary-column) plumbing — the payload is synthesized
+# deterministically from document text so DuckDB can verify both the pure-
+# expression metadata path AND the Arrow-batched mapInPandas decode path.
+# ---------------------------------------------------------------------------
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column (expressions only)."""
+    from timefence_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = multimodal.attach_media_metadata(
+        docs, binary_col="payload", media_type="image/png"
+    )
+    return out.select(
+        "doc_id",
+        F.col("payload_meta.media_type").alias("media_type"),
+        F.col("payload_meta.byte_size").alias("byte_size"),
+        F.col("payload_meta.content_sha").alias("content_sha"),
+    )
+
+
+ORACLE_MEDIA_METADATA = """
+    SELECT doc_id,
+           'image/png' AS media_type,
+           octet_length(encode(text)) AS byte_size,
+           sha256(text) AS content_sha
+    FROM documents
+"""
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode of binary payloads (deterministic
+    stand-in decoder: pseudo-dimensions from the content sha). This puts
+    the Python-batch plumbing — schema, batch shape, null handling — under
+    the same differential gate as the SQL-expressible operators."""
+    from timefence_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.decode_images(docs, id_col="doc_id", binary_col="payload")
+
+
+ORACLE_MEDIA_DECODE = """
+    SELECT doc_id,
+           64 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) % 192 AS width,
+           64 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS height,
+           3 AS channels,
+           'fake' AS format
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH oracles — rebuild the seed-deterministic constants (minhash permutation
 # pairs, random hyperplanes) in Python and inline them as SQL literals, so
 # DuckDB replays the exact candidate generation + verification pipeline.
@@ -1085,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "media_metadata": q_media_metadata,
+        "media_decode": q_media_decode,
     }
 
 
@@ -1118,4 +1177,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _oracle_knn_lsh_sql(),
         "knn_ivf": _oracle_knn_ivf_sql(),
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
+        "media_metadata": ORACLE_MEDIA_METADATA,
+        "media_decode": ORACLE_MEDIA_DECODE,
     }
