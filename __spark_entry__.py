@@ -25,7 +25,15 @@ DAY = 86400
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # These tables arrive as one small parquet file -> ONE scan
+        # partition, so every scan-speed operator (shingling, signatures,
+        # vector math) would run single-threaded regardless of cores. A real
+        # corpus has thousands of files; spread the small test file so the
+        # plan exercises the parallel shape. (~MBs shuffled once.)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
