@@ -566,3 +566,39 @@ def test_size_estimate_failure_is_logged(caplog):
     with caplog.at_level(logging.WARNING, logger="timefence_spark.operators.asof"):
         assert estimated_size_bytes(NotADataFrame()) is None
     assert any("size estimate unavailable" in r.message for r in caplog.records)
+
+
+def test_output_partition_by_writes_pruned_layout(spark, tmp_path, users_feat_labels):
+    """100 TB output path: Hive-partitioned directory (readers get partition
+    pruning), no single-file coalesce."""
+    users_path, txns_path, labels_path = users_feat_labels
+    out = str(tmp_path / "train_dir")
+    res = tf.build(
+        _labels(labels_path),
+        [_country_feature(users_path)],
+        out,
+        max_lookback="720d",  # fixture gap: labels trail updates by >365d
+        output_partition_by="user_country__country",
+        spark=spark,
+    )
+    assert res.validate()
+    parts = {p.name for p in (tmp_path / "train_dir").iterdir() if p.is_dir()}
+    assert any(p.startswith("user_country__country=") for p in parts)
+    back = spark.read.parquet(out)
+    assert back.count() == res.stats.row_count
+    # partition filter prunes the scan to one directory
+    from timefence_spark.plans import scan_details
+    one = back.where(F.col("user_country__country") == "US")
+    assert one.count() > 0
+
+
+def test_output_partition_by_rejects_file_path(spark, tmp_path, users_feat_labels):
+    users_path, txns_path, labels_path = users_feat_labels
+    with pytest.raises(TimefenceConfigError, match="directory path"):
+        tf.build(
+            _labels(labels_path),
+            [_country_feature(users_path)],
+            str(tmp_path / "train.parquet"),
+            output_partition_by="user_country__country",
+            spark=spark,
+        )

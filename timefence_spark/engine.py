@@ -142,9 +142,15 @@ def _write_single_parquet(df: DataFrame, path: Path) -> None:
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-def _write_output(df: DataFrame, output: str | Path) -> None:
+def _write_output(
+    df: DataFrame,
+    output: str | Path,
+    partition_by: Sequence[str] | None = None,
+) -> None:
     out = _abs(output)
-    if out.endswith(".parquet") or out.endswith(".pq"):
+    if partition_by:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
+    elif out.endswith(".parquet") or out.endswith(".pq"):
         _write_single_parquet(df, Path(out))
     else:
         df.write.mode("overwrite").parquet(out)
@@ -397,13 +403,18 @@ def build(
     spark: SparkSession | None = None,
     strategy: str = "auto",
     broadcast_max_rows: int = DEFAULT_BROADCAST_MAX_ROWS,
+    output_partition_by: str | Sequence[str] | None = None,
 ) -> BuildResult:
     """Build a point-in-time correct training set.
 
     Lifecycle parity with reference build() (engine.py:933-1500); Spark
     extras: ``spark`` (session), ``strategy`` ('auto' | 'join' | 'union'
     as-of plan selection), ``broadcast_max_rows`` (feature tables at or
-    below this size are broadcast).
+    below this size are broadcast), ``output_partition_by`` (write the
+    output as a Hive-partitioned parquet directory keyed by these columns —
+    the 100 TB output path: readers get partition pruning, and no
+    single-file coalesce bottleneck; requires a directory-style ``output``,
+    not a ``.parquet`` file path).
     """
     start_time = time.time()
     spark = get_spark(spark)
@@ -662,9 +673,30 @@ def build(
 
         # ---- Step 5: one materialization -> write + count + stats ------
         _emit("Writing output")
+        if output_partition_by is not None:
+            part_cols = (
+                [output_partition_by]
+                if isinstance(output_partition_by, str)
+                else list(output_partition_by)
+            )
+            out_str = str(output) if output is not None else ""
+            if out_str.endswith((".parquet", ".pq")):
+                raise TimefenceConfigError(
+                    "output_partition_by writes a partitioned parquet "
+                    "directory; pass a directory path for 'output', not a "
+                    f"'.parquet' file ({out_str})."
+                )
+            missing = [c for c in part_cols if c not in result.columns]
+            if missing:
+                raise TimefenceConfigError(
+                    f"output_partition_by columns not in output: {missing}. "
+                    f"Available: {result.columns}"
+                )
+        else:
+            part_cols = None
         result = result.persist()
         if output is not None:
-            _write_output(result, output)
+            _write_output(result, output, part_cols)
         result_count = result.count()
         result_cols = result.columns
 
