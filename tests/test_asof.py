@@ -11,6 +11,15 @@ from tests.conftest import assert_df_equals_sql
 
 DAY = 86400
 
+STRATEGIES = ["join", "union", "union_bucketed"]
+
+
+def _strategy_kwargs(strategy):
+    """'union_bucketed' = the skew-hardened union plan (60d time buckets)."""
+    if strategy == "union_bucketed":
+        return {"strategy": "union", "skew_bucket": 60 * DAY}
+    return {"strategy": strategy}
+
 
 def _orders(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -65,7 +74,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["join", "union"])
+@pytest.mark.parametrize("strategy", STRATEGIES)
 @pytest.mark.parametrize("name,op,embargo_d,lookback_d,strict", CASES)
 def test_asof_vs_oracle(spark, sf_dir, oracle, strategy, name, op, embargo_d, lookback_d, strict):
     labels = _orders(spark, sf_dir).select(
@@ -83,12 +92,12 @@ def test_asof_vs_oracle(spark, sf_dir, oracle, strategy, name, op, embargo_d, lo
         embargo=embargo_d * DAY,
         lookback=lookback_d * DAY,
         strict=strict,
-        strategy=strategy,
+        **_strategy_kwargs(strategy),
     )
     assert_df_equals_sql(out, oracle, _oracle_sql(op, embargo_d, lookback_d))
 
 
-@pytest.mark.parametrize("strategy", ["join", "union"])
+@pytest.mark.parametrize("strategy", STRATEGIES)
 def test_asof_staleness(spark, sf_dir, oracle, strategy):
     labels = _orders(spark, sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
     feat = _prev_order_feature(spark, sf_dir)
@@ -104,7 +113,7 @@ def test_asof_staleness(spark, sf_dir, oracle, strategy):
         lookback=365 * DAY,
         staleness=90 * DAY,
         strict=True,
-        strategy=strategy,
+        **_strategy_kwargs(strategy),
     )
     sql = """
     WITH feat AS (
@@ -130,7 +139,7 @@ def test_asof_staleness(spark, sf_dir, oracle, strategy):
     assert_df_equals_sql(out, oracle, sql)
 
 
-@pytest.mark.parametrize("strategy", ["join", "union"])
+@pytest.mark.parametrize("strategy", STRATEGIES)
 def test_asof_composite_keys(spark, sf_dir, oracle, strategy):
     """Composite (l_partkey, l_suppkey) keys: prior shipment price."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -156,7 +165,7 @@ def test_asof_composite_keys(spark, sf_dir, oracle, strategy):
         embargo=0,
         lookback=365 * DAY,
         strict=True,
-        strategy=strategy,
+        **_strategy_kwargs(strategy),
     )
     sql = """
     WITH labels AS (
@@ -207,7 +216,7 @@ def test_asof_null_keys_match_neither_strategy(spark):
         "entity long, feature_time timestamp_ntz, score double",
     )
     outs = {}
-    for strategy in ("join", "union"):
+    for strategy in STRATEGIES:
         out = asof_join(
             labels,
             feats,
@@ -217,10 +226,10 @@ def test_asof_null_keys_match_neither_strategy(spark):
             value_cols=["score"],
             prefix="f",
             strict=True,
-            strategy=strategy,
+            **_strategy_kwargs(strategy),
         )
         outs[strategy] = _sorted_rows(out)
-    assert outs["join"] == outs["union"]
+    assert outs["join"] == outs["union"] == outs["union_bucketed"]
     by_entity = {r[0]: r for r in outs["union"]}
     assert by_entity[1][2] == 10.0  # real key matches
     assert by_entity[None][2] is None  # NULL key never matches
@@ -248,7 +257,7 @@ def test_asof_duplicate_ts_tie_break_deterministic(spark, strict):
     ).repartition(8)
 
     results = []
-    for strategy in ("join", "union", "join", "union"):
+    for strategy in (*STRATEGIES, *STRATEGIES):
         out = asof_join(
             labels,
             feats,
@@ -258,9 +267,9 @@ def test_asof_duplicate_ts_tie_break_deterministic(spark, strict):
             value_cols=["score", "tag"],
             prefix="f",
             strict=strict,
-            strategy=strategy,
+            **_strategy_kwargs(strategy),
         )
         results.append(_sorted_rows(out))
-    assert results[0] == results[1] == results[2] == results[3]
+    assert all(r == results[0] for r in results[1:])
     # max payload: score 99.0 wins on every key
     assert all(r[2] == 99.0 for r in results[0])

@@ -602,3 +602,31 @@ def test_output_partition_by_rejects_file_path(spark, tmp_path, users_feat_label
             output_partition_by="user_country__country",
             spark=spark,
         )
+
+
+def test_build_skew_bucket_matches_plain_union(spark, tmp_path, users_feat_labels):
+    """skew_bucket changes only the physical shape: output must be identical
+    to the plain union build."""
+    users_path, txns_path, labels_path = users_feat_labels
+    plain = tf.build(
+        _labels(labels_path),
+        [_spend_feature(txns_path)],
+        str(tmp_path / "plain.parquet"),
+        spark=spark,
+    )
+    bucketed = tf.build(
+        _labels(labels_path),
+        [_spend_feature(txns_path)],
+        str(tmp_path / "bucketed.parquet"),
+        skew_bucket="30d",
+        spark=spark,
+    )
+    assert bucketed.validate()
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "plain.parquet")).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "bucketed.parquet")).collect()
+    )
+    assert a == b

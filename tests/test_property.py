@@ -93,10 +93,15 @@ def test_asof_invariant_and_oracle(spark, s):
     )
 
     expected = brute_force(feats, labels, embargo_h, lookback_h, strict)
-    # BOTH physical strategies must match the brute-force oracle — the
+    # EVERY physical strategy must match the brute-force oracle — the
     # Spark analogue of the reference's ASOF-vs-ROW_NUMBER equivalence
-    # battery (reference test_engine.py:442-483).
-    for strategy in ("join", "union"):
+    # battery (reference test_engine.py:442-483). The third entry is the
+    # skew-hardened bucketed union (7-day time buckets + carry join).
+    for strategy, extra in (
+        ("join", {}),
+        ("union", {}),
+        ("union", {"skew_bucket": 7 * DAY}),
+    ):
         out = asof_join(
             label_df,
             feat_df,
@@ -109,6 +114,7 @@ def test_asof_invariant_and_oracle(spark, s):
             lookback=lookback_h * 3600,
             strict=strict,
             strategy=strategy,
+            **extra,
         ).collect()
 
         assert len(out) == len(labels)

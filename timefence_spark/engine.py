@@ -404,6 +404,7 @@ def build(
     strategy: str = "auto",
     broadcast_max_rows: int = DEFAULT_BROADCAST_MAX_ROWS,
     output_partition_by: str | Sequence[str] | None = None,
+    skew_bucket: str | timedelta | None = None,
 ) -> BuildResult:
     """Build a point-in-time correct training set.
 
@@ -414,7 +415,10 @@ def build(
     output as a Hive-partitioned parquet directory keyed by these columns —
     the 100 TB output path: readers get partition pruning, and no
     single-file coalesce bottleneck; requires a directory-style ``output``,
-    not a ``.parquet`` file path).
+    not a ``.parquet`` file path), ``skew_bucket`` (duration, e.g. "30d":
+    split hot entity keys into time buckets of this width inside the union
+    as-of plan, bounding any single sort partition — see
+    operators/asof._asof_union_single_pass).
     """
     start_time = time.time()
     spark = get_spark(spark)
@@ -621,6 +625,7 @@ def build(
                 strict=(join == "strict"),
                 strategy=feat_strategy,
                 broadcast_feature=small and feat_strategy == "join",
+                bucket_s=duration_seconds(parse_duration(skew_bucket)),
             )
             strategies[feat.name] = feat_strategy
             try:

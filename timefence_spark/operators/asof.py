@@ -81,12 +81,14 @@ def pit_match(
     row_id: str = ROW_ID,
     strategy: str = "auto",
     broadcast_feature: bool = False,
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """Match each label row to its as-of feature row.
 
     ``labels`` must already carry a unique ``row_id`` column. Returns a
     DataFrame ``[row_id, {prefix}__{c}..., {prefix}__feature_time]`` with
-    exactly one row per label row.
+    exactly one row per label row. ``bucket_s`` (union strategy only)
+    enables skew-hardened time bucketing.
     """
     if strategy == "auto":
         # Union is the measured default: one shuffle per side + in-partition
@@ -128,6 +130,7 @@ def pit_match(
             staleness_s=staleness_s,
             strict=strict,
             row_id=row_id,
+            bucket_s=bucket_s,
         )
     raise ValueError(f"Unknown as-of strategy '{strategy}' (auto|join|union).")
 
@@ -213,6 +216,7 @@ def _pit_match_union(
     staleness_s: int | None,
     strict: bool,
     row_id: str,
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """Union + running ``last(ignorenulls)`` — the no-fanout as-of plan.
 
@@ -222,67 +226,31 @@ def _pit_match_union(
     propagated match is the *most recent* candidate — if it is out of
     window, every older candidate is too (same argument as the reference's
     ASOF post-join CASE, engine.py:899-917).
+
+    Thin wrapper over :func:`_asof_union_single_pass` with the spine
+    ``row_id`` as the only carried left column (the engine recombines
+    features on it afterwards). ``bucket_s`` enables the skew-hardened
+    time-bucketed variant.
     """
-    n_keys = len(key_pairs)
-    key_aliases = [f"__k{i}" for i in range(n_keys)]
-    ft = F.col(feature_time)
-
-    payload = F.struct(
-        *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
-        ft.alias("ft"),
+    spine = labels.select(row_id, *[lk for lk, _ in key_pairs], label_time)
+    out = _asof_union_single_pass(
+        spine,
+        feature,
+        key_pairs=key_pairs,
+        left_time=label_time,
+        right_time=feature_time,
+        value_cols=value_cols,
+        prefix=prefix,
+        embargo_s=embargo_s,
+        lookback_s=lookback_s,
+        staleness_s=staleness_s,
+        strict=strict,
+        bucket_s=bucket_s,
     )
-    # SQL equality joins never match NULL keys; Window.partitionBy groups
-    # NULLs into one partition, so NULL-key feature rows must be dropped
-    # here for the two strategies to agree. NULL-key label rows pass
-    # through unmatched (their partition holds no feature rows).
-    feat_rows = feature
-    for _, sk in key_pairs:
-        feat_rows = feat_rows.where(F.col(sk).isNotNull())
-    feat_side = feat_rows.select(
-        *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
-        ft.alias("__t"),
-        payload.alias("__payload"),
-    ).withColumn("__is_label", F.lit(False))
-
-    lt = F.col(label_time)
-    lbl_side = labels.select(
-        *[F.col(lk).alias(a) for (lk, _), a in zip(key_pairs, key_aliases)],
-        _minus(lt, embargo_s).alias("__t"),
-        F.col(row_id),
-        lt.alias("__lt"),
-    ).withColumn("__is_label", F.lit(True))
-
-    unioned = lbl_side.unionByName(feat_side, allowMissingColumns=True)
-
-    # Strict: at equal sort time the label row must NOT see the feature row
-    # -> labels order first. Inclusive: feature rows order first.
-    label_tag = 0 if strict else 1
-    tag = F.when(F.col("__is_label"), F.lit(label_tag)).otherwise(F.lit(1 - label_tag))
-    # Final __payload sort key makes keep_any deterministic when several
-    # feature rows share (key, feature_time) — any stable pick is valid.
-    w = (
-        Window.partitionBy(*key_aliases)
-        .orderBy(F.col("__t").asc(), tag.asc(), F.col("__payload").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-
-    matched = filled.where(F.col("__is_label"))
-    match_ft = F.col("__match.ft")
-    lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
-    if lower_s is not None:
-        in_window = match_ft >= _minus(F.col("__lt"), lower_s)
-        matched = matched.withColumn(
-            "__match", F.when(in_window, F.col("__match")).otherwise(F.lit(None))
-        )
-
-    return matched.select(
-        F.col(row_id),
-        *[
-            F.col(f"__match.v{i}").alias(f"{prefix}__{c}")
-            for i, c in enumerate(value_cols)
-        ],
-        F.col("__match.ft").alias(f"{prefix}__feature_time"),
+    return out.select(
+        row_id,
+        *[F.col(f"{prefix}__{c}") for c in value_cols],
+        f"{prefix}__feature_time",
     )
 
 
@@ -327,6 +295,7 @@ def asof_join(
     strict: bool = True,
     strategy: str = "auto",
     broadcast_right: bool | None = None,
+    skew_bucket: int | None = None,
 ) -> DataFrame:
     """Standalone as-of join: all of ``left``'s columns plus the matched
     right-side values. Durations are in seconds. ``on`` accepts a column
@@ -335,9 +304,12 @@ def asof_join(
     Physical shape: ``strategy='auto'`` takes the single-pass
     union/last_value plan — NO row id, NO persist, NO recombination join;
     the label row rides through the window as a struct, one shuffle per
-    side total. ``strategy='join'`` (explicit, for skewed entity keys)
-    uses a range join, broadcasting the right side when its Catalyst size
-    estimate is small.
+    side total. For hot entity keys, ``skew_bucket`` (seconds) splits each
+    key's partition into time buckets of that width with a cross-bucket
+    carry join (see ``_asof_union_single_pass``), bounding any single sort
+    partition by the key's density within one bucket. ``strategy='join'``
+    (explicit alternative for skew) uses a range join, broadcasting the
+    right side when its Catalyst size estimate is small.
     """
     if isinstance(on, str):
         pairs = [(on, on)]
@@ -369,6 +341,7 @@ def asof_join(
             lookback_s=lookback,
             staleness_s=staleness,
             strict=strict,
+            bucket_s=skew_bucket,
         )
 
     return _asof_join_single_pass(
@@ -459,9 +432,20 @@ def _asof_union_single_pass(
     lookback_s: int | None,
     staleness_s: int | None,
     strict: bool,
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """Union/last_value as-of join carrying the whole left row through the
-    window — no row id, no persist, no recombination join."""
+    window — no row id, no persist, no recombination join.
+
+    ``bucket_s`` enables the skew-hardened variant: rows partition by
+    (key, floor(time / bucket_s)) so a hot entity key splits into
+    time-bounded partitions instead of one giant sort. The in-bucket window
+    finds matches within each bucket; matches that live in an EARLIER
+    bucket come from a carry table — one row per occupied (key, bucket)
+    holding the latest feature payload of all preceding buckets, built by a
+    tiny per-key prefix scan (rows per key = occupied buckets, not data
+    volume) and joined back on (key, bucket).
+    """
     key_aliases = [f"__k{i}" for i in range(len(key_pairs))]
     ft = F.col(right_time)
 
@@ -489,16 +473,58 @@ def _asof_union_single_pass(
     ).withColumn("__is_label", F.lit(True))
 
     unioned = lbl_side.unionByName(feat_side, allowMissingColumns=True)
+
+    part_cols = list(key_aliases)
+    if bucket_s is not None:
+        # Bucket index from the SORT time (__t, embargo already applied), so
+        # equal sort times always share a bucket and boundary ties keep the
+        # in-bucket strict/inclusive ordering semantics.
+        bcol = F.floor(
+            F.unix_micros(F.col("__t").cast("timestamp")) / F.lit(bucket_s * 1_000_000)
+        )
+        unioned = unioned.withColumn("__b", bcol)
+        part_cols.append("__b")
+
     label_tag = 0 if strict else 1
     tag = F.when(F.col("__is_label"), F.lit(label_tag)).otherwise(F.lit(1 - label_tag))
     w = (
-        Window.partitionBy(*key_aliases)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__t").asc(), tag.asc(), F.col("__payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
 
     matched = filled.where(F.col("__is_label"))
+
+    if bucket_s is not None:
+        # Cross-bucket carry: latest feature payload from any EARLIER bucket,
+        # per occupied (key, bucket). max(struct(t, p)) picks latest time,
+        # max payload on ties — the same tie-break as the in-bucket window.
+        occupied = unioned.select(*key_aliases, "__b").distinct()
+        bucket_last = (
+            unioned.where(~F.col("__is_label"))
+            .groupBy(*key_aliases, "__b")
+            .agg(
+                F.max(
+                    F.struct(F.col("__t").alias("t"), F.col("__payload").alias("p"))
+                ).alias("__last")
+            )
+        )
+        per_bucket = occupied.join(bucket_last, [*key_aliases, "__b"], "left")
+        w_prev = (
+            Window.partitionBy(*key_aliases)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = per_bucket.select(
+            *key_aliases,
+            "__b",
+            F.max("__last").over(w_prev).alias("__carry"),
+        )
+        matched = matched.join(carry, [*key_aliases, "__b"], "left").withColumn(
+            "__match", F.coalesce(F.col("__match"), F.col("__carry.p"))
+        )
+
     lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
     if lower_s is not None:
         in_window = F.col("__match.ft") >= _minus(F.col("__lt"), lower_s)
