@@ -63,6 +63,7 @@ def _pit_orders(
     strict: bool = True,
     staleness_d: int | None = None,
     strategy: str = "auto",
+    skew_bucket: int | None = None,
 ) -> DataFrame:
     labels = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -80,6 +81,7 @@ def _pit_orders(
         staleness=None if staleness_d is None else staleness_d * DAY,
         strict=strict,
         strategy=strategy,
+        skew_bucket=skew_bucket,
     )
 
 
@@ -135,6 +137,13 @@ def q_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pit_union_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same invariant as q_pit_strict through the no-fanout union plan."""
     return _pit_orders(spark, sf_dir, strategy="union")
+
+
+def q_pit_skew_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same invariant through the skew-hardened bucketed union plan (90-day
+    time buckets + cross-bucket carry join) — must be result-identical to
+    pit_strict."""
+    return _pit_orders(spark, sf_dir, strategy="union", skew_bucket=90 * DAY)
 
 
 def q_pit_composite_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +653,36 @@ ORACLE_TOKEN_BPE = r"""
 """
 
 
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k document fingerprint sketch (portable md5 hashes), emitted as a
+    comma-joined string for scalar value hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = text.fingerprint(
+        docs, id_col="doc_id", text_col="text", shingle_k=5, num_hashes=8,
+        hash_fn="md5",
+    )
+    return fp.select("doc_id", F.concat_ws(",", "fingerprint").alias("fp"))
+
+
+ORACLE_FINGERPRINT = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id, list_distinct([
+            array_to_string(tk[i:i+4], ' ')
+            FOR i IN range(1, GREATEST(len(tk) - 4, 1) + 1)
+        ]) AS grams FROM t
+    )
+    SELECT doc_id,
+           array_to_string(
+               (list_sort(list_distinct(list_transform(grams, g ->
+                   CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))))[1:8],
+               ',') AS fp
+    FROM g
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.quality_score(docs, id_col="doc_id", text_col="text")
@@ -1129,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_inclusive": q_pit_inclusive,
         "pit_staleness": q_pit_staleness,
         "pit_union_strategy": q_pit_union_strategy,
+        "pit_skew_bucketed": q_pit_skew_bucketed,
         "pit_composite_keys": q_pit_composite_keys,
         "pit_events_keymap": q_pit_events_keymap,
         "pit_multi_feature": q_pit_multi_feature,
@@ -1139,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
         "token_count_bpe": q_token_count_bpe,
+        "fingerprint": q_fingerprint,
         "lang_profile": q_lang_profile,
         "knn_cosine": q_knn_cosine,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1162,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_inclusive": _pit_orders_oracle(op="<=", embargo_d=30),
         "pit_staleness": _pit_orders_oracle(staleness_d=90),
         "pit_union_strategy": _pit_orders_oracle(),
+        "pit_skew_bucketed": _pit_orders_oracle(),
         "pit_composite_keys": ORACLE_PIT_COMPOSITE,
         "pit_events_keymap": ORACLE_PIT_EVENTS,
         "pit_multi_feature": ORACLE_PIT_MULTI,
@@ -1172,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_token_stats": ORACLE_TEXT_TOKENS,
         "token_count_bpe": ORACLE_TOKEN_BPE,
+        "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
