@@ -168,8 +168,11 @@ def rp_lsh_topk(
 
     qs = signatures(queries, query_id, query_vec, "query_id")
     cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
+    # Query side is |Q| x tables rows — always broadcast-sized. Pinning the
+    # broadcast keeps the corpus un-shuffled for candidate generation.
     cand = (
-        qs.join(cs, ["table_id", "bucket"])
+        F.broadcast(qs)
+        .join(cs, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
