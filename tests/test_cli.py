@@ -121,3 +121,14 @@ def test_features_file_selector(project):
     assert res.exit_code == 0
     assert "rolling_spend_30d" in res.output
     assert "user_country" not in res.output
+
+
+def test_build_partition_by_and_skew_bucket(project, spark):
+    res = _run(
+        ["build", "-o", "train_dir", "--partition-by", "user_country__country",
+         "--skew-bucket", "90d"],
+        project,
+    )
+    assert res.exit_code == 0, res.output
+    parts = [p.name for p in (project / "train_dir").iterdir() if p.is_dir()]
+    assert any(p.startswith("user_country__country=") for p in parts)

@@ -182,6 +182,18 @@ def cli(verbose: bool) -> None:
 @click.option("--on-missing", type=click.Choice(["null", "skip"]), default=None)
 @click.option("--split", "split_args", multiple=True, help="name:start:end")
 @click.option("--flatten-columns", is_flag=True)
+@click.option(
+    "--partition-by",
+    "partition_by",
+    multiple=True,
+    help="Write a Hive-partitioned parquet directory keyed by these columns.",
+)
+@click.option(
+    "--skew-bucket",
+    "skew_bucket",
+    default=None,
+    help="Time-bucket hot entity keys in the as-of plan (duration, e.g. 30d).",
+)
 @click.option("--dry-run", is_flag=True, help="Show the join plan, don't execute.")
 @click.option("--config", "config_path", default=None)
 def build(
@@ -197,6 +209,8 @@ def build(
     on_missing,
     split_args,
     flatten_columns,
+    partition_by,
+    skew_bucket,
     dry_run,
     config_path,
 ) -> None:
@@ -248,6 +262,8 @@ def build(
             splits=splits,
             store=store,
             flatten_columns=flatten_columns,
+            output_partition_by=list(partition_by) or None,
+            skew_bucket=skew_bucket,
             progress=progress,
             **kwargs,
         )

@@ -454,6 +454,17 @@ def build(
                 f"than embargo ({format_duration(feat.embargo)}) for feature '{feat.name}'."
             )
 
+    part_list = (
+        [output_partition_by]
+        if isinstance(output_partition_by, str)
+        else list(output_partition_by or [])
+    )
+    output_spec = (
+        f"{_abs(str(output))}:{sorted(part_list)}:{flatten_columns}"
+        if output is not None
+        else ""
+    )
+
     # Build-level cache probe (reference engine.py:1017-1057)
     if store is not None and output is not None:
         label_hash = _content_hash_safe(labels.path, store)
@@ -472,6 +483,7 @@ def build(
             format_duration(max_staleness_td),
             join,
             on_missing,
+            output_spec,
         )
         cached_build = store.find_cached_build(bck)
         if cached_build is not None:
@@ -678,12 +690,8 @@ def build(
 
         # ---- Step 5: one materialization -> write + count + stats ------
         _emit("Writing output")
-        if output_partition_by is not None:
-            part_cols = (
-                [output_partition_by]
-                if isinstance(output_partition_by, str)
-                else list(output_partition_by)
-            )
+        if part_list:
+            part_cols = part_list
             out_str = str(output) if output is not None else ""
             if out_str.endswith((".parquet", ".pq")):
                 raise TimefenceConfigError(
@@ -853,6 +861,7 @@ def build(
                 format_duration(max_staleness_td),
                 join,
                 on_missing,
+                output_spec,
             )
             manifest["build_cache_key"] = bck
             manifest_path = store.save_build(manifest)

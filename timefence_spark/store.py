@@ -148,11 +148,17 @@ class Store:
         max_staleness: str | None,
         join_mode: str,
         on_missing: str,
+        output_spec: str = "",
     ) -> str:
+        # output_spec (path + partition layout) is part of the key: a cache
+        # hit skips the write, so a request for a different output artifact
+        # must be a miss — the reference couldn't hit this (single-file
+        # outputs only), a Spark engine with partitioned outputs can.
         key_input = (
             f"{label_content_hash or ''}:"
             f"{sorted(feature_cache_keys)}:"
-            f"{max_lookback}:{max_staleness}:{join_mode}:{on_missing}"
+            f"{max_lookback}:{max_staleness}:{join_mode}:{on_missing}:"
+            f"{output_spec}"
         )
         return hashlib.sha256(key_input.encode()).hexdigest()[:CACHE_KEY_LENGTH]
 
