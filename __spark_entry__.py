@@ -798,6 +798,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_lsh_topk(
         emb.where(F.col("vec_id") < 20), emb,
         query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=16,
+        dim=64,  # testdata embedding width; skips the per-call dim probe job
     )
 
 
@@ -872,7 +873,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the synthetic embeddings have no pairs above ~0.51."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.embedding_near_dup_pairs(
-        emb, id_col="vec_id", threshold=0.4, bits=4, tables=8
+        emb, id_col="vec_id", threshold=0.4, bits=4, tables=8, dim=64
     )
 
 

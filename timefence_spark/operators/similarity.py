@@ -274,15 +274,18 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t),
-    using the same RP-LSH blocking as rp_lsh_topk."""
-    first = df.select(F.size(vec_col).alias("d")).head(1)
-    if not first:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
-        )
-    dim = first[0]["d"]
+    using the same RP-LSH blocking as rp_lsh_topk. Pass ``dim`` when known
+    — the fallback probe runs a small Spark job per call."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).head(1)
+        if not first:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = first[0]["d"]
     sigs = F.array(
         *[
             F.struct(
