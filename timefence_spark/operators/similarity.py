@@ -104,8 +104,14 @@ def _rp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     Column-object construction pays a py4j round-trip per node; a 16-table x
     4-plane x 64-dim signature was ~50k round-trips (≈8 s of driver time per
     query build). One SQL string per table parses JVM-side in microseconds.
-    Semantics are identical: sequential-fold dot product in double, sign bit
-    per plane, disjoint power-of-two sum."""
+
+    The dot product stays in ``aggregate(zip_with(...))`` form: higher-order
+    functions are CodegenFallback (interpreted), but the alternative — flat
+    ``v[0]*c0 + ...`` expansion — inflates the expression tree ~100x (the
+    plane constants repeat through every Project node, a ~500 KB plan at 16
+    tables) and destabilizes broadcast planning. One Literal per plane
+    array keeps the tree small; interpretation cost is acceptable
+    (signatures are ~1 s of a 3 s query at sf0.1)."""
     terms = []
     for i, p in enumerate(planes):
         arr = "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
