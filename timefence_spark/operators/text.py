@@ -144,15 +144,27 @@ def fingerprint(
     text_col: str,
     shingle_k: int = 5,
     num_hashes: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Document fingerprint: the ``num_hashes`` smallest 64-bit hashes of the
-    word ``shingle_k``-grams (min-k sketch / winnowing-lite). Two documents
+    """Document fingerprint: the ``num_hashes`` smallest hashes of the word
+    ``shingle_k``-grams (min-k sketch / winnowing-lite). Two documents
     sharing most fingerprint entries are near-duplicates; the sketch is tiny
-    and joinable. Returns (id, fingerprint: array<bigint>)."""
+    and joinable. Returns (id, fingerprint: array<bigint>).
+
+    ``hash_fn='md5'`` uses the portable 60-bit md5 hash (bit-identical in
+    external SQL engines) so the sketch is differentially verifiable."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
     gram_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k))  # noqa: E731
-    hashes = F.array_distinct(F.transform(idx, lambda i: F.xxhash64(gram_at(i))))
+    if hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(gram_at(i))  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda i: (  # noqa: E731
+            F.conv(F.substring(F.md5(gram_at(i)), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
+    hashes = F.array_distinct(F.transform(idx, gram_hash))
     mink = F.slice(F.array_sort(hashes), 1, num_hashes)
     return df.select(F.col(id_col), mink.alias("fingerprint"))
