@@ -799,6 +799,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 20), emb,
         query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=16,
         dim=64,  # testdata embedding width; skips the per-call dim probe job
+        signature_impl="arrow",  # numpy-matmul signatures: the scale path
     )
 
 

@@ -89,3 +89,19 @@ def test_embedding_near_dup_finds_planted_copies(spark, emb):
     for r in pairs:
         if (r.id_a, r.id_b) in {(i, i + 50000) for i in range(10)}:
             assert r.cosine >= 0.999999
+
+
+def test_rp_lsh_arrow_signatures_match_expr(spark, emb):
+    """The numpy/Arrow signature path must produce the same top-k as the
+    expression path — same planes, same sign logic, one matmul per batch."""
+    from timefence_spark.operators import similarity
+
+    q = emb.where(F.col("vec_id") < 10)
+    kwargs = dict(
+        query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=8, dim=64
+    )
+    a = similarity.rp_lsh_topk(q, emb, signature_impl="expr", **kwargs)
+    b = similarity.rp_lsh_topk(q, emb, signature_impl="arrow", **kwargs)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb

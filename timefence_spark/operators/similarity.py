@@ -123,6 +123,55 @@ def _rp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def _rp_buckets_arrow(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, table_id, bucket) for every LSH table via ONE numpy matmul per
+    Arrow batch — the vectorized-UDF path for wide vectors / many tables,
+    where the expression form (higher-order functions, interpreted) gets
+    CPU-bound. ~(batch x dim) @ (dim x tables*bits) per batch; bucket bits
+    pack with a power-of-two dot."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplanes(dim, bits, seed + t) for t in range(tables)], dtype=np.float64
+    )  # (tables, bits, dim)
+    flat = planes.reshape(tables * bits, dim)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (vecs @ flat.T) >= 0  # (n, tables*bits)
+            buckets = (
+                signs.reshape(len(pdf), tables, bits).astype(np.int64) @ powers
+            )  # (n, tables)
+            ids = np.repeat(pdf[id_col].to_numpy(), tables)
+            yield pd.DataFrame(
+                {
+                    out_id: ids,
+                    "table_id": np.tile(np.arange(tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{out_id} {id_type}, table_id int, bucket long"
+    )
+
+
 def rp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -137,6 +186,7 @@ def rp_lsh_topk(
     dim: int | None = None,
     seed: int = 42,
     round_to: int | None = 6,
+    signature_impl: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
     exact cosine re-ranking of candidates.
@@ -157,6 +207,11 @@ def rp_lsh_topk(
         # ids + buckets only: the vectors stay OUT of the bucket join and
         # candidate dedup (they would multiply shuffle volume by the vector
         # width x tables); they re-attach per distinct candidate pair below.
+        if signature_impl == "arrow":
+            return _rp_buckets_arrow(
+                df, id_col=idc, vec_col=vecc, out_id=out_id,
+                dim=dim, bits=bits, tables=tables, seed=seed,
+            ).withColumn("bucket", F.col("bucket").cast("int"))
         sigs = F.array(
             *[
                 F.struct(
