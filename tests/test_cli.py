@@ -132,3 +132,12 @@ def test_build_partition_by_and_skew_bucket(project, spark):
     assert res.exit_code == 0, res.output
     parts = [p.name for p in (project / "train_dir").iterdir() if p.is_dir()]
     assert any(p.startswith("user_country__country=") for p in parts)
+
+
+def test_inspect_profiles_in_one_pass(project):
+    res = _run(["inspect", "users.parquet"], project)
+    assert res.exit_code == 0, res.output
+    assert "rows" in res.output
+    assert "user_id" in res.output
+    assert "Suggested keys" in res.output
+    assert "Suggested timestamp" in res.output

@@ -105,3 +105,12 @@ def test_rp_lsh_arrow_signatures_match_expr(spark, emb):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_near_dup_arrow_matches_expr(spark, emb):
+    from timefence_spark.operators import similarity
+
+    kwargs = dict(id_col="vec_id", threshold=0.3, bits=4, tables=8, dim=64)
+    a = similarity.embedding_near_dup_pairs(emb, signature_impl="expr", **kwargs)
+    b = similarity.embedding_near_dup_pairs(emb, signature_impl="arrow", **kwargs)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -336,10 +336,13 @@ def embedding_near_dup_pairs(
     tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    signature_impl: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t),
     using the same RP-LSH blocking as rp_lsh_topk. Pass ``dim`` when known
-    — the fallback probe runs a small Spark job per call."""
+    — the fallback probe runs a small Spark job per call.
+    ``signature_impl='arrow'`` computes buckets with one numpy matmul per
+    Arrow batch (see :func:`_rp_buckets_arrow`)."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).head(1)
         if not first:
@@ -347,22 +350,28 @@ def embedding_near_dup_pairs(
                 [], "id_a long, id_b long, cosine double"
             )
         dim = first[0]["d"]
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                _rp_bucket_expr(vec_col, _hyperplanes(dim, bits, seed + t)).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(tables)
-        ]
-    )
+    if signature_impl == "arrow":
+        exploded = _rp_buckets_arrow(
+            df, id_col=id_col, vec_col=vec_col, out_id=id_col,
+            dim=dim, bits=bits, tables=tables, seed=seed,
+        ).withColumn("bucket", F.col("bucket").cast("int"))
+    else:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    _rp_bucket_expr(vec_col, _hyperplanes(dim, bits, seed + t)).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+        exploded = df.select(F.col(id_col), F.explode(sigs).alias("s")).select(
+            id_col, "s.table_id", "s.bucket"
+        )
     # ids-only bucket join + dedup; vectors re-attach per distinct pair
     # (same shuffle-de-amplification as minhash_lsh_pairs).
-    exploded = df.select(F.col(id_col), F.explode(sigs).alias("s")).select(
-        id_col, "s.table_id", "s.bucket"
-    )
     a = exploded.select("table_id", "bucket", F.col(id_col).alias("id_a"))
     b = exploded.select("table_id", "bucket", F.col(id_col).alias("id_b"))
     cand = (
