@@ -234,6 +234,11 @@ def build(
         join=join or defaults.get("join", "strict"),
         on_missing=on_missing or defaults.get("on_missing", "null"),
     )
+    skew_bucket = skew_bucket or defaults.get("skew_bucket")
+    part_cfg = cfg.get("partition_by") or []
+    partition_by = list(partition_by) or (
+        [part_cfg] if isinstance(part_cfg, str) else list(part_cfg)
+    )
 
     if dry_run:
         result = engine.explain(
