@@ -208,3 +208,10 @@ def test_format_leakage():
     assert format_leakage(timedelta(hours=3)) == "3 hours"
     assert format_leakage(timedelta(minutes=1)) == "1 minute"
     assert format_leakage(timedelta(seconds=42)) == "42 seconds"
+
+
+def test_from_dbt_stub_raises():
+    import timefence_spark as tf
+
+    with pytest.raises(NotImplementedError, match="dbt"):
+        tf.from_dbt()

@@ -24,6 +24,22 @@ from timefence_spark.store import Store
 
 __version__ = "0.1.0"
 
+
+def from_dbt(manifest_path: str = "target/manifest.json", **kwargs) -> list[Feature]:
+    """Import feature definitions from a dbt project.
+
+    API-surface parity with the reference (reference __init__.py:17-37),
+    which also ships this as a stub: it raises until a dbt adapter exists,
+    so callers get a clear error instead of an AttributeError.
+
+    Raises:
+        NotImplementedError: Always, until the dbt integration is shipped.
+    """
+    raise NotImplementedError(
+        "dbt integration is not yet available for timefence-spark. "
+        "Define features in a features.py module instead."
+    )
+
 __all__ = [
     "CSVSource",
     "Feature",
@@ -40,6 +56,7 @@ __all__ = [
     "dedup",
     "diff",
     "explain",
+    "from_dbt",
     "get_spark",
     "multimodal",
     "pit_match",
