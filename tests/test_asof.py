@@ -273,3 +273,46 @@ def test_asof_duplicate_ts_tie_break_deterministic(spark, strict):
     assert all(r == results[0] for r in results[1:])
     # max payload: score 99.0 wins on every key
     assert all(r[2] == 99.0 for r in results[0])
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_null_feature_time_never_matches(spark, strategy):
+    """A feature row with NULL feature_time has unknown availability — it
+    must never match under ANY strategy (code-review r2 finding: the union
+    window would otherwise propagate it)."""
+    from datetime import datetime
+
+    labels = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10))], "entity long, label_time timestamp_ntz"
+    )
+    feats = spark.createDataFrame(
+        [(1, None, 99.0), (1, datetime(2024, 1, 5), 10.0)],
+        "entity long, feature_time timestamp_ntz, score double",
+    )
+    out = asof_join(
+        labels,
+        feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["score"],
+        prefix="f",
+        strict=True,
+        **_strategy_kwargs(strategy),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["f__score"] == 10.0  # the NULL-time 99.0 row is invisible
+
+    only_null = feats.where(F.col("feature_time").isNull())
+    out2 = asof_join(
+        labels,
+        only_null,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["score"],
+        prefix="f",
+        strict=True,
+        **_strategy_kwargs(strategy),
+    ).collect()
+    assert out2[0]["f__score"] is None and out2[0]["f__feature_time"] is None

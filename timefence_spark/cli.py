@@ -104,7 +104,9 @@ def _parquet_columns(path) -> list[str]:
 
     p = Path(path)
     if p.is_dir():
-        parts = sorted(p.glob("*.parquet"))
+        # Recursive: Hive-partitioned datasets nest part files under
+        # key=value directories.
+        parts = sorted(p.rglob("*.parquet"))
         if not parts:
             raise click.ClickException(f"No parquet files in {p}")
         p = parts[0]
@@ -288,7 +290,8 @@ def _print_build_result(result, labels_obj) -> None:
     click.echo()
     click.secho("Building training set...", bold=True)
     click.echo()
-    click.echo(f"  Labels     {result.stats.row_count:,} rows from {labels_obj.path}")
+    label_rows = result.manifest.get("labels", {}).get("row_count", result.stats.row_count)
+    click.echo(f"  Labels     {label_rows:,} rows from {labels_obj.path}")
     click.echo(f"  Features   {len(result.stats.feature_stats)} feature(s)")
     click.echo()
     join_mode = result.manifest.get("parameters", {}).get("join", "strict")
@@ -530,9 +533,16 @@ def inspect(data) -> None:
         df = read_parquet(spark, data)
     except Exception as exc:
         raise click.ClickException(str(exc)) from exc
+    from pyspark.sql import types as T
+
     aggs = [F.count(F.lit(1)).alias("__total")]
-    for c in df.columns:
-        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"__u_{c}"))
+    countable = set()
+    for field in df.schema.fields:
+        c = field.name
+        # approx_count_distinct can't hash map columns; profile nulls only.
+        if not isinstance(field.dataType, T.MapType):
+            countable.add(c)
+            aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"__u_{c}"))
         aggs.append(
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__n_{c}")
         )
@@ -543,10 +553,13 @@ def inspect(data) -> None:
     key_sugg, ts_sugg = [], []
     for field in df.schema.fields:
         name = field.name
-        uniq, nulls = row[f"__u_{name}"], row[f"__n_{name}"]
+        uniq = row[f"__u_{name}"] if name in countable else None
+        nulls = row[f"__n_{name}"]
         note = ""
         t = field.dataType.simpleString().upper()
-        if "TIMESTAMP" in t or "DATE" in t:
+        if uniq is None:
+            uniq = "-"
+        elif "TIMESTAMP" in t or "DATE" in t:
             note = "timestamp candidate"
             ts_sugg.append(name)
         elif total and uniq >= total * 0.99:

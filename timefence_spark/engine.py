@@ -434,6 +434,12 @@ def build(
 
     if join not in ("strict", "inclusive"):
         raise TimefenceConfigError(f"join must be 'strict' or 'inclusive', got '{join}'.")
+    try:
+        skew_bucket_s = duration_seconds(parse_duration(skew_bucket))
+    except ValueError as exc:
+        raise TimefenceConfigError(
+            f"Invalid skew_bucket duration '{skew_bucket}': {exc}"
+        ) from exc
     if on_missing not in ("null", "skip"):
         raise TimefenceConfigError(
             f"on_missing must be 'null' or 'skip', got '{on_missing}'."
@@ -637,7 +643,7 @@ def build(
                 strict=(join == "strict"),
                 strategy=feat_strategy,
                 broadcast_feature=small and feat_strategy == "join",
-                bucket_s=duration_seconds(parse_duration(skew_bucket)),
+                bucket_s=skew_bucket_s,
             )
             strategies[feat.name] = feat_strategy
             try:

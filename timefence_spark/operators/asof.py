@@ -65,6 +65,26 @@ def _effective_lower_bound_s(
     return min(bounds) if bounds else None
 
 
+def _orderable(dtype) -> bool:
+    """Whether Spark can sort values of this type (maps cannot)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def _payload_orderable(df: DataFrame, value_cols: Sequence[str]) -> bool:
+    """Deterministic max-payload tie-breaks need orderable value columns;
+    map-typed payloads fall back to arbitrary tie-breaks (the reference's
+    keep_any semantics, reference engine.py:621-627)."""
+    return all(_orderable(df.schema[c].dataType) for c in value_cols)
+
+
 def pit_match(
     labels: DataFrame,
     feature: DataFrame,
@@ -185,12 +205,18 @@ def _pit_match_join(
     # — deterministic, and identical to the union strategy's tie-break.
     # Unmatched label rows (all-NULL candidates from the left join) yield a
     # struct of NULLs, which struct ordering ranks below any real match.
+    # Map-typed payloads are not orderable: fall back to max_by on ft alone
+    # (arbitrary tie-break, the reference's keep_any semantics).
     payload = F.struct(
         ft.alias("ft"),
         *[F.col(f"f.{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
     )
+    if _payload_orderable(feature, value_cols):
+        best_agg = F.max(payload)
+    else:
+        best_agg = F.max_by(payload, ft)
     best = joined.groupBy(F.col(f"l.{row_id}").alias(row_id)).agg(
-        F.max(payload).alias("__best")
+        best_agg.alias("__best")
     )
     return best.select(
         row_id,
@@ -400,14 +426,20 @@ def _asof_join_single_pass(
 
     joined = l.join(f, cond, "left")
     # ft-first struct + MAX: deterministic on tied feature_time (max payload
-    # wins), matching the union strategy — see _pit_match_join.
+    # wins), matching the union strategy — see _pit_match_join. Map-typed
+    # payloads fall back to max_by on ft (arbitrary tie-break).
     payload = F.struct(
         ft.alias("ft"),
         *[F.col(f"f.{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
     )
+    best_agg = (
+        F.max(payload)
+        if _payload_orderable(right, value_cols)
+        else F.max_by(payload, ft)
+    )
     agg = joined.groupBy(F.col(f"l.{rid}")).agg(
         *[F.first(F.col(f"l.{c}")).alias(c) for c in left.columns],
-        F.max(payload).alias("__best"),
+        best_agg.alias("__best"),
     )
     return agg.select(
         *left.columns,
@@ -453,9 +485,13 @@ def _asof_union_single_pass(
         *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
         ft.alias("ft"),
     )
-    # Drop NULL-key feature rows for equality-join NULL semantics — see
-    # _pit_match_union.
-    feat_rows = right
+    # Drop NULL-key AND NULL-time feature rows: SQL equality joins never
+    # match NULL keys, and every range predicate on a NULL feature_time is
+    # false — but NULL __t would sort FIRST in the running window and
+    # last(ignorenulls) could propagate a payload of unknown time, breaking
+    # the temporal invariant. The join strategy gets both for free from its
+    # predicates; filtering here keeps the strategies identical.
+    feat_rows = right.where(F.col(right_time).isNotNull())
     for _, sk in key_pairs:
         feat_rows = feat_rows.where(F.col(sk).isNotNull())
     feat_side = feat_rows.select(
@@ -487,9 +523,14 @@ def _asof_union_single_pass(
 
     label_tag = 0 if strict else 1
     tag = F.when(F.col("__is_label"), F.lit(label_tag)).otherwise(F.lit(1 - label_tag))
+    # Payload tie-break only when the payload is orderable (maps are not);
+    # otherwise duplicate (key, ts) rows resolve arbitrarily (keep_any).
+    order_cols = [F.col("__t").asc(), tag.asc()]
+    if _payload_orderable(right, value_cols):
+        order_cols.append(F.col("__payload").asc_nulls_first())
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(F.col("__t").asc(), tag.asc(), F.col("__payload").asc_nulls_first())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
@@ -498,17 +539,23 @@ def _asof_union_single_pass(
 
     if bucket_s is not None:
         # Cross-bucket carry: latest feature payload from any EARLIER bucket,
-        # per occupied (key, bucket). max(struct(t, p)) picks latest time,
-        # max payload on ties — the same tie-break as the in-bucket window.
+        # per occupied (key, bucket). Per bucket, max(struct(t, p)) picks
+        # latest time with max-payload tie-break (max_by on t alone for
+        # unorderable map payloads). Across buckets, every time in bucket b
+        # precedes every time in bucket b+1, so the latest earlier payload
+        # is simply the LAST non-null bucket summary in bucket order — no
+        # struct ordering needed.
+        last_struct = F.struct(F.col("__t").alias("t"), F.col("__payload").alias("p"))
+        last_agg = (
+            F.max(last_struct)
+            if _payload_orderable(right, value_cols)
+            else F.max_by(last_struct, F.col("__t"))
+        )
         occupied = unioned.select(*key_aliases, "__b").distinct()
         bucket_last = (
             unioned.where(~F.col("__is_label"))
             .groupBy(*key_aliases, "__b")
-            .agg(
-                F.max(
-                    F.struct(F.col("__t").alias("t"), F.col("__payload").alias("p"))
-                ).alias("__last")
-            )
+            .agg(last_agg.alias("__last"))
         )
         per_bucket = occupied.join(bucket_last, [*key_aliases, "__b"], "left")
         w_prev = (
@@ -519,7 +566,7 @@ def _asof_union_single_pass(
         carry = per_bucket.select(
             *key_aliases,
             "__b",
-            F.max("__last").over(w_prev).alias("__carry"),
+            F.last("__last", ignorenulls=True).over(w_prev).alias("__carry"),
         )
         matched = matched.join(carry, [*key_aliases, "__b"], "left").withColumn(
             "__match", F.coalesce(F.col("__match"), F.col("__carry.p"))

@@ -482,6 +482,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); component ids may be "
+            "split. Raise max_iter for graphs with long chains.",
+            stacklevel=2,
+        )
     return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component_id"))
 
 

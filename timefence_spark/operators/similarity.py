@@ -187,6 +187,7 @@ def rp_lsh_topk(
     seed: int = 42,
     round_to: int | None = 6,
     signature_impl: str = "expr",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
     exact cosine re-ranking of candidates.
@@ -229,18 +230,23 @@ def rp_lsh_topk(
 
     qs = signatures(queries, query_id, query_vec, "query_id")
     cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
-    # Query side is |Q| x tables rows — always broadcast-sized. Pinning the
-    # broadcast keeps the corpus un-shuffled for candidate generation.
+    # Pinning the query-side broadcast keeps the corpus un-shuffled for
+    # candidate generation — right for the typical bounded-|Q| lookup. Set
+    # broadcast_queries=False for self-join-sized query sets (all-pairs kNN
+    # over a big corpus), where forcing a broadcast would blow the 8 GB cap.
+    if broadcast_queries:
+        qs = F.broadcast(qs)
     cand = (
-        F.broadcast(qs)
-        .join(cs, ["table_id", "bucket"])
+        qs.join(cs, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
-    cand = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    if broadcast_queries:
+        qv = F.broadcast(qv)
+    cand = cand.join(qv, "query_id").join(cv, "neighbor_id")
     score = cosine(F.col("__qv"), F.col("__cv"))
     if round_to is not None:
         score = F.round(score, round_to)
