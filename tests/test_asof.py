@@ -316,3 +316,33 @@ def test_asof_null_feature_time_never_matches(spark, strategy):
         **_strategy_kwargs(strategy),
     ).collect()
     assert out2[0]["f__score"] is None and out2[0]["f__feature_time"] is None
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_map_payload_supported(spark, strategy):
+    """Map-typed feature values are not orderable: the deterministic
+    max-payload tie-break must degrade to the reference's keep_any pick
+    instead of failing analysis."""
+    from datetime import datetime
+
+    labels = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10))], "entity long, label_time timestamp_ntz"
+    )
+    feats = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), {"a": 1}), (1, datetime(2024, 1, 7), {"b": 2})],
+        "entity long, feature_time timestamp_ntz, attrs map<string,int>",
+    )
+    out = asof_join(
+        labels,
+        feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["attrs"],
+        prefix="f",
+        strict=True,
+        **_strategy_kwargs(strategy),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["f__attrs"] == {"b": 2}  # latest feature_time wins
+    assert out[0]["f__feature_time"] == datetime(2024, 1, 7)
