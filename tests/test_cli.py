@@ -134,6 +134,21 @@ def test_build_partition_by_and_skew_bucket(project, spark):
     assert any(p.startswith("user_country__country=") for p in parts)
 
 
+def test_parquet_columns_sees_hive_partition_cols(project, spark):
+    """Partition columns live in key=value dir names, not footers — schema
+    inference over a partitioned output must still report them."""
+    from timefence_spark.cli import _parquet_columns
+
+    res = _run(
+        ["build", "-o", "train_hive", "--partition-by", "user_country__country"],
+        project,
+    )
+    assert res.exit_code == 0, res.output
+    cols = _parquet_columns(project / "train_hive")
+    assert "user_country__country" in cols
+    assert "user_id" in cols
+
+
 def test_inspect_profiles_in_one_pass(project):
     res = _run(["inspect", "users.parquet"], project)
     assert res.exit_code == 0, res.output

@@ -186,6 +186,13 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_rejects_bad_max_iter(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    vertices = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(edges, vertices, id_col="doc_id", max_iter=0)
+
+
 def test_minhash_components_groups_planted_dups(spark, docs_with_dups):
     comp = dedup.minhash_components(
         docs_with_dups, id_col="doc_id", text_col="text", num_perm=64,

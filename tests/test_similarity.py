@@ -107,6 +107,43 @@ def test_rp_lsh_arrow_signatures_match_expr(spark, emb):
     assert ra == rb
 
 
+def test_arrow_buckets_match_expr_on_dirty_vectors(spark):
+    """NULL and wrong-dimension vectors must not crash the Arrow worker and
+    must land in the same bucket (0) the expr path computes for them."""
+    from timefence_spark.operators.similarity import (
+        _hyperplanes,
+        _rp_bucket_expr,
+        _rp_buckets_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.2, 0.1]),
+            (2, None),
+            (3, [0.1]),  # too short
+            (4, [1.0, 2.0, 3.0, 4.0]),  # too long
+            (5, [-1.0, 0.3, 0.9]),
+        ],
+        "id long, v array<double>",
+    )
+    arrow = {
+        (r.id, r.table_id): r.bucket
+        for r in _rp_buckets_arrow(
+            df, id_col="id", vec_col="v", out_id="id", dim=3, bits=4, tables=2,
+            seed=7,
+        ).collect()
+    }
+    for t in range(2):
+        expr = {
+            r.id: r.b
+            for r in df.select(
+                "id", _rp_bucket_expr("v", _hyperplanes(3, 4, 7 + t)).alias("b")
+            ).collect()
+        }
+        for i in (1, 2, 3, 4, 5):
+            assert arrow[(i, t)] == expr[i], (i, t)
+
+
 def test_near_dup_arrow_matches_expr(spark, emb):
     from timefence_spark.operators import similarity
 

@@ -209,6 +209,84 @@ def test_stream_static_asof(spark, tmp_path, stream_dirs):
     )
 
 
+def test_stream_static_asof_map_payload(spark, tmp_path, stream_dirs):
+    """Map-typed payloads are unorderable; the static compaction must fall
+    back to ft-only array_sort (keep_any) instead of failing analysis."""
+    from pyspark.sql.types import MapType
+
+    froot, lroot = stream_dirs
+    map_schema = StructType(
+        [
+            StructField("entity", LongType()),
+            StructField("feature_time", TimestampNTZType()),
+            StructField("attrs", MapType(StringType(), DoubleType())),
+        ]
+    )
+    static_feats = spark.createDataFrame(
+        [(e, t, {"score": s}) for e, t, s in FEATURES], map_schema
+    )
+    joined = stream_static_asof_join(
+        _read_stream(spark, lroot, LABEL_SCHEMA),
+        static_feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    got = _run_stream(spark, tmp_path, joined)
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        static_feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in expected.collect()], key=key
+    )
+
+
+def test_stream_stream_asof_map_payload(spark, tmp_path):
+    """Map payloads round-trip the stateful JSON codec too."""
+    from pyspark.sql.types import MapType
+
+    map_schema = StructType(
+        [
+            StructField("entity", LongType()),
+            StructField("feature_time", TimestampNTZType()),
+            StructField("attrs", MapType(StringType(), DoubleType())),
+        ]
+    )
+    map_feats = [(e, t, {"score": s}) for e, t, s in FEATURES]
+    map_sentinels = [(e, t, {"score": s}) for e, t, s in SENTINELS]
+    feat_batches = [map_feats[:2], map_feats[2:], [map_sentinels[0]], [map_sentinels[1]]]
+    froot = _write_files(tmp_path, "mfeatures", map_schema, feat_batches, spark)
+    lroot = _write_files(tmp_path, "mlabels", LABEL_SCHEMA, [LABELS], spark)
+    joined = streaming_asof_join(
+        _read_stream(spark, lroot, LABEL_SCHEMA),
+        _read_stream(spark, froot, map_schema),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    got = _run_stream(spark, tmp_path, joined)
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        spark.createDataFrame(map_feats + map_sentinels, map_schema),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in expected.collect()], key=key
+    )
+
+
 def test_stream_static_works_on_batch_left(spark):
     """The broadcast lookup path is engine-agnostic: same answer on a plain
     batch DataFrame."""

@@ -104,12 +104,20 @@ def _parquet_columns(path) -> list[str]:
 
     p = Path(path)
     if p.is_dir():
-        # Recursive: Hive-partitioned datasets nest part files under
-        # key=value directories.
-        parts = sorted(p.rglob("*.parquet"))
-        if not parts:
+        # Hive-partitioned datasets encode partition columns in key=value
+        # directory names — absent from any part-file footer, so discover
+        # the schema through pyarrow.dataset with hive partitioning.
+        import pyarrow.dataset as ds
+
+        try:
+            names = list(
+                ds.dataset(str(p), format="parquet", partitioning="hive").schema.names
+            )
+        except Exception as exc:
+            raise click.ClickException(str(exc)) from exc
+        if not names:
             raise click.ClickException(f"No parquet files in {p}")
-        p = parts[0]
+        return names
     try:
         return list(pq.read_schema(p).names)
     except Exception as exc:

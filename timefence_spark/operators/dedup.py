@@ -450,6 +450,9 @@ def connected_components(
     the standard driver-coordinated loop (same shape GraphFrames uses) —
     per-round cost is two shuffles on the edge list.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -465,21 +468,20 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nmin"))
         )
+        # Carry the previous label through the checkpoint so the
+        # convergence check is a scan of the materialized round output —
+        # no second join pass over the old labels.
         new_labels = (
             labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
             .select(
                 "vid",
+                F.col("comp").alias("__prev"),
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("comp") != F.col("__prev")).count()
+        labels = new_labels.select("vid", "comp")
         if changed == 0:
             break
     else:

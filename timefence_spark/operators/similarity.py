@@ -19,6 +19,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timefence_spark.operators.asof import (
+    BROADCAST_BYTES_THRESHOLD,
+    estimated_size_bytes,
+)
+
+
+def _gate_broadcast(df: DataFrame, flag: bool | None) -> DataFrame:
+    """Broadcast hint with a safety gate (same policy as the as-of join).
+
+    ``True`` forces the hint (caller override), ``False`` suppresses it;
+    the default ``None`` hints only when Catalyst's size estimate fits
+    under :data:`BROADCAST_BYTES_THRESHOLD`, so an unexpectedly large
+    query side degrades to a shuffle join instead of hitting the 8 GB
+    broadcast cap or an executor OOM."""
+    if flag is False:
+        return df
+    if flag is None:
+        est = estimated_size_bytes(df)
+        if est is None or est > BROADCAST_BYTES_THRESHOLD:
+            return df
+    return F.broadcast(df)
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,19 +68,21 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     k: int = 10,
     round_to: int | None = 6,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, cosine, rank).
 
-    Self-matches (same id) are excluded. The query side is broadcast by
-    default so the big corpus streams through map-side — one window shuffle
-    keyed by query_id on the (|Q| x |C|) scored set; keep |Q| bounded or
-    pre-filter the corpus (see rp_lsh_topk / ivf_topk)."""
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    Self-matches (same id) are excluded. The query side is broadcast (when
+    its size estimate allows — see :func:`_gate_broadcast`) so the big
+    corpus streams through map-side — one window shuffle keyed by query_id
+    on the (|Q| x |C|) scored set; keep |Q| bounded or pre-filter the
+    corpus (see rp_lsh_topk / ivf_topk)."""
+    q = _gate_broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        ),
+        broadcast_queries,
     )
-    if broadcast_queries:
-        q = F.broadcast(q)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
     )
@@ -152,11 +176,23 @@ def _rp_buckets_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            signs = (vecs @ flat.T) >= 0  # (n, tables*bits)
-            buckets = (
-                signs.reshape(len(pdf), tables, bits).astype(np.int64) @ powers
-            )  # (n, tables)
+            vals = pdf[vec_col].to_numpy()
+            # NULL / wrong-dimension vectors get bucket 0 in every table —
+            # exactly what the expr path computes for them (NULL dot ->
+            # CASE ELSE 0 per bit) — instead of crashing np.vstack.
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            buckets = np.zeros((len(pdf), tables), dtype=np.int64)
+            if valid.any():
+                vecs = np.vstack(vals[valid]).astype(np.float64)
+                signs = (vecs @ flat.T) >= 0  # (n_valid, tables*bits)
+                buckets[valid] = (
+                    signs.reshape(int(valid.sum()), tables, bits).astype(np.int64)
+                    @ powers
+                )  # (n_valid, tables)
             ids = np.repeat(pdf[id_col].to_numpy(), tables)
             yield pd.DataFrame(
                 {
@@ -187,7 +223,7 @@ def rp_lsh_topk(
     seed: int = 42,
     round_to: int | None = 6,
     signature_impl: str = "expr",
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
     exact cosine re-ranking of candidates.
@@ -231,21 +267,22 @@ def rp_lsh_topk(
     qs = signatures(queries, query_id, query_vec, "query_id")
     cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
     # Pinning the query-side broadcast keeps the corpus un-shuffled for
-    # candidate generation — right for the typical bounded-|Q| lookup. Set
-    # broadcast_queries=False for self-join-sized query sets (all-pairs kNN
-    # over a big corpus), where forcing a broadcast would blow the 8 GB cap.
-    if broadcast_queries:
-        qs = F.broadcast(qs)
+    # candidate generation — right for the typical bounded-|Q| lookup. The
+    # hint is size-gated by default (self-join-sized query sets degrade to
+    # a shuffle join rather than blowing the 8 GB broadcast cap); pass
+    # broadcast_queries=True/False to override.
+    qs = _gate_broadcast(qs, broadcast_queries)
     cand = (
         qs.join(cs, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    qv = _gate_broadcast(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")),
+        broadcast_queries,
+    )
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
-    if broadcast_queries:
-        qv = F.broadcast(qv)
     cand = cand.join(qv, "query_id").join(cv, "neighbor_id")
     score = cosine(F.col("__qv"), F.col("__cv"))
     if round_to is not None:

@@ -66,6 +66,7 @@ from pyspark.sql.types import (
 )
 
 from timefence_spark._duration import duration_seconds, parse_duration
+from timefence_spark.operators.asof import _payload_orderable
 
 US = 1_000_000  # microseconds per second
 
@@ -364,14 +365,25 @@ def stream_static_asof_join(
     # One row per key: sorted feature history. Struct ordering sorts by ft
     # first, then payload values — so element_at(..., -1) after the window
     # filter reproduces the batch tie-break (latest ft, max payload).
-    hist = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.col(right_time).alias("__ft"),
-                *[F.col(c).alias(f"__v{i}") for i, c in enumerate(value_cols)],
-            )
+    # Map-typed payloads are not orderable (sort_array rejects them at
+    # analysis); mirror the batch strategies' fallback and sort with an
+    # array_sort comparator on __ft alone — duplicate-ft rows then resolve
+    # arbitrarily, the reference's keep_any semantics.
+    payload_struct = F.collect_list(
+        F.struct(
+            F.col(right_time).alias("__ft"),
+            *[F.col(c).alias(f"__v{i}") for i, c in enumerate(value_cols)],
         )
-    ).alias("__hist")
+    )
+    if _payload_orderable(right, value_cols):
+        hist = F.sort_array(payload_struct).alias("__hist")
+    else:
+        hist = F.array_sort(
+            payload_struct,
+            lambda a, b: F.when(a["__ft"] < b["__ft"], F.lit(-1))
+            .when(a["__ft"] > b["__ft"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ).alias("__hist")
     compact = right.groupBy(
         *[F.col(rk).alias(f"__k{i}") for i, (_, rk) in enumerate(pairs)]
     ).agg(hist)
