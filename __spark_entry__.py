@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship multi-feature PIT build at sf0.001.
 ``queries()`` exposes each implemented operator from SURVEY.md §2 (plus the
 LLM-data-pipeline extensions) as (spark, sf_dir) -> DataFrame; every entry has
-a DuckDB-equivalent ``oracle_sql()`` unless marked rows-only.
+a DuckDB-equivalent ``oracle_sql()``.
 
 All computed/aggregate columns are aliased identically on both sides; computed
 floats are rounded (or summed as DECIMAL) so cross-engine value hashes match.
@@ -24,14 +24,19 @@ from timefence_spark.sources.readers import read_parquet
 DAY = 86400
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, *, spread: bool | None = None) -> DataFrame:
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if spread is None:
+        spread = name in ("documents", "embeddings")
+    if spread:
         # These tables arrive as one small parquet file -> ONE scan
-        # partition, so every scan-speed operator (shingling, signatures,
+        # partition, so every CPU-bound operator (shingling, signatures,
         # vector math) would run single-threaded regardless of cores. A real
         # corpus has thousands of files; spread the small test file so the
-        # plan exercises the parallel shape. (~MBs shuffled once.)
+        # plan exercises the parallel shape. (~MBs shuffled once.) Pure
+        # hash-aggregate queries pass spread=False: Spark already
+        # parallelizes the aggregation after the scan, so the extra
+        # shuffle is a dead cost there.
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
@@ -490,7 +495,7 @@ ORACLE_LEAK_FLAGS = """
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: survivor = min doc_id per md5(text)."""
     return (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=False)
         .groupBy(F.md5(F.col("text")).alias("content_hash"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -526,7 +531,7 @@ ORACLE_TEXT_TOKENS = r"""
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language profile: exact-integer aggregates (deterministic cross-engine)."""
     return (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=False)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -792,8 +797,9 @@ ORACLE_LANG_ID = r"""
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN via random-hyperplane LSH (rows-only check —
-    exact counterpart knn_cosine is oracle-checked)."""
+    """Approximate kNN via random-hyperplane LSH; fully oracle-checked —
+    the DuckDB oracle replays the identical pipeline with the same
+    seed-deterministic hyperplanes inlined (see _oracle_knn_lsh_sql)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.rp_lsh_topk(
         emb.where(F.col("vec_id") < 20), emb,
