@@ -370,6 +370,50 @@ def test_transform_mode(spark, users_feat_labels):
     assert "txn_count" in res.manifest["features"]
 
 
+def test_spine_rowid_survives_cache_eviction_mid_build(
+    spark, tmp_path, users_feat_labels
+):
+    """The spine rowid must be pinned against recomputation, not just
+    cached: evict every cached dataset mid-build (between feature-table
+    computation and the recombination join) and assert the output is
+    byte-identical to an undisturbed build. With a persist()-only pin this
+    protection is one cache eviction away from silent id reassignment;
+    localCheckpoint truncates lineage so there is nothing to recompute."""
+    users_path, txns_path, labels_path = users_feat_labels
+
+    def evicting_country(spark_session, src_df):
+        # Runs while the build is in flight, after the spine was pinned.
+        spark_session.catalog.clearCache()
+        return src_df.select(
+            "user_id", F.col("updated_at").alias("feature_time"), "country"
+        )
+
+    evicting_feat = tf.Feature(
+        tf.Source(users_path, keys="user_id", timestamp="updated_at"),
+        transform=evicting_country,
+        name="user_country",
+    )
+    out_d = str(tmp_path / "disturbed.parquet")
+    out_c = str(tmp_path / "clean.parquet")
+    disturbed = tf.build(
+        _labels(labels_path),
+        [evicting_feat, _spend_feature(txns_path)],
+        out_d,
+        spark=spark,
+    )
+    tf.build(
+        _labels(labels_path),
+        [_country_feature(users_path), _spend_feature(txns_path)],
+        out_c,
+        spark=spark,
+    )
+    key = lambda r: tuple(str(v) for v in r)
+    got_d = sorted(map(key, spark.read.parquet(out_d).collect()))
+    got_c = sorted(map(key, spark.read.parquet(out_c).collect()))
+    assert got_d == got_c
+    assert disturbed.validate()
+
+
 def test_csv_source(spark, tmp_path, users_feat_labels):
     _, _, labels_path = users_feat_labels
     csv_path = tmp_path / "users.csv"

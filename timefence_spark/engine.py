@@ -9,9 +9,10 @@ are the ones Spark cannot infer:
 
 * as-of strategy per feature (broadcast range-join for small feature tables,
   no-fanout union/last_value plan for big ones) — see operators/asof.py;
-* a single persist() of the label spine (pins the nondeterministic row id)
-  and of the final result (one materialization serving write + count + stats,
-  the reference's deliberate perf fix, CHANGELOG.md:46).
+* a single localCheckpoint() of the label spine (pins the nondeterministic
+  row id against recomputation — eviction-proof, unlike a cache) and a
+  persist() of the final result (one materialization serving write + count
+  + stats, the reference's deliberate perf fix, CHANGELOG.md:46).
 """
 
 from __future__ import annotations
@@ -532,9 +533,17 @@ def build(
         )
 
     spine = labels_raw.withColumn(ROW_ID, F.monotonically_increasing_id())
-    # Persist pins the row id: monotonically_increasing_id is otherwise
-    # recomputed per action and unstable (SURVEY §7.3 trap 2).
-    spine = spine.persist()
+    # localCheckpoint pins the row id by materializing the partitions and
+    # TRUNCATING lineage: monotonically_increasing_id is otherwise
+    # recomputed per action and unstable (SURVEY §7.3 trap 2). persist()
+    # alone is not enough at scale — cache eviction under memory pressure
+    # or an executor loss silently recomputes the ids mid-build, which can
+    # reassign them between the matched-feature tables and the rowid-keyed
+    # recombination join (reference engine.py:1087-1090, 1231-1257 relies
+    # on stable ids the same way). With a checkpoint there is no lineage to
+    # recompute from: downstream stages read the materialized blocks or
+    # fail fast. Blocks are freed when the DataFrame is GC'd.
+    spine = spine.localCheckpoint(eager=True)
     label_count = spine.count()
     transcript.append(
         f"-- spine: {label_count} label rows, keys={labels.keys}, label_time={lt}"
@@ -883,7 +892,10 @@ def build(
             physical_plans=physical_plans,
         )
     finally:
-        spine.unpersist()
+        # The spine's localCheckpoint blocks are freed by the
+        # ContextCleaner once the DataFrame is garbage-collected;
+        # unpersist() does not apply to checkpointed data.
+        del spine
 
 
 # ---------------------------------------------------------------------------
@@ -1047,7 +1059,11 @@ def _audit_rebuild(
     max_staleness_td = parse_duration(max_staleness)
 
     existing = _load_dataset_df(spark, data)
-    existing = existing.withColumn(ROW_ID, F.monotonically_increasing_id()).persist()
+    # Same rowid pin as the build spine: checkpoint, don't just cache —
+    # the rebuild-compare join is keyed on these ids.
+    existing = existing.withColumn(
+        ROW_ID, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     total = existing.count()
     existing_cols = [c for c in existing.columns if c != ROW_ID]
 
@@ -1188,7 +1204,8 @@ def _audit_rebuild(
                 cmp.unpersist()
         return report
     finally:
-        existing.unpersist()
+        # localCheckpoint blocks are freed on GC, not by unpersist().
+        del existing
 
 
 # ---------------------------------------------------------------------------
