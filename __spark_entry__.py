@@ -551,38 +551,26 @@ ORACLE_LANG_PROFILE = """
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 20).
-    Sequential double fold on both engines; score rounded to 4dp."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+
+    Calls the library operator so the benched plan is the plan a user gets:
+    the corpus streams map-side and the (small, filtered) QUERY side is
+    broadcast — never the corpus. ``spread=False`` on the query side: no
+    point shuffling 20 rows to 32 partitions."""
+    corpus = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = (
+        _t(spark, sf_dir, "embeddings", spread=False)
+        .where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
     )
-    pairs = q.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")),
-        F.col("neighbor_id") != F.col("query_id"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot / (norm(F.col("qv")) * norm(F.col("nv"))), 4).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return similarity.cosine_topk(
+        queries,
+        corpus,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        round_to=4,
+        broadcast_queries=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 ORACLE_KNN = """

@@ -1,6 +1,10 @@
 """Store: build manifests, content hashing, and feature caching.
 
-Driver-side filesystem state, parity with reference store.py:15-161. The one
+Provenance: this module is a line-level derivation of the reference
+implementation's ``store.py`` (timefence, MIT License) — it is driver-side
+filesystem bookkeeping (manifests, content hashes), not engine code, and was
+ported nearly verbatim per SURVEY.md §7.1 step 7; parity with reference
+store.py:15-161. The one
 Spark-specific change: cached feature tables and build outputs may be parquet
 *directories* (distributed writes), so content hashing covers both single
 files (byte hash) and directories (manifest of part files: relpath, size,
