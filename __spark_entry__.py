@@ -248,6 +248,144 @@ ORACLE_PIT_EVENTS = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming as-of joins under the differential gate: the stream runs with
+# trigger(availableNow=True) over staged file sources and lands in a memory
+# sink; the oracle is the BATCH as-of SQL on the same events table — the two
+# are defined to agree (timefence_spark/streaming/asof.py:1-41).
+# ---------------------------------------------------------------------------
+
+
+def _stage_event_streams(
+    spark: SparkSession, sf_dir: str, *, with_sentinels: bool
+) -> tuple[str, str]:
+    """Write the events-derived label/feature tables as file-source staging
+    dirs under /tmp (one file per micro-batch via maxFilesPerTrigger=1).
+
+    Sentinels: two trailing far-future feature files (nonexistent key -1)
+    advance the watermark past every label — the first moves the watermark,
+    the second provides the batch in which the event-time timeouts fire and
+    flush pending state. Only the stream-stream join needs them; the
+    stream-static join is stateless."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    stage = f"{tempfile.gettempdir()}/tf_stream_{uuid.uuid4().hex[:8]}"
+    ev = _t(spark, sf_dir, "events", spread=False)
+    labels = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id", F.col("user_id").alias("entity"), F.col("ts").alias("label_time")
+    )
+    feat = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select("user_id", F.col("ts").alias("feature_time"), "v")
+    )
+    labels.coalesce(1).write.parquet(f"{stage}/labels/b0")
+    feat.coalesce(1).write.parquet(f"{stage}/features/b0")
+    if with_sentinels:
+        for i, day in enumerate((1, 2)):
+            spark.createDataFrame(
+                [(-1, datetime(2100, 1, day), 0.0)], feat.schema
+            ).coalesce(1).write.parquet(f"{stage}/features/b{i + 1}")
+    return stage, f"tfs_{uuid.uuid4().hex[:8]}"
+
+
+def _run_to_memory_sink(spark: SparkSession, stage: str, qname: str, joined) -> DataFrame:
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{stage}/ckpt_{qname}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream as-of join (applyInPandasWithState) replayed over file
+    sources with trigger(availableNow=True); semantics identical to
+    q_pit_events_keymap, so it shares that batch oracle SQL."""
+    from timefence_spark.streaming import streaming_asof_join
+
+    stage, qname = _stage_event_streams(spark, sf_dir, with_sentinels=True)
+    lbl_schema = "event_id long, entity long, label_time timestamp_ntz"
+    ft_schema = "user_id long, feature_time timestamp_ntz, v double"
+    ls = (
+        spark.readStream.schema(lbl_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/labels/*")
+    )
+    fs = (
+        spark.readStream.schema(ft_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/features/*")
+    )
+    joined = streaming_asof_join(
+        ls,
+        fs,
+        on=[("entity", "user_id")],
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["v"],
+        prefix="f",
+        embargo=3600,
+        lookback=7 * DAY,
+        strict=True,
+        max_delay="0 seconds",
+    )
+    return _run_to_memory_sink(spark, stage, qname, joined).orderBy("event_id")
+
+
+def q_streaming_asof_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label stream against a static feature table whose payload is a MAP
+    column — exercises the non-orderable-payload fallback (array_sort
+    comparator on feature_time) in the broadcast compacted-history plan.
+    The map is unpacked to a plain double afterwards so the oracle compares
+    scalar values."""
+    from timefence_spark.streaming import stream_static_asof_join
+
+    stage, qname = _stage_event_streams(spark, sf_dir, with_sentinels=False)
+    ev = _t(spark, sf_dir, "events", spread=False)
+    feat = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select(
+            "user_id",
+            F.col("ts").alias("feature_time"),
+            F.create_map(F.lit("v"), F.col("v")).alias("payload"),
+        )
+    )
+    lbl_schema = "event_id long, entity long, label_time timestamp_ntz"
+    ls = (
+        spark.readStream.schema(lbl_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/labels/*")
+    )
+    joined = stream_static_asof_join(
+        ls,
+        feat,
+        on=[("entity", "user_id")],
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["payload"],
+        prefix="f",
+        embargo=3600,
+        lookback=7 * DAY,
+        strict=True,
+    )
+    out = _run_to_memory_sink(spark, stage, qname, joined)
+    return out.select(
+        "event_id",
+        "entity",
+        "label_time",
+        F.col("f__payload")["v"].alias("f__v"),
+        "f__feature_time",
+    ).orderBy("event_id")
+
+
 def q_pit_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two features recombined on the spine (J5): as-of prev_total plus an
     as-of 30d rolling DECIMAL spend (sql-mode-style derived feature)."""
@@ -793,11 +931,9 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 20), emb,
         query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=16,
         dim=64,  # testdata embedding width; skips the per-call dim probe job
-        # signature_impl='arrow' is ~40% faster warm but its Python-worker
-        # stage shows unbounded latency spikes on a loaded host; the JVM
-        # expression path benches bounded. The arrow path stays covered by
-        # an equality test (tests/test_similarity.py).
-        signature_impl="expr",
+        # Default signature_impl='arrow': measured ~2.0s +/- 0.1s warm at
+        # sf0.1 vs the expr path's 3-22s JIT-dependent swings. The expr
+        # path stays covered by an equality test (tests/test_similarity.py).
     )
 
 
@@ -1193,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
+        "streaming_asof": q_streaming_asof,
+        "streaming_asof_static": q_streaming_asof_static,
     }
 
 
@@ -1230,4 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,
+        # Streaming replays of the events as-of join: defined to agree with
+        # the batch semantics, so both share the batch oracle SQL.
+        "streaming_asof": ORACLE_PIT_EVENTS,
+        "streaming_asof_static": ORACLE_PIT_EVENTS,
     }

@@ -91,7 +91,17 @@ def _key_pairs(
 # JSON row codec — state holds rows as JSON strings so one static state
 # schema serves every label/feature schema. Timestamps round-trip as epoch
 # micros (exact), dates as ISO strings.
+#
+# The Spark-side to_json encoding needs explicit microsecond formats:
+# the defaults render only milliseconds, silently truncating sub-ms event
+# times through the state round-trip (caught by the differential oracle on
+# the events table's microsecond timestamps).
 # ---------------------------------------------------------------------------
+
+_JSON_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
 
 
 def _encoder(dtype: DataType) -> Callable[[Any], Any]:
@@ -191,7 +201,7 @@ def streaming_asof_join(
     # __due(micros), __row(json)]. Event time is cast to TimestampType for
     # the watermark (session tz is pinned to UTC, so NTZ casts are exact).
     lt = F.col(left_time)
-    lbl_row = F.to_json(F.struct(*[F.col(c) for c in left.columns]))
+    lbl_row = F.to_json(F.struct(*[F.col(c) for c in left.columns]), _JSON_TS_OPTS)
     lbl_side = left.select(
         *[F.col(k).alias(a) for (k, _), a in zip(pairs, key_aliases)],
         lt.cast("timestamp").alias("__event_time"),
@@ -201,7 +211,7 @@ def streaming_asof_join(
         lbl_row.alias("__row"),
     )
     ft = F.col(right_time)
-    feat_row = F.to_json(F.struct(*[F.col(c) for c in value_cols]))
+    feat_row = F.to_json(F.struct(*[F.col(c) for c in value_cols]), _JSON_TS_OPTS)
     feat_side = right.select(
         *[F.col(k).alias(a) for (_, k), a in zip(pairs, key_aliases)],
         ft.cast("timestamp").alias("__event_time"),
