@@ -70,6 +70,43 @@ def test_lang_id_on_real_language_text(spark):
     assert preds == {1: "en", 2: "de", 3: "fr", 4: "es"}
 
 
+def test_lang_id_custom_profile_changes_prediction(spark):
+    """A user-supplied marker profile must override the demo lexicon."""
+    samples = spark.createDataFrame(
+        [(1, "frobnicate the widget with zork and grue tokens")],
+        "doc_id int, text string",
+    )
+    default_pred = text_ops.lang_id(
+        samples, id_col="doc_id", text_col="text"
+    ).collect()[0]
+    assert default_pred.lang_pred == "en"  # "the"/"with" hit the demo list
+    custom = {
+        "zorkish": ["frobnicate", "zork", "grue", "widget"],
+        "en": text_ops.LANG_MARKERS["en"],
+    }
+    custom_pred = text_ops.lang_id(
+        samples, id_col="doc_id", text_col="text", markers=custom
+    ).collect()[0]
+    assert custom_pred.lang_pred == "zorkish"
+    assert custom_pred.lang_score > default_pred.lang_score
+
+
+def test_quality_score_custom_stopwords(spark):
+    """stopword_ratio must follow the supplied lexicon, not the default."""
+    samples = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta gamma alpha beta gamma delta")],
+        "doc_id int, text string",
+    )
+    default_row = text_ops.quality_score(
+        samples, id_col="doc_id", text_col="text"
+    ).collect()[0]
+    assert default_row.stopword_ratio == 0.0
+    custom_row = text_ops.quality_score(
+        samples, id_col="doc_id", text_col="text", stopwords=["alpha", "delta"]
+    ).collect()[0]
+    assert custom_row.stopword_ratio == 0.4
+
+
 def test_fingerprint_properties(spark, docs):
     fp = text_ops.fingerprint(docs, id_col="doc_id", text_col="text", num_hashes=8)
     rows = fp.collect()

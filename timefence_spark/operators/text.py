@@ -11,8 +11,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small built-in stopword profiles for the n-gram/marker-word language
-# heuristic and for quality scoring. Deliberately tiny: the operator's job is
-# the Spark plumbing; swap in real profiles for production use.
+# heuristic and for quality scoring. Deliberately tiny DEFAULTS — both
+# lang_id and quality_score accept a user-supplied profile (``markers=`` /
+# ``stopwords=``) so production lexicons plug in without code changes.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
@@ -70,13 +71,26 @@ def token_count_bpe(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
     """Heuristic quality signals + a composite [0,1] score.
 
     Signals (all cheap expressions): length band, punctuation ratio, digit
     ratio, uppercase ratio, stopword ratio, repetition (1 - type/token).
     The composite mirrors common pretraining-data filters (C4-style).
+
+    ``stopwords`` overrides the built-in demo lexicon (``EN_STOPWORDS``) —
+    pass a production stopword list for the target corpus language. The
+    list lands in the plan as one array literal, so arbitrarily large
+    profiles stay scan-speed.
     """
+    if stopwords is None:
+        stopwords = EN_STOPWORDS
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text)
@@ -85,7 +99,7 @@ def quality_score(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     punct = n_chars - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
     digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
     uppers = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
 
     punct_ratio = F.round(punct.cast("double") / n_chars, 6)
@@ -114,15 +128,28 @@ def quality_score(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Marker-word language heuristic: count hits against each language's
     marker list; predict the argmax (ties -> lexicographic, deterministic).
 
+    ``markers`` overrides the built-in demo profile (``LANG_MARKERS``):
+    pass ``{lang: [marker words...]}`` for production lexicons or extra
+    languages. Each list becomes one array literal in the projection, so
+    the operator stays scan-speed regardless of profile size.
+
     Returns (id, lang_pred, lang_score). One projection, no shuffle."""
+    if markers is None:
+        markers = LANG_MARKERS
     toks = _tokens(F.col(text_col))
     scores = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        marker_arr = F.array(*[F.lit(w) for w in markers])
+    for lang, lang_markers in sorted(markers.items()):
+        marker_arr = F.array(*[F.lit(w) for w in lang_markers])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # array_max over (hits, lang) structs: max hits, then max lang — to make
