@@ -96,6 +96,72 @@ def test_audit_temporal_mode(project, spark):
     assert "LEAK" in res.output
 
 
+def _install_fake_rich(monkeypatch):
+    """Minimal rich stand-in (rich is not installable in this environment):
+    records Console.print calls so tests can assert the rich path ran."""
+    import sys
+    import types
+
+    printed = []
+
+    class FakeConsole:
+        def print(self, *args, **kwargs):
+            printed.append(" ".join(str(a) for a in args))
+
+    class FakeTable:
+        def __init__(self, *args, **kwargs):
+            self.rows = []
+
+        def add_column(self, *args, **kwargs):
+            pass
+
+        def add_row(self, *cells):
+            self.rows.append(cells)
+
+        def __str__(self):
+            return "\n".join(" | ".join(str(c) for c in r) for r in self.rows)
+
+    rich_mod = types.ModuleType("rich")
+    console_mod = types.ModuleType("rich.console")
+    console_mod.Console = FakeConsole
+    table_mod = types.ModuleType("rich.table")
+    table_mod.Table = FakeTable
+    rich_mod.console = console_mod
+    rich_mod.table = table_mod
+    for name, mod in [
+        ("rich", rich_mod),
+        ("rich.console", console_mod),
+        ("rich.table", table_mod),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    return printed
+
+
+def test_audit_renders_with_rich_when_available(project, spark, monkeypatch):
+    monkeypatch.delenv("TIMEFENCE_SPARK_PLAIN", raising=False)
+    printed = _install_fake_rich(monkeypatch)
+    res = _run(
+        ["audit", "train_LEAKY.parquet", "--keys", "user_id"], project
+    )
+    assert res.exit_code == 0
+    joined = "\n".join(printed)
+    assert "TEMPORAL AUDIT REPORT" in joined
+    assert "LEAK" in joined
+    # click path not used for the report body when rich renders it
+    assert "TEMPORAL AUDIT REPORT" not in res.output
+
+
+def test_audit_plain_env_forces_ansi_fallback(project, spark, monkeypatch):
+    printed = _install_fake_rich(monkeypatch)
+    monkeypatch.setenv("TIMEFENCE_SPARK_PLAIN", "1")
+    res = _run(
+        ["audit", "train_LEAKY.parquet", "--keys", "user_id"], project
+    )
+    assert res.exit_code == 0
+    assert "TEMPORAL AUDIT REPORT" in res.output
+    assert printed == []
+
+
 def test_inspect(project):
     res = _run(["inspect", "labels.parquet"], project)
     assert res.exit_code == 0

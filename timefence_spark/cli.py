@@ -3,7 +3,11 @@
 Same command surface as the reference CLI (cli.py:1-1134): build, audit,
 explain, diff, catalog, doctor, inspect, init, quickstart — plus the
 ``timefence.yaml`` config file and ``features.py`` dynamic-import conventions.
-Plain-text output (no rich dependency in this environment).
+
+Rendering: if ``rich`` is importable, the build and audit reports render as
+rich tables (the reference's presentation, cli.py:638-712); otherwise the
+output falls back to plain ANSI via click. ``TIMEFENCE_SPARK_PLAIN=1``
+forces the fallback.
 
 Usage: ``python -m timefence_spark.cli <command>`` or the ``timefence-spark``
 entry point.
@@ -13,6 +17,7 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -290,7 +295,85 @@ def build(
         sys.exit(1)
 
 
+def _rich_console():
+    """Optional rich console (the reference renders reports with rich,
+    cli.py:638-712). Resolved lazily per call so installing/stubbing rich
+    takes effect without a module reload; returns None when rich is absent
+    or TIMEFENCE_SPARK_PLAIN is set -> callers use the plain ANSI path."""
+    if os.environ.get("TIMEFENCE_SPARK_PLAIN"):
+        return None
+    try:
+        from rich.console import Console
+    except Exception:
+        return None
+    return Console()
+
+
 def _print_build_result(result, labels_obj) -> None:
+    console = _rich_console()
+    if console is not None:
+        _print_build_result_rich(console, result, labels_obj)
+    else:
+        _print_build_result_plain(result, labels_obj)
+
+
+def _build_feature_rows(result) -> list[tuple[str, str, str]]:
+    """(name, detail, tag) per feature — shared by both renderers."""
+    features_meta = result.manifest.get("features", {})
+    rows = []
+    for fname, fstats in result.stats.feature_stats.items():
+        matched = fstats.get("matched", 0)
+        missing = fstats.get("missing", 0)
+        total = matched + missing
+        tags = []
+        if features_meta.get(fname, {}).get("cached"):
+            tags.append("cached")
+        strat = features_meta.get(fname, {}).get("strategy")
+        if strat:
+            tags.append(strat)
+        detail = (
+            f"{matched:,} / {total:,} matched ({missing:,} missing -> null)"
+            if missing
+            else f"{matched:,} / {total:,} matched"
+        )
+        rows.append((fname, detail, ", ".join(tags)))
+    return rows
+
+
+def _print_build_result_rich(console, result, labels_obj) -> None:
+    from rich.table import Table
+
+    label_rows = result.manifest.get("labels", {}).get(
+        "row_count", result.stats.row_count
+    )
+    join_mode = result.manifest.get("parameters", {}).get("join", "strict")
+    op = "<" if join_mode == "strict" else "<="
+    console.print()
+    console.print("[bold]Building training set...[/bold]")
+    console.print(f"  Labels   {label_rows:,} rows from {labels_obj.path}")
+    console.print(
+        f"  Joining with point-in-time correctness (feature_time {op} label_time)"
+    )
+    table = Table(show_header=True, header_style="bold")
+    table.add_column("feature")
+    table.add_column("matched")
+    table.add_column("tags")
+    for fname, detail, tag in _build_feature_rows(result):
+        table.add_row(f"[green]OK[/green] {fname}", detail, tag)
+    console.print(table)
+    if result.output_path:
+        console.print(
+            f"  Written   {result.output_path} "
+            f"({result.stats.row_count:,} rows, {result.stats.column_count} cols)"
+        )
+    manifest_path = result.manifest.get("manifest_path")
+    if manifest_path:
+        console.print(f"  Manifest  {manifest_path}")
+    console.print(f"  Time      {result.stats.duration_seconds:.1f}s")
+    console.print()
+
+
+def _print_build_result_plain(result, labels_obj) -> None:
     """Terminal build report (reference cli.py:673-712, rich -> ANSI).
 
     click strips styling when stdout is not a terminal, so piped output
@@ -308,23 +391,8 @@ def _print_build_result(result, labels_obj) -> None:
         f"  Joining with point-in-time correctness (feature_time {op} label_time):"
     )
     click.echo()
-    features_meta = result.manifest.get("features", {})
-    for fname, fstats in result.stats.feature_stats.items():
-        matched = fstats.get("matched", 0)
-        missing = fstats.get("missing", 0)
-        total = matched + missing
-        tags = []
-        if features_meta.get(fname, {}).get("cached"):
-            tags.append("cached")
-        strat = features_meta.get(fname, {}).get("strategy")
-        if strat:
-            tags.append(strat)
-        tag = f" ({', '.join(tags)})" if tags else ""
-        detail = (
-            f"{matched:,} / {total:,} matched ({missing:,} missing -> null)"
-            if missing
-            else f"{matched:,} / {total:,} matched"
-        )
+    for fname, detail, tags in _build_feature_rows(result):
+        tag = f" ({tags})" if tags else ""
         click.echo(
             f"  {click.style('OK', fg='green')}  {fname:<20s} {detail}{tag}"
         )
@@ -417,6 +485,62 @@ def audit(
 
 
 def _print_audit_report(report) -> None:
+    console = _rich_console()
+    if console is not None:
+        _print_audit_report_rich(console, report)
+    else:
+        _print_audit_report_plain(report)
+
+
+def _print_audit_report_rich(console, report) -> None:
+    from rich.table import Table
+
+    console.print()
+    console.print("[bold]TEMPORAL AUDIT REPORT[/bold]")
+    console.print(f"Scanned {report.total_rows:,} rows")
+    if report.has_leakage:
+        leaky, total = len(report.leaky_features), len(report.features)
+        console.print(
+            f"[bold yellow]WARNING[/bold yellow]  LEAKAGE DETECTED "
+            f"in {leaky} of {total} features"
+        )
+    else:
+        console.print(
+            "[bold green]ALL CLEAN[/bold green] — no temporal leakage detected"
+        )
+    table = Table(show_header=True, header_style="bold")
+    for col in ("status", "feature", "detail", "severity"):
+        table.add_column(col)
+    for name, detail in report.features.items():
+        if detail.clean:
+            null_info = f", {detail.null_rows} null" if detail.null_rows else ""
+            table.add_row(
+                "[green]OK[/green]",
+                name,
+                f"clean ({detail.total_rows:,} rows{null_info})",
+                "",
+            )
+        else:
+            extras = [
+                f"{detail.leaky_row_count:,} rows "
+                f"({detail.leaky_row_pct:.1%}) from the future"
+            ]
+            if detail.max_leakage:
+                extras.append(f"max {detail.max_leakage}")
+            if detail.median_leakage:
+                extras.append(f"median {detail.median_leakage}")
+            table.add_row(
+                "[red]LEAK[/red]", name, "; ".join(extras), str(detail.severity)
+            )
+    console.print(table)
+    if report.has_leakage:
+        console.print(
+            "Next step: run `timefence-spark build` to rebuild without leakage"
+        )
+    console.print()
+
+
+def _print_audit_report_plain(report) -> None:
     """Terminal audit report (reference cli.py:431-471, rich -> ANSI)."""
     click.echo()
     click.secho("TEMPORAL AUDIT REPORT", bold=True)
