@@ -346,3 +346,77 @@ def test_asof_map_payload_supported(spark, strategy):
     assert len(out) == 1
     assert out[0]["f__attrs"] == {"b": 2}  # latest feature_time wins
     assert out[0]["f__feature_time"] == datetime(2024, 1, 7)
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_pit_match_multi_equals_per_feature(spark, strict):
+    """The single-pass multi-feature plan must agree exactly with N
+    independent pit_match calls — including MIXED per-feature embargos
+    (multi applies the embargo on the feature side, ft + e < lt; the
+    per-feature plan shifts the label side, ft < lt - e)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from timefence_spark.operators.asof import ROW_ID, pit_match, pit_match_multi
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    labels_rows = [
+        (k, t0 + timedelta(hours=rng.randrange(0, 24 * 60)))
+        for k in range(50)
+        for _ in range(4)
+    ]
+    labels = (
+        spark.createDataFrame(labels_rows, "entity long, label_time timestamp_ntz")
+        .withColumn(ROW_ID, F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    feats = []
+    for fi in range(3):
+        rows = [
+            (
+                rng.randrange(0, 50),
+                t0 + timedelta(hours=rng.randrange(-24 * 30, 24 * 60)),
+                round(rng.uniform(0, 100), 3),
+            )
+            for _ in range(600)
+        ]
+        # force duplicate (key, ts) pairs to exercise the tie-break
+        rows += [(r[0], r[1], round(r[2] + 1, 3)) for r in rows[:40]]
+        feats.append(
+            spark.createDataFrame(
+                rows, "entity long, feature_time timestamp_ntz, score double"
+            )
+        )
+    embargos = [0, 3600, 7 * 86400]
+    lookback = 45 * 86400
+
+    multi = pit_match_multi(
+        labels,
+        [
+            (f"f{fi}", feats[fi], "feature_time", ["score"], embargos[fi])
+            for fi in range(3)
+        ],
+        key_pairs=[("entity", "entity")],
+        label_time="label_time",
+        lookback_s=lookback,
+        strict=strict,
+    )
+    expected = labels.select(ROW_ID)
+    for fi in range(3):
+        m = pit_match(
+            labels,
+            feats[fi],
+            key_pairs=[("entity", "entity")],
+            label_time="label_time",
+            value_cols=["score"],
+            prefix=f"f{fi}",
+            embargo_s=embargos[fi],
+            lookback_s=lookback,
+            strict=strict,
+        )
+        expected = expected.join(m, ROW_ID, "left")
+
+    got = sorted(tuple(r) for r in multi.collect())
+    exp = sorted(tuple(r) for r in expected.select(*multi.columns).collect())
+    assert got == exp

@@ -222,7 +222,7 @@ def rp_lsh_topk(
     dim: int | None = None,
     seed: int = 42,
     round_to: int | None = 6,
-    signature_impl: str = "expr",
+    signature_impl: str = "arrow",
     broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
@@ -230,7 +230,17 @@ def rp_lsh_topk(
 
     ``tables`` independent signatures; a corpus vector is a candidate if it
     shares any table's bucket with the query. Expected candidates per query
-    ~ tables * N / 2^bits. Recall rises with tables, cost with candidates."""
+    ~ tables * N / 2^bits. Recall rises with tables, cost with candidates.
+
+    ``signature_impl`` defaults to ``'arrow'`` (one numpy matmul per Arrow
+    batch): measured at sf0.1/local[32] it is both faster warm (~2.0s vs
+    ~3.1s suite query) and far more stable (±0.1s vs 3-22s swings) than the
+    ``'expr'`` path, whose higher-order functions are CodegenFallback
+    (interpreted) and ride the JIT/code-cache ramp. The one-time cost is
+    Python-worker spin-up on the session's first Arrow stage (~15s cold,
+    amortized by worker reuse). ``'expr'`` remains as the pure-JVM fallback
+    for sessions where Python workers are unavailable or per-session
+    spin-up dominates (tiny one-shot jobs)."""
     if dim is None:
         first = corpus.select(F.size(corpus_vec).alias("d")).head(1)
         if not first:
@@ -379,13 +389,14 @@ def embedding_near_dup_pairs(
     tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
-    signature_impl: str = "expr",
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t),
     using the same RP-LSH blocking as rp_lsh_topk. Pass ``dim`` when known
     — the fallback probe runs a small Spark job per call.
-    ``signature_impl='arrow'`` computes buckets with one numpy matmul per
-    Arrow batch (see :func:`_rp_buckets_arrow`)."""
+    ``signature_impl`` defaults to ``'arrow'`` (one numpy matmul per Arrow
+    batch, see :func:`_rp_buckets_arrow` and the rationale on
+    :func:`rp_lsh_topk`); ``'expr'`` is the pure-JVM fallback."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).head(1)
         if not first:
