@@ -248,6 +248,56 @@ ORACLE_PIT_EVENTS = """
 """
 
 
+def q_pit_multi_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same invariant and output as q_pit_multi_feature, produced by the
+    ONE-pass multi-feature plan (pit_match_multi): both features union with
+    the spine into a single shuffle + Window operator, mixed embargos (0 and
+    1d) riding on the feature-side sort position. o_orderkey serves as the
+    spine row id; one join re-attaches the label columns."""
+    from timefence_spark.operators.asof import pit_match_multi
+
+    orders = _t(spark, sf_dir, "orders")
+    labels = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    f1 = _prev_order_feature(spark, sf_dir).select(
+        F.col("user_id").alias("o_custkey"), "feature_time", "prev_total"
+    )
+    day_spend = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * DAY * 1_000_000, 0)
+    )
+    f2 = day_spend.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("feature_time"),
+        F.sum("day_spend").over(w).cast("double").alias("spend_30d"),
+    )
+    matched = pit_match_multi(
+        labels,
+        [
+            ("prev", f1, "feature_time", ["prev_total"], 0),
+            ("roll", f2, "feature_time", ["spend_30d"], DAY),
+        ],
+        key_pairs=[("o_custkey", "o_custkey")],
+        label_time="o_orderdate",
+        lookback_s=365 * DAY,
+        strict=True,
+        row_id="o_orderkey",
+    )
+    return labels.join(matched, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        "prev__prev_total",
+        "prev__feature_time",
+        "roll__spend_30d",
+        "roll__feature_time",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming as-of joins under the differential gate: the stream runs with
 # trigger(availableNow=True) over staged file sources and lands in a memory
@@ -1308,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_composite_keys": q_pit_composite_keys,
         "pit_events_keymap": q_pit_events_keymap,
         "pit_multi_feature": q_pit_multi_feature,
+        "pit_multi_single_pass": q_pit_multi_single_pass,
         "rolling_spend_30d": q_rolling_spend_30d,
         "duplicate_pairs": q_duplicate_pairs,
         "audit_temporal_counts": q_audit_temporal_counts,
@@ -1345,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_composite_keys": ORACLE_PIT_COMPOSITE,
         "pit_events_keymap": ORACLE_PIT_EVENTS,
         "pit_multi_feature": ORACLE_PIT_MULTI,
+        "pit_multi_single_pass": ORACLE_PIT_MULTI,
         "rolling_spend_30d": ORACLE_ROLLING,
         "duplicate_pairs": ORACLE_DUPLICATES,
         "audit_temporal_counts": ORACLE_AUDIT_TEMPORAL,
