@@ -378,3 +378,32 @@ def test_flag_leaks_streaming_smoke(spark, tmp_path):
     )
     got = _run_stream(spark, tmp_path, flagged)
     assert [r["__leak_any"] for r in got.collect()] == [True]
+
+
+def test_stream_static_asof_no_broadcast(spark, tmp_path, stream_dirs):
+    """broadcast_features=False (the past-broadcast-scale path) must be
+    result-identical to the broadcast plan."""
+    froot, lroot = stream_dirs
+    static_feats = spark.createDataFrame(FEATURES, FEAT_SCHEMA)
+    joined = stream_static_asof_join(
+        _read_stream(spark, lroot, LABEL_SCHEMA),
+        static_feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+        broadcast_features=False,
+    )
+    got = _run_stream(spark, tmp_path, joined)
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        static_feats,
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        prefix="f",
+    )
+    key = lambda r: (r["entity"], r["label_time"])
+    assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
+        [r.asDict() for r in expected.collect()], key=key
+    )

@@ -344,6 +344,7 @@ def stream_static_asof_join(
     lookback: str | timedelta | int | None = None,
     staleness: str | timedelta | int | None = None,
     strict: bool = True,
+    broadcast_features: bool | None = None,
 ) -> DataFrame:
     """As-of join of a (streaming) label DataFrame against a *static*
     feature DataFrame — the streaming analogue of the batch broadcast
@@ -358,6 +359,17 @@ def stream_static_asof_join(
     batch strategies). Stateless: append mode, no watermark, no state
     store; works identically on a batch ``left``. Memory bound is the
     executor broadcast limit, not a driver-side collect.
+
+    ``broadcast_features`` follows the batch safety policy
+    (:data:`timefence_spark.operators.asof.BROADCAST_BYTES_THRESHOLD`):
+    the default ``None`` hints the broadcast only when the *raw static
+    side's* Catalyst size estimate fits the threshold (the compacted
+    aggregate carries the same bytes in fewer rows, and aggregate
+    estimates are unreliable), ``True`` forces it, ``False`` suppresses it
+    — for histories past executor-broadcast scale, where each micro-batch
+    then shuffle-joins against the compacted table. If that recurring
+    shuffle dominates, switch to :func:`streaming_asof_join`, whose state
+    store holds the history instead.
     """
     pairs = _key_pairs(on)
     embargo_s = _seconds(embargo) or 0
@@ -398,11 +410,22 @@ def stream_static_asof_join(
         *[F.col(rk).alias(f"__k{i}") for i, (_, rk) in enumerate(pairs)]
     ).agg(hist)
 
+    if broadcast_features is None:
+        from timefence_spark.operators.asof import (
+            BROADCAST_BYTES_THRESHOLD,
+            estimated_size_bytes,
+        )
+
+        est = estimated_size_bytes(right)
+        broadcast_features = est is not None and est <= BROADCAST_BYTES_THRESHOLD
+    compacted = compact.alias("__r")
+    if broadcast_features:
+        compacted = F.broadcast(compacted)
     cond = None
     for i, (lk, _) in enumerate(pairs):
         c = F.col(f"__l.{lk}") == F.col(f"__r.__k{i}")
         cond = c if cond is None else (cond & c)
-    joined = left.alias("__l").join(F.broadcast(compact.alias("__r")), cond, "left")
+    joined = left.alias("__l").join(compacted, cond, "left")
 
     lt = F.col(f"__l.{left_time}")
     upper = lt - F.make_dt_interval(secs=F.lit(embargo_s)) if embargo_s else lt
