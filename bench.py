@@ -255,6 +255,44 @@ def _bench_scale(spark) -> dict[str, dict]:
             "n_features": n_features,
         }
         print(f"scale {label}: {runs}", file=sys.stderr)
+
+    # Rebuild-and-compare audit at the reference's published shape
+    # (BASELINE.md README row: audit 1M x 10 = 8.5 s): build the target
+    # once, then time audit() end-to-end.
+    labels_path, feature_paths = _gen_scale_data(1_000_000, 10)
+    labels = tf.Labels(
+        path=labels_path, keys="user_id", label_time="label_time", target="churned"
+    )
+    features = [
+        tf.Feature(
+            tf.Source(path=p, keys=["user_id"], timestamp="updated_at"),
+            columns=[f"val_{i}"],
+            name=f"feature_{i}",
+        )
+        for i, p in enumerate(feature_paths)
+    ]
+    target = f"/tmp/tf_audit_target_{uuid.uuid4().hex[:8]}.parquet"
+    tf.build(labels, features, target, max_lookback="365d", spark=spark)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tf.audit(
+            target,
+            features,
+            keys="user_id",
+            label_time="label_time",
+            max_lookback="365d",
+            spark=spark,
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    shutil.rmtree(target, ignore_errors=True)
+    results["audit_rebuild_1m_x10"] = {
+        "sec": min(runs),
+        "runs": runs,
+        "n_labels": 1_000_000,
+        "n_features": 10,
+    }
+    print(f"scale audit_rebuild_1m_x10: {runs}", file=sys.stderr)
     return results
 
 

@@ -1166,28 +1166,62 @@ def _audit_rebuild(
         report = AuditReport(total_rows=total, mode="rebuild")
         lt_dtype = existing.schema[label_time].dataType
 
+        # Rebuild every comparable feature in as few passes as possible:
+        # features sharing an entity-key mapping rebuild through ONE
+        # pit_match_multi union/window pass (same plan the build uses), all
+        # rebuilt columns attach through one comparison join, and every
+        # feature's stats compute in ONE aggregation action. The audited
+        # feature count no longer multiplies the number of Spark jobs
+        # (previously: one rebuild + one join + one agg per feature).
         registered: dict[str, DataFrame] = {}
+        audited: list[tuple[Feature, list[str], list[tuple[str, str]]]] = []
+        groups: dict[tuple, list[tuple[Feature, DataFrame, list[str]]]] = {}
         for feat in flat_features:
             src_name = feat.source.name
             if src_name not in registered:
                 registered[src_name] = load_source_df(spark, feat.source)
-            src_df = registered[src_name]
-            fdf, value_cols = _compute_feature_df(spark, feat, src_df)
+            fdf, value_cols = _compute_feature_df(spark, feat, registered[src_name])
+            matching_cols = []
+            for col in value_cols:
+                namespaced = f"{feat.name}__{col}"
+                if namespaced in existing_cols:
+                    matching_cols.append((namespaced, f"__c_{namespaced}"))
+                elif col in existing_cols:
+                    matching_cols.append((col, f"__c_{namespaced}"))
+            if not matching_cols:
+                # Nothing to compare against — no need to rebuild it at all.
+                report.features[feat.name] = FeatureAuditDetail(
+                    name=feat.name, total_rows=total, clean=True
+                )
+                continue
             key_pairs = [(lk, feat.key_mapping.get(lk, lk)) for lk in keys_list]
+            audited.append((feat, value_cols, matching_cols))
+            groups.setdefault(tuple(key_pairs), []).append((feat, fdf, value_cols))
 
-            correct = pit_match(
+        if not audited:
+            return report
+
+        cmp = existing
+        for kp, group in groups.items():
+            specs = [
+                (
+                    feat.name,
+                    fdf,
+                    "feature_time",
+                    value_cols,
+                    duration_seconds(feat.embargo) or 0,
+                )
+                for feat, fdf, value_cols in group
+            ]
+            correct = pit_match_multi(
                 existing,
-                fdf,
-                key_pairs=key_pairs,
+                specs,
+                key_pairs=list(kp),
                 label_time=label_time,
-                value_cols=value_cols,
-                prefix=feat.name,
-                embargo_s=duration_seconds(feat.embargo) or 0,
                 lookback_s=duration_seconds(max_lookback_td),
                 staleness_s=duration_seconds(max_staleness_td),
                 strict=(join == "strict"),
             )
-
             # The audited dataset usually carries the same namespaced column
             # names the rebuild produces — prefix the rebuilt side to keep
             # the comparison join unambiguous.
@@ -1199,40 +1233,33 @@ def _audit_rebuild(
                     if c != ROW_ID
                 ],
             )
-            matching_cols = []
-            for col in value_cols:
-                namespaced = f"{feat.name}__{col}"
-                if namespaced in existing_cols:
-                    matching_cols.append((namespaced, f"__c_{namespaced}"))
-                elif col in existing_cols:
-                    matching_cols.append((col, f"__c_{namespaced}"))
-            if not matching_cols:
-                report.features[feat.name] = FeatureAuditDetail(
-                    name=feat.name, total_rows=total, clean=True
-                )
-                continue
+            cmp = cmp.join(correct, ROW_ID, "inner")
 
-            cmp = existing.join(correct, ROW_ID, "inner").persist()
-            try:
+        cmp = cmp.persist()
+        try:
+            aggs: list[F.Column] = []
+            mismatch_by_feat: dict[str, dict[str, F.Column]] = {}
+            diff_by_feat: dict[int, F.Column] = {}
+            for fi, (feat, value_cols, matching_cols) in enumerate(audited):
                 ft_name = f"__c_{feat.name}__feature_time"
                 ft_dtype = cmp.schema[ft_name].dataType
                 diff_us = _epoch_us(F.col(label_time), lt_dtype) - _epoch_us(
                     F.col(ft_name), ft_dtype
                 )
-                aggs: list[F.Column] = [
-                    F.max(diff_us).alias("__max_lag"),
-                    F.percentile(diff_us, F.lit(0.5)).alias("__med_lag"),
+                diff_by_feat[fi] = diff_us
+                aggs.append(F.max(diff_us).alias(f"max_{fi}"))
+                aggs.append(
                     F.count(
                         F.when(F.col(f"__c_{feat.name}__{value_cols[0]}").isNull(), 1)
-                    ).alias("__nulls"),
-                ]
+                    ).alias(f"nulls_{fi}")
+                )
                 mismatch_exprs: dict[str, F.Column] = {}
                 for j, (exist_col, correct_col) in enumerate(matching_cols):
                     e = F.col(exist_col)
                     c = F.col(correct_col)
-                    if isinstance(cmp.schema[exist_col].dataType, T.NumericType) and isinstance(
-                        cmp.schema[correct_col].dataType, T.NumericType
-                    ):
+                    if isinstance(
+                        cmp.schema[exist_col].dataType, T.NumericType
+                    ) and isinstance(cmp.schema[correct_col].dataType, T.NumericType):
                         # numpy.allclose-style: |a-b| > atol + rtol*|b|
                         bad = F.abs(e.cast("double") - c.cast("double")) > (
                             F.lit(DEFAULT_ATOL)
@@ -1242,13 +1269,15 @@ def _audit_rebuild(
                         bad = e.cast("string") != c.cast("string")
                     mismatch = e.isNotNull() & c.isNotNull() & bad
                     mismatch_exprs[exist_col] = mismatch
-                    aggs.append(F.count(F.when(mismatch, 1)).alias(f"bad_{j}"))
-                row = cmp.agg(*aggs).first()
+                    aggs.append(F.count(F.when(mismatch, 1)).alias(f"bad_{fi}_{j}"))
+                mismatch_by_feat[feat.name] = mismatch_exprs
+            row = cmp.agg(*aggs).first()
 
+            for fi, (feat, value_cols, matching_cols) in enumerate(audited):
                 leaky_count = 0
                 worst: str | None = None
                 for j, (exist_col, _) in enumerate(matching_cols):
-                    n = int(row[f"bad_{j}"])
+                    n = int(row[f"bad_{fi}_{j}"])
                     if n > leaky_count:
                         leaky_count = n
                         worst = exist_col
@@ -1256,19 +1285,26 @@ def _audit_rebuild(
                 if leaky_count > 0:
                     pct = leaky_count / total if total > 0 else 0.0
                     max_leak = (
-                        timedelta(microseconds=int(row["__max_lag"]))
-                        if row["__max_lag"] is not None
+                        timedelta(microseconds=int(row[f"max_{fi}"]))
+                        if row[f"max_{fi}"] is not None
                         else None
                     )
+                    # Exact median (DuckDB MEDIAN parity) requires a full
+                    # sort of the lag column; defer it to the leaky path so
+                    # a clean audit — the common case — never pays N
+                    # column-sorts in the stats aggregation.
+                    med_row = cmp.agg(
+                        F.percentile(diff_by_feat[fi], F.lit(0.5)).alias("m")
+                    ).first()
                     med_leak = (
-                        timedelta(microseconds=int(row["__med_lag"]))
-                        if row["__med_lag"] is not None
+                        timedelta(microseconds=int(med_row["m"]))
+                        if med_row is not None and med_row["m"] is not None
                         else None
                     )
                     leaky_rows_df = None
                     try:
                         leaky_rows_df = (
-                            cmp.where(mismatch_exprs[worst])
+                            cmp.where(mismatch_by_feat[feat.name][worst])
                             .select(*existing_cols)
                             .limit(1000)
                             .toPandas()
@@ -1292,11 +1328,11 @@ def _audit_rebuild(
                     report.features[feat.name] = FeatureAuditDetail(
                         name=feat.name,
                         total_rows=total,
-                        null_rows=int(row["__nulls"]),
+                        null_rows=int(row[f"nulls_{fi}"]),
                         clean=True,
                     )
-            finally:
-                cmp.unpersist()
+        finally:
+            cmp.unpersist()
         return report
     finally:
         # localCheckpoint blocks are freed on GC, not by unpersist().
