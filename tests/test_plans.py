@@ -85,3 +85,35 @@ def test_summary_counts_are_consistent(sides):
     assert s.broadcast_joins == 1
     assert s.nested_loop_joins == 0
     assert s.codegen_spans >= 1
+
+
+def test_multi_feature_single_pass_one_window(spark, sides):
+    """pit_match_multi must plan ONE Window operator and one key shuffle for
+    N features — the whole point of the single-pass plan. A second Window
+    or per-feature exchange means Spark split the frames and the
+    multi-feature scale story is silently gone."""
+    from timefence_spark.operators.asof import ROW_ID, pit_match_multi
+
+    left, right = sides
+    labels = left.withColumn(ROW_ID, F.monotonically_increasing_id())
+    feats = [
+        (
+            f"f{i}",
+            right.select(
+                "entity", "feature_time", F.col("score").alias(f"score_{i}")
+            ),
+            "feature_time",
+            [f"score_{i}"],
+            i * 3600,  # mixed embargos must still share the one window
+        )
+        for i in range(4)
+    ]
+    df = pit_match_multi(
+        labels,
+        feats,
+        key_pairs=[("entity", "entity")],
+        label_time="label_time",
+        lookback_s=30 * 86400,
+    )
+    s = assert_plan(df, max_exchanges=1)
+    assert s.windows == 1, f"expected one Window operator, got {s.windows}"
