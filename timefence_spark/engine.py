@@ -1359,7 +1359,10 @@ def explain(
     spark = get_spark(spark)
     resolved_strategy = "union" if strategy == "auto" else strategy
     strategy_desc = {
-        "union": "union-asof (single pass, no fanout; one shuffle per side)",
+        "union": (
+            "union-asof (single pass, no fanout; same-key features share "
+            "one shuffle + Window via pit_match_multi)"
+        ),
         "join": "range join + per-label max (broadcast when feature is small)",
     }.get(resolved_strategy, resolved_strategy)
     max_lookback_td = parse_duration(max_lookback) or timedelta(
