@@ -75,7 +75,8 @@ SCALE_CONFIGS = [
     ("100k_x10", 100_000, 10, 3),
     ("1m_x1", 1_000_000, 1, 3),
     ("1m_x10", 1_000_000, 10, 3),
-    ("10m_x10", 10_000_000, 10, 1),  # one run: ~minutes; linearity check
+    ("10m_x1", 10_000_000, 1, 1),  # single runs: ~minutes; linearity check
+    ("10m_x10", 10_000_000, 10, 1),
 ]
 
 SCALE_SEED = 42

@@ -571,19 +571,23 @@ def build(
     # recompute from: downstream stages read the materialized blocks or
     # fail fast. Blocks are freed when the DataFrame is GC'd.
     spine = spine.localCheckpoint(eager=True)
-    label_count = spine.count()
+    # One action for count + time range (separate count()/agg() jobs cost
+    # ~0.2s each of fixed overhead per build at small scale).
+    stats_row = spine.agg(
+        F.count(F.lit(1)).alias("n"), F.min(lt).alias("mn"), F.max(lt).alias("mx")
+    ).first()
+    label_count = int(stats_row["n"])
     transcript.append(
         f"-- spine: {label_count} label rows, keys={labels.keys}, label_time={lt}"
     )
 
     label_dtype = spine.schema[lt].dataType
-    time_range_row = spine.agg(F.min(lt).alias("mn"), F.max(lt).alias("mx")).first()
     label_time_range = (
-        [str(time_range_row["mn"]), str(time_range_row["mx"])]
-        if time_range_row and time_range_row["mn"] is not None
+        [str(stats_row["mn"]), str(stats_row["mx"])]
+        if stats_row["mn"] is not None
         else None
     )
-    label_sample = str(time_range_row["mn"]) if label_time_range else "N/A"
+    label_sample = str(stats_row["mn"]) if label_time_range else "N/A"
 
     if splits:
         _validate_splits(splits, spine, lt)
