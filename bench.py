@@ -275,7 +275,7 @@ def _bench_scale(spark) -> dict[str, dict]:
     target = f"/tmp/tf_audit_target_{uuid.uuid4().hex[:8]}.parquet"
     tf.build(labels, features, target, max_lookback="365d", spark=spark)
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         tf.audit(
             target,
