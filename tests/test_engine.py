@@ -674,3 +674,43 @@ def test_build_skew_bucket_matches_plain_union(spark, tmp_path, users_feat_label
         for r in spark.read.parquet(str(tmp_path / "bucketed.parquet")).collect()
     )
     assert a == b
+
+
+def test_build_mixed_key_mappings_two_union_groups(spark, tmp_path, users_feat_labels):
+    """Two union-strategy features with DIFFERENT key mappings must land in
+    separate single-pass groups and recombine correctly on the spine rowid
+    — the result must equal the same build with matching key names."""
+    users_path, txns_path, labels_path = users_feat_labels
+    # A copy of txns with the key under a different name -> key_mapping path.
+    renamed_path = str(tmp_path / "txns_renamed.parquet")
+    spark.read.parquet(txns_path).withColumnRenamed(
+        "user_id", "entity"
+    ).write.parquet(renamed_path)
+    mapped_feat = tf.Feature(
+        tf.Source(renamed_path, keys="entity", timestamp="created_at"),
+        columns="amount",
+        name="last_amount",
+        key_mapping={"user_id": "entity"},
+        on_duplicate="keep_any",
+    )
+    plain_feat = tf.Feature(
+        tf.Source(txns_path, keys="user_id", timestamp="created_at"),
+        columns="amount",
+        name="last_amount_plain",
+        on_duplicate="keep_any",
+    )
+    out = str(tmp_path / "mixed_keys.parquet")
+    res = tf.build(
+        _labels(labels_path), [mapped_feat, plain_feat], out, spark=spark
+    )
+    assert res.stats.row_count == 50
+    assert res.validate()
+    got = spark.read.parquet(out)
+    rows = {
+        r["user_id"]: (r["last_amount__amount"], r["last_amount_plain__amount"])
+        for r in got.collect()
+    }
+    # Same underlying data under both mappings -> identical matches.
+    for uid, (mapped, plain) in rows.items():
+        assert mapped == plain, f"user {uid}: {mapped} != {plain}"
+    assert any(v[0] is not None for v in rows.values())
