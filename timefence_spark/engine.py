@@ -559,18 +559,38 @@ def build(
             f"Labels missing label_time column '{lt}'.\n  Available: {label_cols}"
         )
 
-    spine = labels_raw.withColumn(ROW_ID, F.monotonically_increasing_id())
-    # localCheckpoint pins the row id by materializing the partitions and
-    # TRUNCATING lineage: monotonically_increasing_id is otherwise
-    # recomputed per action and unstable (SURVEY §7.3 trap 2). persist()
-    # alone is not enough at scale — cache eviction under memory pressure
-    # or an executor loss silently recomputes the ids mid-build, which can
-    # reassign them between the matched-feature tables and the rowid-keyed
-    # recombination join (reference engine.py:1087-1090, 1231-1257 relies
-    # on stable ids the same way). With a checkpoint there is no lineage to
-    # recompute from: downstream stages read the materialized blocks or
-    # fail fast. Blocks are freed when the DataFrame is GC'd.
-    spine = spine.localCheckpoint(eager=True)
+    # Physical spine plan, decided up front: when EVERY feature resolves
+    # through the union strategy under ONE shared key mapping (the common
+    # case), the label row rides through the single-pass window itself
+    # (pit_match_multi carry_left) — no row id, no checkpoint, and no
+    # recombination join exist at all, so there is nothing to pin.
+    resolved_strategy = "union" if strategy == "auto" else strategy
+    key_mappings = {
+        tuple((lk, f.key_mapping.get(lk, lk)) for lk in labels.keys)
+        for f in flat_features
+    }
+    zero_join = (
+        bool(flat_features)
+        and resolved_strategy == "union"
+        and skew_bucket_s is None
+        and len(key_mappings) == 1
+    )
+    if zero_join:
+        spine = labels_raw
+    else:
+        spine = labels_raw.withColumn(ROW_ID, F.monotonically_increasing_id())
+        # localCheckpoint pins the row id by materializing the partitions
+        # and TRUNCATING lineage: monotonically_increasing_id is otherwise
+        # recomputed per action and unstable (SURVEY §7.3 trap 2). persist()
+        # alone is not enough at scale — cache eviction under memory
+        # pressure or an executor loss silently recomputes the ids
+        # mid-build, which can reassign them between the matched-feature
+        # tables and the rowid-keyed recombination join (reference
+        # engine.py:1087-1090, 1231-1257 relies on stable ids the same
+        # way). With a checkpoint there is no lineage to recompute from:
+        # downstream stages read the materialized blocks or fail fast.
+        # Blocks are freed when the DataFrame is GC'd.
+        spine = spine.localCheckpoint(eager=True)
     # One action for count + time range (separate count()/agg() jobs cost
     # ~0.2s each of fixed overhead per build at small scale).
     stats_row = spine.agg(
@@ -749,6 +769,7 @@ def build(
                 lookback_s=duration_seconds(max_lookback_td),
                 staleness_s=duration_seconds(max_staleness_td),
                 strict=(join == "strict"),
+                carry_left=zero_join,
             )
             group_outputs.append(gout)
             try:
@@ -761,16 +782,23 @@ def build(
                 physical_plans[feat.name] = summary
 
         # ---- Step 4: recombine on the spine row id ---------------------
-        combined = spine
-        for gout in group_outputs:
-            combined = combined.join(gout, ROW_ID, "left")
-        for feat in flat_features:
-            if feat.name in matched:
-                combined = combined.join(matched[feat.name], ROW_ID, "left")
-        transcript.append(
-            f"-- recombine: {len(group_outputs) + len(matched)}-way left join "
-            f"on {ROW_ID} ({len(union_groups)} single-pass union group(s))"
-        )
+        if zero_join:
+            # carry_left already emitted [*label_cols, features...] — the
+            # whole build has zero joins.
+            combined = group_outputs[0]
+            transcript.append("-- recombine: none (zero-join single-pass plan)")
+        else:
+            combined = spine
+            for gout in group_outputs:
+                combined = combined.join(gout, ROW_ID, "left")
+            for feat in flat_features:
+                if feat.name in matched:
+                    combined = combined.join(matched[feat.name], ROW_ID, "left")
+            transcript.append(
+                f"-- recombine: {len(group_outputs) + len(matched)}-way left "
+                f"join on {ROW_ID} ({len(union_groups)} single-pass union "
+                "group(s))"
+            )
         # Persist the recombined table: it feeds BOTH the output write and
         # the post-build temporal audit (step 6, which needs the
         # {feat}__feature_time columns the output projection drops).

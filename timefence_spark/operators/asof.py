@@ -171,6 +171,7 @@ def pit_match_multi(
     staleness_s: int | None = None,
     strict: bool = True,
     row_id: str = ROW_ID,
+    carry_left: bool = False,
 ) -> DataFrame:
     """Match N feature tables that share one entity-key mapping against the
     label spine in ONE union/window pass.
@@ -179,6 +180,13 @@ def pit_match_multi(
     embargo_s)``. Returns ``[row_id, {prefix}__{c}..., {prefix}__feature_time
     ...]`` for every feature — the engine's whole recombination collapses to
     a single row-id join (or none).
+
+    ``carry_left=True`` carries the ENTIRE label row through the window as a
+    struct (same trick as :func:`_asof_union_single_pass`) and returns
+    ``[*labels.columns, {prefix}__...]`` instead of a row-id keyed table —
+    no row id, no checkpoint, no recombination join at all. This is the
+    zero-join plan for the common one-key-mapping build; the row-id form
+    remains for recombining multiple key-mapping groups.
 
     This is the multi-feature scale plan: the per-feature form shuffles the
     spine once PER FEATURE (10 features = 10 spine shuffles + 10 window
@@ -202,11 +210,15 @@ def pit_match_multi(
     key_aliases = [f"__k{i}" for i in range(len(key_pairs))]
     label_tag = 0 if strict else 1
     lt = F.col(label_time)
+    if carry_left:
+        left_marker = F.struct(*[F.col(c) for c in labels.columns]).alias("__lrow")
+    else:
+        left_marker = F.col(row_id).alias("__rid")
     lbl_side = labels.select(
         *[F.col(lk).alias(a) for (lk, _), a in zip(key_pairs, key_aliases)],
         lt.alias("__t"),
         lt.alias("__lt"),
-        F.col(row_id).alias("__rid"),
+        left_marker,
     ).withColumn("__tag", F.lit(label_tag))
 
     sides = [lbl_side]
@@ -246,17 +258,23 @@ def pit_match_multi(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    marker = "__lrow" if carry_left else "__rid"
     matched = unioned.select(
-        "__rid",
+        marker,
         "__lt",
         *[
             F.last(f"__p{fi}", ignorenulls=True).over(w).alias(f"__m{fi}")
             for fi in range(len(feats))
         ],
-    ).where(F.col("__rid").isNotNull())
+    ).where(F.col(marker).isNotNull())
 
     lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
-    out_cols: list[Column] = [F.col("__rid").alias(row_id)]
+    if carry_left:
+        out_cols: list[Column] = [
+            F.col(f"__lrow.{c}").alias(c) for c in labels.columns
+        ]
+    else:
+        out_cols = [F.col("__rid").alias(row_id)]
     for fi, (prefix, feature, feature_time, value_cols, embargo_s) in enumerate(feats):
         m: Column = F.col(f"__m{fi}")
         if lower_s is not None:
