@@ -151,3 +151,50 @@ def test_near_dup_arrow_matches_expr(spark, emb):
     a = similarity.embedding_near_dup_pairs(emb, signature_impl="expr", **kwargs)
     b = similarity.embedding_near_dup_pairs(emb, signature_impl="arrow", **kwargs)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cosine_topk_arrow_matches_expr(spark, sf_dir):
+    """The Arrow matmul kernel must produce the same top-k as the JVM
+    expression fold (after the shared 4dp rounding) on the test corpus —
+    including per-batch pruning not dropping boundary ties."""
+    from timefence_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    import pyspark.sql.functions as F
+
+    q = emb.where(F.col("vec_id") < 20)
+    kw = dict(query_id="vec_id", corpus_id="vec_id", k=5, round_to=4)
+    expr_rows = sorted(
+        tuple(r) for r in cosine_topk(q, emb, compute="expr", **kw).collect()
+    )
+    arrow_rows = sorted(
+        tuple(r) for r in cosine_topk(q, emb.repartition(7), compute="arrow", **kw).collect()
+    )
+    assert arrow_rows == expr_rows
+
+
+def test_cosine_topk_arrow_handles_bad_vectors(spark):
+    """NULL and wrong-width corpus vectors must be ignored, not crash."""
+    from timefence_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),
+            (4, [1.0, 0.0, 0.0]),
+            (5, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = cosine_topk(
+        queries, corpus, query_id="vec_id", corpus_id="vec_id",
+        k=2, round_to=4, compute="arrow",
+    ).collect()
+    got = {(r.neighbor_id, r.rank) for r in rows}
+    assert got == {(2, 1), (5, 2)}

@@ -69,6 +69,7 @@ def cosine_topk(
     k: int = 10,
     round_to: int | None = 6,
     broadcast_queries: bool | None = None,
+    compute: str = "expr",
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, cosine, rank).
 
@@ -76,7 +77,21 @@ def cosine_topk(
     its size estimate allows — see :func:`_gate_broadcast`) so the big
     corpus streams through map-side — one window shuffle keyed by query_id
     on the (|Q| x |C|) scored set; keep |Q| bounded or pre-filter the
-    corpus (see rp_lsh_topk / ivf_topk)."""
+    corpus (see rp_lsh_topk / ivf_topk).
+
+    ``compute='arrow'`` switches the scoring kernel to one numpy matmul
+    per Arrow batch with per-batch top-k pruning (see
+    :func:`_cosine_topk_arrow`): the shuffled candidate set shrinks from
+    |Q| x |C| rows to |Q| x k per batch, and the per-row cost drops from
+    an interpreted higher-order-function fold to BLAS. Use it when the
+    corpus is large or vectors are wide; ``'expr'`` stays the pure-JVM,
+    oracle-exact default (sequential-fold float semantics match external
+    SQL engines bit-for-bit)."""
+    if compute == "arrow":
+        return _cosine_topk_arrow(
+            queries, corpus, query_id=query_id, corpus_id=corpus_id,
+            query_vec=query_vec, corpus_vec=corpus_vec, k=k, round_to=round_to,
+        )
     q = _gate_broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
@@ -98,6 +113,103 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    round_to: int | None,
+) -> DataFrame:
+    """Vectorized exact scan: the bounded query side is collected to one
+    numpy matrix (the same boundedness assumption the broadcast plan makes
+    — driver transfer is O(|Q| x dim)), the corpus streams through ONE
+    normalized matmul per Arrow batch, and each batch emits only its
+    per-query top-k candidates (every score tied with the k-th kept, so
+    batch boundaries can never drop a deterministic-tie winner). The
+    global re-rank then sees O(|Q| x k x batches) rows instead of
+    |Q| x |C|.
+
+    Float caveat: numpy sums in a different order than the sequential
+    expression fold, so scores can differ in the last ulp — use the
+    ``'expr'`` kernel when bit-exact parity with an external SQL oracle
+    matters. NaN scores (zero-norm vectors) are kept as candidates to
+    match Spark's NaN-sorts-first descending order; NULL or wrong-width
+    vectors never match (the fold scores them NULL, ranked last)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    spark = queries.sparkSession
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    nid_type = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, neighbor_id {nid_type}, cosine double"
+    if not qrows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).where(F.lit(False))
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    dim = qmat.shape[1]
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qn = qmat / np.where(qnorm == 0, 1.0, qnorm)[:, None]
+    qn[qnorm == 0] = np.nan  # zero-norm query -> NaN scores, like the fold
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf[corpus_vec].to_numpy()
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            if not valid.any():
+                continue
+            cmat = np.vstack(vals[valid]).astype(np.float64)
+            ids = pdf[corpus_id].to_numpy()[valid]
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cn = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
+            cn[cnorm == 0] = np.nan
+            scores = cn @ qn.T  # (n_batch, |Q|)
+            if round_to is not None:
+                # Round BEFORE pruning: ranking is defined on rounded
+                # scores, and a candidate just under the batch k-th can
+                # round up into a tie it would deterministically win.
+                scores = np.round(scores, round_to)
+            n = scores.shape[0]
+            out_q, out_n, out_s = [], [], []
+            for j in range(scores.shape[1]):
+                col = scores[:, j]
+                mask = ids != qids[j]
+                nan_sel = np.isnan(col) & mask
+                col2 = np.where(mask & ~np.isnan(col), col, -np.inf)
+                kk = min(k, n)
+                kth = np.partition(col2, n - kk)[n - kk]
+                sel = ((col2 >= kth) & np.isfinite(col2)) | nan_sel
+                cnt = int(sel.sum())
+                if not cnt:
+                    continue
+                out_q.append(np.full(cnt, qids[j]))
+                out_n.append(ids[sel])
+                out_s.append(col[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
