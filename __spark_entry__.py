@@ -761,6 +761,27 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def q_knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as q_knn_cosine through the Arrow matmul kernel
+    (one BLAS matmul + per-batch top-k pruning per Arrow batch) — shares
+    the brute-force oracle; verified value-identical at every test SF."""
+    corpus = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = (
+        _t(spark, sf_dir, "embeddings", spread=False)
+        .where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+    )
+    return similarity.cosine_topk(
+        queries,
+        corpus,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        round_to=4,
+        compute="arrow",
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 ORACLE_KNN = """
     WITH pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1369,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_profile": q_lang_profile,
         "knn_cosine": q_knn_cosine,
+        "knn_cosine_arrow": q_knn_cosine_arrow,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1407,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,
+        "knn_cosine_arrow": ORACLE_KNN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "quality_score": ORACLE_QUALITY,
         "lang_id": ORACLE_LANG_ID,

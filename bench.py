@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_token_stats",
     "knn_cosine",
+    "knn_cosine_arrow",
     # 100 TB-shaped scale paths (VERDICT r1 item 9): RP-LSH ANN and banded
     # MinHash LSH dedup, so the approximate plans have per-round trend data.
     "knn_lsh",
@@ -300,7 +301,7 @@ def _bench_scale(spark) -> dict[str, dict]:
 # Extra timed rounds for the queries with Python-worker or JIT ramp
 # history: the trimmed spread check needs enough clean samples even when
 # external stalls eat one or two runs.
-NOISY_QUERIES = {"knn_cosine", "knn_lsh", "minhash_dedup"}
+NOISY_QUERIES = {"knn_cosine", "knn_cosine_arrow", "knn_lsh", "minhash_dedup"}
 
 SPREAD_LIMIT = 0.50
 
