@@ -524,6 +524,47 @@ def test_diff(spark, tmp_path, users_feat_labels):
     assert "rolling_spend__spend_30d" in d.value_changes
 
 
+def test_diff_pct_uses_matched_rows(spark, tmp_path):
+    """changed_pct divides by the rows the comparison actually saw (the
+    inner join on keys + label_time), not min(old_rows, new_rows): datasets
+    sharing few keys would otherwise overstate every percentage."""
+    ts = dt.datetime(2024, 1, 1)
+    old = spark.createDataFrame(
+        [(i, ts, float(i)) for i in range(10)],
+        "user_id int, label_time timestamp, v double",
+    )
+    # Only user_ids 8 and 9 overlap; both overlapping values change.
+    new = spark.createDataFrame(
+        [(i, ts, float(i) + 5.0) for i in range(8, 20)],
+        "user_id int, label_time timestamp, v double",
+    )
+    p_old, p_new = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+    d = tf.diff(p_old, p_new, keys="user_id", label_time="label_time", spark=spark)
+    assert d.old_rows == 10 and d.new_rows == 12
+    assert d.matched_rows == 2
+    assert d.value_changes["v"]["changed_count"] == 2
+    # 2 of 2 matched rows changed -> 100%, not 2/10 = 20%.
+    assert d.value_changes["v"]["changed_pct"] == pytest.approx(1.0)
+
+
+def test_read_parquet_int96_timestamps(spark, tmp_path):
+    """Spark's default TIMESTAMP_LTZ parquet output is INT96, which pyarrow
+    reports as timestamp[ns]; the reader must not apply the nanosAsLong
+    rewrite to it (regression: `ts div 1000` on a TIMESTAMP column fails
+    analysis)."""
+    from timefence_spark.sources.readers import read_parquet
+
+    p = str(tmp_path / "ltz.parquet")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 3, 4, 5))], "id int, ts timestamp"
+    ).write.parquet(p)
+    df = read_parquet(spark, p)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() == 1
+
+
 def test_store_cache_roundtrip(spark, tmp_path, users_feat_labels):
     users_path, _, labels_path = users_feat_labels
     store = tf.Store(tmp_path / "store")

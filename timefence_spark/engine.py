@@ -906,16 +906,17 @@ def build(
         if splits and output:
             split_paths = {}
             output_path = Path(str(output))
-            lt_out = lt if lt in result_cols else lt  # label_time survives flatten
-            ts_type = result.schema[lt_out].dataType
+            # label_time survives flatten unchanged: flatten only strips
+            # "{feature}__" prefixes and label_time never carries one.
+            ts_type = result.schema[lt].dataType
             for split_name, (start, end) in splits.items():
                 split_file = (
                     output_path.parent
                     / f"{output_path.stem}_{split_name}{output_path.suffix or '.parquet'}"
                 )
                 split_df = result.where(
-                    (F.col(lt_out) >= F.lit(start).cast(ts_type))
-                    & (F.col(lt_out) < F.lit(end).cast(ts_type))
+                    (F.col(lt) >= F.lit(start).cast(ts_type))
+                    & (F.col(lt) < F.lit(end).cast(ts_type))
                 )
                 _write_output(split_df, split_file)
                 split_paths[split_name] = split_file
@@ -1522,13 +1523,20 @@ def diff(
                 delta = F.when(~o.eqNullSafe(n), n.cast("double") - o.cast("double"))
                 aggs.append(F.avg(delta).alias(f"avg_{j}"))
                 aggs.append(F.max(F.abs(delta)).alias(f"max_{j}"))
+        # Matched-row count rides in the same aggregation — the percentage
+        # denominator must be the rows the comparison actually saw (the
+        # inner join), not min(old, new): datasets sharing few keys would
+        # otherwise understate the denominator and overstate every pct.
+        if aggs:
+            aggs.append(F.count(F.lit(1)).alias("__matched"))
         row = joined.agg(*aggs).first() if aggs else None
+        matched_count = int(row["__matched"]) if row is not None else 0
+        result.matched_rows = matched_count
 
         for j, col in enumerate(common):
             changed = int(row[f"chg_{j}"]) if row is not None else 0
             if changed > 0:
-                joined_n = min(old_count, new_count)
-                pct = changed / joined_n if joined_n > 0 else 0.0
+                pct = changed / matched_count if matched_count > 0 else 0.0
                 entry: dict[str, Any] = {"changed_count": changed, "changed_pct": pct}
                 if numeric[col] and row[f"avg_{j}"] is not None:
                     entry["mean_delta"] = float(row[f"avg_{j}"])

@@ -136,7 +136,9 @@ def lang_id(
     markers: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Marker-word language heuristic: count hits against each language's
-    marker list; predict the argmax (ties -> lexicographic, deterministic).
+    marker list; predict the argmax (ties -> lexicographically LARGEST
+    language code, deterministic — a consequence of ``array_max`` over
+    (hits, lang) structs comparing the lang field after the hit count).
 
     ``markers`` overrides the built-in demo profile (``LANG_MARKERS``):
     pass ``{lang: [marker words...]}`` for production lexicons or extra
@@ -152,9 +154,10 @@ def lang_id(
         marker_arr = F.array(*[F.lit(w) for w in lang_markers])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # array_max over (hits, lang) structs: max hits, then max lang — to make
-    # ties lexicographically *smallest*, compare on (hits, negated lang) is
-    # not expressible; instead reverse-sort langs so the first max wins.
+    # array_max over (hits, lang) structs: max hits, then (on tied hit
+    # counts) the lexicographically largest lang — struct comparison falls
+    # through to the second field. The oracle pins the same rule
+    # (list_max over identical structs).
     best = F.array_max(F.array(*scores))
     n_tokens = F.size(toks)
     return df.select(

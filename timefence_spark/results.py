@@ -269,6 +269,9 @@ class ExplainResult:
 class DiffResult:
     old_rows: int = 0
     new_rows: int = 0
+    #: rows matched by the inner join on (keys, label_time) — the
+    #: denominator for every changed_pct.
+    matched_rows: int = 0
     schema_changes: list[dict[str, str]] = field(default_factory=list)
     value_changes: dict[str, dict[str, Any]] = field(default_factory=dict)
 

@@ -44,12 +44,31 @@ def read_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
         import pyarrow.dataset as ds
         import pyarrow.types as pat
 
-        schema = ds.dataset(path, format="parquet").schema
+        dataset = ds.dataset(path, format="parquet")
         ns_cols = [
             f.name
-            for f in schema
+            for f in dataset.schema
             if pat.is_timestamp(f.type) and f.type.unit == "ns"
         ]
+        if ns_cols:
+            # Legacy INT96 timestamps (Spark's own default output type for
+            # TIMESTAMP_LTZ) ALSO surface as timestamp[ns] in the Arrow
+            # schema, but Spark reads INT96 natively — applying the
+            # nanosAsLong rewrite to them breaks the read. Only true INT64
+            # nano columns need the legacy flag, so drop any column whose
+            # physical type is INT96.
+            for frag in dataset.get_fragments():
+                md = frag.metadata
+                if md is None or not md.num_row_groups:
+                    continue  # empty part files carry no row groups
+                rg = md.row_group(0)
+                int96 = {
+                    rg.column(i).path_in_schema
+                    for i in range(rg.num_columns)
+                    if rg.column(i).physical_type == "INT96"
+                }
+                ns_cols = [c for c in ns_cols if c not in int96]
+                break
     except Exception:  # pragma: no cover - footer probe is best-effort
         pass
     if not ns_cols:
