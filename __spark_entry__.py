@@ -1020,6 +1020,19 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same IVF index through the vectorized kernels: centroid assignment
+    is one matmul per Arrow batch (no cross join, no per-id window
+    shuffle) and the re-rank scores via einsum. Shares the expr entry's
+    DuckDB oracle — verified value-identical at every test SF."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        query_id="vec_id", corpus_id="vec_id", k=5, nlist=16, nprobe=4,
+        hash_fn="md5", compute="arrow",
+    )
+
+
 def _oracle_knn_ivf_sql(
     k: int = 5, nlist: int = 16, nprobe: int = 4, seed: int = 42,
 ) -> str:
@@ -1399,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_arrow": q_knn_ivf_arrow,
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -1440,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),
         "knn_ivf": _oracle_knn_ivf_sql(),
+        "knn_ivf_arrow": _oracle_knn_ivf_sql(),
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,

@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # 100 TB-shaped scale paths (VERDICT r1 item 9): RP-LSH ANN and banded
     # MinHash LSH dedup, so the approximate plans have per-round trend data.
     "knn_lsh",
+    # IVF in both kernels (VERDICT r4 item 1): expr = cross-join assignment
+    # + interpreted fold; arrow = matmul assignment, no assignment shuffle.
+    "knn_ivf",
+    "knn_ivf_arrow",
     "minhash_dedup",
     # Iterative shape: transitive dedup via min-label propagation.
     "dedup_components",
@@ -301,7 +305,14 @@ def _bench_scale(spark) -> dict[str, dict]:
 # Extra timed rounds for the queries with Python-worker or JIT ramp
 # history: the trimmed spread check needs enough clean samples even when
 # external stalls eat one or two runs.
-NOISY_QUERIES = {"knn_cosine", "knn_cosine_arrow", "knn_lsh", "minhash_dedup"}
+NOISY_QUERIES = {
+    "knn_cosine",
+    "knn_cosine_arrow",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_arrow",
+    "minhash_dedup",
+}
 
 SPREAD_LIMIT = 0.50
 

@@ -175,6 +175,147 @@ def test_cosine_topk_arrow_matches_expr(spark, sf_dir):
     assert arrow_rows == expr_rows
 
 
+def test_cosine_topk_arrow_matches_expr_on_degenerate_vectors(spark):
+    """Zero-norm, NULL, wrong-width and NaN-element corpus vectors must
+    rank identically in both kernels: NaN first, finite desc, NULL last
+    (ADVICE r4: the old arrow kernel kept NaN for zero-norm rows, which
+    sorted FIRST while the expr fold's NULL sorted last)."""
+    from timefence_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),        # zero-norm -> NULL cosine, ranks last
+            (4, None),              # NULL vector -> NULL cosine
+            (5, [1.0, 0.0, 0.0]),   # wrong width -> NULL cosine
+            (6, [float("nan"), 1.0]),  # NaN elements -> NaN, ranks FIRST
+            (7, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kw = dict(query_id="vec_id", corpus_id="vec_id", k=6, round_to=4)
+
+    def norm(rows):
+        import math
+
+        return sorted(
+            (
+                r.query_id,
+                r.neighbor_id,
+                "nan" if r.cosine is not None and math.isnan(r.cosine) else r.cosine,
+                r.rank,
+            )
+            for r in rows
+        )
+
+    expr_rows = norm(cosine_topk(queries, corpus, compute="expr", **kw).collect())
+    arrow_rows = norm(
+        cosine_topk(queries, corpus.repartition(3), compute="arrow", **kw).collect()
+    )
+    assert arrow_rows == expr_rows
+    # NaN-scored id 6 must rank first; NULL-scored ids 3,4,5 must rank last.
+    by_id = {r[1]: r[3] for r in arrow_rows}
+    assert by_id[6] == 1
+    assert sorted(by_id[i] for i in (3, 4, 5)) == [4, 5, 6]
+
+
+def test_cosine_topk_arrow_gate_falls_back_to_expr(spark, monkeypatch):
+    """An over-threshold query side must degrade to the 'expr' shuffle plan
+    (no driver collect, no MapInPandas) and still return the same rows."""
+    from timefence_spark.operators import similarity
+    from timefence_spark.plans import _executed_plan_str
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") < 3)
+    kw = dict(query_id="vec_id", corpus_id="vec_id", k=3, round_to=4)
+    expected = sorted(
+        tuple(r) for r in similarity.cosine_topk(queries, corpus, **kw).collect()
+    )
+    monkeypatch.setattr(similarity, "BROADCAST_BYTES_THRESHOLD", 1)
+    monkeypatch.setattr(similarity, "ARROW_QUERY_ROW_CAP", 1)
+    gated = similarity.cosine_topk(queries, corpus, compute="arrow", **kw)
+    assert "MapInPandas" not in _executed_plan_str(gated)
+    assert sorted(tuple(r) for r in gated.collect()) == expected
+
+
+def test_rp_lsh_score_arrow_matches_expr(spark, emb):
+    """The einsum re-rank kernel must produce the same top-k as the JVM
+    fold on the candidate pairs (shared 6dp rounding)."""
+    q = emb.where(F.col("vec_id") < 10)
+    kwargs = dict(
+        query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=8, dim=64
+    )
+    a = similarity.rp_lsh_topk(q, emb, score_impl="expr", **kwargs)
+    b = similarity.rp_lsh_topk(q, emb, score_impl="arrow", **kwargs)
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+
+
+def test_rp_lsh_single_pass_matches_join_plan(spark, emb):
+    """The zero-shuffle single-pass plan (signatures + candidate match +
+    scoring per Arrow batch) must reproduce the bucket-join plan exactly —
+    same candidate set, same rounded scores, same ranks."""
+    q = emb.where(F.col("vec_id") < 10)
+    kwargs = dict(
+        query_id="vec_id", corpus_id="vec_id", k=5, bits=4, tables=8, dim=64
+    )
+    joined = similarity.rp_lsh_topk(q, emb, single_pass=False, **kwargs)
+    single = similarity.rp_lsh_topk(q, emb.repartition(7), single_pass=True, **kwargs)
+    assert sorted(tuple(r) for r in joined.collect()) == sorted(
+        tuple(r) for r in single.collect()
+    )
+
+
+def test_ivf_arrow_matches_expr(spark, emb):
+    """The matmul centroid-assignment + einsum re-rank must reproduce the
+    cross-join + window expr plan exactly on the test corpus."""
+    q = emb.where(F.col("vec_id") < 10)
+    kwargs = dict(
+        query_id="vec_id", corpus_id="vec_id", k=5, nlist=8, nprobe=3,
+    )
+    a = similarity.ivf_topk(q, emb, compute="expr", **kwargs)
+    b = similarity.ivf_topk(q, emb, compute="arrow", **kwargs)
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+
+
+def test_pairwise_cosine_arrow_degenerates(spark):
+    """The pairwise kernel's degenerate contract: NULL for null/mismatched
+    vectors and zero-norm denominators, NaN propagates from NaN elements."""
+    import math
+
+    from timefence_spark.operators.similarity import _pairwise_cosine_arrow
+
+    pairs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [1.0, 0.0], [0.0, 0.0]),          # zero-norm -> NULL
+            (3, [1.0, 0.0], None),                 # null vector -> NULL
+            (4, [1.0, 0.0], [1.0, 0.0, 0.0]),      # length mismatch -> NULL
+            (5, [1.0, 0.0], [float("nan"), 1.0]),  # NaN element -> NaN
+            (6, [3.0, 4.0], [4.0, 3.0]),
+        ],
+        "pid long, a array<double>, b array<double>",
+    )
+    rows = {
+        r.pid: r.cosine
+        for r in _pairwise_cosine_arrow(pairs, a_col="a", b_col="b").collect()
+    }
+    assert rows[1] == pytest.approx(1.0)
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+    assert math.isnan(rows[5])
+    assert rows[6] == pytest.approx(24.0 / 25.0)
+
+
 def test_cosine_topk_arrow_handles_bad_vectors(spark):
     """NULL and wrong-width corpus vectors must be ignored, not crash."""
     from timefence_spark.operators.similarity import cosine_topk

@@ -9,11 +9,28 @@
                        assign corpus to nearest centroid, probe the query's
                        closest ``nprobe`` lists.
 
-Vector math is pure Spark expressions (zip_with + aggregate fold — sequential
-double accumulation, deterministic). No UDFs; survives codegen.
+Vector math comes in two interchangeable kernels:
+
+* ``'expr'`` — pure Spark expressions (zip_with + aggregate fold, sequential
+  double accumulation, deterministic; bit-exact vs external SQL oracles).
+* ``'arrow'`` — one numpy/BLAS matmul (or einsum) per Arrow batch, ~10x the
+  per-row throughput of the interpreted higher-order-function fold. Scores
+  can differ from the fold in the last ulp; rounded outputs (the default)
+  are identical on non-adversarial data.
+
+Degenerate-vector contract (both kernels): NULL or length-mismatched
+vectors and zero-norm denominators score NULL (ranks LAST under the
+descending top-k order — ``try_divide`` semantics, independent of
+spark.sql.ansi.enabled); vectors containing NaN score NaN (Spark ranks NaN
+FIRST, above every real number). The one asymmetry: the arrow kernels pick
+the expected width from the first valid query vector, so an off-width pair
+that the fold would score against a same-width partner scores NULL instead
+— only observable with ragged corpora.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +40,25 @@ from timefence_spark.operators.asof import (
     BROADCAST_BYTES_THRESHOLD,
     estimated_size_bytes,
 )
+
+logger = logging.getLogger(__name__)
+
+# Fallback probe cap for the arrow kernel's driver-side query collect when
+# Catalyst has no size estimate: |Q| rows x 64 float64 dims ~ 100 MB at
+# 200k — the same order as BROADCAST_BYTES_THRESHOLD.
+ARROW_QUERY_ROW_CAP = 200_000
+
+
+def _arrow_query_side_ok(queries: DataFrame) -> bool:
+    """Gate for collecting the query side to the driver (same boundedness
+    policy as :func:`_gate_broadcast`): Catalyst's size estimate when it
+    has one, else a bounded ``limit().count()`` probe. Returns False when
+    the query side is too large — callers degrade to the ``'expr'`` plan
+    instead of OOMing the driver."""
+    est = estimated_size_bytes(queries)
+    if est is not None:
+        return est <= BROADCAST_BYTES_THRESHOLD
+    return queries.limit(ARROW_QUERY_ROW_CAP + 1).count() <= ARROW_QUERY_ROW_CAP
 
 
 def _gate_broadcast(df: DataFrame, flag: bool | None) -> DataFrame:
@@ -55,7 +91,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (not an ANSI error) on zero-norm vectors.
+
+    ``try_divide`` keeps the pre-ANSI divide-by-zero-is-NULL semantics
+    under Spark 4's default ansi.enabled=true: a zero-norm vector yields a
+    NULL score that ranks last in descending top-k order, instead of
+    failing the whole job."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -86,11 +128,23 @@ def cosine_topk(
     an interpreted higher-order-function fold to BLAS. Use it when the
     corpus is large or vectors are wide; ``'expr'`` stays the pure-JVM,
     oracle-exact default (sequential-fold float semantics match external
-    SQL engines bit-for-bit)."""
+    SQL engines bit-for-bit). The arrow kernel collects the query side to
+    the driver, so it is gated the same way the broadcast is: past
+    :data:`BROADCAST_BYTES_THRESHOLD` (or :data:`ARROW_QUERY_ROW_CAP`
+    rows when Catalyst has no size estimate) the call degrades to the
+    ``'expr'`` plan instead of OOMing the driver."""
     if compute == "arrow":
-        return _cosine_topk_arrow(
-            queries, corpus, query_id=query_id, corpus_id=corpus_id,
-            query_vec=query_vec, corpus_vec=corpus_vec, k=k, round_to=round_to,
+        if _arrow_query_side_ok(queries):
+            return _cosine_topk_arrow(
+                queries, corpus, query_id=query_id, corpus_id=corpus_id,
+                query_vec=query_vec, corpus_vec=corpus_vec, k=k, round_to=round_to,
+            )
+        logger.warning(
+            "cosine_topk(compute='arrow'): query side exceeds the driver-"
+            "collect gate (%d bytes / %d rows); falling back to the 'expr' "
+            "shuffle plan.",
+            BROADCAST_BYTES_THRESHOLD,
+            ARROW_QUERY_ROW_CAP,
         )
     q = _gate_broadcast(
         queries.select(
@@ -125,22 +179,35 @@ def _cosine_topk_arrow(
     corpus_vec: str,
     k: int,
     round_to: int | None,
+    lsh: dict | None = None,
 ) -> DataFrame:
     """Vectorized exact scan: the bounded query side is collected to one
-    numpy matrix (the same boundedness assumption the broadcast plan makes
-    — driver transfer is O(|Q| x dim)), the corpus streams through ONE
-    normalized matmul per Arrow batch, and each batch emits only its
-    per-query top-k candidates (every score tied with the k-th kept, so
-    batch boundaries can never drop a deterministic-tie winner). The
-    global re-rank then sees O(|Q| x k x batches) rows instead of
-    |Q| x |C|.
+    numpy matrix (gated by :func:`_arrow_query_side_ok` — driver transfer
+    is O(|Q| x dim)), the corpus streams through ONE matmul per Arrow
+    batch, and each batch emits only its per-query top-k candidates under
+    the full Spark ordering (NaN first, finite desc, NULL last; ties by
+    neighbor_id asc) — a global winner is always in its batch's top-k, so
+    batch boundaries cannot drop one. The global re-rank then sees
+    O(|Q| x k x batches) rows instead of |Q| x |C|.
+
+    ``lsh={'bits': b, 'tables': t, 'seed': s}`` turns the scan into the
+    single-pass RP-LSH plan (see :func:`rp_lsh_topk`): corpus signatures
+    are one extra matmul per batch, candidates are pairs sharing any
+    table's bucket with a query, and only candidates are ranked/emitted —
+    same candidate set and scores as the bucket-join plan, with zero
+    candidate shuffles. Off-width/NULL vectors take bucket 0 in every
+    table, exactly like the expr signature path.
+
+    Degenerates mirror the ``'expr'`` kernel (see module docstring):
+    NULL/off-width vectors and zero-norm denominators -> NULL (ranks
+    last), NaN elements -> NaN (ranks first). NaN survives the Arrow
+    boundary via a marker column (pandas->Arrow conversion would
+    otherwise fold NaN into null).
 
     Float caveat: numpy sums in a different order than the sequential
     expression fold, so scores can differ in the last ulp — use the
     ``'expr'`` kernel when bit-exact parity with an external SQL oracle
-    matters. NaN scores (zero-norm vectors) are kept as candidates to
-    match Spark's NaN-sorts-first descending order; NULL or wrong-width
-    vectors never match (the fold scores them NULL, ranked last)."""
+    matters."""
     import numpy as np
     import pandas as pd
 
@@ -148,68 +215,252 @@ def _cosine_topk_arrow(
     spark = queries.sparkSession
     qid_type = queries.schema[query_id].dataType.simpleString()
     nid_type = corpus.schema[corpus_id].dataType.simpleString()
-    out_schema = f"query_id {qid_type}, neighbor_id {nid_type}, cosine double"
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {nid_type}, "
+        "cosine double, __nan boolean"
+    )
     if not qrows:
-        empty = spark.createDataFrame([], out_schema)
+        empty = spark.createDataFrame([], out_schema).drop("__nan")
         return empty.withColumn("rank", F.lit(1)).where(F.lit(False))
     qids = np.array([r[0] for r in qrows])
-    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    dim = qmat.shape[1]
-    qnorm = np.linalg.norm(qmat, axis=1)
-    qn = qmat / np.where(qnorm == 0, 1.0, qnorm)[:, None]
-    qn[qnorm == 0] = np.nan  # zero-norm query -> NaN scores, like the fold
+    qvecs = [r[1] for r in qrows]
+    # Expected width = first valid query vector's length; queries that are
+    # NULL or off-width score NULL against everything (ranked last).
+    dim = next((len(v) for v in qvecs if v is not None), 0)
+    qvalid = np.fromiter(
+        (v is not None and len(v) == dim for v in qvecs), dtype=bool, count=len(qvecs)
+    )
+    if qvalid.any():
+        qmat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v, ok in zip(qvecs, qvalid) if ok]
+        )
+        qnorm = np.linalg.norm(qmat, axis=1)
+    else:
+        qmat = np.zeros((0, dim))
+        qnorm = np.zeros(0)
+    # Column j of the score matrix corresponds to the j-th VALID query.
+    valid_qpos = np.flatnonzero(qvalid)
+
+    nq = len(qids)
+    planes_flat = None
+    if lsh is not None:
+        bits, tables = lsh["bits"], lsh["tables"]
+        planes_flat = np.array(
+            [_hyperplanes(dim, bits, lsh["seed"] + t) for t in range(tables)],
+            dtype=np.float64,
+        ).reshape(tables * bits, max(dim, 1))
+        powers = (1 << np.arange(bits)).astype(np.int64)
+        # (nq, tables) query buckets; invalid queries take bucket 0 per
+        # table, mirroring the expr signature path.
+        qsig = np.zeros((nq, tables), dtype=np.int64)
+        if qvalid.any():
+            signs = (qmat @ planes_flat.T) >= 0
+            qsig[qvalid] = (
+                signs.reshape(len(qmat), tables, bits).astype(np.int64) @ powers
+            )
+        # Invalid corpus rows sit in bucket 0 of every table: they are
+        # candidates of exactly the queries with any bucket-0 table.
+        bad_row_cand = np.any(qsig == 0, axis=1)  # (nq,)
+
+    def _emit_topk(ids, rank_val, score, is_nan, is_null, qid, out):
+        """Batch-local top-k under (rank_val desc, id asc); appends row
+        arrays to ``out``."""
+        keep = ids != qid
+        if not keep.any():
+            return
+        ids = ids[keep]
+        rank_val = rank_val[keep]
+        score = score[keep]
+        is_nan = is_nan[keep]
+        is_null = is_null[keep]
+        # Two-pass stable argsort == lexsort by (rank_val desc, id asc),
+        # but also works for object-dtype (string) id columns.
+        by_id = np.argsort(ids, kind="stable")
+        order = by_id[np.argsort(-rank_val[by_id], kind="stable")][: min(k, len(ids))]
+        out[0].append(np.full(len(order), qid))
+        out[1].append(ids[order])
+        out[2].append(
+            [None if (is_null[i] or is_nan[i]) else float(score[i]) for i in order]
+        )
+        out[3].append(is_nan[order])
 
     def gen(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             vals = pdf[corpus_vec].to_numpy()
-            valid = np.fromiter(
+            ids_all = pdf[corpus_id].to_numpy()
+            cvalid = np.fromiter(
                 (v is not None and len(v) == dim for v in vals),
                 dtype=bool,
                 count=len(vals),
             )
-            if not valid.any():
-                continue
-            cmat = np.vstack(vals[valid]).astype(np.float64)
-            ids = pdf[corpus_id].to_numpy()[valid]
-            cnorm = np.linalg.norm(cmat, axis=1)
-            cn = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
-            cn[cnorm == 0] = np.nan
-            scores = cn @ qn.T  # (n_batch, |Q|)
-            if round_to is not None:
-                # Round BEFORE pruning: ranking is defined on rounded
-                # scores, and a candidate just under the batch k-th can
-                # round up into a tie it would deterministically win.
-                scores = np.round(scores, round_to)
-            n = scores.shape[0]
-            out_q, out_n, out_s = [], [], []
-            for j in range(scores.shape[1]):
-                col = scores[:, j]
-                mask = ids != qids[j]
-                nan_sel = np.isnan(col) & mask
-                col2 = np.where(mask & ~np.isnan(col), col, -np.inf)
-                kk = min(k, n)
-                kth = np.partition(col2, n - kk)[n - kk]
-                sel = ((col2 >= kth) & np.isfinite(col2)) | nan_sel
-                cnt = int(sel.sum())
-                if not cnt:
-                    continue
-                out_q.append(np.full(cnt, qids[j]))
-                out_n.append(ids[sel])
-                out_s.append(col[sel])
-            if out_q:
+            ids_v = ids_all[cvalid]
+            ids_bad = ids_all[~cvalid]
+            n_v, n_bad = len(ids_v), len(ids_bad)
+            cmat = (
+                np.vstack(vals[cvalid]).astype(np.float64)
+                if n_v
+                else np.zeros((0, dim))
+            )
+            if n_v and len(valid_qpos):
+                cnorm = np.linalg.norm(cmat, axis=1)
+                raw = cmat @ qmat.T  # (n_v, |Q_valid|)
+                denom = np.outer(cnorm, qnorm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sc = raw / denom
+                null_m = denom == 0  # try_divide: exact-zero denominator -> NULL
+                if round_to is not None:
+                    # Round BEFORE pruning: ranking is defined on rounded
+                    # scores, and a candidate just under the batch k-th
+                    # can round up into a tie it would win on id order.
+                    sc = np.round(sc, round_to)
+            else:
+                sc = np.zeros((n_v, 0))
+                null_m = np.zeros((n_v, 0), dtype=bool)
+            cand_v = None
+            if planes_flat is not None:
+                # (n_v, tables) corpus buckets -> (n_v, nq) candidate mask:
+                # a pair is a candidate iff any table's buckets match.
+                csig = np.zeros((n_v, tables), dtype=np.int64)
+                if n_v:
+                    signs_c = (cmat @ planes_flat.T) >= 0
+                    csig = (
+                        signs_c.reshape(n_v, tables, bits).astype(np.int64) @ powers
+                    )
+                cand_v = np.zeros((n_v, nq), dtype=bool)
+                for t in range(tables):
+                    cand_v |= csig[:, t][:, None] == qsig[None, :, t]
+            out = ([], [], [], [])
+            for qpos in range(len(qids)):
+                if qvalid[qpos]:
+                    j = int(np.searchsorted(valid_qpos, qpos))
+                    col = sc[:, j] if n_v else np.zeros(0)
+                    nullc = null_m[:, j] if n_v else np.zeros(0, dtype=bool)
+                else:
+                    col = np.full(n_v, np.nan)
+                    nullc = np.ones(n_v, dtype=bool)
+                ids = np.concatenate([ids_v, ids_bad]) if n_bad else ids_v
+                is_null = np.concatenate([nullc, np.ones(n_bad, bool)])
+                score = np.concatenate([col, np.full(n_bad, np.nan)])
+                if cand_v is not None:
+                    mask = np.concatenate(
+                        [cand_v[:, qpos], np.full(n_bad, bad_row_cand[qpos])]
+                    )
+                    if not mask.any():
+                        continue
+                    ids, is_null, score = ids[mask], is_null[mask], score[mask]
+                is_nan = np.isnan(score) & ~is_null
+                # Total order: NaN first (+inf), finite by value, NULL last.
+                rank_val = np.where(is_nan, np.inf, np.where(is_null, -np.inf, score))
+                _emit_topk(ids, rank_val, score, is_nan, is_null, qids[qpos], out)
+            if out[0]:
                 yield pd.DataFrame(
                     {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "cosine": np.concatenate(out_s),
+                        "query_id": np.concatenate(out[0]),
+                        "neighbor_id": np.concatenate(out[1]),
+                        "cosine": np.concatenate(
+                            [np.asarray(x, dtype=object) for x in out[2]]
+                        ),
+                        "__nan": np.concatenate(out[3]),
                     }
                 )
 
-    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .mapInPandas(gen, out_schema)
+        .withColumn(
+            "cosine",
+            F.when(F.col("__nan"), F.lit(float("nan"))).otherwise(F.col("cosine")),
+        )
+        .drop("__nan")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _pairwise_cosine_arrow(
+    pairs: DataFrame,
+    *,
+    a_col: str,
+    b_col: str,
+    out_col: str = "cosine",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Row-wise cosine over already-joined vector pairs — one einsum per
+    Arrow batch instead of an interpreted ``aggregate(zip_with(...))``
+    fold per row (~10x the per-row throughput on 64-dim vectors).
+
+    Drops ``a_col``/``b_col`` from the output and appends ``out_col``.
+    Degenerate rows follow the module contract: NULL for null vectors,
+    per-pair length mismatches, and zero-norm denominators; NaN (ranked
+    first by Spark) propagates from NaN elements. Rows are grouped by
+    vector length inside each batch, so ragged corpora still vectorize.
+    """
+    import numpy as np
+    import pandas as pd
+
+    passthrough = [c for c in pairs.columns if c not in (a_col, b_col)]
+    fields = ", ".join(
+        f"{c} {pairs.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    out_schema = f"{fields}, {out_col} double, __nan boolean"
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = pdf[a_col].to_numpy()
+            vb = pdf[b_col].to_numpy()
+            n = len(pdf)
+            score = np.zeros(n)
+            is_null = np.ones(n, dtype=bool)
+            is_nan = np.zeros(n, dtype=bool)
+            lengths = np.fromiter(
+                (
+                    len(a) if a is not None and b is not None and len(a) == len(b) else -1
+                    for a, b in zip(va, vb)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            for ln in np.unique(lengths):
+                if ln < 0:
+                    continue  # null / mismatched rows stay NULL
+                idx = np.flatnonzero(lengths == ln)
+                if ln == 0:
+                    continue  # empty vectors: zero norm -> NULL
+                amat = np.vstack(va[idx]).astype(np.float64)
+                bmat = np.vstack(vb[idx]).astype(np.float64)
+                raw = np.einsum("ij,ij->i", amat, bmat)
+                denom = np.linalg.norm(amat, axis=1) * np.linalg.norm(bmat, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = raw / denom
+                null_g = denom == 0  # try_divide: exact-zero denominator
+                if round_to is not None:
+                    s = np.round(s, round_to)
+                score[idx] = s
+                is_null[idx] = null_g
+                is_nan[idx] = np.isnan(s) & ~null_g
+            out = {c: pdf[c] for c in passthrough}
+            out[out_col] = pd.array(
+                [
+                    None if (is_null[i] or is_nan[i]) else float(score[i])
+                    for i in range(n)
+                ],
+                dtype=object,
+            )
+            out["__nan"] = is_nan
+            yield pd.DataFrame(out)
+
+    return (
+        pairs.mapInPandas(gen, out_schema)
+        .withColumn(
+            out_col,
+            F.when(F.col("__nan"), F.lit(float("nan"))).otherwise(F.col(out_col)),
+        )
+        .drop("__nan")
+    )
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -335,6 +586,8 @@ def rp_lsh_topk(
     seed: int = 42,
     round_to: int | None = 6,
     signature_impl: str = "arrow",
+    score_impl: str = "arrow",
+    single_pass: bool | None = None,
     broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
@@ -352,7 +605,23 @@ def rp_lsh_topk(
     Python-worker spin-up on the session's first Arrow stage (~15s cold,
     amortized by worker reuse). ``'expr'`` remains as the pure-JVM fallback
     for sessions where Python workers are unavailable or per-session
-    spin-up dominates (tiny one-shot jobs)."""
+    spin-up dominates (tiny one-shot jobs).
+
+    ``score_impl`` picks the exact re-rank kernel for the candidate pairs:
+    ``'arrow'`` (default — one einsum per Arrow batch, see
+    :func:`_pairwise_cosine_arrow`) or ``'expr'`` (the interpreted
+    JVM fold, bit-exact vs external SQL oracles).
+
+    When both kernels are ``'arrow'`` and the query side passes the
+    driver-collect gate (``single_pass=None``, the default — or forced
+    with ``True``), the whole operator collapses into ONE corpus pass:
+    signatures, candidate matching and scoring happen per Arrow batch
+    against the in-closure query matrix (see the ``lsh`` hook on
+    :func:`_cosine_topk_arrow`), so the bucket join, the two vector-attach
+    joins and the candidate dedup shuffle disappear; the only shuffle left
+    is the final top-k window on O(|Q| x k x batches) rows. Same candidate
+    set and scores as the join plan. ``single_pass=False`` keeps the join
+    plan — the right shape when |Q| is unbounded."""
     if dim is None:
         first = corpus.select(F.size(corpus_vec).alias("d")).head(1)
         if not first:
@@ -361,6 +630,18 @@ def rp_lsh_topk(
                 query_vec=query_vec, corpus_vec=corpus_vec, k=k,
             )
         dim = first[0]["d"]
+
+    if (
+        signature_impl == "arrow"
+        and score_impl == "arrow"
+        and single_pass is not False
+        and (single_pass or _arrow_query_side_ok(queries))
+    ):
+        return _cosine_topk_arrow(
+            queries, corpus, query_id=query_id, corpus_id=corpus_id,
+            query_vec=query_vec, corpus_vec=corpus_vec, k=k, round_to=round_to,
+            lsh={"bits": bits, "tables": tables, "seed": seed},
+        )
 
     def signatures(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
         # ids + buckets only: the vectors stay OUT of the bucket join and
@@ -406,10 +687,16 @@ def rp_lsh_topk(
     )
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
     cand = cand.join(qv, "query_id").join(cv, "neighbor_id")
-    score = cosine(F.col("__qv"), F.col("__cv"))
-    if round_to is not None:
-        score = F.round(score, round_to)
-    scored = cand.select("query_id", "neighbor_id", score.alias("cosine"))
+    if score_impl == "arrow":
+        scored = _pairwise_cosine_arrow(
+            cand.select("query_id", "neighbor_id", "__qv", "__cv"),
+            a_col="__qv", b_col="__cv", round_to=round_to,
+        )
+    else:
+        score = cosine(F.col("__qv"), F.col("__cv"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.select("query_id", "neighbor_id", score.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -428,6 +715,7 @@ def ivf_topk(
     seed: int = 42,
     round_to: int | None = 6,
     hash_fn: str = "xxhash64",
+    compute: str = "expr",
 ) -> DataFrame:
     """IVF-flat: centroids = deterministic hash-sample of ``nlist`` corpus
     vectors; corpus rows are assigned to their nearest centroid (one broadcast
@@ -435,7 +723,18 @@ def ivf_topk(
     exactly. Probing fraction nprobe/nlist of the corpus per query.
 
     ``hash_fn='md5'`` makes the centroid sample portable (bit-identical in
-    DuckDB) so the whole index build + probe is oracle-checkable."""
+    DuckDB) so the whole index build + probe is oracle-checkable.
+
+    ``compute='arrow'`` vectorizes both hot loops: centroid assignment
+    becomes one (batch x dim) @ (dim x nlist) matmul per Arrow batch —
+    replacing the corpus x centroids cross join AND its per-id window
+    shuffle (the corpus is never shuffled for assignment) — and the final
+    re-rank scores via :func:`_pairwise_cosine_arrow`. The nlist centroid
+    vectors are collected to the driver (tiny by construction) and shipped
+    in the task closure. ``'expr'`` stays the pure-JVM, oracle-exact
+    default: last-ulp score differences can flip nearest-centroid
+    assignment on near-equidistant rows, which an external-SQL oracle
+    would see."""
     if hash_fn == "xxhash64":
         sample_hash = F.xxhash64(F.col("cid").cast("string"), F.lit(seed))
     else:
@@ -456,39 +755,116 @@ def ivf_topk(
     )
     cent = F.broadcast(sampled)
 
-    def assign(df: DataFrame, idc: str, vecc: str, out: str, n_lists: int) -> DataFrame:
-        scored = df.crossJoin(cent).select(
-            F.col(idc),
-            F.col(vecc),
-            "centroid_id",
-            cosine(F.col(vecc), F.col("centroid")).alias("__cs"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("__cs"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= n_lists)
-            .select(idc, vecc, "centroid_id")
-        )
+    if compute == "arrow":
+        assign = _ivf_assign_arrow_factory(sampled)
+    else:
+
+        def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
+            scored = df.crossJoin(cent).select(
+                F.col(idc),
+                F.col(vecc),
+                "centroid_id",
+                cosine(F.col(vecc), F.col("centroid")).alias("__cs"),
+            )
+            w = Window.partitionBy(idc).orderBy(F.desc("__cs"), F.asc("centroid_id"))
+            return (
+                scored.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= n_lists)
+                .select(idc, vecc, "centroid_id")
+            )
 
     corpus_assigned = assign(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")),
-        "neighbor_id", "__cv", "list", 1,
+        "neighbor_id", "__cv", 1,
     )
     query_probes = assign(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")),
-        "query_id", "__qv", "probe", nprobe,
+        "query_id", "__qv", nprobe,
     )
     cand = query_probes.join(corpus_assigned, "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    score = cosine(F.col("__qv"), F.col("__cv"))
-    if round_to is not None:
-        score = F.round(score, round_to)
-    scored = cand.select("query_id", "neighbor_id", score.alias("cosine")).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
+    if compute == "arrow":
+        scored = _pairwise_cosine_arrow(
+            cand.select("query_id", "neighbor_id", "__qv", "__cv"),
+            a_col="__qv", b_col="__cv", round_to=round_to,
+        ).dropDuplicates(["query_id", "neighbor_id"])
+    else:
+        score = cosine(F.col("__qv"), F.col("__cv"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.select(
+            "query_id", "neighbor_id", score.alias("cosine")
+        ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _ivf_assign_arrow_factory(sampled: DataFrame):
+    """Build the vectorized centroid-assignment function: centroids are
+    collected once (nlist rows — tiny by construction) and shipped in the
+    task closure; each Arrow batch scores (batch x dim) @ (dim x nlist) in
+    one matmul and emits its top ``n_lists`` centroid ids per row. No
+    cross join, no per-id window shuffle — the corpus is never shuffled
+    for assignment.
+
+    Ranking matches the expr path's (cosine desc, centroid_id asc): a
+    stable argsort over the score row keeps centroid-id order on exact
+    ties, and degenerate scores (zero-norm -> NULL in expr) sort last.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    cmat = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    dim = cmat.shape[1]
+    nlist = cmat.shape[0]
+
+    def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
+        id_type = df.schema[idc].dataType.simpleString()
+        vec_type = df.schema[vecc].dataType.simpleString()
+        out_schema = f"{idc} {id_type}, {vecc} {vec_type}, centroid_id int"
+        nl = min(n_lists, nlist)
+
+        def gen(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vals = pdf[vecc].to_numpy()
+                n = len(pdf)
+                valid = np.fromiter(
+                    (v is not None and len(v) == dim for v in vals),
+                    dtype=bool,
+                    count=n,
+                )
+                # Invalid/degenerate rows score NULL against every
+                # centroid in the expr plan; the (desc, centroid_id asc)
+                # window then assigns them centroids 0..n_lists-1.
+                order = np.tile(np.arange(nlist), (n, 1))
+                if valid.any():
+                    vmat = np.vstack(vals[valid]).astype(np.float64)
+                    vnorm = np.linalg.norm(vmat, axis=1)
+                    raw = vmat @ cmat.T
+                    denom = np.outer(vnorm, cnorm)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sc = raw / denom
+                    # NULL (zero denom) ranks last: -inf under desc order.
+                    sc = np.where(denom == 0, -np.inf, sc)
+                    sc = np.nan_to_num(sc, nan=-np.inf)
+                    order[valid] = np.argsort(-sc, axis=1, kind="stable")
+                picked = order[:, :nl]  # (n, nl)
+                yield pd.DataFrame(
+                    {
+                        idc: np.repeat(pdf[idc].to_numpy(), nl),
+                        vecc: np.repeat(pdf[vecc].to_numpy(), nl),
+                        "centroid_id": picked.reshape(-1),
+                    }
+                )
+
+        return df.select(idc, vecc).mapInPandas(gen, out_schema)
+
+    return assign
 
 
 def embedding_near_dup_pairs(
@@ -502,13 +878,17 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     signature_impl: str = "arrow",
+    score_impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t),
     using the same RP-LSH blocking as rp_lsh_topk. Pass ``dim`` when known
     — the fallback probe runs a small Spark job per call.
     ``signature_impl`` defaults to ``'arrow'`` (one numpy matmul per Arrow
     batch, see :func:`_rp_buckets_arrow` and the rationale on
-    :func:`rp_lsh_topk`); ``'expr'`` is the pure-JVM fallback."""
+    :func:`rp_lsh_topk`); ``'expr'`` is the pure-JVM fallback.
+    ``score_impl`` picks the verification kernel for candidate pairs —
+    ``'arrow'`` (einsum per batch, default) or ``'expr'`` (JVM fold).
+    NULL and NaN cosines fail the ``>= threshold`` filter in both."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).head(1)
         if not first:
@@ -552,8 +932,16 @@ def embedding_near_dup_pairs(
     ).join(
         vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b"
     )
+    if score_impl == "arrow":
+        scored = _pairwise_cosine_arrow(
+            cand.select("id_a", "id_b", "va", "vb"),
+            a_col="va", b_col="vb", round_to=6,
+        )
+    else:
+        scored = cand.withColumn(
+            "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        )
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cosine") >= threshold)
+        scored.where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
