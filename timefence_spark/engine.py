@@ -219,11 +219,13 @@ def _validate_timezones(
     label_dtype: T.DataType,
     feat_df: DataFrame,
     feature: Feature,
-    label_sample: str,
+    labels_df: DataFrame,
+    label_time_col: str,
 ) -> None:
     """Naive-vs-aware mismatch is a hard error (reference engine.py:539-583).
     Spark's schema carries the distinction (TimestampType vs TimestampNTZType),
-    so no data probing is needed."""
+    so no data probing is needed on the happy path — the example values in
+    the error message are head(1)-probed only once a mismatch is found."""
     if "feature_time" not in feat_df.columns:
         return
     feat_dtype = feat_df.schema["feature_time"].dataType
@@ -236,6 +238,14 @@ def _validate_timezones(
         row = feat_df.select("feature_time").where(F.col("feature_time").isNotNull()).head(1)
         if row:
             feat_sample = str(row[0][0])
+        label_sample = "N/A"
+        lrow = (
+            labels_df.select(label_time_col)
+            .where(F.col(label_time_col).isNotNull())
+            .head(1)
+        )
+        if lrow:
+            label_sample = str(lrow[0][0])
         raise timezone_error(
             feature.name,
             "UTC" if label_aware else None,
@@ -591,23 +601,18 @@ def build(
         # downstream stages read the materialized blocks or fail fast.
         # Blocks are freed when the DataFrame is GC'd.
         spine = spine.localCheckpoint(eager=True)
-    # One action for count + time range (separate count()/agg() jobs cost
-    # ~0.2s each of fixed overhead per build at small scale).
-    stats_row = spine.agg(
-        F.count(F.lit(1)).alias("n"), F.min(lt).alias("mn"), F.max(lt).alias("mx")
-    ).first()
-    label_count = int(stats_row["n"])
-    transcript.append(
-        f"-- spine: {label_count} label rows, keys={labels.keys}, label_time={lt}"
-    )
+    # Label count and time range are NOT probed here: every build path
+    # keeps the spine 1:1 in the combined table (carry_left emits one row
+    # per label row; the recombination joins are left joins on a unique
+    # row id), so they ride in the single post-write aggregation over the
+    # persisted combined table (step 5/6) instead of paying a dedicated
+    # Spark job per build — and the manifest stats then describe the SAME
+    # materialization the output was written from, which also holds for
+    # nondeterministically-derived in-memory label DataFrames.
+    spine_transcript_idx = len(transcript)
+    transcript.append("")  # filled with the spine stats line after the agg
 
     label_dtype = spine.schema[lt].dataType
-    label_time_range = (
-        [str(stats_row["mn"]), str(stats_row["mx"])]
-        if stats_row["mn"] is not None
-        else None
-    )
-    label_sample = str(stats_row["mn"]) if label_time_range else "N/A"
 
     if splits:
         _validate_splits(splits, spine, lt)
@@ -680,7 +685,7 @@ def build(
 
             if feature_tables[feat.name][1]:
                 _validate_timezones(
-                    label_dtype, feature_tables[feat.name][0], feat, label_sample
+                    label_dtype, feature_tables[feat.name][0], feat, labels_raw, lt
                 )
 
         # ---- Step 3: point-in-time joins -------------------------------
@@ -799,35 +804,96 @@ def build(
                 f"join on {ROW_ID} ({len(union_groups)} single-pass union "
                 "group(s))"
             )
-        # Persist the recombined table: it feeds BOTH the output write and
-        # the post-build temporal audit (step 6, which needs the
-        # {feat}__feature_time columns the output projection drops).
-        # Without this, the audit aggregation re-executes every as-of join
-        # — measured as ~40% of a 10-feature 1M-label build. The write
-        # action populates the cache; MEMORY_AND_DISK spills rather than
-        # evicting under pressure.
-        combined = combined.persist()
-
         value_col_names: list[str] = []
         for feat in flat_features:
             _, value_cols = feature_tables[feat.name]
             value_col_names.extend(f"{feat.name}__{c}" for c in value_cols)
 
         out_cols = [*labels.keys, lt, *labels.target, *value_col_names]
-        result = combined
+
+        # ---- Stats + temporal-audit aggregation expressions ------------
+        # Everything the build needs to report — spine row count +
+        # label-time range (combined is 1:1 with the spine, see step 1),
+        # output row count under the on_missing filter, per-feature null
+        # counts, and the post-build temporal verification (reference
+        # engine.py:1342-1384) — is ONE set of aggregates over the
+        # pre-projection combined table. With an output path they ride the
+        # write itself as an Observation (zero extra Spark jobs, and the
+        # manifest describes exactly the materialization that was
+        # written); with output=None they run as a single agg job. The
+        # old plan paid four separate jobs plus a persist of combined
+        # whose only second consumer was those jobs; at 100K-label scale
+        # the fixed ~0.2s-per-job overhead was most of the wall clock.
+        skip_cond = None
         if on_missing == "skip" and value_col_names:
-            cond = None
             for c in value_col_names:
                 nn = F.col(c).isNotNull()
-                cond = nn if cond is None else (cond & nn)
-            result = result.where(cond)
-        result = result.select(*out_cols).orderBy(*labels.keys, lt)
+                skip_cond = nn if skip_cond is None else (skip_cond & nn)
+
+        first_cols: dict[str, str] = {}
+        for feat in flat_features:
+            _, value_cols = feature_tables[feat.name]
+            if value_cols:
+                first_cols[feat.name] = f"{feat.name}__{value_cols[0]}"
+
+        aggs: list[Any] = [
+            F.count(F.lit(1)).alias("__n_labels"),
+            F.min(lt).alias("__mn"),
+            F.max(lt).alias("__mx"),
+            (
+                F.count(F.when(skip_cond, 1)) if skip_cond is not None else F.count(F.lit(1))
+            ).alias("__n_result"),
+        ]
+        for i, c in enumerate(first_cols.values()):
+            in_result = F.col(c).isNull()
+            if skip_cond is not None:
+                in_result = skip_cond & in_result
+            aggs.append(F.count(F.when(in_result, 1)).alias(f"n_{i}"))
+        for feat in flat_features:
+            ft_col = F.col(f"{feat.name}__feature_time")
+            embargo_s = duration_seconds(feat.embargo) or 0
+            bound = F.col(lt)
+            if embargo_s:
+                bound = bound - F.make_dt_interval(secs=F.lit(embargo_s))
+            viol = (ft_col >= bound) if join == "strict" else (ft_col > bound)
+            aggs.append(
+                F.count(F.when(ft_col.isNotNull() & viol, 1)).alias(
+                    f"v_{safe_name(feat.name)}"
+                )
+            )
+
+        observation = None
+        observed = combined
+        if output is not None:
+            from pyspark.sql import Observation
+
+            observation = Observation()
+            observed = combined.observe(observation, *aggs)
+
+        result = observed
+        if skip_cond is not None:
+            result = result.where(skip_cond)
+        result = result.select(*out_cols)
 
         # Optional prefix flattening (reference engine.py:1281-1304)
         if flatten_columns:
             shorts = [c.split("__", 1)[1] if "__" in c else c for c in result.columns]
             if len(set(shorts)) == len(shorts):
                 result = result.toDF(*shorts)
+
+        # The deterministic final ORDER BY (O1) range-partitions, and the
+        # range partitioner SAMPLES its child before the real shuffle pass
+        # — without a cache boundary below the sort, the whole join
+        # pipeline would execute twice per write and the Observation node
+        # would double-count every metric. Persisting the pre-sort
+        # projection (smaller than combined: audit/rowid columns already
+        # dropped) makes the sample pass fill the cache, the shuffle pass
+        # read it, and the observe node fire exactly once.
+        pre_sort = None
+        if output is not None:
+            pre_sort = result.persist()
+            result = pre_sort
+        result = result.orderBy(*labels.keys, lt)
 
         # ---- Step 5: one materialization -> write + count + stats ------
         _emit("Writing output")
@@ -848,58 +914,51 @@ def build(
                 )
         else:
             part_cols = None
-        result = result.persist()
+        _emit("Verifying temporal correctness")
+        stats_map: dict[str, Any] | None = None
         if output is not None:
             _write_output(result, output, part_cols)
-        result_count = result.count()
+            try:
+                stats_map = observation.get
+            except Exception:
+                # The optimizer can eliminate the CollectMetrics node —
+                # statically empty relations, or AQE replacing a subtree
+                # that produced zero rows mid-execution — in which case
+                # the observation row is null and get() raises. Degenerate
+                # builds are exactly the cheap ones, so falling back to
+                # the standalone aggregation costs little.
+                logger.info(
+                    "build stats observation was optimized away; "
+                    "recomputing with a standalone aggregation"
+                )
+        if stats_map is None:
+            stats_map = combined.agg(*aggs).first().asDict()
         result_cols = result.columns
 
-        first_cols: dict[str, str] = {}
-        for feat in flat_features:
-            _, value_cols = feature_tables[feat.name]
-            if value_cols:
-                name = f"{feat.name}__{value_cols[0]}"
-                if flatten_columns and name not in result_cols:
-                    name = value_cols[0]
-                if name in result_cols:
-                    first_cols[feat.name] = name
-        feature_stats: dict[str, dict[str, Any]] = {}
-        if first_cols:
-            null_row = result.agg(
-                *[
-                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_{i}")
-                    for i, c in enumerate(first_cols.values())
-                ]
-            ).first()
-            for i, fname in enumerate(first_cols):
-                null_count = int(null_row[f"n_{i}"])
-                feature_stats[fname] = {
-                    "matched": result_count - null_count,
-                    "missing": null_count,
-                    "cached": feature_cache_status.get(fname, False),
-                }
+        label_count = int(stats_map["__n_labels"])
+        label_time_range = (
+            [str(stats_map["__mn"]), str(stats_map["__mx"])]
+            if stats_map["__mn"] is not None
+            else None
+        )
+        transcript[spine_transcript_idx] = (
+            f"-- spine: {label_count} label rows, keys={labels.keys}, label_time={lt}"
+        )
+        result_count = int(stats_map["__n_result"])
 
-        # ---- Step 6: post-build temporal verification ------------------
-        # One pass over the pre-projection combined table: for every feature,
-        # count matches violating the invariant (reference engine.py:1342-1384).
-        _emit("Verifying temporal correctness")
-        audit_passed = True
-        if flat_features:
-            checks = []
-            for feat in flat_features:
-                ft_col = F.col(f"{feat.name}__feature_time")
-                embargo_s = duration_seconds(feat.embargo) or 0
-                bound = F.col(lt)
-                if embargo_s:
-                    bound = bound - F.make_dt_interval(secs=F.lit(embargo_s))
-                viol = (ft_col >= bound) if join == "strict" else (ft_col > bound)
-                checks.append(
-                    F.count(F.when(ft_col.isNotNull() & viol, 1)).alias(
-                        f"v_{safe_name(feat.name)}"
-                    )
-                )
-            vrow = combined.agg(*checks).first()
-            audit_passed = all(int(v or 0) == 0 for v in vrow)
+        feature_stats: dict[str, dict[str, Any]] = {}
+        for i, fname in enumerate(first_cols):
+            null_count = int(stats_map[f"n_{i}"])
+            feature_stats[fname] = {
+                "matched": result_count - null_count,
+                "missing": null_count,
+                "cached": feature_cache_status.get(fname, False),
+            }
+
+        audit_passed = all(
+            int(stats_map[f"v_{safe_name(feat.name)}"] or 0) == 0
+            for feat in flat_features
+        )
 
         # ---- splits ----------------------------------------------------
         split_paths = None
@@ -1009,8 +1068,8 @@ def build(
             manifest_path = store.save_build(manifest)
             manifest["manifest_path"] = str(manifest_path)
 
-        result.unpersist()
-        combined.unpersist()
+        if pre_sort is not None:
+            pre_sort.unpersist()
         return BuildResult(
             output_path=str(output) if output else None,
             manifest=manifest,
