@@ -448,7 +448,10 @@ def connected_components(
     flat. Rounds needed = graph diameter; near-duplicate clusters are
     shallow (pairs all share a common doc), so convergence is fast. This is
     the standard driver-coordinated loop (same shape GraphFrames uses) —
-    per-round cost is two shuffles on the edge list.
+    per-round cost is two shuffles on the edge list, and ONE Spark job:
+    the checkpoints are lazy, so the round's convergence count is the
+    action that materializes them (an eager checkpoint plus a separate
+    count paid the fixed job overhead twice per round).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -456,11 +459,11 @@ def connected_components(
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
 
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -470,7 +473,9 @@ def connected_components(
         )
         # Carry the previous label through the checkpoint so the
         # convergence check is a scan of the materialized round output —
-        # no second join pass over the old labels.
+        # no second join pass over the old labels. The count() below is
+        # the materializing action: it truncates lineage for the next
+        # round AND returns the changed-count in the same job.
         new_labels = (
             labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
             .select(
@@ -478,7 +483,7 @@ def connected_components(
                 F.col("comp").alias("__prev"),
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("comp") != F.col("__prev")).count()
         labels = new_labels.select("vid", "comp")
