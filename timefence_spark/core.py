@@ -112,18 +112,29 @@ class CSVSource(Source):
 
 
 class SQLSource:
-    """A source defined by a Spark SQL query.
+    """A source defined by a SQL query.
+
+    Two execution modes, chosen by ``connection``:
+
+    * ``connection=None`` (default): ``query`` is Spark SQL, executed with
+      ``spark.sql`` — reference any registered temp views (see ``views``) or
+      use path-based readers (``parquet.`path```). Fully distributed.
+    * ``connection='/path/to.duckdb'``: ``query`` is DuckDB SQL, executed
+      driver-side against the attached database file (same semantics as the
+      reference, reference core.py:110-149). The result is staged to parquet
+      once and scanned by Spark from there — cheap for the
+      dimension-table-sized inputs this mode is for; use parquet/CSV sources
+      for data that shouldn't pass through the driver.
 
     Args:
-        query: Spark SQL text. The engine executes it with ``spark.sql`` —
-            reference any registered temp views or use path-based readers
-            (``parquet.`path```).
+        query: SQL text (dialect per ``connection`` above).
         keys: Entity key column name(s).
         timestamp: Temporal key column name.
         name: Human-readable name (required; used for temp-view naming).
         views: Optional {view_name: path} parquet inputs registered before the
-            query runs (Spark-side replacement for the reference's DuckDB
-            'connection' database file, reference core.py:110-149).
+            query runs — as Spark temp views (connection=None) or DuckDB
+            read_parquet views (connection set).
+        connection: Optional path to a DuckDB database file.
     """
 
     def __init__(
@@ -136,23 +147,12 @@ class SQLSource:
         views: dict[str, str] | None = None,
         connection: str | None = None,
     ):
-        if connection is not None:
-            # The reference attaches a DuckDB database file here (reference
-            # core.py:110-149); the Spark engine has no embedded database to
-            # attach, and silently ignoring the argument would drop data the
-            # user expects the query to see.
-            raise TimefenceConfigError(
-                "SQLSource 'connection' is not supported by the Spark engine. "
-                "Register parquet inputs with views={name: path} instead — "
-                "the query can reference them as tables — or read paths "
-                "directly in the query (parquet.`/path/to/file`)."
-            )
         self.query = query
         self.keys = _as_list(keys)
         self.timestamp = timestamp
         self.name = name
         self.views = views or {}
-        self.connection = None
+        self.connection = str(connection) if connection is not None else None
         self.path = None
         self.df = None
         self.format: Literal["sql"] = "sql"

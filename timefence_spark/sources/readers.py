@@ -96,9 +96,56 @@ def _df_to_spark(spark: SparkSession, df: Any) -> DataFrame:
         ) from exc
 
 
+def _load_duckdb_sql(spark: SparkSession, source: SQLSource) -> DataFrame:
+    """Run a connection-backed SQLSource's query in DuckDB and stage the
+    result to parquet for Spark to scan (reference core.py:110-149 attaches
+    the database file and runs the query in-process; we do the same on the
+    driver, then hand Spark a scannable file instead of a driver-resident
+    table). Staging is keyed on (db path, db mtime, query, views) so repeated
+    builds against an unchanged database reuse the same parquet."""
+    import hashlib
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    db_path = source.connection
+    if not Path(db_path).exists():
+        raise TimefenceValidationError(
+            f"SQLSource '{source.name}': connection database not found: {db_path}"
+        )
+    mtime = Path(db_path).stat().st_mtime_ns
+    key_src = repr((db_path, mtime, source.query, sorted(source.views.items())))
+    digest = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    stage = (
+        Path(tempfile.gettempdir())
+        / f"tf_sqlsource_{safe_name(source.name)}_{digest}.parquet"
+    )
+    if not stage.exists():
+        con = duckdb.connect(db_path, read_only=True)
+        try:
+            for view, path in source.views.items():
+                p = _abs(path)
+                if Path(p).is_dir():  # Spark-style parquet directory
+                    p = f"{p}/**/*.parquet"
+                con.execute(
+                    f"CREATE OR REPLACE TEMP VIEW {view} AS "
+                    f"SELECT * FROM read_parquet('{p}')"
+                )
+            tbl = con.execute(source.query).arrow()
+        finally:
+            con.close()
+        tmp = stage.with_suffix(".parquet.tmp")
+        pq.write_table(tbl, tmp)
+        tmp.replace(stage)  # atomic publish — concurrent builds see whole files
+    return read_parquet(spark, stage)
+
+
 def load_source_df(spark: SparkSession, source: Source | SQLSource) -> DataFrame:
     """Load a source into a DataFrame (S1 parquet, S2 csv, S3 df, S4 sql)."""
     if isinstance(source, SQLSource):
+        if source.connection is not None:
+            return _load_duckdb_sql(spark, source)
         for view, path in source.views.items():
             spark.read.parquet(_abs(path)).createOrReplaceTempView(view)
         return spark.sql(source.query)
