@@ -218,6 +218,91 @@ def _bench_skew(spark) -> dict[str, dict]:
     return results
 
 
+def _bench_streaming(spark) -> dict[str, dict]:
+    """Stream-stream as-of replay at SF_DIR (VERDICT r4 item 7): the same
+    availableNow file-source staging the correctness gate uses, timed.
+    Staging is untimed; each timed run replays every micro-batch through
+    applyInPandasWithState into the noop streaming sink with a fresh
+    checkpoint, so the number is per-batch overhead + state-store cost,
+    not parquet write cost. Two variants: the default (HDFS-backed) state
+    store and RocksDB — the provider you'd run at 100 TB state scale."""
+    import shutil
+    import uuid as _uuid
+
+    from timefence_spark.streaming import streaming_asof_join
+
+    stage, _ = entry_mod._stage_event_streams(spark, SF_DIR, with_sentinels=True)
+    lbl_schema = "event_id long, entity long, label_time timestamp_ntz"
+    ft_schema = "user_id long, feature_time timestamp_ntz, v double"
+
+    def run_once() -> None:
+        qname = f"b{_uuid.uuid4().hex[:8]}"
+        ls = (
+            spark.readStream.schema(lbl_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/labels/*")
+        )
+        fs = (
+            spark.readStream.schema(ft_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/features/*")
+        )
+        joined = streaming_asof_join(
+            ls,
+            fs,
+            on=[("entity", "user_id")],
+            left_time="label_time",
+            right_time="feature_time",
+            value_cols=["v"],
+            prefix="f",
+            embargo=3600,
+            lookback=7 * 86400,
+            strict=True,
+            max_delay="0 seconds",
+        )
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", f"{stage}/ckpt_{qname}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    results: dict[str, dict] = {}
+    for name, provider in (
+        ("streaming_asof", None),
+        ("streaming_asof_rocksdb", rocksdb),
+    ):
+        if provider is not None:
+            spark.conf.set(conf_key, provider)
+        try:
+            run_once()  # one warmup: ~20 s per replay, plan cost amortized
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_once()
+                runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            if provider is not None:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+        results[name] = {"sec": min(runs), "runs": runs}
+        print(f"streaming {name}: {runs}", file=sys.stderr)
+    shutil.rmtree(stage, ignore_errors=True)
+    return results
+
+
 def _bench_scale(spark) -> dict[str, dict]:
     """End-to-end build() timings per scenario.
 
@@ -397,9 +482,12 @@ def main() -> None:
     # skips them for a quick query-suite-only run.
     scale: dict[str, dict] = {}
     skew: dict[str, dict] = {}
+    streaming: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         scale = _bench_scale(spark)
         skew = _bench_skew(spark)
+    if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
+        streaming = _bench_streaming(spark)
 
     unstable = sorted(
         n
@@ -423,6 +511,7 @@ def main() -> None:
                 "unstable": unstable,
                 "scale": scale,
                 "skew": skew,
+                "streaming": streaming,
                 "sf": sf_val,
             }
         )

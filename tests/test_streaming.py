@@ -183,6 +183,61 @@ def test_stream_stream_embargo_and_lookback(spark, tmp_path, stream_dirs):
     )
 
 
+def test_stream_stream_asof_rocksdb_state_store(spark, tmp_path, stream_dirs):
+    """Same streaming/batch differential oracle under the RocksDB state
+    store — the provider for 100 TB-scale state (bounded memory, spill to
+    local disk). Pure config flip: applyInPandasWithState semantics and
+    emitted rows must be identical to the default HDFS-backed provider
+    (VERDICT r4 item 7)."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    froot, lroot = stream_dirs
+    spark.conf.set(conf_key, rocksdb)
+    try:
+        joined = streaming_asof_join(
+            _read_stream(spark, lroot, LABEL_SCHEMA),
+            _read_stream(spark, froot, FEAT_SCHEMA),
+            on="entity",
+            left_time="label_time",
+            right_time="feature_time",
+            value_cols=["score"],
+            prefix="f",
+            strict=True,
+            max_delay="0 seconds",
+        )
+        got = _run_stream(spark, tmp_path, joined)
+        got_rows = sorted(
+            [r.asDict() for r in got.collect()],
+            key=lambda r: (r["entity"], r["label_time"]),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    expected = asof_join(
+        spark.createDataFrame(LABELS, LABEL_SCHEMA),
+        spark.createDataFrame(FEATURES + SENTINELS, FEAT_SCHEMA),
+        on="entity",
+        left_time="label_time",
+        right_time="feature_time",
+        value_cols=["score"],
+        prefix="f",
+        strict=True,
+    )
+    exp_rows = sorted(
+        [r.asDict() for r in expected.collect()],
+        key=lambda r: (r["entity"], r["label_time"]),
+    )
+    assert got_rows == exp_rows
+
+
 def test_stream_static_asof(spark, tmp_path, stream_dirs):
     froot, lroot = stream_dirs
     static_feats = spark.createDataFrame(FEATURES, FEAT_SCHEMA)

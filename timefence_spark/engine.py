@@ -1077,6 +1077,7 @@ def build(
             splits=split_paths,
             sql="\n\n".join(transcript),
             physical_plans=physical_plans,
+            dataframe=result,
         )
     finally:
         # The spine's localCheckpoint blocks are freed by the

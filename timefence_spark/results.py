@@ -42,6 +42,12 @@ class BuildResult:
     # windows, scans) — the Spark analogue of the reference's executed-SQL
     # transcript (reference engine.py:1491-1497).
     physical_plans: dict[str, str] = field(default_factory=dict)
+    # The built training set as a LAZY Spark DataFrame (Spark-native extra;
+    # the reference's BuildResult is file-only, engine.py:76-81). Always set
+    # for fresh builds — with output=None this is the only way to consume
+    # the result; with an output path it shares the written plan. None for
+    # store-cache hits (read output_path instead).
+    dataframe: Any = None
 
     def __str__(self) -> str:
         lines = [
