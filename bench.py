@@ -75,13 +75,32 @@ def _force(df) -> None:
 # ---------------------------------------------------------------------------
 
 SCALE_CONFIGS = [
-    # (label, n_labels, n_features, timed_runs)
-    ("100k_x1", 100_000, 1, 3),
-    ("100k_x10", 100_000, 10, 3),
-    ("1m_x1", 1_000_000, 1, 3),
-    ("1m_x10", 1_000_000, 10, 3),
-    ("10m_x1", 10_000_000, 1, 1),  # single runs: ~minutes; linearity check
-    ("10m_x10", 10_000_000, 10, 1),
+    # (label, n_labels, n_features, timed_runs, build_kwargs)
+    ("100k_x1", 100_000, 1, 3, {}),
+    ("100k_x10", 100_000, 10, 3, {}),
+    ("1m_x1", 1_000_000, 1, 3, {}),
+    ("1m_x10", 1_000_000, 10, 3, {}),
+    # Reference extended-matrix variants at the published 1M x 10 shape
+    # (reference benchmarks/bench.py:228-236): per-feature embargo rides
+    # the same single-pass window (feature-side time shift), staleness is
+    # a post-filter bound, splits add two filtered writes.
+    ("1m_x10_embargo1d", 1_000_000, 10, 2, {"embargo": "1d"}),
+    ("1m_x10_staleness30d", 1_000_000, 10, 2, {"max_staleness": "30d"}),
+    (
+        "1m_x10_splits",
+        1_000_000,
+        10,
+        2,
+        {
+            "splits": {
+                "train": ("2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+                "test": ("2024-01-01 12:00:00", "2024-01-02 00:00:01"),
+            }
+        },
+    ),
+    ("1m_x50", 1_000_000, 50, 2, {}),
+    ("10m_x1", 10_000_000, 1, 1, {}),  # ~minutes; linearity check
+    ("10m_x10", 10_000_000, 10, 3, {}),
 ]
 
 SCALE_SEED = 42
@@ -213,8 +232,15 @@ def _bench_skew(spark) -> dict[str, dict]:
             **kwargs,
         )
         runs = _timed_runs(lambda: _force(joined), 2)
+        # one extra untimed execution bracketed by snapshots, so the
+        # shuffle delta covers exactly one run (not warmups + timed runs)
+        before = _stages_snapshot(spark)
+        _force(joined)
+        shuffle = _shuffle_delta(before, _stages_snapshot(spark))
         results[name] = {"sec": min(runs), "runs": runs}
-        print(f"skew {name}: {runs}", file=sys.stderr)
+        if shuffle is not None:
+            results[name]["shuffle"] = shuffle
+        print(f"skew {name}: {runs} shuffle={shuffle}", file=sys.stderr)
     return results
 
 
@@ -303,20 +329,60 @@ def _bench_streaming(spark) -> dict[str, dict]:
     return results
 
 
+def _stages_snapshot(spark) -> list[dict] | None:
+    """All stage metrics from the UI REST API (needs spark.ui.enabled).
+
+    Returns None when the UI is off or unreachable — shuffle accounting is
+    then simply omitted from the bench line rather than failing it."""
+    try:
+        import json as _json
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            return _json.load(r)
+    except Exception:
+        return None
+
+
+def _shuffle_delta(before: list[dict] | None, after: list[dict] | None):
+    """Shuffle bytes written/read by the stages that ran between two
+    snapshots (stage ids are monotonically increasing). This is the logged
+    evidence for the one-shuffle-per-side claim: bytes, not plan prose."""
+    if before is None or after is None:
+        return None
+    max_before = max((s["stageId"] for s in before), default=-1)
+    new = [s for s in after if s["stageId"] > max_before]
+    return {
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6, 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in new) / 1e6, 1
+        ),
+        "stages": len(new),
+    }
+
+
 def _bench_scale(spark) -> dict[str, dict]:
     """End-to-end build() timings per scenario.
 
     No per-scenario warmup: every scenario shares one plan shape, so the
     first (smallest) scenario warms codegen for all of them — warming each
     1M/10M scenario would double its cost for no extra signal. Reported
-    value = min of the timed runs (see module docstring), raw runs kept."""
+    value = min of the timed runs (see module docstring), raw runs kept.
+    The first timed run of each scenario also records its shuffle
+    read/write bytes (UI REST delta)."""
     import shutil
     import uuid
 
     import timefence_spark as tf
 
     results: dict[str, dict] = {}
-    for label, n_labels, n_features, n_runs in SCALE_CONFIGS:
+    for label, n_labels, n_features, n_runs, build_kwargs in SCALE_CONFIGS:
         labels_path, feature_paths = _gen_scale_data(n_labels, n_features)
         labels = tf.Labels(
             path=labels_path,
@@ -333,19 +399,33 @@ def _bench_scale(spark) -> dict[str, dict]:
             for i, p in enumerate(feature_paths)
         ]
         runs = []
-        for _ in range(n_runs):
+        shuffle = None
+        for run_i in range(n_runs):
             out = f"/tmp/tf_scale_out_{uuid.uuid4().hex[:8]}.parquet"
+            before = _stages_snapshot(spark) if run_i == 0 else None
             t0 = time.perf_counter()
-            tf.build(labels, features, out, max_lookback="365d", spark=spark)
+            tf.build(
+                labels, features, out, max_lookback="365d", spark=spark,
+                **build_kwargs,
+            )
             runs.append(round(time.perf_counter() - t0, 3))
+            if run_i == 0:
+                shuffle = _shuffle_delta(before, _stages_snapshot(spark))
             shutil.rmtree(out, ignore_errors=True)
+            for extra in ("train", "test"):
+                shutil.rmtree(
+                    out.replace(".parquet", f"_{extra}.parquet"),
+                    ignore_errors=True,
+                )
         results[label] = {
             "sec": min(runs),
             "runs": runs,
             "n_labels": n_labels,
             "n_features": n_features,
         }
-        print(f"scale {label}: {runs}", file=sys.stderr)
+        if shuffle is not None:
+            results[label]["shuffle"] = shuffle
+        print(f"scale {label}: {runs} shuffle={shuffle}", file=sys.stderr)
 
     # Rebuild-and-compare audit at the reference's published shape
     # (BASELINE.md README row: audit 1M x 10 = 8.5 s): build the target
@@ -365,7 +445,9 @@ def _bench_scale(spark) -> dict[str, dict]:
     target = f"/tmp/tf_audit_target_{uuid.uuid4().hex[:8]}.parquet"
     tf.build(labels, features, target, max_lookback="365d", spark=spark)
     runs = []
-    for _ in range(3):
+    shuffle = None
+    for run_i in range(3):
+        before = _stages_snapshot(spark) if run_i == 0 else None
         t0 = time.perf_counter()
         tf.audit(
             target,
@@ -376,6 +458,8 @@ def _bench_scale(spark) -> dict[str, dict]:
             spark=spark,
         )
         runs.append(round(time.perf_counter() - t0, 3))
+        if run_i == 0:
+            shuffle = _shuffle_delta(before, _stages_snapshot(spark))
     shutil.rmtree(target, ignore_errors=True)
     results["audit_rebuild_1m_x10"] = {
         "sec": min(runs),
@@ -383,6 +467,8 @@ def _bench_scale(spark) -> dict[str, dict]:
         "n_labels": 1_000_000,
         "n_features": 10,
     }
+    if shuffle is not None:
+        results["audit_rebuild_1m_x10"]["shuffle"] = shuffle
     print(f"scale audit_rebuild_1m_x10: {runs}", file=sys.stderr)
     return results
 
@@ -455,7 +541,10 @@ def main() -> None:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
-        .config("spark.ui.enabled", "false")
+        # The UI stays ON for the bench (unlike tests): its REST API is how
+        # per-scenario shuffle bytes are measured. Listener overhead is
+        # negligible next to the timed work and identical across rounds.
+        .config("spark.ui.enabled", "true")
         # Keep raw progress bars out of captured output: the bench artifact
         # should be the one JSON line, not carriage-return escapes.
         .config("spark.ui.showConsoleProgress", "false")
