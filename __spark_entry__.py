@@ -993,6 +993,98 @@ ORACLE_LANG_ID = r"""
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style pretraining quality rules per document (word-count band,
+    mean word length, symbol ratio, alpha-word fraction, stopword presence)
+    — one shuffle-free projection (operators/text.gopher_quality)."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.gopher_quality(
+        docs, id_col="doc_id", text_col="text", min_words=10
+    )
+
+
+ORACLE_GOPHER = r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+            LEN(toks) AS n_words,
+            ROUND(list_sum(list_transform(toks, x -> LENGTH(x)))::DOUBLE
+                  / LEN(toks), 6) AS mean_word_len,
+            ROUND((LENGTH(text) - LENGTH(replace(text, '#', ''))
+                   + LEN(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE
+                  / LEN(toks), 6) AS symbol_ratio,
+            ROUND(LEN(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                  / LEN(toks), 6) AS alpha_word_frac,
+            LEN(list_filter(list_distinct(toks), x -> list_contains(
+                ['the','and','of','to','in','is','that','it','for','with',
+                 'a','an','on','at','by','as','be','are'], x))) AS stopword_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           stopword_hits,
+           (n_words >= 10 AND n_words <= 100000) AS rule_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+           (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+           (alpha_word_frac >= 0.8) AS rule_alpha_words,
+           (stopword_hits >= 2) AS rule_stopwords,
+           ((n_words >= 10 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (alpha_word_frac >= 0.8)
+            AND (stopword_hits >= 2)) AS gopher_pass
+    FROM s
+"""
+
+
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals over word bigrams (duplicate-
+    n-gram fraction + top-n-gram fraction, Rae et al. repetition filters).
+    Per-row sorted-array run-length pass — zero shuffle; the oracle
+    recomputes the modal bigram relationally (unnest -> count -> argmax
+    with the same count-desc, gram-asc tie-break)."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.repetition_signals(docs, id_col="doc_id", text_col="text", ngram=2)
+
+
+ORACLE_REPETITION = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+            CASE WHEN LEN(toks) >= 2
+                 THEN list_transform(range(1, LEN(toks)),
+                                     i -> concat(toks[i], ' ', toks[i+1]))
+                 ELSE [] END AS grams
+        FROM t
+    ), counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        GROUP BY doc_id, gram
+    ), top AS (
+        SELECT doc_id, c, gram,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY c DESC, gram ASC
+               ) AS rn
+        FROM counts
+    )
+    SELECT g.doc_id,
+           LEN(g.grams) AS n_ngrams,
+           CASE WHEN LEN(g.grams) > 0
+                THEN ROUND(1.0 - LEN(list_distinct(g.grams))::DOUBLE
+                           / LEN(g.grams), 6)
+                ELSE 0.0 END AS dup_ngram_frac,
+           CASE WHEN LEN(g.grams) > 0
+                THEN ROUND(top.c::DOUBLE / LEN(g.grams), 6)
+                ELSE 0.0 END AS top_ngram_frac,
+           top.gram AS top_ngram
+    FROM g LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via random-hyperplane LSH; fully oracle-checked —
     the DuckDB oracle replays the identical pipeline with the same
@@ -1407,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "gopher_quality": q_gopher_quality,
+        "repetition_ngrams": q_repetition_ngrams,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
@@ -1447,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "quality_score": ORACLE_QUALITY,
         "lang_id": ORACLE_LANG_ID,
+        "gopher_quality": ORACLE_GOPHER,
+        "repetition_ngrams": ORACLE_REPETITION,
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),

@@ -125,3 +125,66 @@ def test_fingerprint_properties(spark, docs):
     for i in by_id:
         if i >= 9000:
             assert by_id[i] == by_id[i - 9000]
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule fires on its designed violation; pass requires all."""
+    rows = [
+        (1, "the quick brown foxes jumped over the lazy dogs and then rested on warm stones for hours"),
+        (2, "a b c d e f g h i j k l m n o p"),            # short words
+        (3, "word " * 4),                                   # too few words
+        (4, "#x #y #z " * 8 + "the of and to in is that"),  # symbol-heavy
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12 the of"),           # digit words
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.gopher_quality(
+            df, id_col="doc_id", text_col="text", min_words=10
+        ).collect()
+    }
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["rule_mean_word_len"] is False and got[2]["gopher_pass"] is False
+    assert got[3]["rule_word_count"] is False
+    assert got[4]["rule_symbol_ratio"] is False
+    assert got[5]["rule_alpha_words"] is False
+    # Thresholds are per-call knobs
+    loose = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.gopher_quality(
+            df, id_col="doc_id", text_col="text",
+            min_words=2, min_mean_word_len=0.0, max_symbol_ratio=10.0,
+            min_alpha_frac=0.0, min_stopword_hits=0,
+        ).collect()
+    }
+    assert all(v["gopher_pass"] for v in loose.values())
+
+
+def test_repetition_signals_exact(spark):
+    rows = [
+        (1, "a b a b a b a b"),       # "a b" x4 of 7 bigrams
+        (2, "all unique words here"),  # 3 bigrams, all distinct
+        (3, "solo"),                   # no bigram
+        (4, "x y x y z x y"),          # "x y" x3 of 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.repetition_signals(
+            df, id_col="doc_id", text_col="text", ngram=2
+        ).collect()
+    }
+    assert got[1]["n_ngrams"] == 7 and got[1]["top_ngram"] == "a b"
+    assert got[1]["top_ngram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert got[1]["dup_ngram_frac"] == pytest.approx(1 - 2 / 7, abs=1e-6)
+    assert got[2]["dup_ngram_frac"] == 0.0 and got[2]["top_ngram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["n_ngrams"] == 0 and got[3]["top_ngram"] is None
+    assert got[4]["top_ngram"] == "x y" and got[4]["top_ngram_frac"] == 0.5
+    # trigram mode
+    tri = {
+        r["doc_id"]: r.asDict()
+        for r in text_ops.repetition_signals(
+            df, id_col="doc_id", text_col="text", ngram=3
+        ).collect()
+    }
+    assert tri[1]["top_ngram"] in ("a b a", "b a b") and tri[1]["n_ngrams"] == 6

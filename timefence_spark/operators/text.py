@@ -167,6 +167,137 @@ def lang_id(
     )
 
 
+def gopher_quality(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style pretraining-data quality rules (Rae et al. 2021, §A1.1):
+    word-count band, mean word length band, symbol-to-word ratio (# and
+    ellipsis), fraction of words containing an alphabetic character, and
+    presence of at least ``min_stopword_hits`` distinct common stopwords.
+
+    Emits each signal, each rule's boolean, and the conjunctive
+    ``gopher_pass``. One projection per row — no shuffle, no Python; runs
+    at scan speed over a 100 TB corpus and composes with ``filter`` for the
+    actual drop. ``stopwords`` plugs in a production lexicon (defaults to
+    the demo ``EN_STOPWORDS``)."""
+    if stopwords is None:
+        stopwords = EN_STOPWORDS
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.round(total_chars.cast("double") / n_words, 6)
+    # symbols: '#' plus unicode/ascii ellipsis occurrences across the doc
+    text = F.col(text_col)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(
+        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / n_words, 6)
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.round(n_alpha_words.cast("double") / n_words, 6)
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    stop_hits = F.size(
+        F.filter(F.array_distinct(toks), lambda t: F.array_contains(stop_arr, t))
+    )
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_wordlen = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        r_words.alias("rule_word_count"),
+        r_wordlen.alias("rule_mean_word_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_wordlen & r_symbol & r_alpha & r_stop).alias("gopher_pass"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    ngram: int = 2,
+) -> DataFrame:
+    """Within-document repetition (Rae et al. 2021 §A1.2, the n-gram rules):
+    ``dup_ngram_frac`` (fraction of word n-grams that are repeats of an
+    earlier occurrence) and ``top_ngram_frac`` (occurrences of the single
+    most frequent n-gram over all n-grams), plus that top n-gram for
+    inspection.
+
+    Scale shape: the naive relational form (explode n-grams -> count per
+    (doc, gram) -> argmax per doc) shuffles every n-gram of every document
+    — O(corpus tokens) shuffle rows. Here the whole computation is a
+    per-row projection: sort the document's n-gram array, then one
+    ``aggregate`` pass counts the longest equal run (= the modal count).
+    O(n log n) per document, zero shuffle, corpus-size-independent."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1)))
+    grams = F.when(
+        n >= ngram,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams_sorted = F.array_sort(grams)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    # Longest equal run in the sorted array == count of the modal n-gram;
+    # carry (prev, run, best, best_gram) through one aggregate pass.
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("best_gram"),
+    )
+
+    def step(acc, x):  # noqa: ANN001 - Column HOF
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    top = F.aggregate(grams_sorted, zero, step)
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_ngrams"),
+        F.when(n_grams > 0, F.round(1.0 - n_distinct.cast("double") / n_grams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+        F.when(n_grams > 0, F.round(top["best"].cast("double") / n_grams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
+        top["best_gram"].alias("top_ngram"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     *,
