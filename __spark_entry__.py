@@ -1085,6 +1085,129 @@ ORACLE_REPETITION = r"""
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval set;
+    the rest of the corpus is flagged on >=1 shared word 5-gram
+    (operators/dedup.decontaminate: broadcast bench-gram set, ids-only
+    match counting)."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(
+        corpus, bench, id_col="doc_id", text_col="text", n=5, min_overlap=1
+    )
+
+
+ORACLE_DECONTAMINATION = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+4], ' ')
+                   FOR i IN range(1, GREATEST(len(toks) - 4, 1) + 1)
+               ]) AS grams
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+    ), corpus AS (
+        SELECT * FROM g WHERE doc_id % 50 <> 0
+    ), m AS (
+        SELECT c.doc_id, COUNT(*) AS matched
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+        JOIN bench USING (gram)
+        GROUP BY c.doc_id
+    )
+    SELECT corpus.doc_id,
+           len(corpus.grams) AS n_grams,
+           COALESCE(m.matched, 0) AS matched_grams,
+           (COALESCE(m.matched, 0) >= 1) AS contaminated
+    FROM corpus LEFT JOIN m USING (doc_id)
+"""
+
+
+# Portable salted 60-bit md5 hash, as computed by operators/sampling.py in
+# hash_fn='md5' mode: DuckDB evaluates this bit-identically.
+def _duck_md5_hash(id_expr: str, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat({id_expr}::VARCHAR, ':{salt}')),"
+        f" 1, 15)) AS BIGINT)"
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% corpus sample by salted id hash (portable md5
+    mode) — selection is a pure function of (id, salt): stable across
+    reruns/partitioning and replayable by the oracle."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.hash_sample(
+        docs.select("doc_id", "lang", "source"),
+        id_col="doc_id", fraction=0.3, salt="bench", hash_fn="md5",
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_duck_md5_hash("doc_id", "bench")} % 1000000 < 300000
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) quota sample: 5 docs per stratum,
+    ranked by salted hash with id tie-break — one shuffle on the strata
+    columns into a window row_number."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.stratified_sample(
+        docs.select("doc_id", "lang", "source"),
+        strata_cols=["lang", "source"], n_per_stratum=5,
+        id_col="doc_id", salt="strat", hash_fn="md5",
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {_duck_md5_hash("doc_id", "strat")} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+"""
+
+
+def q_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash: the
+    standard reproducible corpus split (split of a given id never changes
+    as the corpus grows). Splits occupy contiguous hash ranges in
+    sorted-name order: test [0, 0.1), train [0.1, 0.9), val [0.9, 1)."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.split_by_hash(
+        docs.select("doc_id"),
+        id_col="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="sp", hash_fn="md5",
+    )
+
+
+ORACLE_SPLIT_BY_HASH = f"""
+    SELECT doc_id,
+           CASE WHEN {_duck_md5_hash("doc_id", "sp")} % 1000000 < 100000
+                THEN 'test'
+                WHEN {_duck_md5_hash("doc_id", "sp")} % 1000000 < 900000
+                THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via random-hyperplane LSH; fully oracle-checked —
     the DuckDB oracle replays the identical pipeline with the same
@@ -1501,6 +1624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "repetition_ngrams": q_repetition_ngrams,
+        "decontamination": q_decontamination,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "split_by_hash": q_split_by_hash,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
@@ -1543,6 +1670,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ORACLE_LANG_ID,
         "gopher_quality": ORACLE_GOPHER,
         "repetition_ngrams": ORACLE_REPETITION,
+        "decontamination": ORACLE_DECONTAMINATION,
+        "hash_sample": ORACLE_HASH_SAMPLE,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "split_by_hash": ORACLE_SPLIT_BY_HASH,
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),

@@ -202,3 +202,125 @@ def test_minhash_components_groups_planted_dups(spark, docs_with_dups):
     # planted near-dup of doc k is doc 100000+k -> same component, min id k
     assert got[100001] == got[1] == 1
     assert got[100002] == got[2] == 2
+
+
+# ---------------------------------------------------------------------------
+# Sampling operators (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_determinism_and_nesting(spark):
+    from timefence_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_sample(df, id_col="doc_id", fraction=0.1, salt="x")
+    b = sampling.hash_sample(df, id_col="doc_id", fraction=0.3, salt="x")
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    # deterministic across runs AND partitionings
+    again = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            df.repartition(7), id_col="doc_id", fraction=0.1, salt="x"
+        ).collect()
+    }
+    assert ids_a == again
+    # same salt => nested samples; different salt => different selection
+    assert ids_a.issubset(ids_b)
+    other = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            df, id_col="doc_id", fraction=0.1, salt="y"
+        ).collect()
+    }
+    assert other != ids_a
+    # fraction is approximately honored
+    assert 0.05 < len(ids_a) / 2000 < 0.15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        sampling.hash_sample(df, id_col="doc_id", fraction=1.5)
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators import sampling
+
+    df = (
+        spark.range(500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("grp", (F.col("doc_id") % 7).cast("int"))
+    )
+    out = sampling.stratified_sample(
+        df, strata_cols="grp", n_per_stratum=5, id_col="doc_id", salt="s"
+    )
+    counts = {r.grp: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert all(c == 5 for c in counts.values()) and len(counts) == 7
+    # nested: n=2 selection is a subset of n=5 under the same salt
+    small = sampling.stratified_sample(
+        df, strata_cols="grp", n_per_stratum=2, id_col="doc_id", salt="s"
+    )
+    assert {r.doc_id for r in small.collect()} <= {r.doc_id for r in out.collect()}
+
+
+def test_split_by_hash_partition_and_weights(spark):
+    from timefence_spark.operators import sampling
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = sampling.split_by_hash(
+        df, id_col="doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = out.collect()
+    assert len(rows) == 5000  # total partition: every row exactly one split
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.05 < counts["val"] / 5000 < 0.15
+    # growing the corpus never reassigns an existing id
+    bigger = sampling.split_by_hash(
+        spark.range(10000).withColumnRenamed("id", "doc_id"),
+        id_col="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    first = {r.doc_id: r["split"] for r in out.collect()}
+    grown = {r.doc_id: r["split"] for r in bigger.collect()}
+    assert all(grown[i] == s for i, s in first.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        sampling.split_by_hash(df, id_col="doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_decontaminate_flags_and_counts(spark):
+    from timefence_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),     # exact bench hit
+            (2, "one two three four five six seven"),       # clean
+            (3, "pad alpha beta gamma delta epsilon tail"), # embedded overlap
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in decontaminate(
+            docs, bench, id_col="doc_id", text_col="text", n=5, min_overlap=1
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["matched_grams"] == 2
+    assert not out[2]["contaminated"] and out[2]["matched_grams"] == 0
+    assert out[3]["contaminated"] and out[3]["matched_grams"] == 1
+    # min_overlap raises the bar
+    strict = {
+        r.doc_id: r["contaminated"]
+        for r in decontaminate(
+            docs, bench, id_col="doc_id", text_col="text", n=5, min_overlap=2
+        ).collect()
+    }
+    assert strict[1] and not strict[3]

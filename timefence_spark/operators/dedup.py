@@ -432,6 +432,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_id: str | None = None,
+    bench_text: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at least
+    ``min_overlap`` distinct word ``n``-grams with ANY benchmark document
+    (the standard eval-set contamination rule — e.g. GPT-3's 13-gram /
+    Gopher's 8-gram overlap checks).
+
+    Returns ``(id, n_grams, matched_grams, contaminated)`` — one row per
+    corpus document, so callers drop with ``.where(~contaminated)`` or keep
+    the counts for audit.
+
+    100 TB shape: the benchmark side (an eval suite — KBs to MBs) reduces
+    to its DISTINCT gram set and broadcasts; the corpus side explodes to
+    (id, gram) and hits that broadcast with an inner hash join — no
+    corpus-side shuffle for matching. The only shuffle is the per-document
+    match count, which carries ids of MATCHED grams only (contamination is
+    rare, so this is a trickle), and the final enrich join whose right side
+    is that same small matched table (size-gated broadcast under AQE)."""
+    bench_id = bench_id or id_col
+    bench_text = bench_text or text_col
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col(bench_text), n)).alias("__gram"))
+        .distinct()
+    )
+    base = corpus.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("__grams")
+    )
+    ex = base.select(id_col, F.explode("__grams").alias("__gram"))
+    matched = (
+        ex.join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
+    )
+    return (
+        base.select(F.col(id_col), F.size("__grams").alias("n_grams"))
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("matched_grams", F.lit(0)).alias("matched_grams"),
+            (F.coalesce("matched_grams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transitive closure: connected components over near-duplicate pairs
 # ---------------------------------------------------------------------------

@@ -1,0 +1,126 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling is wrong for 100 TB pipeline work: reruns must select the
+SAME rows (cache keys, incremental builds, reproducibility), so every
+operator here derives its decision from a salted content hash of the row's
+id — stable across runs, partitions, and cluster sizes, and expressible in
+external SQL engines for differential verification.
+
+Two hash modes everywhere, mirroring ``operators.dedup``/``fingerprint``:
+
+* ``'xxhash64'`` (default) — Spark's built-in, one JVM expression, fastest.
+* ``'md5'`` — the portable 60-bit md5-prefix hash that external engines
+  (DuckDB: ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``) compute
+  bit-identically, so oracle queries replay the exact selection.
+
+All operators are single projections or one window; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Hash-bucket resolution for fraction sampling: fraction granularity is
+# 1/_BUCKETS (1e-6), plenty for corpus sampling.
+_BUCKETS = 1_000_000
+
+
+def _salted_hash(col: Column, salt: str, hash_fn: str) -> Column:
+    """Non-negative deterministic hash of (col, salt)."""
+    keyed = F.concat_ws(":", col.cast("string"), F.lit(salt))
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(keyed), F.lit(2**62))
+    if hash_fn == "md5":
+        # 60-bit prefix of md5 — portable (see module docstring).
+        return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by salted id hash.
+
+    Unlike ``DataFrame.sample`` (seeded per-partition RNG: selection
+    changes when partitioning changes), the decision is a pure function of
+    (id, salt): stable under repartition, rerun, and engine. Different
+    salts give independent samples; the same salt gives nested samples
+    (fraction 0.1 ⊂ fraction 0.2). One filter — pushes down to the scan."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    return df.where(F.pmod(h, F.lit(_BUCKETS)) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_cols: str | list[str],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic ``n_per_stratum`` rows per stratum: rank rows inside
+    each stratum by salted id hash (id as tie-break) and keep the first n.
+
+    The per-source / per-language quota sampler for corpus balancing.
+    Physical shape: ONE shuffle on the strata columns into a window
+    row_number — no driver-side quota bookkeeping. Skewed strata bound the
+    sort partition at stratum size; quota selection of a same-salt sample
+    is again nested (n=100 ⊂ n=1000)."""
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Assign every row to a named split by salted id hash: adds a
+    ``split`` column ('train'/'val'/... per ``weights``, which must sum to
+    1.0 within 1e-6). Deterministic train/val/test partitioning that is
+    reproducible across engines and reruns, and consistent for a given id
+    even as the corpus around it grows. One projection, no shuffle;
+    downstream writes can ``partitionBy('split')``.
+
+    Split names are assigned in sorted-name order over contiguous hash
+    ranges, so the mapping is stable under dict reordering."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    h = F.pmod(_salted_hash(F.col(id_col), salt, hash_fn), F.lit(_BUCKETS))
+    expr = None
+    cum = 0.0
+    for name in sorted(weights):
+        cum += weights[name]
+        bound = int(round(cum * _BUCKETS))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # Float-rounding guard: anything at/above the last bound lands in the
+    # final (sorted-last) split.
+    expr = expr.otherwise(F.lit(sorted(weights)[-1]))
+    return df.withColumn("split", expr)
