@@ -53,7 +53,9 @@ def hash_sample(
     changes when partitioning changes), the decision is a pure function of
     (id, salt): stable under repartition, rerun, and engine. Different
     salts give independent samples; the same salt gives nested samples
-    (fraction 0.1 ⊂ fraction 0.2). One filter — pushes down to the scan."""
+    (fraction 0.1 ⊂ fraction 0.2). One filter evaluated in the scan stage
+    — no shuffle, no extra pass (the hash predicate can't prune parquet
+    row groups, but rows drop before anything downstream sees them)."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     h = _salted_hash(F.col(id_col), salt, hash_fn)

@@ -193,40 +193,56 @@ def gopher_quality(
     the demo ``EN_STOPWORDS``)."""
     if stopwords is None:
         stopwords = EN_STOPWORDS
-    toks = _tokens(F.col(text_col))
+    # Staged projections (tokens -> signals -> rules): the token split and
+    # the filter/aggregate HOFs are non-codegen, so inlining them into
+    # every signal column would re-split the text per column; staging makes
+    # each execute once (CollapseProject keeps non-cheap exprs staged).
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    text = F.col("__text")
     n_words = F.size(toks)
     total_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    mean_word_len = F.round(total_chars.cast("double") / n_words, 6)
     # symbols: '#' plus unicode/ascii ellipsis occurrences across the doc
-    text = F.col(text_col)
     n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
     n_ellipsis = F.size(
         F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
     )
-    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / n_words, 6)
     n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    alpha_frac = F.round(n_alpha_words.cast("double") / n_words, 6)
     stop_arr = F.array(*[F.lit(w) for w in stopwords])
     stop_hits = F.size(
         F.filter(F.array_distinct(toks), lambda t: F.array_contains(stop_arr, t))
     )
-
-    r_words = (n_words >= min_words) & (n_words <= max_words)
-    r_wordlen = (mean_word_len >= min_mean_word_len) & (
-        mean_word_len <= max_mean_word_len
-    )
-    r_symbol = symbol_ratio <= max_symbol_ratio
-    r_alpha = alpha_frac >= min_alpha_frac
-    r_stop = stop_hits >= min_stopword_hits
-    return df.select(
-        F.col(id_col),
+    signals = staged.select(
+        id_col,
         n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
+        F.round(total_chars.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis).cast("double") / n_words, 6).alias(
+            "symbol_ratio"
+        ),
+        F.round(n_alpha_words.cast("double") / n_words, 6).alias("alpha_word_frac"),
         stop_hits.alias("stopword_hits"),
+    )
+
+    r_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_wordlen = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    r_symbol = F.col("symbol_ratio") <= max_symbol_ratio
+    r_alpha = F.col("alpha_word_frac") >= min_alpha_frac
+    r_stop = F.col("stopword_hits") >= min_stopword_hits
+    return signals.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "stopword_hits",
         r_words.alias("rule_word_count"),
         r_wordlen.alias("rule_mean_word_len"),
         r_symbol.alias("rule_symbol_ratio"),
@@ -254,17 +270,25 @@ def repetition_signals(
     — O(corpus tokens) shuffle rows. Here the whole computation is a
     per-row projection: sort the document's n-gram array, then one
     ``aggregate`` pass counts the longest equal run (= the modal count).
-    O(n log n) per document, zero shuffle, corpus-size-independent."""
-    toks = _tokens(F.col(text_col))
+    O(n log n) per document, zero shuffle, corpus-size-independent.
+
+    Built as STAGED projections (grams -> aggregates -> ratios), not one
+    select: inlining everything duplicates the non-codegen run-length
+    aggregate per output column that reads it, and Catalyst's
+    CollapseProject keeps non-cheap expressions staged rather than
+    re-inlining them — so the sort + run pass executes once per row."""
+    tokenized = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1)))
     grams = F.when(
         n >= ngram,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))),
     ).otherwise(F.array().cast("array<string>"))
-    grams_sorted = F.array_sort(grams)
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
+    staged = tokenized.select(F.col(id_col), grams.alias("__grams"))
+
     # Longest equal run in the sorted array == count of the modal n-gram;
     # carry (prev, run, best, best_gram) through one aggregate pass.
     zero = F.struct(
@@ -284,17 +308,26 @@ def repetition_signals(
             F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
         )
 
-    top = F.aggregate(grams_sorted, zero, step)
-    return df.select(
-        F.col(id_col),
-        n_grams.alias("n_ngrams"),
-        F.when(n_grams > 0, F.round(1.0 - n_distinct.cast("double") / n_grams, 6))
+    agg = staged.select(
+        id_col,
+        F.size("__grams").alias("n_ngrams"),
+        F.size(F.array_distinct("__grams")).alias("__nd"),
+        F.aggregate(F.array_sort("__grams"), zero, step).alias("__top"),
+    )
+    n_grams = F.col("n_ngrams")
+    return agg.select(
+        id_col,
+        "n_ngrams",
+        F.when(n_grams > 0, F.round(1.0 - F.col("__nd").cast("double") / n_grams, 6))
         .otherwise(F.lit(0.0))
         .alias("dup_ngram_frac"),
-        F.when(n_grams > 0, F.round(top["best"].cast("double") / n_grams, 6))
+        F.when(
+            n_grams > 0,
+            F.round(F.col("__top")["best"].cast("double") / n_grams, 6),
+        )
         .otherwise(F.lit(0.0))
         .alias("top_ngram_frac"),
-        top["best_gram"].alias("top_ngram"),
+        F.col("__top")["best_gram"].alias("top_ngram"),
     )
 
 
