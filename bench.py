@@ -382,7 +382,7 @@ def _bench_scale(spark) -> dict[str, dict]:
     import timefence_spark as tf
 
     results: dict[str, dict] = {}
-    for label, n_labels, n_features, n_runs, build_kwargs in SCALE_CONFIGS:
+    for label, n_labels, n_features, n_runs, scenario_kwargs in SCALE_CONFIGS:
         labels_path, feature_paths = _gen_scale_data(n_labels, n_features)
         labels = tf.Labels(
             path=labels_path,
@@ -390,11 +390,16 @@ def _bench_scale(spark) -> dict[str, dict]:
             label_time="label_time",
             target="churned",
         )
+        # embargo is a per-Feature argument (reference benchmarks/
+        # bench.py:99-114 routes it the same way); the rest go to build().
+        build_kwargs = dict(scenario_kwargs)
+        embargo = build_kwargs.pop("embargo", None)
         features = [
             tf.Feature(
                 tf.Source(path=p, keys=["user_id"], timestamp="updated_at"),
                 columns=[f"val_{i}"],
                 name=f"feature_{i}",
+                embargo=embargo,
             )
             for i, p in enumerate(feature_paths)
         ]
