@@ -31,20 +31,37 @@ def _tokens(text: Column) -> Column:
 
 def token_stats(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Token counting + type/token profile: n_chars, n_tokens, n_types,
-    type_token_ratio, mean_token_len (BPE-ish proxy: whitespace tokens)."""
-    toks = _tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_types = F.size(F.array_distinct(toks))
-    total_tok_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    return df.select(
+    type_token_ratio, mean_token_len (BPE-ish proxy: whitespace tokens).
+
+    Staged projections (see repetition_signals): the split and the
+    char-sum aggregate are non-codegen, so staging keeps each at one
+    evaluation per row instead of one per consuming output column."""
+    staged = df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_types.alias("n_types"),
-        F.round(n_types.cast("double") / n_tokens, 6).alias("type_token_ratio"),
-        F.round(total_tok_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    counts = staged.select(
+        id_col,
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__tok_chars"),
+    )
+    return counts.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("__tok_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "mean_token_len"
+        ),
     )
 
 
@@ -61,13 +78,20 @@ def token_count_bpe(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     cheap proxy for LLM token budgeting over a corpus. Scan-speed: one
     regexp pass per row, no shuffle."""
     lowered = F.lower(F.col(text_col))
-    n_ws = F.size(F.split(lowered, r"\s+"))
-    n_bpe = F.size(F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
-    return df.select(
+    counts = df.select(
         F.col(id_col),
-        n_ws.alias("n_tokens_ws"),
-        n_bpe.alias("n_tokens_bpe"),
-        F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_ws"),
+        F.size(F.split(lowered, r"\s+")).alias("n_tokens_ws"),
+        F.size(
+            F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+        ).alias("n_tokens_bpe"),
+    )
+    return counts.select(
+        id_col,
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        F.round(
+            F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_ws"), 6
+        ).alias("bpe_per_ws"),
     )
 
 
@@ -91,39 +115,68 @@ def quality_score(
     """
     if stopwords is None:
         stopwords = EN_STOPWORDS
-    text = F.col(text_col)
-    toks = _tokens(text)
-    n_chars = F.length(text)
-    n_tokens = F.size(toks)
-    n_types = F.size(F.array_distinct(toks))
-    punct = n_chars - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
-    digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    uppers = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    # Staged projections (see repetition_signals): tokenize once, count
+    # once, then derive ratios/score from plain columns.
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).alias("n_chars"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    text = F.col("__text")
+    toks = F.col("__toks")
     stop_arr = F.array(*[F.lit(w) for w in stopwords])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-
-    punct_ratio = F.round(punct.cast("double") / n_chars, 6)
-    digit_ratio = F.round(digits.cast("double") / n_chars, 6)
-    upper_ratio = F.round(uppers.cast("double") / n_chars, 6)
-    stopword_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
-    repetition = F.round(1.0 - n_types.cast("double") / n_tokens, 6)
-
+    counts = staged.select(
+        id_col,
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("__n_types"),
+        (
+            F.col("n_chars")
+            - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+        ).alias("__punct"),
+        (F.col("n_chars") - F.length(F.regexp_replace(text, r"[0-9]", ""))).alias(
+            "__digits"
+        ),
+        (F.col("n_chars") - F.length(F.regexp_replace(text, r"[A-Z]", ""))).alias(
+            "__uppers"
+        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "__n_stop"
+        ),
+    )
+    n_chars = F.col("n_chars")
+    n_tokens = F.col("n_tokens")
+    ratios = counts.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("__punct").cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(F.col("__digits").cast("double") / n_chars, 6).alias("digit_ratio"),
+        F.round(F.col("__uppers").cast("double") / n_chars, 6).alias("upper_ratio"),
+        F.round(F.col("__n_stop").cast("double") / n_tokens, 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(1.0 - F.col("__n_types").cast("double") / n_tokens, 6).alias(
+            "repetition"
+        ),
+    )
     length_ok = (n_chars >= 50) & (n_chars <= 100_000)
     score = (
         F.when(length_ok, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(repetition <= 0.5, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(digit_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("repetition") <= 0.5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("digit_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        upper_ratio.alias("upper_ratio"),
-        stopword_ratio.alias("stopword_ratio"),
-        repetition.alias("repetition"),
+    return ratios.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "repetition",
         F.round(score, 2).alias("quality_score"),
     )
 
@@ -148,7 +201,10 @@ def lang_id(
     Returns (id, lang_pred, lang_score). One projection, no shuffle."""
     if markers is None:
         markers = LANG_MARKERS
-    toks = _tokens(F.col(text_col))
+    # Staged projections (see repetition_signals): one tokenize, then one
+    # filter per language over the staged array, then one argmax.
+    staged = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     scores = []
     for lang, lang_markers in sorted(markers.items()):
         marker_arr = F.array(*[F.lit(w) for w in lang_markers])
@@ -158,12 +214,17 @@ def lang_id(
     # counts) the lexicographically largest lang — struct comparison falls
     # through to the second field. The oracle pins the same rule
     # (list_max over identical structs).
-    best = F.array_max(F.array(*scores))
-    n_tokens = F.size(toks)
-    return df.select(
-        F.col(id_col),
-        best["lang"].alias("lang_pred"),
-        F.round(best["hits"].cast("double") / n_tokens, 6).alias("lang_score"),
+    scored = staged.select(
+        id_col,
+        F.size(toks).alias("__n_tokens"),
+        F.array_max(F.array(*scores)).alias("__best"),
+    )
+    return scored.select(
+        id_col,
+        F.col("__best")["lang"].alias("lang_pred"),
+        F.round(
+            F.col("__best")["hits"].cast("double") / F.col("__n_tokens"), 6
+        ).alias("lang_score"),
     )
 
 
