@@ -188,3 +188,30 @@ def test_repetition_signals_exact(spark):
         ).collect()
     }
     assert tri[1]["top_ngram"] in ("a b a", "b a b") and tri[1]["n_ngrams"] == 6
+
+
+def test_text_operator_plans_single_evaluate(spark, docs):
+    """Plan-shape pin: the non-codegen HOFs (split/filter/aggregate/argmax)
+    must appear exactly once in each executed plan — a second occurrence
+    means a wide select re-inlined a staged expression and the per-row cost
+    silently doubled (caught live: lang_id once re-split the text 11x)."""
+    cases = [
+        (text_ops.token_stats, {"split(lower": 1, "aggregate(": 1}),
+        (text_ops.token_count_bpe, {"regexp_extract_all": 1}),
+        (text_ops.quality_score, {"split(lower": 1}),
+        (text_ops.lang_id, {"split(lower": 1, "array_max": 1}),
+        (text_ops.gopher_quality, {"split(lower": 1}),
+        (text_ops.repetition_signals, {"split(lower": 1, "aggregate(": 1}),
+    ]
+    for fn, expected in cases:
+        plan = (
+            fn(docs, id_col="doc_id", text_col="text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker, count in expected.items():
+            assert plan.count(marker) == count, (
+                f"{fn.__name__}: {marker} appears {plan.count(marker)}x, "
+                f"expected {count}"
+            )
