@@ -81,13 +81,36 @@ def _tokens(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as a deduplicated array of strings."""
-    toks = _tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an already-materialized token array column.
+
+    Prefer this over :func:`shingles` when the tokens can be staged in
+    their own projection: the text split then runs once per row instead of
+    once per reference inside the shingle expression (size, sequence bound,
+    and slice all read the token array)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
     return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as a deduplicated array of strings (inline form —
+    re-tokenizes per reference; see :func:`shingles_from_tokens`)."""
+    return shingles_from_tokens(_tokens(text), k)
+
+
+def _staged_shingles(
+    df: DataFrame, *, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, __grams) with tokenize and shingle each evaluated once per row
+    (two staged projections — CollapseProject keeps non-cheap exprs put)."""
+    tokenized = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    return tokenized.select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), k).alias("__grams")
+    )
 
 
 def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -118,9 +141,9 @@ def _content_hash(s: Column, hash_fn: str) -> Column:
 def _shingle_df(
     df: DataFrame, *, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("__shingles")
-    )
+    return _staged_shingles(
+        df, id_col=id_col, text_col=text_col, k=shingle_k
+    ).withColumnRenamed("__grams", "__shingles")
 
 
 def _signature_df(
@@ -298,8 +321,11 @@ def simhash(
     df: DataFrame, *, id_col: str, text_col: str, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """SimHash over word tokens: bit i is set iff the sum over tokens of ±1
-    (sign of bit i of the token hash) is positive. Pure expressions;
-    each token is hashed once, then all bits derive from the hash array."""
+    (sign of bit i of the token hash) is positive. Pure expressions; the
+    token hash array is STAGED in its own projection so each token is
+    tokenized and hashed exactly once — inlining it would re-run
+    split+hash inside every one of the ``nbits`` per-bit aggregates
+    (observed: 25 split/transform evaluations per row before staging)."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
     if hash_fn == "xxhash64":
         tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
@@ -310,7 +336,10 @@ def simhash(
     else:
         raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
     nbits = _simhash_bits(hash_fn)
-    hl = F.transform(toks, tok_hash)
+    staged = df.select(
+        F.col(id_col), F.transform(toks, tok_hash).alias("__hashes")
+    )
+    hl = F.col("__hashes")
     bit_sum = lambda i: F.aggregate(  # noqa: E731
         hl,
         F.lit(0).cast("long"),
@@ -333,7 +362,7 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return df.select(F.col(id_col), fold.alias("simhash"))
+    return staged.select(F.col(id_col), fold.alias("simhash"))
 
 
 def simhash_pairs(
@@ -404,8 +433,7 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` docs (they generate quadratic candidates but carry no
     selectivity), count co-occurring grams per pair, compute
     |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard)."""
-    grams = shingles(F.col(text_col), n)
-    base = df.select(F.col(id_col), grams.alias("__grams")).withColumn(
+    base = _staged_shingles(df, id_col=id_col, text_col=text_col, k=n).withColumn(
         "__n", F.size("__grams")
     )
     inv = base.select(id_col, "__n", F.explode("__grams").alias("gram"))
@@ -462,12 +490,11 @@ def decontaminate(
     bench_id = bench_id or id_col
     bench_text = bench_text or text_col
     bench_grams = (
-        benchmark.select(F.explode(shingles(F.col(bench_text), n)).alias("__gram"))
+        _staged_shingles(benchmark, id_col=bench_id, text_col=bench_text, k=n)
+        .select(F.explode("__grams").alias("__gram"))
         .distinct()
     )
-    base = corpus.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("__grams")
-    )
+    base = _staged_shingles(corpus, id_col=id_col, text_col=text_col, k=n)
     ex = base.select(id_col, F.explode("__grams").alias("__gram"))
     matched = (
         ex.join(F.broadcast(bench_grams), "__gram")

@@ -407,8 +407,15 @@ def fingerprint(
     and joinable. Returns (id, fingerprint: array<bigint>).
 
     ``hash_fn='md5'`` uses the portable 60-bit md5 hash (bit-identical in
-    external SQL engines) so the sketch is differentially verifiable."""
-    toks = _tokens(F.col(text_col))
+    external SQL engines) so the sketch is differentially verifiable.
+
+    Tokens are staged in their own projection (see repetition_signals) so
+    the text splits once per row, not once per reference in the gram
+    expression."""
+    tokenized = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
     gram_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k))  # noqa: E731
@@ -422,4 +429,4 @@ def fingerprint(
         raise ValueError(f"Unknown hash_fn '{hash_fn}' (xxhash64|md5).")
     hashes = F.array_distinct(F.transform(idx, gram_hash))
     mink = F.slice(F.array_sort(hashes), 1, num_hashes)
-    return df.select(F.col(id_col), mink.alias("fingerprint"))
+    return tokenized.select(F.col(id_col), mink.alias("fingerprint"))
