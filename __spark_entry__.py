@@ -1208,6 +1208,107 @@ ORACLE_SPLIT_BY_HASH = f"""
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the operators composed the way a real
+    pretraining pipeline chains them, under ONE oracle: exact dedup (keep
+    min-id per text hash) -> Gopher quality gate -> benchmark
+    decontamination (7-gram overlap vs the held-out eval slice) ->
+    deterministic train split. Everything stays one lazy DataFrame plan:
+    Catalyst sees the whole chain, so column pruning reaches the scan and
+    the semi-joins run on ids only."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    survivors = dedup.exact_dedup(corpus, id_col="doc_id", content_cols=["text"])
+    quality_ok = (
+        text.gopher_quality(
+            survivors, id_col="doc_id", text_col="text", min_words=10
+        )
+        .where(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    clean_ids = (
+        dedup.decontaminate(
+            survivors, bench, id_col="doc_id", text_col="text", n=7, min_overlap=1
+        )
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = (
+        survivors.join(quality_ok, "doc_id", "left_semi")
+        .join(clean_ids, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+    )
+    return sampling.split_by_hash(
+        kept,
+        id_col="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="sp",
+        hash_fn="md5",
+    ).where(F.col("split") == "train")
+
+
+ORACLE_CORPUS_CLEAN = f"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 50 <> 0
+    ), survivors AS (
+        SELECT c.* FROM corpus c
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS mid FROM corpus GROUP BY 1) k
+          ON md5(c.text) = k.h AND c.doc_id = k.mid
+    ), tokq AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM survivors
+    ), quality AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                LEN(toks) AS n_words,
+                ROUND(list_sum(list_transform(toks, x -> LENGTH(x)))::DOUBLE
+                      / LEN(toks), 6) AS mwl,
+                ROUND((LENGTH(text) - LENGTH(replace(text, '#', ''))
+                       + LEN(regexp_extract_all(text, '\\.\\.\\.|…')))::DOUBLE
+                      / LEN(toks), 6) AS sr,
+                ROUND(LEN(list_filter(toks,
+                      x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                      / LEN(toks), 6) AS af,
+                LEN(list_filter(list_distinct(toks), x -> list_contains(
+                    ['the','and','of','to','in','is','that','it','for','with',
+                     'a','an','on','at','by','as','be','are'], x))) AS sh
+            FROM tokq)
+        WHERE n_words BETWEEN 10 AND 100000
+          AND mwl BETWEEN 3.0 AND 10.0 AND sr <= 0.1
+          AND af >= 0.8 AND sh >= 2
+    ), bg AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM (
+            SELECT list_distinct([
+                array_to_string(toks[i:i+6], ' ')
+                FOR i IN range(1, GREATEST(len(toks) - 6, 1) + 1)
+            ]) AS grams
+            FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents WHERE doc_id % 50 = 0))
+    ), cg AS (
+        SELECT doc_id, list_distinct([
+                   array_to_string(toks[i:i+6], ' ')
+                   FOR i IN range(1, GREATEST(len(toks) - 6, 1) + 1)
+               ]) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM survivors)
+    ), contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM cg) c
+        JOIN bg USING (gram)
+    )
+    SELECT s.doc_id, s.lang, s.source, 'train' AS split
+    FROM survivors s
+    JOIN quality USING (doc_id)
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND {_duck_md5_hash("s.doc_id", "sp")} % 1000000 >= 100000
+      AND {_duck_md5_hash("s.doc_id", "sp")} % 1000000 < 900000
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via random-hyperplane LSH; fully oracle-checked —
     the DuckDB oracle replays the identical pipeline with the same
@@ -1625,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_ngrams": q_repetition_ngrams,
         "decontamination": q_decontamination,
+        "corpus_clean": q_corpus_clean,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "split_by_hash": q_split_by_hash,
@@ -1671,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": ORACLE_GOPHER,
         "repetition_ngrams": ORACLE_REPETITION,
         "decontamination": ORACLE_DECONTAMINATION,
+        "corpus_clean": ORACLE_CORPUS_CLEAN,
         "hash_sample": ORACLE_HASH_SAMPLE,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "split_by_hash": ORACLE_SPLIT_BY_HASH,
