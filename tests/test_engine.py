@@ -832,3 +832,54 @@ def test_build_mixed_key_mappings_two_union_groups(spark, tmp_path, users_feat_l
     for uid, (mapped, plain) in rows.items():
         assert mapped == plain, f"user {uid}: {mapped} != {plain}"
     assert any(v[0] is not None for v in rows.values())
+
+
+def test_union_group_chunking_matches_join(spark, monkeypatch, tmp_path):
+    """Feature sets wider than UNION_GROUP_MAX_FEATURES split into several
+    single-pass windows recombined on the row id (the 1M x 50 spill guard);
+    output must equal both the unchunked union plan and the join strategy."""
+    import datetime as dt
+
+    import timefence_spark.engine as eng
+
+    labels_df = spark.createDataFrame(
+        [
+            (i % 4, dt.datetime(2024, 2, 1) + dt.timedelta(hours=i), i % 2 == 0)
+            for i in range(12)
+        ],
+        "uid int, label_time timestamp_ntz, y boolean",
+    )
+    labels = tf.Labels(df=labels_df, keys="uid", label_time="label_time", target="y")
+    features = []
+    for fi in range(5):
+        fdf = spark.createDataFrame(
+            [
+                (i % 4, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i * 3 + fi), float(fi * 100 + i))
+                for i in range(20)
+            ],
+            "uid int, ts timestamp_ntz, val double",
+        )
+        features.append(
+            tf.Feature(
+                tf.Source(df=fdf, keys="uid", timestamp="ts", name=f"s{fi}"),
+                columns={"val": "v"},
+                name=f"f{fi}",
+                embargo=dt.timedelta(hours=fi),
+            )
+        )
+
+    def run(strategy):
+        res = tf.build(
+            labels, features, output=None, max_lookback="365d",
+            strategy=strategy, spark=spark,
+        )
+        return sorted((tuple(r) for r in res.dataframe.collect()), key=repr), res
+
+    full_union, res_full = run("union")
+    assert "(1 single-pass union group(s))" not in res_full.sql  # zero-join plan
+    monkeypatch.setattr(eng, "UNION_GROUP_MAX_FEATURES", 2)
+    chunked_union, res_chunked = run("union")
+    # 5 features with cap 2 -> 3 chunks, recombined on the row id
+    assert "(3 single-pass union group(s))" in res_chunked.sql
+    joined, _ = run("join")
+    assert full_union == chunked_union == joined

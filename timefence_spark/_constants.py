@@ -33,3 +33,12 @@ BROADCAST_THRESHOLD_BYTES: int = 256 * 1024 * 1024
 # Above this many estimated candidate rows per label the engine prefers the
 # union/last_value as-of formulation (no join fanout) over join+max_by.
 DEFAULT_ASOF_STRATEGY: str = "auto"
+
+# Cap on features resolved in ONE union/window pass (pit_match_multi). The
+# single-pass plan's union row width, window expression count, and sort-key
+# list all grow linearly with the features in the group; past ~a dozen the
+# wide mostly-NULL rows blow up sort memory (observed: 1M labels x 50
+# features spilled the union sort and ran ~4x past linear). Larger feature
+# sets split into chunks of this size, each a narrow single-pass window,
+# recombined on the spine row id.
+UNION_GROUP_MAX_FEATURES: int = 12

@@ -38,6 +38,7 @@ from timefence_spark._constants import (
     DEFAULT_MAX_LOOKBACK_DAYS,
     DEFAULT_ON_MISSING,
     DEFAULT_RTOL,
+    UNION_GROUP_MAX_FEATURES,
 )
 from timefence_spark._duration import (
     duration_seconds,
@@ -584,6 +585,7 @@ def build(
         and resolved_strategy == "union"
         and skew_bucket_s is None
         and len(key_mappings) == 1
+        and len(flat_features) <= UNION_GROUP_MAX_FEATURES
     )
     if zero_join:
         spine = labels_raw
@@ -750,7 +752,12 @@ def build(
                 physical_plans[feat.name] = ""
 
         group_outputs: list[DataFrame] = []
-        for kp, group_feats in union_groups.items():
+        chunked_groups = [
+            (kp, group_feats[i : i + UNION_GROUP_MAX_FEATURES])
+            for kp, group_feats in union_groups.items()
+            for i in range(0, len(group_feats), UNION_GROUP_MAX_FEATURES)
+        ]
+        for kp, group_feats in chunked_groups:
             _emit(
                 "Joining "
                 + ", ".join(f.name for f in group_feats)
@@ -801,7 +808,7 @@ def build(
                     combined = combined.join(matched[feat.name], ROW_ID, "left")
             transcript.append(
                 f"-- recombine: {len(group_outputs) + len(matched)}-way left "
-                f"join on {ROW_ID} ({len(union_groups)} single-pass union "
+                f"join on {ROW_ID} ({len(chunked_groups)} single-pass union "
                 "group(s))"
             )
         value_col_names: list[str] = []
