@@ -1208,6 +1208,371 @@ ORACLE_SPLIT_BY_HASH = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (operators/pii.py). The synthetic corpus carries no PII, so
+# both sides plant deterministic spans derived from doc_id (same device as
+# the leak_flags planted dataset): every 3rd doc an email, every 5th a
+# phone number, every 7th an IPv4 — identical expressions in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefence_spark.operators import pii  # noqa: F401  (patterns below)
+
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                d.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call (555) 010-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", planted.alias("text")
+    )
+
+
+_PII_TEXT_SQL = """
+        SELECT doc_id,
+               concat(
+                   text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(' reach me at user', doc_id::VARCHAR,
+                                    '@mail.example.com') ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat(' call (555) 010-',
+                                    lpad((doc_id % 10000)::VARCHAR, 4, '0'))
+                        ELSE '' END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN concat(' from 10.0.', (doc_id % 256)::VARCHAR,
+                                    '.', (doc_id % 250)::VARCHAR) ELSE '' END
+               ) AS text
+        FROM documents
+"""
+
+
+def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts (emails / phones / IPv4) over the planted
+    corpus — regexp families restricted to Java/RE2-identical constructs,
+    so the oracle counts the same spans."""
+    from timefence_spark.operators import pii
+
+    return pii.pii_signals(
+        _pii_planted(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+def _oracle_pii_signals_sql() -> str:
+    from timefence_spark.operators import pii
+
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '" + pat + "')) AS n_" + name
+        for name, pat, _ in pii.PII_RULES
+    )
+    return (
+        "WITH p AS (" + _PII_TEXT_SQL + "), c AS ("
+        "SELECT doc_id, " + counts + " FROM p) "
+        "SELECT doc_id, n_email, n_phone, n_ipv4, "
+        "n_email + n_phone + n_ipv4 AS n_pii, "
+        "n_email + n_phone + n_ipv4 > 0 AS has_pii FROM c"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass: every planted span replaced by its family token, in
+    the fixed email -> phone -> IPv4 rule order."""
+    from timefence_spark.operators import pii
+
+    return pii.redact_pii(
+        _pii_planted(spark, sf_dir), id_col="doc_id", text_col="text"
+    ).select("doc_id", "text_redacted")
+
+
+def _oracle_pii_redact_sql() -> str:
+    from timefence_spark.operators import pii
+
+    expr = "text"
+    for _, pat, token in pii.PII_RULES:
+        expr = "regexp_replace(" + expr + ", '" + pat + "', '" + token + "', 'g')"
+    return (
+        "WITH p AS (" + _PII_TEXT_SQL + ") "
+        "SELECT doc_id, " + expr + " AS text_redacted FROM p"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): documents -> fixed token-budget
+# training chunks, n_chars standing in for the token count.
+# ---------------------------------------------------------------------------
+
+_PACK_SHARDS = 8
+
+
+def q_pack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-then-cut packing: deterministic per-shard
+    order (salted md5, portable), cumulative offsets, chunk span per doc.
+    One window shuffle; fully SQL-replayable."""
+    from timefence_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select("doc_id", "n_chars")
+    return packing.pack_stream(
+        docs, id_col="doc_id", token_col="n_chars", budget=2000,
+        num_shards=_PACK_SHARDS, salt="pack", hash_fn="md5",
+    )
+
+
+def _oracle_pack_stream_sql() -> str:
+    h = _duck_md5_hash("doc_id", "pack")
+    return f"""
+    WITH s AS (
+        SELECT doc_id, n_chars, {h} AS h FROM documents
+    ), c AS (
+        SELECT doc_id, n_chars,
+               CAST(h % {_PACK_SHARDS} AS INT) AS shard,
+               CAST(SUM(n_chars) OVER (
+                   PARTITION BY h % {_PACK_SHARDS}
+                   ORDER BY h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS endo
+        FROM s
+    )
+    SELECT doc_id, n_chars, shard,
+           endo - n_chars AS start_offset,
+           (endo - n_chars) // 2000 AS chunk_start,
+           GREATEST(endo - 1, endo - n_chars) // 2000 AS chunk_end,
+           GREATEST(endo - 1, endo - n_chars) // 2000
+               <> (endo - n_chars) // 2000 AS straddles
+    FROM c
+    """
+
+
+def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting next-fit packing (no straddles; oversized docs
+    flagged in their own chunk). Sequential per shard by nature — one
+    applyInPandas group per shard; the oracle replays the same recurrence
+    with a recursive CTE."""
+    from timefence_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select("doc_id", "n_chars")
+    return packing.pack_next_fit(
+        docs, id_col="doc_id", token_col="n_chars", budget=400,
+        num_shards=_PACK_SHARDS, salt="pack", hash_fn="md5",
+    )
+
+
+def _oracle_pack_next_fit_sql() -> str:
+    h = _duck_md5_hash("doc_id", "pack")
+    b = 400
+    return f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, n_chars,
+               CAST(h % {_PACK_SHARDS} AS INT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY h % {_PACK_SHARDS} ORDER BY h ASC, doc_id ASC
+               ) AS rn
+        FROM (SELECT doc_id, n_chars, {h} AS h FROM documents)
+    ), r AS (
+        SELECT shard, rn, doc_id, n_chars,
+               0 AS chunk, 0 AS chunk_offset,
+               n_chars > {b} AS oversized,
+               CASE WHEN n_chars > {b} THEN 1 ELSE 0 END AS cur,
+               CASE WHEN n_chars > {b} THEN 0 ELSE n_chars END AS used
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.n_chars,
+               CASE WHEN s.n_chars > {b}
+                    THEN r.cur + CASE WHEN r.used > 0 THEN 1 ELSE 0 END
+                    WHEN r.used + s.n_chars > {b} THEN r.cur + 1
+                    ELSE r.cur END AS chunk,
+               CASE WHEN s.n_chars > {b} OR r.used + s.n_chars > {b}
+                    THEN 0 ELSE r.used END AS chunk_offset,
+               s.n_chars > {b} AS oversized,
+               CASE WHEN s.n_chars > {b}
+                    THEN r.cur + CASE WHEN r.used > 0 THEN 1 ELSE 0 END + 1
+                    WHEN r.used + s.n_chars > {b} THEN r.cur + 1
+                    ELSE r.cur END AS cur,
+               CASE WHEN s.n_chars > {b} THEN 0
+                    WHEN r.used + s.n_chars > {b} THEN s.n_chars
+                    ELSE r.used + s.n_chars END AS used
+        FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1
+    )
+    SELECT doc_id, n_chars, shard, CAST(chunk AS BIGINT) AS chunk,
+           CAST(chunk_offset AS BIGINT) AS chunk_offset, oversized
+    FROM r
+    """
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analysis (operators/web.py). URLs are planted from doc_id +
+# source/lang, the same device as the PII queries.
+# ---------------------------------------------------------------------------
+
+
+def _url_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" see https://"), F.col("source"),
+                F.lit(".example.org/p/"), d.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit(" and http://cdn."), F.col("lang"), F.lit(".example.net/x")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "lang", "source", planted.alias("text")
+    )
+
+
+_URL_TEXT_SQL = """
+        SELECT doc_id, lang, source,
+               concat(
+                   text,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN concat(' see https://', source, '.example.org/p/',
+                                    doc_id::VARCHAR) ELSE '' END,
+                   CASE WHEN doc_id % 6 = 0
+                        THEN concat(' and http://cdn.', lang, '.example.net/x')
+                        ELSE '' END
+               ) AS text
+        FROM documents
+"""
+
+
+def q_url_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document link profile: URL count, distinct domains, link
+    density — the standard boilerplate/spam signal set."""
+    from timefence_spark.operators import web
+
+    return web.url_signals(
+        _url_planted(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+def _sql_str(pattern: str) -> str:
+    """Embed a regex in a single-quoted SQL literal (escape ')."""
+    return pattern.replace("'", "''")
+
+
+def _oracle_url_signals_sql() -> str:
+    from timefence_spark.operators import web
+
+    u = "regexp_extract_all(text, '" + _sql_str(web.URL_PATTERN) + "')"
+    dom = (
+        "list_transform(" + u + ", x -> lower(regexp_extract(x,"
+        " 'https?://([A-Za-z0-9.-]+)', 1)))"
+    )
+    return (
+        "WITH p AS (" + _URL_TEXT_SQL + ") "
+        "SELECT doc_id, len(" + u + ") AS n_urls, "
+        "len(list_distinct(" + dom + ")) AS n_domains, "
+        "round(COALESCE(list_sum(list_transform(" + u + ", x -> length(x))), 0)"
+        "::DOUBLE / GREATEST(length(text), 1), 6) AS link_density "
+        "FROM p"
+    )
+
+
+def q_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level domain frequency table (blocklist curation input):
+    one partial-agg shuffle on the domain key."""
+    from timefence_spark.operators import web
+
+    return web.domain_counts(
+        _url_planted(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+def _oracle_domain_counts_sql() -> str:
+    from timefence_spark.operators import web
+
+    return (
+        "WITH p AS (" + _URL_TEXT_SQL + "), e AS ("
+        "SELECT doc_id, lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))"
+        " AS domain FROM (SELECT doc_id, unnest(regexp_extract_all(text, '"
+        + _sql_str(web.URL_PATTERN) + "')) AS u FROM p)) "
+        "SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs "
+        "FROM e GROUP BY 1"
+    )
+
+
+_BLOCKED_DOMAINS = ["src3.example.org", "cdn.zh.example.net"]
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering: drop every document linking to a blocked
+    domain. Broadcast blocklist; the text column never shuffles."""
+    from timefence_spark.operators import web
+
+    return web.filter_blocked_domains(
+        _url_planted(spark, sf_dir),
+        _BLOCKED_DOMAINS,
+        id_col="doc_id",
+        text_col="text",
+    ).select("doc_id", "lang", "source")
+
+
+def _oracle_domain_blocklist_sql() -> str:
+    from timefence_spark.operators import web
+
+    blocked = ", ".join("'" + d + "'" for d in _BLOCKED_DOMAINS)
+    return (
+        "WITH p AS (" + _URL_TEXT_SQL + "), e AS ("
+        "SELECT doc_id, lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))"
+        " AS domain FROM (SELECT doc_id, unnest(regexp_extract_all(text, '"
+        + _sql_str(web.URL_PATTERN) + "')) AS u FROM p)) "
+        "SELECT doc_id, lang, source FROM p WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM e WHERE domain IN (" + blocked + "))"
+    )
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 words by occurrence (deterministic
+    (count desc, word asc) order) with document frequency."""
+    return text.word_frequencies(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", top_k=100,
+    )
+
+
+ORACLE_WORD_FREQ = r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM w WHERE word <> ''
+    GROUP BY 1 ORDER BY n_occurrences DESC, word ASC LIMIT 100
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the operators composed the way a real
     pretraining pipeline chains them, under ONE oracle: exact dedup (keep
@@ -1730,6 +2095,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "split_by_hash": q_split_by_hash,
+        "pii_signals": q_pii_signals,
+        "pii_redact": q_pii_redact,
+        "pack_stream": q_pack_stream,
+        "pack_next_fit": q_pack_next_fit,
+        "url_signals": q_url_signals,
+        "domain_counts": q_domain_counts,
+        "domain_blocklist": q_domain_blocklist,
+        "word_freq": q_word_freq,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
@@ -1777,6 +2150,14 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "split_by_hash": ORACLE_SPLIT_BY_HASH,
+        "pii_signals": _oracle_pii_signals_sql(),
+        "pii_redact": _oracle_pii_redact_sql(),
+        "pack_stream": _oracle_pack_stream_sql(),
+        "pack_next_fit": _oracle_pack_next_fit_sql(),
+        "url_signals": _oracle_url_signals_sql(),
+        "domain_counts": _oracle_domain_counts_sql(),
+        "domain_blocklist": _oracle_domain_blocklist_sql(),
+        "word_freq": ORACLE_WORD_FREQ,
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),

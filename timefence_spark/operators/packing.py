@@ -1,0 +1,172 @@
+"""Sequence packing: assign documents to fixed token-budget training
+chunks.
+
+LLM pretraining concatenates tokenized documents into a stream and cuts it
+into context-window-sized chunks; the pipeline-side question is "which
+chunk(s) does each document land in, and does it straddle a boundary".
+Two packers:
+
+* :func:`pack_stream` — the GPT-style concatenate-then-cut rule: documents
+  are laid end-to-end in a deterministic order and chunk boundaries fall
+  every ``budget`` tokens regardless of document edges. Pure window
+  cumulative sum — one shuffle on the shard key, expressible in any SQL
+  engine, so it is differentially verifiable.
+* :func:`pack_next_fit` — boundary-respecting next-fit: a document that
+  does not fit in the current chunk's remainder opens a new chunk, so no
+  document straddles (oversized documents get a chunk of their own,
+  flagged). The running remainder makes this inherently sequential, so it
+  runs as one ``applyInPandas`` pass per shard (Arrow-batched, numpy loop).
+
+Both packers shard the corpus first (salted hash of the id, ``num_shards``
+buckets): sharding bounds every sequential scan at corpus_size/num_shards
+and is how a 1000-executor cluster packs 100 TB — each shard's stream is
+independent, deterministic, and reproducible across runs and partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timefence_spark.operators.sampling import _salted_hash
+
+
+def _with_shard(
+    df: DataFrame, id_col: str, num_shards: int, salt: str, hash_fn: str
+) -> DataFrame:
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    return df.withColumn("shard", F.pmod(h, F.lit(num_shards)).cast("int"))
+
+
+def pack_stream(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 64,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Concatenate-then-cut packing (documents may straddle boundaries).
+
+    Within each shard, documents are ordered by (salted hash, id) — a
+    deterministic shuffle of the corpus — and laid end-to-end; chunk ``c``
+    of a shard covers token offsets [c*budget, (c+1)*budget). Output adds:
+
+    * ``shard``        — hash shard (independent packing stream)
+    * ``start_offset`` — first token's offset in the shard stream
+    * ``chunk_start``  — chunk index containing the first token
+    * ``chunk_end``    — chunk index containing the last token
+    * ``straddles``    — chunk_end != chunk_start (document is cut)
+
+    Physical shape: ONE shuffle (window over shard), cumulative sum per
+    shard; no Python, no driver state. Zero-token documents take
+    start_offset's chunk and never straddle."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    sharded = _with_shard(df, id_col, num_shards, salt, hash_fn)
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    end_offset = F.sum(tok).over(w)  # exclusive end of this doc's span
+    start = (end_offset - tok).alias("start_offset")
+    chunk_start = F.floor(F.col("start_offset") / budget).cast("long")
+    # Last token sits at end_offset-1; empty docs use start_offset.
+    last_tok = F.greatest(F.col("__end") - 1, F.col("start_offset"))
+    return (
+        sharded.select("*", start, end_offset.alias("__end"))
+        .select(
+            *df.columns,
+            "shard",
+            "start_offset",
+            chunk_start.alias("chunk_start"),
+            F.floor(last_tok / budget).cast("long").alias("chunk_end"),
+        )
+        .withColumn("straddles", F.col("chunk_end") != F.col("chunk_start"))
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 64,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Boundary-respecting next-fit packing (no document straddles).
+
+    Same deterministic per-shard order as :func:`pack_stream`; a document
+    goes into the current chunk if its tokens fit in the remainder,
+    otherwise it opens the next chunk. Documents longer than ``budget``
+    get a chunk of their own with ``oversized = true`` (the caller decides
+    whether to split or drop them). Output adds ``shard``, ``chunk``
+    (per-shard chunk index), ``chunk_offset`` (token offset inside the
+    chunk), ``oversized``.
+
+    Next-fit's running remainder is sequential by nature, so each shard is
+    one ``applyInPandas`` group: a single Arrow batch per shard and a tight
+    numpy/python loop over it. Shard size bounds memory (corpus/num_shards
+    rows); raise ``num_shards`` for bigger corpora — shards pack
+    independently, so parallelism scales with the cluster, exactly like a
+    bucketed write. Invariant (property-tested): every chunk's token sum
+    <= budget unless it is a single oversized document."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    import pandas as pd
+
+    sharded = _with_shard(df, id_col, num_shards, salt, hash_fn)
+    sort_key = _salted_hash(F.col(id_col), salt, hash_fn)
+    sharded = sharded.withColumn("__ord", sort_key)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sharded.schema.fields
+    )
+    out_schema = (
+        f"{out_fields}, chunk long, chunk_offset long, oversized boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__ord", id_col], kind="mergesort", ignore_index=True
+        )
+        toks = pdf[token_col].fillna(0).astype("int64").to_numpy()
+        n = len(pdf)
+        chunk = [0] * n
+        offset = [0] * n
+        oversized = [False] * n
+        cur, used = 0, 0
+        for i in range(n):
+            t = int(toks[i])
+            if t > budget:
+                # Oversized: own chunk, then continue fresh.
+                cur += 1 if used > 0 else 0
+                chunk[i], offset[i], oversized[i] = cur, 0, True
+                cur += 1
+                used = 0
+                continue
+            if used + t > budget:
+                cur += 1
+                used = 0
+            chunk[i], offset[i] = cur, used
+            used += t
+        pdf = pdf.copy()
+        pdf["chunk"] = chunk
+        pdf["chunk_offset"] = offset
+        pdf["oversized"] = oversized
+        return pdf
+
+    packed = sharded.groupBy("shard").applyInPandas(pack, out_schema)
+    return packed.select(
+        *df.columns, "shard", "chunk", "chunk_offset", "oversized"
+    )

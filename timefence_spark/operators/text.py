@@ -430,3 +430,42 @@ def fingerprint(
     hashes = F.array_distinct(F.transform(idx, gram_hash))
     mink = F.slice(F.array_sort(hashes), 1, num_hashes)
     return tokenized.select(F.col(id_col), mink.alias("fingerprint"))
+
+
+def word_frequencies(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-level vocabulary table: (word, n_occurrences, n_docs),
+    ordered by (n_occurrences desc, word asc) and optionally truncated to
+    the ``top_k`` head — the input to stopword curation, vocabulary-growth
+    tracking, and frequency-based quality filters.
+
+    100 TB shape: explode is scan-local; per-doc occurrence counts
+    pre-aggregate BEFORE the global shuffle (one row per distinct word per
+    doc crosses the wire, with n_docs as a count and n_occurrences as a
+    sum — no count-distinct shuffle of raw occurrences); word keys are
+    near-uniform, so no salting needed. ``top_k`` is a driver-side limit
+    on sorted output — fine for vocabulary heads; leave it ``None`` to
+    write the full table."""
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(_tokens(F.col(text_col))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("__n"))
+    )
+    out = (
+        per_doc.groupBy("word")
+        .agg(
+            F.sum("__n").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+    )
+    return out.limit(top_k) if top_k is not None else out
