@@ -301,3 +301,74 @@ def test_build_passes_own_audit(spark, tmp_path_factory, embargo_h, join_mode):
         spark=spark,
     )
     assert not report.has_leakage
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=500),
+    shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_next_fit_matches_python_reference(spark, toks, budget, shards):
+    """The distributed applyInPandas next-fit packer must agree row-for-row
+    with a sequential python reference given the same deterministic
+    per-shard order — and its chunks must satisfy the packing invariant."""
+    from timefence_spark.operators.packing import pack_next_fit
+    from timefence_spark.operators.sampling import _salted_hash  # noqa: F401
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = pack_next_fit(
+        df, id_col="doc_id", token_col="tok", budget=budget,
+        num_shards=shards, salt="prop", hash_fn="md5",
+    ).collect()
+    assert len(out) == len(rows)
+
+    # Python reference: same salted-md5 order, same recurrence.
+    import hashlib
+
+    def h(doc_id: int) -> int:
+        digest = hashlib.md5(f"{doc_id}:prop".encode()).hexdigest()
+        return int(digest[:15], 16)
+
+    expected = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        by_shard.setdefault(h(i) % shards, []).append((i, t))
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda it: (h(it[0]), it[0]))
+        cur, used = 0, 0
+        for i, t in docs:
+            if t > budget:
+                cur += 1 if used > 0 else 0
+                expected[i] = (shard, cur, 0, True)
+                cur, used = cur + 1, 0
+                continue
+            if used + t > budget:
+                cur, used = cur + 1, 0
+            expected[i] = (shard, cur, used, False)
+            used += t
+
+    for r in out:
+        assert expected[r["doc_id"]] == (
+            r["shard"], r["chunk"], r["chunk_offset"], r["oversized"]
+        ), r
+    # Invariant: chunk token sums <= budget unless single oversized doc.
+    sums: dict[tuple[int, int], int] = {}
+    members: dict[tuple[int, int], int] = {}
+    oversized: dict[tuple[int, int], bool] = {}
+    for r in out:
+        k = (r["shard"], r["chunk"])
+        sums[k] = sums.get(k, 0) + toks[r["doc_id"]]
+        members[k] = members.get(k, 0) + 1
+        oversized[k] = oversized.get(k, False) or r["oversized"]
+    for k, s in sums.items():
+        if oversized[k]:
+            assert members[k] == 1
+        else:
+            assert s <= budget
