@@ -436,6 +436,37 @@ def q_streaming_asof_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup replayed over file sources: the documents
+    table split into two micro-batches (odd ids then even ids) with
+    first-arrival state carried across the batch boundary. Output is the
+    distinct content-hash set — deterministic regardless of which
+    duplicate row survives — so it shares a plain DISTINCT batch oracle."""
+    import tempfile
+    import uuid
+
+    from timefence_spark.streaming import streaming_exact_dedup
+
+    stage = f"{tempfile.gettempdir()}/tf_sdedup_{uuid.uuid4().hex[:8]}"
+    qname = f"tfd_{uuid.uuid4().hex[:8]}"
+    docs = _t(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{stage}/in/b0")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{stage}/in/b1")
+    ds = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/in/*")
+    )
+    deduped = streaming_exact_dedup(ds, content_cols="text", hash_fn="md5")
+    out = _run_to_memory_sink(spark, stage, qname, deduped)
+    return out.select("content_hash")
+
+
+ORACLE_STREAMING_DEDUP = """
+    SELECT DISTINCT md5(text) AS content_hash FROM documents
+"""
+
+
 def q_pit_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two features recombined on the spine (J5): as-of prev_total plus an
     as-of 30d rolling DECIMAL spend (sql-mode-style derived feature)."""
@@ -1380,9 +1411,10 @@ def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pack_next_fit_sql() -> str:
+def _pack_next_fit_cte(b: int) -> str:
+    """WITH-clause body replaying pack_next_fit's per-shard recurrence
+    (shared by the pack_next_fit and pack_assemble oracles)."""
     h = _duck_md5_hash("doc_id", "pack")
-    b = 400
     return f"""
     WITH RECURSIVE s AS (
         SELECT doc_id, n_chars,
@@ -1416,10 +1448,48 @@ def _oracle_pack_next_fit_sql() -> str:
                     ELSE r.used + s.n_chars END AS used
         FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1
     )
+    """
+
+
+def _oracle_pack_next_fit_sql() -> str:
+    return (
+        _pack_next_fit_cte(400)
+        + """
     SELECT doc_id, n_chars, shard, CAST(chunk AS BIGINT) AS chunk,
            CAST(chunk_offset AS BIGINT) AS chunk_offset, oversized
     FROM r
     """
+    )
+
+
+def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk materialization: next-fit pack, then concatenate each chunk's
+    documents in offset order — the corpus-to-training-stream step. One
+    (shard, chunk) shuffle; per-group memory bounded by the pack budget."""
+    from timefence_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "n_chars", "text"
+    )
+    packed = packing.pack_next_fit(
+        docs, id_col="doc_id", token_col="n_chars", budget=400,
+        num_shards=_PACK_SHARDS, salt="pack", hash_fn="md5",
+    )
+    return packing.assemble_chunks(packed, text_col="text", token_col="n_chars")
+
+
+def _oracle_pack_assemble_sql() -> str:
+    return (
+        _pack_next_fit_cte(400)
+        + """
+    SELECT r.shard, CAST(r.chunk AS BIGINT) AS chunk,
+           COUNT(*) AS n_docs,
+           CAST(SUM(r.n_chars) AS BIGINT) AS n_tokens,
+           string_agg(d.text, ' ' ORDER BY r.chunk_offset) AS text
+    FROM r JOIN documents d USING (doc_id)
+    GROUP BY r.shard, r.chunk
+    """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1570,6 +1640,51 @@ ORACLE_WORD_FREQ = r"""
     SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
     FROM w WHERE word <> ''
     GROUP BY 1 ORDER BY n_occurrences DESC, word ASC LIMIT 100
+"""
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram fluency score: mean -ln p(word) per document
+    under the corpus's own add-1-smoothed unigram LM. deterministic=True
+    folds each document's contributions in sorted-word order so the
+    double summation is bit-reproducible against the external oracle."""
+    return text.unigram_logprob(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", deterministic=True,
+    )
+
+
+ORACLE_UNIGRAM_NLL = r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ), dw AS (
+        SELECT doc_id, word, COUNT(*) AS cnt
+        FROM w WHERE word <> '' GROUP BY 1, 2
+    ), lm AS (
+        SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) + 1.0 * (COUNT(*) + 1) AS denom
+        FROM lm
+    ), contrib AS (
+        SELECT dw.doc_id, dw.word, dw.cnt,
+               dw.cnt * -ln((lm.n + 1.0) / tot.denom) AS c
+        FROM dw JOIN lm USING (word) CROSS JOIN tot
+    )
+    -- list(... ORDER BY word) + list_reduce replays Spark's sorted fold in
+    -- the same element order (list_reduce's no-init fold equals the 0.0-init
+    -- fold bit-for-bit: 0.0 + x == x for the positive NLL terms).
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(0.0 / SUM(cnt), 6) AS oov_frac,
+           ROUND(list_reduce(
+               list_transform(
+                   list(struct_pack(w := word, c := c) ORDER BY word),
+                   s -> s.c
+               ), (a, b) -> a + b) / SUM(cnt), 6) AS mean_nll
+    FROM contrib
+    GROUP BY doc_id
 """
 
 
@@ -2099,10 +2214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_stream": q_pack_stream,
         "pack_next_fit": q_pack_next_fit,
+        "pack_assemble": q_pack_assemble,
         "url_signals": q_url_signals,
         "domain_counts": q_domain_counts,
         "domain_blocklist": q_domain_blocklist,
         "word_freq": q_word_freq,
+        "unigram_nll": q_unigram_nll,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
@@ -2114,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "streaming_asof": q_streaming_asof,
         "streaming_asof_static": q_streaming_asof_static,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -2154,10 +2272,12 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _oracle_pii_redact_sql(),
         "pack_stream": _oracle_pack_stream_sql(),
         "pack_next_fit": _oracle_pack_next_fit_sql(),
+        "pack_assemble": _oracle_pack_assemble_sql(),
         "url_signals": _oracle_url_signals_sql(),
         "domain_counts": _oracle_domain_counts_sql(),
         "domain_blocklist": _oracle_domain_blocklist_sql(),
         "word_freq": ORACLE_WORD_FREQ,
+        "unigram_nll": ORACLE_UNIGRAM_NLL,
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),
@@ -2173,4 +2293,5 @@ def oracle_sql() -> dict[str, str]:
         # the batch semantics, so both share the batch oracle SQL.
         "streaming_asof": ORACLE_PIT_EVENTS,
         "streaming_asof_static": ORACLE_PIT_EVENTS,
+        "streaming_dedup": ORACLE_STREAMING_DEDUP,
     }

@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "minhash_dedup",
     # Iterative shape: transitive dedup via min-label propagation.
     "dedup_components",
+    # Pipeline-extension shapes (round 5): regex scan, pack + assemble
+    # (applyInPandas per shard + one (shard, chunk) shuffle), and the
+    # composed end-to-end cleaning chain.
+    "pii_redact",
+    "pack_assemble",
+    "corpus_clean",
 ]
 
 

@@ -208,3 +208,46 @@ def test_word_frequencies_full_table(spark):
         df, id_col="doc_id", text_col="text", top_k=1
     ).collect()
     assert [(r["word"]) for r in top1] == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM fluency
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_external_lm_and_oov(spark):
+    import math
+
+    lm = spark.createDataFrame(
+        [("the", 6), ("cat", 3)], "word string, n_occurrences long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the zebra")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.unigram_logprob(
+            docs, id_col="doc_id", text_col="text", lm=lm
+        ).collect()
+    }
+    # N=9, V=2, k=1 -> denom = 12; p(the)=7/12, p(cat)=4/12, p(oov)=1/12
+    denom = 12.0
+    exp1 = (-math.log(7 / denom) - math.log(4 / denom)) / 2
+    exp2 = (-math.log(7 / denom) - math.log(1 / denom)) / 2
+    assert out[1]["mean_nll"] == pytest.approx(exp1, abs=1e-6)
+    assert out[1]["oov_frac"] == 0.0
+    assert out[2]["mean_nll"] == pytest.approx(exp2, abs=1e-6)
+    assert out[2]["oov_frac"] == 0.5
+    assert out[2]["n_tokens"] == 2
+
+
+def test_unigram_logprob_deterministic_matches_default(spark, docs):
+    a = text_ops.unigram_logprob(
+        docs, id_col="doc_id", text_col="text", deterministic=True
+    )
+    b = text_ops.unigram_logprob(docs, id_col="doc_id", text_col="text")
+    ra = {r["doc_id"]: r["mean_nll"] for r in a.collect()}
+    rb = {r["doc_id"]: r["mean_nll"] for r in b.collect()}
+    assert ra.keys() == rb.keys()
+    for k in ra:
+        assert ra[k] == pytest.approx(rb[k], abs=1e-6)

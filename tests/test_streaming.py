@@ -462,3 +462,65 @@ def test_stream_static_asof_no_broadcast(spark, tmp_path, stream_dirs):
     assert sorted([r.asDict() for r in got.collect()], key=key) == sorted(
         [r.asDict() for r in expected.collect()], key=key
     )
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First-arrival state must carry across micro-batches: a batch-2 row
+    whose content hash appeared in batch 1 is dropped."""
+    from timefence_spark.streaming import streaming_exact_dedup
+
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "b0"))
+    spark.createDataFrame(
+        [(9, "alpha"), (10, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    got = _run_stream(
+        spark, tmp_path, streaming_exact_dedup(stream, content_cols="text")
+    ).collect()
+    by_text = {r["text"]: r for r in got}
+    assert set(by_text) == {"alpha", "beta", "gamma"}
+    assert len(got) == 3
+    # batch-2 duplicate of "alpha" (doc 9) must have lost to batch 1
+    assert by_text["alpha"]["doc_id"] in (1, 3)
+    assert by_text["gamma"]["doc_id"] == 10
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """The watermark-bounded variant dedups within the horizon and
+    requires time_col."""
+    from timefence_spark.streaming import streaming_exact_dedup
+
+    rows = [
+        (1, ts(0), "alpha"),
+        (2, ts(1), "alpha"),   # inside horizon of row 1 -> dropped
+        (3, ts(2), "beta"),
+    ]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("event_time", TimestampNTZType()),
+            StructField("text", StringType()),
+        ]
+    )
+    d = tmp_path / "wdocs"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(d / "*"))
+    got = _run_stream(
+        spark,
+        tmp_path,
+        streaming_exact_dedup(
+            stream, content_cols="text", time_col="event_time",
+            watermark="1 hour",
+        ),
+    ).collect()
+    assert sorted(r["text"] for r in got) == ["alpha", "beta"]
+
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(stream, content_cols="text", watermark="1 hour")

@@ -170,3 +170,30 @@ def pack_next_fit(
     return packed.select(
         *df.columns, "shard", "chunk", "chunk_offset", "oversized"
     )
+
+
+def assemble_chunks(
+    packed: DataFrame,
+    *,
+    text_col: str,
+    token_col: str,
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize packed chunks from :func:`pack_next_fit` output: one row
+    per (shard, chunk) with the documents' text concatenated in
+    chunk-offset order — the final corpus-to-training-stream step.
+
+    Returns (shard, chunk, n_docs, n_tokens, text). One shuffle on the
+    (shard, chunk) key; the in-chunk ordering is an array_sort over the
+    collected (offset, text) structs, so chunk size (bounded by the pack
+    budget) bounds the per-group memory, never the corpus."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk_offset"), F.col(text_col)))
+    )
+    return packed.groupBy("shard", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+        F.array_join(
+            F.transform(ordered, lambda s: s[text_col]), sep
+        ).alias("text"),
+    )

@@ -469,3 +469,87 @@ def word_frequencies(
         .orderBy(F.desc("n_occurrences"), F.asc("word"))
     )
     return out.limit(top_k) if top_k is not None else out
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame | None = None,
+    smoothing_k: float = 1.0,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Per-document fluency under a unigram language model — the cheap
+    tier of the CCNet/perplexity-style quality filter family.
+
+    The LM is a (word, n_occurrences) table: pass one (e.g. trained on a
+    trusted corpus via :func:`word_frequencies`) or leave ``lm=None`` to
+    score the corpus against its own unigram statistics (a second scan of
+    ``df``). Add-k smoothing: ``p(w) = (n_w + k) / (N + k * (V + 1))``
+    with the ``+1`` reserving mass for out-of-vocabulary words.
+
+    Returns ``(id, n_tokens, oov_frac, mean_nll)`` where ``mean_nll`` is
+    the mean of ``-ln p(w)`` over the document's tokens (lower = more
+    fluent under the LM) and ``oov_frac`` the fraction of tokens missing
+    from the LM.
+
+    Physical shape: tokens explode scan-side and pre-aggregate to one row
+    per (doc, distinct word) before any join; the LM attaches with an
+    un-hinted equi-join (AQE broadcasts vocabulary-sized tables); one
+    groupBy(doc) finishes. The LM's two scalars (N, V) are a single tiny
+    driver aggregation over the LM table.
+
+    ``deterministic=True`` makes the per-document sum reproducible across
+    engines and partitionings: per-word contributions are collected,
+    sorted by word, and folded in that order, so IEEE double addition
+    runs in one canonical sequence (used by the DuckDB oracle entry).
+    The default sums in shuffle order — the right choice at scale, where
+    a last-ulp-deterministic mean is not worth a per-doc array sort."""
+    if lm is None:
+        lm = word_frequencies(df, id_col=id_col, text_col=text_col)
+    lm = lm.select("word", F.col("n_occurrences").cast("long").alias("__n"))
+    totals = lm.agg(
+        F.sum("__n").alias("N"), F.count(F.lit(1)).alias("V")
+    ).first()
+    n_total = int(totals["N"] or 0)
+    vocab = int(totals["V"] or 0)
+    denom = float(n_total + smoothing_k * (vocab + 1))
+
+    per_doc_word = (
+        df.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = per_doc_word.join(lm, "word", "left")
+    nll_word = -F.log(
+        (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(float(smoothing_k)))
+        / F.lit(denom)
+    )
+    oov = F.when(F.col("__n").isNull(), F.col("__cnt")).otherwise(F.lit(0))
+    grouped = joined.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_tokens"),
+        F.sum(oov).alias("__oov"),
+        (
+            F.collect_list(F.struct(F.col("word"), (F.col("__cnt") * nll_word).alias("c")))
+            if deterministic
+            else F.sum(F.col("__cnt") * nll_word)
+        ).alias("__nll"),
+    )
+    if deterministic:
+        nll_total = F.aggregate(
+            F.array_sort(F.col("__nll")), F.lit(0.0), lambda acc, s: acc + s["c"]
+        )
+    else:
+        nll_total = F.col("__nll")
+    return grouped.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("__oov").cast("double") / F.col("n_tokens"), 6).alias(
+            "oov_frac"
+        ),
+        F.round(nll_total / F.col("n_tokens"), 6).alias("mean_nll"),
+    )

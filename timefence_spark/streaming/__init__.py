@@ -10,6 +10,8 @@ Streaming:
 * :func:`stream_static_asof_join` — stateless broadcast PIT join of a label
   stream against a small static feature table (``mapInPandas``).
 * :func:`flag_leaks` / :func:`leak_counts` — streaming temporal audit.
+* :func:`streaming_exact_dedup` — first-arrival content dedup across
+  micro-batches (state per distinct hash, optionally watermark-bounded).
 """
 
 from timefence_spark.streaming.asof import (
@@ -17,10 +19,12 @@ from timefence_spark.streaming.asof import (
     streaming_asof_join,
 )
 from timefence_spark.streaming.audit import flag_leaks, leak_counts
+from timefence_spark.streaming.dedup import streaming_exact_dedup
 
 __all__ = [
     "streaming_asof_join",
     "stream_static_asof_join",
     "flag_leaks",
     "leak_counts",
+    "streaming_exact_dedup",
 ]
