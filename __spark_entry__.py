@@ -1695,13 +1695,23 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination (7-gram overlap vs the held-out eval slice) ->
     deterministic train split. Everything stays one lazy DataFrame plan:
     Catalyst sees the whole chain, so column pruning reaches the scan and
-    the semi-joins run on ids only."""
+    the semi-joins run on ids only.
+
+    The dedup stage reduces to a NARROW id set (`survivor_ids`) before
+    fanning out to its three consumers: every consumer then embeds the
+    same ids-only aggregation subtree — the canonical form Spark's
+    exchange reuse can dedup on a shuffle-sized plan — and even where a
+    consumer re-executes it (small inputs broadcast instead), the
+    recomputed subtree carries ids, not document text."""
     from timefence_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents", spread=False)
     bench = docs.where(F.col("doc_id") % 50 == 0)
     corpus = docs.where(F.col("doc_id") % 50 != 0)
-    survivors = dedup.exact_dedup(corpus, id_col="doc_id", content_cols=["text"])
+    survivor_ids = dedup.exact_dedup(
+        corpus, id_col="doc_id", content_cols=["text"]
+    ).select("doc_id")
+    survivors = corpus.join(survivor_ids, "doc_id", "left_semi")
     quality_ok = (
         text.gopher_quality(
             survivors, id_col="doc_id", text_col="text", min_words=10
