@@ -18,7 +18,16 @@ from timefence_spark.core import (
     SQLSource,
 )
 from timefence_spark.engine import audit, build, diff, explain, get_spark
-from timefence_spark.operators import dedup, multimodal, similarity, text
+from timefence_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    pii,
+    sampling,
+    similarity,
+    text,
+    web,
+)
 from timefence_spark.operators.asof import asof_join, pit_match
 from timefence_spark.store import Store
 
@@ -59,7 +68,11 @@ __all__ = [
     "from_dbt",
     "get_spark",
     "multimodal",
+    "packing",
+    "pii",
     "pit_match",
+    "sampling",
     "similarity",
     "text",
+    "web",
 ]
