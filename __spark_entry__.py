@@ -1959,6 +1959,79 @@ ORACLE_MEDIA_DECODE = """
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-level media dedup: group payloads by content sha (the
+    metadata struct's hash — no decode), survivor = min doc_id. The
+    media-column twin of dedup_exact."""
+    from timefence_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = multimodal.attach_media_metadata(
+        docs, binary_col="payload", media_type="image/png"
+    )
+    return (
+        out.groupBy(F.col("payload_meta.content_sha").alias("content_sha"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_MEDIA_DEDUP = """
+    SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+
+def _hex_chain_frames(data: bytes, _n: int) -> list[bytes]:
+    """Portable frame extractor for the oracle-gated entry: frame count and
+    frame bytes derive from the payload's sha256 HEX STRING (DuckDB 1.0's
+    sha256 only hashes VARCHAR, so the chain must stay in hex-string
+    space to be engine-replayable). Production passes an ffmpeg-backed
+    extractor; the mapInPandas fan-out shape under test is identical."""
+    import hashlib
+
+    hx = hashlib.sha256(data or b"").hexdigest()
+    count = 1 + int(hx[4:6], 16) % 4
+    return [
+        hashlib.sha256((hx + format(i, "02x")).encode()).digest()
+        for i in range(count)
+    ]
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (one row -> N frame rows via mapInPandas)
+    under the differential gate: a hash-chain extractor lets DuckDB replay
+    the exact fan-out with a lateral unnest(range(...)). Frames emitted
+    as lower-hex for cross-engine comparison."""
+    from timefence_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = multimodal.sample_frames(
+        docs, id_col="doc_id", binary_col="payload",
+        extract_fn=_hex_chain_frames,
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS sha,
+               1 + CAST(concat('0x', substr(sha256(text), 5, 2)) AS INT) % 4
+                   AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           sha256(sha || lpad(to_hex(i), 2, '0')) AS frame_hex
+    FROM h, unnest(range(0, n_frames)) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # LSH oracles — rebuild the seed-deterministic constants (minhash permutation
 # pairs, random hyperplanes) in Python and inline them as SQL literals, so
@@ -2239,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
+        "media_dedup": q_media_dedup,
+        "media_frames": q_media_frames,
         "streaming_asof": q_streaming_asof,
         "streaming_asof_static": q_streaming_asof_static,
         "streaming_dedup": q_streaming_dedup,
@@ -2299,6 +2374,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,
+        "media_dedup": ORACLE_MEDIA_DEDUP,
+        "media_frames": ORACLE_MEDIA_FRAMES,
         # Streaming replays of the events as-of join: defined to agree with
         # the batch semantics, so both share the batch oracle SQL.
         "streaming_asof": ORACLE_PIT_EVENTS,
