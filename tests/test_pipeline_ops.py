@@ -251,3 +251,29 @@ def test_unigram_logprob_deterministic_matches_default(spark, docs):
     assert ra.keys() == rb.keys()
     for k in ra:
         assert ra[k] == pytest.approx(rb[k], abs=1e-6)
+
+
+def test_pii_extended_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ssn 123-45-6789 card 4111 1111 1111 1111 tel 555-123-4567"),
+            (2, "just ids 1234567890123456 and 123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["doc_id"]: r
+        for r in pii.pii_signals(
+            df, id_col="doc_id", text_col="text", rules=pii.EXTENDED_PII_RULES
+        ).collect()
+    }
+    assert sig[1]["n_ssn"] == 1
+    assert sig[1]["n_credit_card"] == 1
+    assert sig[1]["n_phone"] >= 1
+    assert sig[2]["n_pii"] == 0  # bare digit runs don't match
+    red = pii.redact_pii(
+        df, id_col="doc_id", text_col="text", rules=pii.EXTENDED_PII_RULES
+    ).head()
+    assert "<SSN>" in red["text_redacted"]
+    assert "<CARD>" in red["text_redacted"]
+    assert "1111" not in red["text_redacted"]

@@ -38,10 +38,31 @@ PHONE_PATTERN = (
     r"\b(?:\+[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
 )
 
+# US SSN shape ddd-dd-dddd (format match only; no checksum exists for
+# SSNs). Dash-separated to keep false positives on id-like digit runs low.
+SSN_PATTERN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+# 16-digit payment-card shape in 4-4-4-4 groups (spaces or dashes).
+# Format-only: Luhn checksums need arithmetic, not regex — run a
+# Luhn-verifying pass downstream if precision matters.
+CREDIT_CARD_PATTERN = r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b"
+
 # (type, pattern, replacement) in application order. Replacements contain
 # no digits or '@'/'.' runs, so later patterns cannot match inside them.
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+    ("ipv4", IPV4_PATTERN, "<IP>"),
+]
+
+# Superset with the higher-false-positive families; opt in via
+# ``rules=EXTENDED_PII_RULES``. Order matters: SSN before phone (a
+# ddd-dd-dddd span must not be half-eaten by the phone pattern), cards
+# before both (longest digit runs first).
+EXTENDED_PII_RULES: list[tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("credit_card", CREDIT_CARD_PATTERN, "<CARD>"),
+    ("ssn", SSN_PATTERN, "<SSN>"),
     ("phone", PHONE_PATTERN, "<PHONE>"),
     ("ipv4", IPV4_PATTERN, "<IP>"),
 ]
@@ -51,29 +72,38 @@ def _count(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
-def pii_signals(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
-    """Per-document PII match counts: ``n_email``, ``n_phone``, ``n_ipv4``,
-    ``n_pii`` (sum), ``has_pii``.
+def pii_signals(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Per-document PII match counts: one ``n_<family>`` column per rule
+    (default families: ``n_email``, ``n_phone``, ``n_ipv4``), plus
+    ``n_pii`` (sum) and ``has_pii``. Pass ``rules=EXTENDED_PII_RULES`` or
+    your own ``(name, pattern, replacement)`` list for other families.
 
     Counts are computed on the RAW text independently per family (phone
     counts are not suppressed by an overlapping email match — families
     rarely overlap and independent counts keep each column meaningful on
     its own). One projection, no shuffle."""
+    active = rules if rules is not None else PII_RULES
     text = F.col(text_col)
     counts = df.select(
         F.col(id_col),
         *[
             _count(text, pat).alias(f"n_{name}")
-            for name, pat, _ in PII_RULES
+            for name, pat, _ in active
         ],
     )
     total = None
-    for name, _, _ in PII_RULES:
+    for name, _, _ in active:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return counts.select(
         id_col,
-        *[f"n_{name}" for name, _, _ in PII_RULES],
+        *[f"n_{name}" for name, _, _ in active],
         total.alias("n_pii"),
         (total > 0).alias("has_pii"),
     )
