@@ -1643,6 +1643,28 @@ ORACLE_WORD_FREQ = r"""
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile-style mixture weighting: per-language sampling rates decided
+    by the salted portable hash (en 100%, de/fr 40%, others 10%)."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.mixture_sample(
+        docs.select("doc_id", "lang", "source"),
+        id_col="doc_id", strata_col="lang",
+        fractions={"en": 1.0, "de": 0.4, "fr": 0.4},
+        default_fraction=0.1, salt="mix", hash_fn="md5",
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_duck_md5_hash("doc_id", "mix")} % 1000000 <
+          CASE lang WHEN 'de' THEN 400000 WHEN 'en' THEN 1000000
+                    WHEN 'fr' THEN 400000 ELSE 100000 END
+"""
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram fluency score: mean -ln p(word) per document
     under the corpus's own add-1-smoothed unigram LM. deterministic=True
@@ -2303,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "word_freq": q_word_freq,
         "unigram_nll": q_unigram_nll,
+        "mixture_sample": q_mixture_sample,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
@@ -2363,6 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _oracle_domain_blocklist_sql(),
         "word_freq": ORACLE_WORD_FREQ,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),

@@ -277,3 +277,32 @@ def test_pii_extended_rules(spark):
     assert "<SSN>" in red["text_redacted"]
     assert "<CARD>" in red["text_redacted"]
     assert "1111" not in red["text_redacted"]
+
+
+def test_mixture_sample_rates_and_nesting(spark, docs):
+    from timefence_spark.operators import sampling
+
+    d = docs.select("doc_id", "lang")
+    out = sampling.mixture_sample(
+        d, id_col="doc_id", strata_col="lang",
+        fractions={"en": 1.0, "de": 0.0}, default_fraction=0.5, salt="m",
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == totals["en"]          # fraction 1.0 keeps all
+    assert "de" not in by_lang                        # fraction 0.0 drops all
+    for lang, n in by_lang.items():
+        if lang not in ("en", "de"):
+            assert 0 < n < totals[lang]               # default rate in between
+    # nesting: a smaller fraction with the same salt is a subset
+    smaller = sampling.mixture_sample(
+        d, id_col="doc_id", strata_col="lang",
+        fractions={"en": 0.3}, default_fraction=0.2, salt="m",
+    )
+    big_ids = {r["doc_id"] for r in out.collect()}
+    assert all(r["doc_id"] in big_ids or r["lang"] == "de"
+               for r in smaller.collect())
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(
+            d, id_col="doc_id", strata_col="lang", fractions={"en": 1.5}
+        )

@@ -126,3 +126,42 @@ def split_by_hash(
     # final (sorted-last) split.
     expr = expr.otherwise(F.lit(sorted(weights)[-1]))
     return df.withColumn("split", expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum sampling rates — corpus mixture weighting (e.g. keep
+    100% of curated sources, 10% of crawl): each row keeps with its
+    stratum's fraction, decided by the same salted id hash as
+    :func:`hash_sample` (stable across reruns/partitioning; same-salt
+    samples nest per stratum). Strata missing from ``fractions`` use
+    ``default_fraction``.
+
+    One filter in the scan stage — the fraction lookup compiles to a CASE
+    chain over the (small, driver-known) strata map; no join, no
+    shuffle."""
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    bound = None
+    for k in sorted(fractions):
+        b = int(round(fractions[k] * _BUCKETS))
+        cond = F.col(strata_col) == k
+        bound = F.when(cond, b) if bound is None else bound.when(cond, b)
+    bound = (
+        bound.otherwise(int(round(default_fraction * _BUCKETS)))
+        if bound is not None
+        else F.lit(int(round(default_fraction * _BUCKETS)))
+    )
+    h = F.pmod(_salted_hash(F.col(id_col), salt, hash_fn), F.lit(_BUCKETS))
+    return df.where(h < bound)
