@@ -494,6 +494,10 @@ NOISY_QUERIES = {
     "knn_ivf",
     "knn_ivf_arrow",
     "minhash_dedup",
+    # Composite chain (dedup + gopher + decontaminate + split): the widest
+    # plan in the suite; JIT/GC variance puts its 3-run spread near the
+    # gate, 6 runs keep the min trustworthy.
+    "corpus_clean",
 }
 
 SPREAD_LIMIT = 0.50
