@@ -978,6 +978,33 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: transitive near-dup components + keep the
+    best-quality doc per component (ties to the smaller id). Oracle =
+    the components recursive CTE joined to the quality-score expression,
+    both reused verbatim from their own entries."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dedup_keep_best(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
+        threshold=0.7, hash_fn="md5",
+    )
+
+
+def _oracle_dedup_keep_best_sql() -> str:
+    return f"""
+    WITH comp AS ({_oracle_dedup_components_sql()}),
+    q AS ({ORACLE_QUALITY})
+    SELECT doc_id, component_id, quality_score FROM (
+        SELECT comp.doc_id, comp.component_id, q.quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY comp.component_id
+                   ORDER BY q.quality_score DESC, comp.doc_id ASC
+               ) AS rn
+        FROM comp JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable-hash mode (60-bit md5 signature,
     4x15-bit chunk banding) — fully oracle-checked in DuckDB."""
@@ -2328,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -2391,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),
         "dedup_components": _oracle_dedup_components_sql(),
+        "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),
         "knn_ivf": _oracle_knn_ivf_sql(),

@@ -324,3 +324,27 @@ def test_decontaminate_flags_and_counts(spark):
         ).collect()
     }
     assert strict[1] and not strict[3]
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    """The highest-quality member of each near-dup cluster survives, not
+    the min id; singletons always survive."""
+    from timefence_spark.operators import dedup as dd
+
+    good = "the cat sat on the mat and the dog sat on the log nearby today"
+    bad = "the cat sat on the mat and the dog sat on the log nearby 999 999 999 999 999 999 999 999 999 999"
+    rows = [
+        (1, bad),                      # near-dup cluster {1, 2}: digit-heavy copy
+        (2, good + " today"),          # cleaner copy, higher quality, bigger id
+        (3, "completely different text about spark plans and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.dedup_keep_best(
+        df, id_col="doc_id", text_col="text", num_perm=32, bands=16,
+        shingle_k=3, threshold=0.5,
+    ).collect()
+    survivors = {r["doc_id"] for r in out}
+    assert 3 in survivors                      # singleton survives
+    assert survivors & {1, 2} == {2}, out      # quality beats min-id
+    comp = {r["doc_id"]: r["component_id"] for r in out}
+    assert comp[2] == 1                        # component labeled by min id

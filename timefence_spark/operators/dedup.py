@@ -24,6 +24,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 2^31 - 1: keeps a*h + b inside int64 (a, h < p -> a*h < 2^62), so the
 # permutation family (a*h + b) mod p runs in native long arithmetic.
@@ -610,4 +611,56 @@ def minhash_components(
     )
     return connected_components(
         pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    scores: DataFrame | None = None,
+    score_col: str = "quality_score",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware transitive dedup: cluster near-duplicates
+    (:func:`minhash_components`) and keep the BEST-scoring document per
+    component instead of the min-id one — the policy real pipelines want
+    (drop the truncated/boilerplate copy, keep the clean one).
+
+    ``scores`` is any (id, score) table; default = the composite from
+    ``text.quality_score``. Ties break toward the smaller id, so the
+    result is deterministic even under coarse scores.
+
+    Returns one row per SURVIVING document: (id, component_id, score).
+    Anti-join the ids back to the corpus to drop the losers. Physical
+    shape: the components labeling (see scale.md) + one score join + one
+    window over component_id — components are tiny (ids only), so the
+    extra cost over min-id dedup is one shuffle of (id, component, score).
+    """
+    from timefence_spark.operators.text import quality_score
+
+    comps = minhash_components(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
+        max_iter=max_iter,
+    )
+    if scores is None:
+        scores = quality_score(df, id_col=id_col, text_col=text_col)
+    scored = comps.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "component_id", score_col)
     )
