@@ -1,0 +1,131 @@
+"""Corpus fluent API: each stage must equal the manual operator
+composition, and the chain must stay one lazy plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefence_spark import Corpus
+from timefence_spark.operators import dedup, sampling, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ids(df_or_corpus):
+    df = getattr(df_or_corpus, "df", df_or_corpus)
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_corpus_requires_columns(spark, docs):
+    with pytest.raises(ValueError):
+        Corpus(docs.select("doc_id"), id_col="doc_id", text_col="text")
+
+
+def test_dedup_exact_matches_operator(spark, docs):
+    got = _ids(Corpus(docs).dedup_exact())
+    want = {
+        r["doc_id"]
+        for r in dedup.exact_dedup(
+            docs, id_col="doc_id", content_cols=["text"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_filter_stages_match_operators(spark, docs):
+    c = Corpus(docs).filter_gopher(min_words=10)
+    want = {
+        r["doc_id"]
+        for r in text.gopher_quality(
+            docs, id_col="doc_id", text_col="text", min_words=10
+        )
+        .where(F.col("gopher_pass"))
+        .collect()
+    }
+    assert _ids(c) == want
+    # filtered corpus keeps the full schema
+    assert c.df.columns == docs.columns
+
+    langs = _ids(Corpus(docs).filter_languages(["en"]))
+    want_lang = {
+        r["doc_id"]
+        for r in text.lang_id(docs, id_col="doc_id", text_col="text")
+        .where(F.col("lang") == "en")
+        .collect()
+    }
+    assert langs == want_lang
+
+
+def test_chain_composes_and_stays_lazy(spark, docs):
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    chain = (
+        Corpus(corpus)
+        .dedup_exact()
+        .filter_gopher(min_words=10)
+        .decontaminate(bench, n=7)
+        .split({"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp", hash_fn="md5")
+    )
+    out = chain.df.where(F.col("split") == "train")
+    # must equal the manual operator composition (same stages, same salts)
+    survivors = corpus.join(
+        dedup.exact_dedup(corpus, id_col="doc_id", content_cols=["text"])
+        .select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    q_ok = (
+        text.gopher_quality(survivors, id_col="doc_id", text_col="text", min_words=10)
+        .where(F.col("gopher_pass")).select("doc_id")
+    )
+    d_ok = (
+        dedup.decontaminate(survivors, bench, id_col="doc_id", text_col="text", n=7)
+        .where(~F.col("contaminated")).select("doc_id")
+    )
+    manual = sampling.split_by_hash(
+        survivors.join(q_ok, "doc_id", "left_semi")
+        .join(d_ok, "doc_id", "left_semi"),
+        id_col="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="sp", hash_fn="md5",
+    ).where(F.col("split") == "train")
+    assert _ids(out) == _ids(manual)
+
+
+def test_redact_and_sample_and_pack(spark):
+    rows = [
+        (i, f"doc {i} mail user{i}@x.example.com words words words", 40 + i)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_tok long")
+    c = Corpus(docs).redact_pii()
+    assert c.df.columns == docs.columns
+    assert c.df.where(F.col("text").contains("@")).count() == 0
+    sampled = Corpus(docs).sample(0.5, salt="s")
+    assert 0 < sampled.df.count() < 20
+    packed = Corpus(docs).pack(token_col="n_tok", budget=100, num_shards=2)
+    assert {"shard", "chunk", "chunk_offset", "oversized"} <= set(packed.columns)
+    assert packed.count() == 20
+
+
+def test_dedup_near_keep_best(spark):
+    good = "the cat sat on the mat and the dog sat on the log nearby today"
+    rows = [
+        (1, good + " 999 999 999 999 999 999 999 999"),
+        (2, good + " again"),
+        (3, "entirely different content about query planning and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    best = _ids(
+        Corpus(docs).dedup_near(keep="best", num_perm=32, bands=16, threshold=0.5)
+    )
+    min_id = _ids(
+        Corpus(docs).dedup_near(keep="min_id", num_perm=32, bands=16, threshold=0.5)
+    )
+    assert best == {2, 3}
+    assert min_id == {1, 3}
+    with pytest.raises(ValueError):
+        Corpus(docs).dedup_near(keep="nope")

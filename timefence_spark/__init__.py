@@ -8,6 +8,7 @@ large-scale training-data operators (dedup, similarity search, text analysis,
 multimodal columns) the reference does not have.
 """
 
+from timefence_spark.corpus import Corpus
 from timefence_spark.core import (
     CSVSource,
     Feature,
@@ -50,6 +51,7 @@ def from_dbt(manifest_path: str = "target/manifest.json", **kwargs) -> list[Feat
     )
 
 __all__ = [
+    "Corpus",
     "CSVSource",
     "Feature",
     "FeatureSet",

@@ -1,0 +1,197 @@
+"""Corpus: a fluent, lazy pipeline facade over the training-data operators.
+
+Every stage delegates to the underlying operator module and returns a new
+``Corpus`` wrapping a transformed (still lazy) DataFrame, so a cleaning
+pipeline reads the way it is designed:
+
+    from timefence_spark import Corpus
+
+    clean = (
+        Corpus(docs)                       # id_col="doc_id", text_col="text"
+        .dedup_exact()
+        .filter_quality(min_score=0.75)
+        .filter_languages(["en", "de"])
+        .decontaminate(benchmark_df)
+        .redact_pii()
+        .filter_blocked_domains(["spam.example.com"])
+        .mixture({"src0": 1.0}, default_fraction=0.1)
+        .split({"train": 0.9, "val": 0.1})
+    )
+    clean.df.write.parquet(...)
+
+Nothing executes until an action runs on ``.df`` — Catalyst sees the whole
+chain, so column pruning reaches the scan and filter stages stay scan-side
+(see docs/concepts/pipeline.md). Stages that compute row-level signals
+(quality, language, PII) keep the corpus schema by semi-joining the
+surviving ids, never shuffling the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timefence_spark.operators import dedup, packing, pii, sampling, text, web
+
+
+class Corpus:
+    """A document corpus (id + text + any payload columns) with chainable
+    cleaning/packing stages. Immutable: every stage returns a new Corpus."""
+
+    def __init__(
+        self, df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    ):
+        if id_col not in df.columns or text_col not in df.columns:
+            raise ValueError(
+                f"Corpus needs columns {id_col!r} and {text_col!r}; "
+                f"got {df.columns}"
+            )
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _wrap(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, id_col=self.id_col, text_col=self.text_col)
+
+    def _keep_ids(self, ids: DataFrame) -> "Corpus":
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
+    # ---- dedup -----------------------------------------------------------
+
+    def dedup_exact(self) -> "Corpus":
+        """Keep one document (min id) per exact text content."""
+        ids = dedup.exact_dedup(
+            self.df, id_col=self.id_col, content_cols=[self.text_col]
+        ).select(self.id_col)
+        return self._keep_ids(ids)
+
+    def dedup_near(self, *, keep: str = "min_id", **minhash_kwargs) -> "Corpus":
+        """Transitive MinHash-LSH near-dup removal. ``keep='min_id'``
+        keeps the smallest id per component; ``keep='best'`` keeps the
+        highest quality_score (see dedup.dedup_keep_best)."""
+        if keep == "best":
+            ids = dedup.dedup_keep_best(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                **minhash_kwargs,
+            ).select(self.id_col)
+        elif keep == "min_id":
+            comps = dedup.minhash_components(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                **minhash_kwargs,
+            )
+            ids = comps.where(
+                F.col(self.id_col) == F.col("component_id")
+            ).select(self.id_col)
+        else:
+            raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+        return self._keep_ids(ids)
+
+    # ---- quality / language / contamination ------------------------------
+
+    def filter_quality(self, *, min_score: float = 0.75, **kwargs) -> "Corpus":
+        """Drop documents under the composite quality score."""
+        ids = (
+            text.quality_score(
+                self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+            )
+            .where(F.col("quality_score") >= min_score)
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
+    def filter_gopher(self, **kwargs) -> "Corpus":
+        """Keep only documents passing the Gopher quality rules."""
+        ids = (
+            text.gopher_quality(
+                self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+            )
+            .where(F.col("gopher_pass"))
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
+    def filter_languages(self, langs: list[str], **kwargs) -> "Corpus":
+        """Keep documents whose marker-heuristic language is in ``langs``."""
+        ids = (
+            text.lang_id(
+                self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+            )
+            .where(F.col("lang").isin(list(langs)))
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
+    def decontaminate(self, benchmark: DataFrame, **kwargs) -> "Corpus":
+        """Drop documents sharing word n-grams with the benchmark set."""
+        ids = (
+            dedup.decontaminate(
+                self.df, benchmark, id_col=self.id_col, text_col=self.text_col,
+                **kwargs,
+            )
+            .where(~F.col("contaminated"))
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
+    # ---- scrubbing -------------------------------------------------------
+
+    def redact_pii(self, rules=None) -> "Corpus":
+        """Replace PII spans in the text column in place."""
+        out = pii.redact_pii(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            out_col="__redacted", rules=rules,
+        )
+        out = out.withColumn(self.text_col, F.col("__redacted")).drop("__redacted")
+        return self._wrap(out)
+
+    def filter_blocked_domains(self, blocklist, **kwargs) -> "Corpus":
+        """Drop documents linking to blocklisted domains."""
+        return self._wrap(
+            web.filter_blocked_domains(
+                self.df, blocklist, id_col=self.id_col,
+                text_col=self.text_col, **kwargs,
+            )
+        )
+
+    # ---- sampling / splitting / packing ----------------------------------
+
+    def sample(self, fraction: float, *, salt: str = "", **kwargs) -> "Corpus":
+        """Deterministic salted-hash sample."""
+        return self._wrap(
+            sampling.hash_sample(
+                self.df, id_col=self.id_col, fraction=fraction, salt=salt,
+                **kwargs,
+            )
+        )
+
+    def mixture(
+        self, fractions: dict[str, float], *, strata_col: str = "source", **kwargs
+    ) -> "Corpus":
+        """Per-stratum sampling rates (corpus mixture weighting)."""
+        return self._wrap(
+            sampling.mixture_sample(
+                self.df, id_col=self.id_col, strata_col=strata_col,
+                fractions=fractions, **kwargs,
+            )
+        )
+
+    def split(self, weights: dict[str, float], **kwargs) -> "Corpus":
+        """Add a deterministic 'split' assignment column."""
+        return self._wrap(
+            sampling.split_by_hash(
+                self.df, id_col=self.id_col, weights=weights, **kwargs
+            )
+        )
+
+    def pack(
+        self, *, token_col: str, budget: int, boundaries: bool = True, **kwargs
+    ) -> DataFrame:
+        """Terminal stage: pack into token-budget chunks.
+        ``boundaries=True`` -> next-fit (no document straddles);
+        ``False`` -> concatenate-then-cut stream packing.
+        Returns the packed DataFrame (not a Corpus — schema changes)."""
+        fn = packing.pack_next_fit if boundaries else packing.pack_stream
+        return fn(
+            self.df, id_col=self.id_col, token_col=token_col, budget=budget,
+            **kwargs,
+        )
