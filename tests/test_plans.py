@@ -117,3 +117,25 @@ def test_multi_feature_single_pass_one_window(spark, sides):
     )
     s = assert_plan(df, max_exchanges=1)
     assert s.windows == 1, f"expected one Window operator, got {s.windows}"
+
+
+def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
+    """Sweeping regression net: NO entry query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed only where it is the designed
+    shape (exact kNN scores every query x corpus pair by definition; its
+    query side is broadcast so the corpus still streams map-side).
+    Streaming queries are excluded — constructing them replays file
+    staging, and their plan shapes are pinned by tests/test_streaming.py."""
+    import __spark_entry__ as entry_mod
+
+    allowed_bnlj = {"knn_cosine"}
+    offenders = {}
+    for name, q in entry_mod.queries().items():
+        if name.startswith("streaming"):
+            continue
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
