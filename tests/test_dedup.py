@@ -348,3 +348,36 @@ def test_dedup_keep_best_prefers_quality(spark):
     assert survivors & {1, 2} == {2}, out      # quality beats min-id
     comp = {r["doc_id"]: r["component_id"] for r in out}
     assert comp[2] == 1                        # component labeled by min id
+
+
+def test_max_bucket_size_skips_hot_buckets(spark):
+    """A boilerplate mega-cluster (identical text) floods one bucket per
+    band; the cap drops those buckets, bounding candidate pairs, while
+    small clusters keep matching."""
+    from timefence_spark.operators import dedup as dd
+
+    boiler = "all rights reserved terms of service apply to this page now"
+    rows = [(i, boiler) for i in range(30)]           # hot: 30-doc bucket
+    rows += [
+        (100, "a rare unique document about catalyst optimizer internals"),
+        (101, "a rare unique document about catalyst optimizer internals!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", num_perm=32, bands=16,
+              shingle_k=3, threshold=0.5)
+    uncapped = dd.minhash_lsh_pairs(df, **kw)
+    assert uncapped.count() >= 30 * 29 / 2            # hot cluster all-pairs
+    capped = dd.minhash_lsh_pairs(df, max_bucket_size=10, **kw)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got                          # small cluster survives
+    assert not any(a < 100 and b < 100 for a, b in got)  # hot cluster skipped
+
+    with pytest.raises(ValueError):
+        dd.minhash_lsh_pairs(df, max_bucket_size=1, **kw)
+
+    # simhash variant: identical texts share every chunk; cap skips them
+    sim_capped = dd.simhash_pairs(
+        df, id_col="doc_id", text_col="text", max_bucket_size=10
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in sim_capped.collect()}
+    assert not any(a < 100 and b < 100 for a, b in pairs)

@@ -206,6 +206,29 @@ def minhash_signatures(
     return sh.join(sig, id_col).select(id_col, "__shingles", "signature")
 
 
+def _cap_buckets(
+    buckets: DataFrame, keys: str | Sequence[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_size`` members before
+    a bucket self-join (see minhash_lsh_pairs). ids-only window count —
+    the bucket table is already keyed by ``keys``, so the count rides the
+    same partitioning the self-join needs."""
+    if max_bucket_size is None:
+        return buckets
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2, got {max_bucket_size}"
+        )
+    if isinstance(keys, str):
+        keys = [keys]
+    w = Window.partitionBy(*keys)
+    return (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -217,6 +240,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH, verified with exact
     Jaccard over shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -226,6 +250,15 @@ def minhash_lsh_pairs(
     O(bands x N x 16 bytes), independent of corpus text size. Shingles are
     re-attached by two joins against the (id, shingles) table per *distinct*
     candidate pair for the exact-Jaccard verification.
+
+    ``max_bucket_size`` is the hot-bucket guard for web-scale corpora: a
+    band bucket shared by k documents emits k^2/2 candidate pairs, so one
+    boilerplate mega-bucket (empty pages, license stubs) can dominate the
+    whole job. Buckets above the cap are SKIPPED for candidate generation
+    (standard practice — true near-dups in a dropped bucket usually still
+    collide in one of the other ``bands-1`` bands, so recall loss is
+    modest while the worst-case pair count becomes bands x N x cap/2).
+    Costs one extra ids-only aggregation; ``None`` (default) disables.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -251,6 +284,7 @@ def minhash_lsh_pairs(
             *[F.concat_ws(":", F.lit(str(b)), band_str(b)) for b in range(bands)]
         )
     buckets = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_hash"))
+    buckets = _cap_buckets(buckets, "band_hash", max_bucket_size)
 
     left = buckets.select("band_hash", F.col(id_col).alias("id_a"))
     right = buckets.select("band_hash", F.col(id_col).alias("id_b"))
@@ -293,6 +327,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id.
 
@@ -302,6 +337,7 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
+        max_bucket_size=max_bucket_size,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -373,12 +409,17 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) <= max_hamming.
 
     Banding: split the signature into 4 chunks; any pair within Hamming<=3
     shares at least one exact chunk (pigeonhole), so candidates come from
-    equi-joins on chunks — no all-pairs comparison.
+    equi-joins on chunks — no all-pairs comparison. ``max_bucket_size``
+    skips hot chunk buckets (see minhash_lsh_pairs — same quadratic-pair
+    guard; note simhash pigeonhole pairs dropped this way lose their
+    GUARANTEED band, so the cap trades the Hamming<=k completeness
+    guarantee for bounded cost on boilerplate-heavy corpora).
     """
     sigs = simhash(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
     chunk_bits = _simhash_bits(hash_fn) // 4
@@ -397,6 +438,7 @@ def simhash_pairs(
     exploded = sigs.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", "c.chunk_id", "c.chunk"
     )
+    exploded = _cap_buckets(exploded, ["chunk_id", "chunk"], max_bucket_size)
     left = exploded.select(
         "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
     )
@@ -597,6 +639,7 @@ def minhash_components(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_iter: int = 25,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full transitive near-duplicate grouping: (id, component_id).
 
@@ -608,6 +651,7 @@ def minhash_components(
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
+        max_bucket_size=max_bucket_size,
     )
     return connected_components(
         pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter
@@ -628,6 +672,7 @@ def dedup_keep_best(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_iter: int = 25,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Quality-aware transitive dedup: cluster near-duplicates
     (:func:`minhash_components`) and keep the BEST-scoring document per
@@ -649,7 +694,7 @@ def dedup_keep_best(
     comps = minhash_components(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
-        max_iter=max_iter,
+        max_iter=max_iter, max_bucket_size=max_bucket_size,
     )
     if scores is None:
         scores = quality_score(df, id_col=id_col, text_col=text_col)

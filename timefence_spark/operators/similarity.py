@@ -589,9 +589,19 @@ def rp_lsh_topk(
     score_impl: str = "arrow",
     single_pass: bool | None = None,
     broadcast_queries: bool | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
     exact cosine re-ranking of candidates.
+
+    ``max_bucket_size`` caps CORPUS-side bucket membership in the join
+    plan (hot buckets from near-constant vector regions emit
+    |bucket| x |queries in bucket| candidates): oversized buckets are
+    skipped, mirroring dedup.minhash_lsh_pairs. Only applies to the
+    bucket-join plan — the single-pass arrow plan scores candidates
+    in-batch, where a hot bucket costs memory-bounded compute, not a
+    shuffle, so no cap is needed (pass single_pass=False to force the
+    join plan if you want the cap).
 
     ``tables`` independent signatures; a corpus vector is a candidate if it
     shares any table's bucket with the query. Expected candidates per query
@@ -669,6 +679,10 @@ def rp_lsh_topk(
 
     qs = signatures(queries, query_id, query_vec, "query_id")
     cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
+    if max_bucket_size is not None:
+        from timefence_spark.operators.dedup import _cap_buckets
+
+        cs = _cap_buckets(cs, ["table_id", "bucket"], max_bucket_size)
     # Pinning the query-side broadcast keeps the corpus un-shuffled for
     # candidate generation — right for the typical bounded-|Q| lookup. The
     # hint is size-gated by default (self-join-sized query sets degrade to
@@ -965,6 +979,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     signature_impl: str = "arrow",
     score_impl: str = "arrow",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t),
     using the same RP-LSH blocking as rp_lsh_topk. Pass ``dim`` when known
@@ -1003,7 +1018,14 @@ def embedding_near_dup_pairs(
             id_col, "s.table_id", "s.bucket"
         )
     # ids-only bucket join + dedup; vectors re-attach per distinct pair
-    # (same shuffle-de-amplification as minhash_lsh_pairs).
+    # (same shuffle-de-amplification as minhash_lsh_pairs); hot buckets
+    # are skipped under max_bucket_size, same guard as minhash_lsh_pairs.
+    if max_bucket_size is not None:
+        from timefence_spark.operators.dedup import _cap_buckets
+
+        exploded = _cap_buckets(
+            exploded, ["table_id", "bucket"], max_bucket_size
+        )
     a = exploded.select("table_id", "bucket", F.col(id_col).alias("id_a"))
     b = exploded.select("table_id", "bucket", F.col(id_col).alias("id_b"))
     cand = (
