@@ -1757,9 +1757,9 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", spread=False)
     bench = docs.where(F.col("doc_id") % 50 == 0)
     corpus = docs.where(F.col("doc_id") % 50 != 0)
-    survivor_ids = dedup.exact_dedup(
+    survivor_ids = dedup.exact_survivor_ids(
         corpus, id_col="doc_id", content_cols=["text"]
-    ).select("doc_id")
+    )
     survivors = corpus.join(survivor_ids, "doc_id", "left_semi")
     quality_ok = (
         text.gopher_quality(

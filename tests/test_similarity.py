@@ -397,3 +397,26 @@ def test_ivf_expr_assignment_ranking_semantics(spark):
     # top-2 probes on the tie row: (0, 1) in id order
     probes = assign(rows.where(F.col("id") == 1), "id", "v", 2).collect()
     assert [r["centroid_id"] for r in probes] == [0, 1]
+
+
+def test_ivf_expr_assignment_degenerate_centroids(spark):
+    """Centroids containing NaN elements or NULL vectors must not crash
+    the literal-array plan (repr() would emit invalid `nanD` tokens /
+    float(None) raises) and must keep the cross-join ordering semantics:
+    a NaN-scoring centroid ranks FIRST, a NULL-scoring one LAST."""
+    from timefence_spark.operators.similarity import _ivf_assign_expr_factory
+
+    cent = spark.createDataFrame(
+        [
+            (0, [float("nan"), 1.0]),   # NaN dot -> NaN score, ranks first
+            (1, [1.0, 0.0]),
+            (2, None),                  # NULL centroid -> NULL score, last
+        ],
+        "centroid_id int, centroid array<double>",
+    )
+    assign = _ivf_assign_expr_factory(cent)
+    rows = spark.createDataFrame([(1, [3.0, 4.0])], "id long, v array<double>")
+    top = assign(rows, "id", "v", 1).collect()
+    assert [r["centroid_id"] for r in top] == [0]      # NaN first
+    probes = assign(rows, "id", "v", 3).collect()
+    assert [r["centroid_id"] for r in probes] == [0, 1, 2]

@@ -60,9 +60,9 @@ class Corpus:
 
     def dedup_exact(self) -> "Corpus":
         """Keep one document (min id) per exact text content."""
-        ids = dedup.exact_dedup(
+        ids = dedup.exact_survivor_ids(
             self.df, id_col=self.id_col, content_cols=[self.text_col]
-        ).select(self.id_col)
+        )
         return self._keep_ids(ids)
 
     def dedup_near(self, *, keep: str = "min_id", **minhash_kwargs) -> "Corpus":

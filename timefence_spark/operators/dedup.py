@@ -36,6 +36,40 @@ _MERSENNE_P = (1 << 31) - 1
 # ---------------------------------------------------------------------------
 
 
+def _exact_content_hash(content_cols: Sequence[str]) -> Column:
+    """md5 content hash. Single column: md5 of the value (NULL -> NULL —
+    groupBy treats NULL keys as one group, so all-null contents dedup
+    together, distinct from empty strings). Multiple columns: md5 of the
+    per-column md5 tokens with a NULL marker — a bare ``concat_ws`` SKIPS
+    null arguments, which would collide ("a", NULL) with (NULL, "a")."""
+    if len(content_cols) == 1:
+        return F.md5(F.col(content_cols[0]).cast("string"))
+    tokens = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<NULL>"))
+        for c in content_cols
+    ]
+    return F.md5(F.concat_ws(":", *tokens))
+
+
+def exact_survivor_ids(
+    df: DataFrame,
+    *,
+    id_col: str,
+    content_cols: Sequence[str],
+    keep: str = "min",
+) -> DataFrame:
+    """The ids-only half of :func:`exact_dedup`: one id per distinct
+    content (min or max — deterministic). Use this directly when the
+    surviving set feeds semi-joins (e.g. a cleaning chain): it avoids
+    embedding an extra corpus semi-join inside every consumer subtree."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.groupBy(_exact_content_hash(content_cols).alias("__content_hash"))
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     *,
@@ -43,17 +77,14 @@ def exact_dedup(
     content_cols: Sequence[str],
     keep: str = "min",
 ) -> DataFrame:
-    """Keep one row per distinct content (md5 of the concatenated columns).
+    """Keep one row per distinct content (md5 content hash — see
+    :func:`_exact_content_hash` for the NULL-safe multi-column encoding).
 
     One hash-partitioned aggregation; survivor is the min (or max) id, which
     is deterministic. Returns the surviving rows (all original columns).
     """
-    agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    hash_col = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
-    survivors = (
-        df.groupBy(hash_col.alias("__content_hash"))
-        .agg(agg.alias(id_col))
-        .select(id_col)
+    survivors = exact_survivor_ids(
+        df, id_col=id_col, content_cols=content_cols, keep=keep
     )
     return df.join(survivors, id_col, "left_semi")
 
@@ -62,7 +93,7 @@ def duplicate_groups(
     df: DataFrame, *, id_col: str, content_cols: Sequence[str]
 ) -> DataFrame:
     """Groups of exact duplicates: (content_hash, n_copies, member ids)."""
-    hash_col = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
+    hash_col = _exact_content_hash(content_cols)
     return (
         df.groupBy(hash_col.alias("content_hash"))
         .agg(
@@ -698,11 +729,15 @@ def dedup_keep_best(
     )
     if scores is None:
         scores = quality_score(df, id_col=id_col, text_col=text_col)
+    # LEFT join: a document missing from a caller-supplied scores table
+    # must not vanish from the corpus — it ranks below every scored
+    # member (desc_nulls_last) but still survives if it is alone (or its
+    # whole component is unscored; ties then break by id).
     scored = comps.join(
-        scores.select(F.col(id_col), F.col(score_col)), id_col
+        scores.select(F.col(id_col), F.col(score_col)), id_col, "left"
     )
     w = Window.partitionBy("component_id").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.col(score_col).desc_nulls_last(), F.asc(id_col)
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))

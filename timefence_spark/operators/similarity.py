@@ -597,11 +597,10 @@ def rp_lsh_topk(
     ``max_bucket_size`` caps CORPUS-side bucket membership in the join
     plan (hot buckets from near-constant vector regions emit
     |bucket| x |queries in bucket| candidates): oversized buckets are
-    skipped, mirroring dedup.minhash_lsh_pairs. Only applies to the
-    bucket-join plan — the single-pass arrow plan scores candidates
-    in-batch, where a hot bucket costs memory-bounded compute, not a
-    shuffle, so no cap is needed (pass single_pass=False to force the
-    join plan if you want the cap).
+    skipped, mirroring dedup.minhash_lsh_pairs. The cap only exists in
+    the bucket-join plan, so setting it forces that plan (the single-pass
+    arrow plan scores candidates in-batch, where a hot bucket costs
+    memory-bounded compute rather than a shuffle).
 
     ``tables`` independent signatures; a corpus vector is a candidate if it
     shares any table's bucket with the query. Expected candidates per query
@@ -645,6 +644,9 @@ def rp_lsh_topk(
         signature_impl == "arrow"
         and score_impl == "arrow"
         and single_pass is not False
+        # The cap only exists in the bucket-join plan; setting it forces
+        # that plan so the guard the caller asked for is actually active.
+        and max_bucket_size is None
         and (single_pass or _arrow_query_side_ok(queries))
     ):
         return _cosine_topk_arrow(
@@ -801,17 +803,39 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _seq_l2_norm(vec) -> float:
+def _seq_l2_norm(vec) -> float | None:
     """Driver-side replica of ``l2_norm``'s evaluation: the same
     left-to-right float64 accumulation and final sqrt the Spark fold
     performs, so the constant is bit-identical to what the expression
-    would have computed (IEEE doubles are deterministic per op order)."""
+    would have computed (IEEE doubles are deterministic per op order).
+    A NULL element poisons the fold to NULL (returned as None); NaN
+    propagates through the arithmetic exactly like the expression."""
     import math
 
     acc = 0.0
     for x in vec:
+        if x is None:
+            return None
         acc += float(x) * float(x)
     return math.sqrt(acc)
+
+
+def _sql_double(x) -> str:
+    """A double as a Spark SQL literal, covering the values ``repr()+'D'``
+    cannot express: NULL, NaN and infinities (``nanD`` is a parse error;
+    ``float(None)`` raises). Keeps degenerate centroid vectors scoring
+    NULL/NaN exactly as the pre-literal cross-join plan did."""
+    import math
+
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        sign = "-" if x < 0 else ""
+        return f"CAST('{sign}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def _ivf_assign_expr_factory(sampled: DataFrame):
@@ -836,14 +860,16 @@ def _ivf_assign_expr_factory(sampled: DataFrame):
     cosine lives in [-1, 1], so NULL maps to -2 (last) and NaN to +2
     (first) in the sort key; -i breaks ties toward the smaller id."""
     cent_rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    # NULL centroid vectors stay in the list (scoring NULL against every
+    # row, ranked last — the old cross-join behavior) rather than being
+    # silently dropped and renumbering nothing.
     cents = [
         (
             int(r["centroid_id"]),
-            [float(x) for x in r["centroid"]],
-            _seq_l2_norm(r["centroid"]),
+            list(r["centroid"]) if r["centroid"] is not None else None,
+            _seq_l2_norm(r["centroid"]) if r["centroid"] is not None else None,
         )
         for r in cent_rows
-        if r["centroid"] is not None
     ]
 
     def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
@@ -861,12 +887,15 @@ def _ivf_assign_expr_factory(sampled: DataFrame):
         # references to the score cost one fold evaluation, not three.
         elems = []
         for cid, cvec, cnorm in cents:
-            arr = "array(" + ",".join(f"{float(x)!r}D" for x in cvec) + ")"
-            dot_sql = (
-                f"aggregate(zip_with(`{vecc}`, {arr}, "
-                "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-            )
-            c_sql = f"try_divide({dot_sql}, `__nv` * {float(cnorm)!r}D)"
+            if cvec is None:
+                c_sql = "CAST(NULL AS DOUBLE)"
+            else:
+                arr = "array(" + ",".join(_sql_double(x) for x in cvec) + ")"
+                dot_sql = (
+                    f"aggregate(zip_with(`{vecc}`, {arr}, "
+                    "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+                )
+                c_sql = f"try_divide({dot_sql}, `__nv` * {_sql_double(cnorm)})"
             elems.append(f"named_struct('c', {c_sql}, 'i', {cid})")
         keyed_sql = (
             "transform(array(" + ",".join(elems) + "), s -> named_struct("

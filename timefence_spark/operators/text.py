@@ -497,8 +497,8 @@ def unigram_logprob(
     Physical shape: tokens explode scan-side and pre-aggregate to one row
     per (doc, distinct word) before any join; the LM attaches with an
     un-hinted equi-join (AQE broadcasts vocabulary-sized tables); one
-    groupBy(doc) finishes. The LM's two scalars (N, V) are a single tiny
-    driver aggregation over the LM table.
+    groupBy(doc) finishes. The LM's two scalars (N, V) ride in the plan
+    as a broadcast one-row cross join, so the whole call stays lazy.
 
     ``deterministic=True`` makes the per-document sum reproducible across
     engines and partitionings: per-word contributions are collected,
@@ -509,12 +509,20 @@ def unigram_logprob(
     if lm is None:
         lm = word_frequencies(df, id_col=id_col, text_col=text_col)
     lm = lm.select("word", F.col("n_occurrences").cast("long").alias("__n"))
-    totals = lm.agg(
-        F.sum("__n").alias("N"), F.count(F.lit(1)).alias("V")
-    ).first()
-    n_total = int(totals["N"] or 0)
-    vocab = int(totals["V"] or 0)
-    denom = float(n_total + smoothing_k * (vocab + 1))
+    # The LM's two scalars (N, V) stay IN the plan as a broadcast one-row
+    # cross join: an eager .first() here would run the whole LM
+    # aggregation as an extra job at call time and again at action time,
+    # doubling the corpus scan for lm=None and breaking laziness.
+    totals = F.broadcast(
+        lm.agg(
+            F.coalesce(F.sum("__n"), F.lit(0).cast("long")).alias("__N"),
+            F.count(F.lit(1)).alias("__V"),
+        )
+    )
+    denom = (
+        F.col("__N")
+        + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
+    ).cast("double")
 
     per_doc_word = (
         df.select(
@@ -524,12 +532,17 @@ def unigram_logprob(
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    joined = per_doc_word.join(lm, "word", "left")
+    # The joined copy renames __n: lm's lineage also feeds the totals
+    # aggregate, and Spark's self-join disambiguation would otherwise see
+    # two attributes named __n and refuse to resolve the reference.
+    joined = per_doc_word.join(
+        lm.withColumnRenamed("__n", "__n_word"), "word", "left"
+    ).crossJoin(totals)
     nll_word = -F.log(
-        (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(float(smoothing_k)))
-        / F.lit(denom)
+        (F.coalesce(F.col("__n_word"), F.lit(0)) + F.lit(float(smoothing_k)))
+        / denom
     )
-    oov = F.when(F.col("__n").isNull(), F.col("__cnt")).otherwise(F.lit(0))
+    oov = F.when(F.col("__n_word").isNull(), F.col("__cnt")).otherwise(F.lit(0))
     grouped = joined.groupBy(id_col).agg(
         F.sum("__cnt").alias("n_tokens"),
         F.sum(oov).alias("__oov"),

@@ -20,12 +20,28 @@ from pyspark.sql import functions as F
 
 
 def _content_hash(cols: list[str], hash_fn: str) -> Column:
-    keyed = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-    if hash_fn == "md5":
-        return F.md5(keyed)
-    if hash_fn == "xxhash64":
-        return F.xxhash64(keyed).cast("string")
-    raise ValueError(f"Unknown hash_fn '{hash_fn}' (md5|xxhash64).")
+    """Content hash of the column values.
+
+    Single column: hash the value directly (NULL -> NULL hash; streaming
+    dropDuplicates treats NULL keys as equal, so all-null contents dedup
+    together). Multiple columns: hash each column separately and hash the
+    fixed-width concatenation — NULLs get their own token, so
+    ("a", NULL) / (NULL, "a") / ("a", "") all hash differently
+    (``concat_ws`` alone SKIPS null arguments and would collide them)."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"Unknown hash_fn '{hash_fn}' (md5|xxhash64).")
+
+    def h(col: Column) -> Column:
+        if hash_fn == "md5":
+            return F.md5(col.cast("string"))
+        return F.xxhash64(col.cast("string")).cast("string")
+
+    if len(cols) == 1:
+        return h(F.col(cols[0]))
+    tokens = [
+        F.coalesce(h(F.col(c)), F.lit("<NULL>")) for c in cols
+    ]
+    return h(F.concat_ws(":", *tokens))
 
 
 def streaming_exact_dedup(
