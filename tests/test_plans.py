@@ -128,7 +128,11 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     staging, and their plan shapes are pinned by tests/test_streaming.py."""
     import __spark_entry__ as entry_mod
 
-    allowed_bnlj = {"knn_cosine"}
+    # knn_cosine: exact kNN scores every query x corpus pair by design.
+    # unigram_nll: the LM's two scalars (N, V) attach via a broadcast
+    # cross join of a ONE-row aggregate — the designed way to keep the
+    # call lazy; a nested-loop against one broadcast row is free.
+    allowed_bnlj = {"knn_cosine", "unigram_nll"}
     offenders = {}
     for name, q in entry_mod.queries().items():
         if name.startswith("streaming"):
