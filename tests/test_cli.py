@@ -222,3 +222,40 @@ def test_inspect_profiles_in_one_pass(project):
     assert "user_id" in res.output
     assert "Suggested keys" in res.output
     assert "Suggested timestamp" in res.output
+
+
+def test_corpus_clean_command(tmp_path, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+            (3, "mail me at bob@example.com about the next meeting agenda and notes", "en"),
+            (4, "short", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    inp = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "clean.parquet")
+    docs.write.parquet(inp)
+    res = _run(
+        [
+            "corpus-clean", "--input", inp, "--output", out,
+            "--dedup", "exact", "--redact-pii",
+            "--split", "train=0.8,val=0.2", "--json",
+        ],
+        tmp_path,
+    )
+    assert res.exit_code == 0, res.output
+    summary = json.loads(res.output.strip().splitlines()[-1])
+    assert summary["rows_in"] == 4
+    assert summary["rows_out"] == 3                      # exact dedup drops one
+    assert "dedup_exact" in summary["stages"]
+    cleaned = spark.read.parquet(out)
+    assert "split" in cleaned.columns
+    assert cleaned.where(cleaned.text.contains("@")).count() == 0
+
+    bad = _run(
+        ["corpus-clean", "--input", inp, "--output", out, "--split", "oops"],
+        tmp_path,
+    )
+    assert bad.exit_code != 0

@@ -803,6 +803,121 @@ def quickstart(target_dir) -> None:
     )
 
 
+@cli.command("corpus-clean")
+@click.option("--input", "input_path", required=True, help="Input documents parquet.")
+@click.option("--output", "output_path", required=True, help="Cleaned output parquet.")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option(
+    "--dedup",
+    "dedup_mode",
+    type=click.Choice(["none", "exact", "near", "best"]),
+    default="exact",
+    show_default=True,
+    help="exact = content hash; near = MinHash components keep min id; "
+    "best = keep highest quality score per component.",
+)
+@click.option("--gopher/--no-gopher", default=False, help="Gopher quality rules gate.")
+@click.option("--min-quality", type=float, default=None, help="Composite quality-score floor.")
+@click.option("--languages", default=None, help="Comma-separated language codes to keep.")
+@click.option("--benchmark", default=None, help="Eval-set parquet for decontamination.")
+@click.option("--ngram", type=int, default=8, show_default=True, help="Decontamination n-gram size.")
+@click.option("--redact-pii/--no-redact-pii", default=False)
+@click.option("--blocklist", default=None, help="Domain blocklist file (one domain per line).")
+@click.option("--sample", "sample_fraction", type=float, default=None, help="Deterministic hash-sample fraction.")
+@click.option("--split", "split_spec", default=None, help="Split weights, e.g. train=0.9,val=0.1.")
+@click.option("--salt", default="", help="Salt for sampling/split hashes.")
+@click.option("--json", "json_out", is_flag=True, help="Machine-readable summary.")
+def corpus_clean(
+    input_path, output_path, id_col, text_col, dedup_mode, gopher,
+    min_quality, languages, benchmark, ngram, redact_pii, blocklist,
+    sample_fraction, split_spec, salt, json_out,
+) -> None:
+    """Run a training-data cleaning pipeline over a document corpus.
+
+    Chains the `timefence_spark.Corpus` stages selected by the flags —
+    dedup, quality gates, language filter, decontamination, PII redaction,
+    domain blocklist, sampling, split assignment — as ONE lazy Spark plan
+    and writes the surviving documents to parquet. CLI surface for the
+    pipeline-operator extension (the library facade does the work)."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.engine import get_spark
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    df = read_parquet(spark, input_path)
+    n_in = df.count()
+    c = Corpus(df, id_col=id_col, text_col=text_col)
+    stages: list[str] = []
+    if dedup_mode == "exact":
+        c = c.dedup_exact()
+        stages.append("dedup_exact")
+    elif dedup_mode == "near":
+        c = c.dedup_near(keep="min_id")
+        stages.append("dedup_near(min_id)")
+    elif dedup_mode == "best":
+        c = c.dedup_near(keep="best")
+        stages.append("dedup_near(best)")
+    if gopher:
+        c = c.filter_gopher()
+        stages.append("gopher")
+    if min_quality is not None:
+        c = c.filter_quality(min_score=min_quality)
+        stages.append(f"quality>={min_quality}")
+    if languages:
+        langs = [x.strip() for x in languages.split(",") if x.strip()]
+        c = c.filter_languages(langs)
+        stages.append(f"languages={langs}")
+    if benchmark:
+        bench_df = read_parquet(spark, benchmark)
+        c = c.decontaminate(bench_df, n=ngram)
+        stages.append(f"decontaminate(n={ngram})")
+    if redact_pii:
+        c = c.redact_pii()
+        stages.append("redact_pii")
+    if blocklist:
+        domains = [
+            line.strip()
+            for line in Path(blocklist).read_text().splitlines()
+            if line.strip() and not line.startswith("#")
+        ]
+        c = c.filter_blocked_domains(domains)
+        stages.append(f"blocklist({len(domains)} domains)")
+    if sample_fraction is not None:
+        c = c.sample(sample_fraction, salt=salt)
+        stages.append(f"sample({sample_fraction})")
+    if split_spec:
+        try:
+            weights = {
+                k.strip(): float(v)
+                for k, v in (part.split("=") for part in split_spec.split(","))
+            }
+        except ValueError as exc:
+            raise click.ClickException(
+                f"Bad --split spec {split_spec!r} (want train=0.9,val=0.1): {exc}"
+            ) from exc
+        c = c.split(weights, salt=salt)
+        stages.append(f"split({split_spec})")
+
+    c.df.write.mode("overwrite").parquet(output_path)
+    n_out = spark.read.parquet(output_path).count()
+    summary = {
+        "input": input_path,
+        "output": output_path,
+        "stages": stages,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "kept_pct": round(100.0 * n_out / n_in, 2) if n_in else 0.0,
+    }
+    if json_out:
+        click.echo(json.dumps(summary))
+    else:
+        click.echo(f"corpus-clean: {n_in} -> {n_out} rows ({summary['kept_pct']}%)")
+        for s in stages:
+            click.echo(f"  - {s}")
+        click.echo(f"Wrote {output_path}")
+
+
 def main() -> None:  # console entry point
     cli()
 
