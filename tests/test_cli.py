@@ -259,3 +259,21 @@ def test_corpus_clean_command(tmp_path, spark):
         tmp_path,
     )
     assert bad.exit_code != 0
+
+
+def test_corpus_inspect_command(tmp_path, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat with it for a while in the sun today", "en"),
+            (2, "the cat and the dog sat with it for a while in the sun today", "en"),
+            (3, "mail bob@x.example.org for details on the plan and the agenda", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    inp = str(tmp_path / "d.parquet")
+    docs.write.parquet(inp)
+    res = _run(["corpus-inspect", "--input", inp, "--json"], tmp_path)
+    assert res.exit_code == 0, res.output
+    rep = json.loads(res.output.strip().splitlines()[-1])
+    assert rep["n_docs"] == 3 and rep["n_distinct_texts"] == 2
+    assert rep["pii_doc_pct"] == pytest.approx(33.33, abs=0.01)

@@ -54,10 +54,11 @@ def test_filter_stages_match_operators(spark, docs):
     want_lang = {
         r["doc_id"]
         for r in text.lang_id(docs, id_col="doc_id", text_col="text")
-        .where(F.col("lang") == "en")
+        .where(F.col("lang_pred") == "en")
         .collect()
     }
     assert langs == want_lang
+    assert len(langs) > 0
 
 
 def test_chain_composes_and_stays_lazy(spark, docs):
@@ -129,3 +130,17 @@ def test_dedup_near_keep_best(spark):
     assert min_id == {1, 3}
     with pytest.raises(ValueError):
         Corpus(docs).dedup_near(keep="nope")
+
+
+def test_corpus_report(spark, docs):
+    rep = Corpus(docs).report()
+    n = docs.count()
+    assert rep["n_docs"] == n
+    assert 0 < rep["n_distinct_texts"] <= n
+    assert rep["exact_dup_pct"] == pytest.approx(
+        100.0 * (n - rep["n_distinct_texts"]) / n, abs=0.01
+    )
+    assert rep["avg_chars"] > 0 and rep["median_chars"] > 0
+    assert 0.0 <= rep["avg_quality"] <= 1.0
+    assert rep["pii_doc_pct"] == 0.0          # synthetic corpus has no PII
+    assert sum(rep["languages"].values()) == n

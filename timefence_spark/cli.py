@@ -918,6 +918,42 @@ def corpus_clean(
         click.echo(f"Wrote {output_path}")
 
 
+@cli.command("corpus-inspect")
+@click.option("--input", "input_path", required=True, help="Documents parquet.")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--json", "json_out", is_flag=True)
+def corpus_inspect(input_path, id_col, text_col, json_out) -> None:
+    """Profile a document corpus before cleaning: size/dup/quality/PII/
+    language stats (three small Spark actions via Corpus.report())."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.engine import get_spark
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    rep = Corpus(
+        read_parquet(spark, input_path), id_col=id_col, text_col=text_col
+    ).report()
+    if json_out:
+        click.echo(json.dumps(rep))
+        return
+    click.echo(f"Corpus: {input_path}")
+    click.echo(
+        f"  docs: {rep['n_docs']}  distinct texts: {rep['n_distinct_texts']}"
+        f"  exact-dup: {rep['exact_dup_pct']}%"
+    )
+    click.echo(
+        f"  chars avg/median: {rep['avg_chars']}/{rep['median_chars']}"
+        f"  tokens avg: {rep['avg_tokens']}"
+    )
+    click.echo(
+        f"  quality avg: {rep['avg_quality']}  >=0.75: {rep['high_quality_pct']}%"
+        f"  PII docs: {rep['pii_doc_pct']}%"
+    )
+    langs = ", ".join(f"{k}={v}" for k, v in sorted(rep["languages"].items()))
+    click.echo(f"  languages: {langs}")
+
+
 def main() -> None:  # console entry point
     cli()
 

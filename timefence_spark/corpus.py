@@ -111,12 +111,15 @@ class Corpus:
         return self._keep_ids(ids)
 
     def filter_languages(self, langs: list[str], **kwargs) -> "Corpus":
-        """Keep documents whose marker-heuristic language is in ``langs``."""
+        """Keep documents whose marker-heuristic language PREDICTION
+        (``lang_pred`` from ``text.lang_id``) is in ``langs``. Note the
+        column name: filtering on a bare ``lang`` would silently resolve
+        against an input metadata column of that name if one exists."""
         ids = (
             text.lang_id(
                 self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
             )
-            .where(F.col("lang").isin(list(langs)))
+            .where(F.col("lang_pred").isin(list(langs)))
             .select(self.id_col)
         )
         return self._keep_ids(ids)
@@ -182,6 +185,63 @@ class Corpus:
                 self.df, id_col=self.id_col, weights=weights, **kwargs
             )
         )
+
+    # ---- profiling -------------------------------------------------------
+
+    def report(self) -> dict:
+        """Corpus health profile in three small actions: row/char/token
+        stats + quality/PII rates (one agg over joined scan-side
+        projections), language distribution (one groupBy), and the exact
+        duplicate rate (one distinct-hash agg). Returns plain Python — the
+        numbers a pipeline owner checks before burning cluster time on a
+        full clean."""
+        from pyspark.sql import functions as FF
+
+        q = text.quality_score(self.df, id_col=self.id_col, text_col=self.text_col)
+        p = pii.pii_signals(self.df, id_col=self.id_col, text_col=self.text_col)
+        joined = q.join(p.select(self.id_col, "has_pii"), self.id_col)
+        row = joined.agg(
+            FF.count(FF.lit(1)).alias("n_docs"),
+            FF.avg("n_chars").alias("avg_chars"),
+            FF.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            FF.avg("n_tokens").alias("avg_tokens"),
+            FF.avg("quality_score").alias("avg_quality"),
+            FF.count(FF.when(FF.col("quality_score") >= 0.75, 1)).alias("n_high_quality"),
+            FF.count(FF.when(FF.col("has_pii"), 1)).alias("n_pii_docs"),
+        ).first()
+        n_docs = int(row["n_docs"] or 0)
+        langs = {
+            r["lang_pred"]: r["n"]
+            for r in text.lang_id(self.df, id_col=self.id_col, text_col=self.text_col)
+            .groupBy("lang_pred")
+            .agg(FF.count(FF.lit(1)).alias("n"))
+            .collect()
+        }
+        n_distinct = (
+            self.df.select(
+                FF.md5(FF.col(self.text_col).cast("string")).alias("h")
+            )
+            .agg(FF.countDistinct("h").alias("d"))
+            .first()["d"]
+        )
+        return {
+            "n_docs": n_docs,
+            "n_distinct_texts": int(n_distinct or 0),
+            "exact_dup_pct": (
+                round(100.0 * (n_docs - n_distinct) / n_docs, 2) if n_docs else 0.0
+            ),
+            "avg_chars": round(float(row["avg_chars"]), 1) if n_docs else 0.0,
+            "median_chars": float(row["median_chars"]) if n_docs else 0.0,
+            "avg_tokens": round(float(row["avg_tokens"]), 1) if n_docs else 0.0,
+            "avg_quality": round(float(row["avg_quality"]), 4) if n_docs else 0.0,
+            "high_quality_pct": (
+                round(100.0 * int(row["n_high_quality"]) / n_docs, 2) if n_docs else 0.0
+            ),
+            "pii_doc_pct": (
+                round(100.0 * int(row["n_pii_docs"]) / n_docs, 2) if n_docs else 0.0
+            ),
+            "languages": langs,
+        }
 
     def pack(
         self, *, token_col: str, budget: int, boundaries: bool = True, **kwargs
