@@ -1670,6 +1670,86 @@ ORACLE_WORD_FREQ = r"""
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass: control chars stripped, whitespace runs
+    collapsed, trimmed, lowercased. Planted mess: tabs/CRs and doubled
+    spaces derived from doc_id so the oracle rewrites the same spans."""
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("\t ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\r\n trailing  Spaces ")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", messy.alias("text")
+    )
+    return text.normalize_text(
+        docs, id_col="doc_id", text_col="text", lowercase=True
+    )
+
+
+ORACLE_NORMALIZE = r"""
+    WITH p AS (
+        SELECT doc_id,
+               concat(
+                   CASE WHEN doc_id % 2 = 0 THEN chr(9) || ' ' ELSE '' END,
+                   text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN chr(13) || chr(10) || ' trailing  Spaces '
+                        ELSE '' END
+               ) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS text
+    FROM p
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup across the corpus. Every space becomes a
+    line break (planted identically in both engines), so 'lines' are
+    words and the operator keeps each word's global first occurrence —
+    maximal duplicate pressure on the first-occurrence window."""
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    return text.line_dedup(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_LINE_DEDUP = """
+    WITH p AS (
+        SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS l
+        FROM documents
+    ), e AS (
+        SELECT doc_id, l[i + 1] AS line, i AS pos
+        FROM p, unnest(range(0, len(l))) AS t(i)
+    ), k AS (
+        SELECT doc_id, line, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY line ORDER BY doc_id ASC, pos ASC
+               ) = 1 AS keep
+        FROM e
+    ), rebuilt AS (
+        SELECT doc_id,
+               COUNT(*) AS n_lines,
+               COUNT(*) FILTER (keep) AS n_kept,
+               COALESCE(
+                   string_agg(CASE WHEN keep THEN line END, chr(10)
+                              ORDER BY pos),
+                   ''
+               ) AS text
+        FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text,
+           COALESCE(r.n_lines, 0) AS n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pile-style mixture weighting: per-language sampling rates decided
     by the salted portable hash (en 100%, de/fr 40%, others 10%)."""
@@ -2353,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_freq": q_word_freq,
         "unigram_nll": q_unigram_nll,
         "mixture_sample": q_mixture_sample,
+        "normalize_text": q_normalize_text,
+        "line_dedup": q_line_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -2415,6 +2497,8 @@ def oracle_sql() -> dict[str, str]:
         "word_freq": ORACLE_WORD_FREQ,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+        "normalize_text": ORACLE_NORMALIZE,
+        "line_dedup": ORACLE_LINE_DEDUP,
         # LSH queries run in portable-hash / deterministic-plane mode, so
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),

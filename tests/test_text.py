@@ -215,3 +215,43 @@ def test_text_operator_plans_single_evaluate(spark, docs):
                 f"{fn.__name__}: {marker} appears {plan.count(marker)}x, "
                 f"expected {count}"
             )
+
+
+def test_normalize_text_behaviors(spark):
+    df = spark.createDataFrame(
+        [(1, "  A\tB\r\nC   D \x07E  "), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in text_ops.normalize_text(
+            df, id_col="doc_id", text_col="text", lowercase=True
+        ).collect()
+    }
+    assert out[1] == "a b c d e"
+    assert out[2] is None
+    kept = text_ops.normalize_text(df, id_col="doc_id", text_col="text", out_col="norm")
+    assert set(kept.columns) == {"doc_id", "text", "norm"}
+
+
+def test_line_dedup_min_len_and_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared line one\nunique to one"),
+            (2, "shared line one\ngamma delta\nxx"),
+            (3, "shared line one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.line_dedup(
+            df, id_col="doc_id", text_col="text", min_len=3
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha beta\nshared line one\nunique to one"
+    assert out[1]["n_kept"] == 3
+    # doc 2 loses the shared line (doc 1 saw it first); short 'xx' bypasses
+    assert out[2]["text"] == "gamma delta\nxx"
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
+    # doc 3's only line was seen earlier -> empty text
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0

@@ -566,3 +566,104 @@ def unigram_logprob(
         ),
         F.round(nll_total / F.col("n_tokens"), 6).alias("mean_nll"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    out_col: str | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Expression-only text normalization: strip control characters
+    (C0 + DEL), collapse whitespace runs to single spaces, trim, and
+    optionally lowercase — the standard canonicalization pass before
+    hashing/dedup so formatting variants collide.
+
+    Replaces ``text_col`` in place unless ``out_col`` is given. Unicode
+    NFC normalization is deliberately NOT included: Spark has no built-in
+    NFC expression and a per-row Python UDF would put the hot path on the
+    slow path; run an Arrow-batched normalizer beforehand if the corpus
+    needs it. Scan-speed, zero shuffle."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    t = F.trim(t)
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out_col or text_col, t)
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_len: int = 0,
+) -> DataFrame:
+    """C4-style line-level dedup ACROSS the corpus: every distinct line
+    is kept only at its first occurrence (ordered by (doc id, position));
+    later occurrences are removed from their documents' text. Lines
+    shorter than ``min_len`` characters bypass dedup entirely (C4 dedups
+    three-sentence spans, not stop-words — raise ``min_len`` at scale so
+    hot short lines neither skew the window nor vanish from every doc).
+
+    Returns one row per input document: (id, text (deduplicated,
+    ``sep``-joined), n_lines, n_kept). Documents whose every line was
+    seen earlier keep an empty text.
+
+    Physical shape: one explode scan-side, ONE shuffle of (line, id, pos)
+    for the first-occurrence window (partitioned by the line text — the
+    ``min_len`` bypass keeps degenerate hot lines out of it), then one
+    groupBy(id) to reassemble. Line text crosses the wire once."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    w = Window.partitionBy("__line").orderBy(F.asc(id_col), F.asc("__pos"))
+    if min_len > 0:
+        # Short lines never enter the window shuffle at all — they are
+        # kept unconditionally scan-side, so a hot stop-line cannot skew
+        # the first-occurrence sort.
+        short = lines.where(F.length("__line") < min_len).withColumn(
+            "__keep", F.lit(True)
+        )
+        long_ = lines.where(F.length("__line") >= min_len).withColumn(
+            "__keep", F.row_number().over(w) == 1
+        )
+        flagged = long_.unionByName(short)
+    else:
+        flagged = lines.withColumn("__keep", F.row_number().over(w) == 1)
+    rebuilt = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
