@@ -144,3 +144,38 @@ def test_corpus_report(spark, docs):
     assert 0.0 <= rep["avg_quality"] <= 1.0
     assert rep["pii_doc_pct"] == 0.0          # synthetic corpus has no PII
     assert sum(rep["languages"].values()) == n
+
+
+def test_corpus_normalize_dedup_lines_filter_pii(spark):
+    rows = [
+        (1, "Hello  World\nshared content line here\nkeep me", "a"),
+        (2, "shared content line here\nother  text", "b"),
+        (3, "mail me: bob@x.example.org", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    norm = Corpus(docs).normalize(lowercase=True)
+    assert norm.df.where(F.col("doc_id") == 1).head()["text"] == (
+        "hello world shared content line here keep me"
+    )
+    ld = Corpus(docs).dedup_lines(min_len=12)
+    t2 = ld.df.where(F.col("doc_id") == 2).head()
+    assert "shared content line here" not in t2["text"]
+    assert t2["src"] == "b"  # payload columns preserved
+    kept = Corpus(docs).filter_pii()
+    assert {r["doc_id"] for r in kept.df.collect()} == {1, 2}
+
+
+def test_token_count_exact_injection(spark):
+    from timefence_spark.operators import text as t_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in t_ops.token_count_exact(
+            docs, id_col="doc_id", text_col="text",
+            tokenizer_fn=lambda s: len(s.split()),
+        ).collect()
+    }
+    assert out == {1: 3, 2: 0, 3: 0}

@@ -138,6 +138,44 @@ class Corpus:
 
     # ---- scrubbing -------------------------------------------------------
 
+    def normalize(self, *, lowercase: bool = False) -> "Corpus":
+        """Canonicalize the text column: strip control characters,
+        collapse whitespace, trim, optionally lowercase."""
+        return self._wrap(
+            text.normalize_text(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                lowercase=lowercase,
+            )
+        )
+
+    def dedup_lines(self, *, min_len: int = 20, sep: str = "\n") -> "Corpus":
+        """C4-style corpus-wide line dedup: every line kept only at its
+        global first occurrence; the text column is rewritten with the
+        surviving lines. Payload columns are preserved via a join on id."""
+        rebuilt = text.line_dedup(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            sep=sep, min_len=min_len,
+        ).select(self.id_col, F.col("text").alias("__rebuilt"))
+        out = (
+            self.df.join(rebuilt, self.id_col)
+            .withColumn(self.text_col, F.col("__rebuilt"))
+            .drop("__rebuilt")
+        )
+        return self._wrap(out)
+
+    def filter_pii(self, *, max_pii: int = 0, rules=None) -> "Corpus":
+        """Drop documents with more than ``max_pii`` PII matches (the
+        drop-don't-redact policy some pipelines prefer)."""
+        ids = (
+            pii.pii_signals(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                rules=rules,
+            )
+            .where(F.col("n_pii") <= max_pii)
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
     def redact_pii(self, rules=None) -> "Corpus":
         """Replace PII spans in the text column in place."""
         out = pii.redact_pii(

@@ -667,3 +667,42 @@ def line_dedup(
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+def token_count_exact(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    tokenizer_fn,
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Exact token counts under a REAL tokenizer: ``tokenizer_fn(text) ->
+    int`` (e.g. a HuggingFace/BPE encoder's length) runs Arrow-batched
+    through ``mapInPandas`` — the injection-point pattern the multimodal
+    stubs use, since tokenizer libraries are deployment-specific. Returns
+    (id, out_col). Use :func:`token_count_bpe` for the dependency-free
+    regex estimate.
+
+    100 TB shape: partitioning preserved, one Python worker per
+    partition, Arrow batch transfer — the tokenizer is the only per-row
+    Python in the pipeline, confined to this stage."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    out_col: [
+                        int(tokenizer_fn(t if t is not None else ""))
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {id_type}, {out_col} long"
+    )
