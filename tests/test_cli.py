@@ -277,3 +277,17 @@ def test_corpus_inspect_command(tmp_path, spark):
     rep = json.loads(res.output.strip().splitlines()[-1])
     assert rep["n_docs"] == 3 and rep["n_distinct_texts"] == 2
     assert rep["pii_doc_pct"] == pytest.approx(33.33, abs=0.01)
+
+
+def test_corpus_clean_error_paths(tmp_path, spark):
+    docs = spark.createDataFrame([(1, "x", "en")], "doc_id long, text string, lang string")
+    inp = str(tmp_path / "e.parquet")
+    out = str(tmp_path / "o.parquet")
+    docs.write.parquet(inp)
+    base = ["corpus-clean", "--input", inp, "--output", out, "--dedup", "none"]
+    r1 = _run(base + ["--split", "train=0.5,val=0.3"], tmp_path)  # sums to 0.8
+    assert r1.exit_code != 0 and "sum to 1.0" in r1.output
+    r2 = _run(base + ["--blocklist", str(tmp_path / "missing.txt")], tmp_path)
+    assert r2.exit_code != 0 and "blocklist" in r2.output
+    r3 = _run(base + ["--languages", " , "], tmp_path)
+    assert r3.exit_code != 0 and "empty" in r3.output

@@ -179,3 +179,36 @@ def test_token_count_exact_injection(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 0, 3: 0}
+
+
+def test_report_and_filters_handle_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "real content here with some words"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    rep = Corpus(docs).report()
+    assert rep["n_docs"] == 3
+    # the two NULL texts are ONE duplicate group, not phantom dups of doc 1
+    assert rep["n_distinct_texts"] == 2
+    assert rep["exact_dup_pct"] == pytest.approx(33.33, abs=0.01)
+    assert rep["pii_doc_pct"] == 0.0
+    # NULL-text docs carry zero PII -> kept
+    assert _ids(Corpus(docs).filter_pii()) == {1, 2, 3}
+    # all-NULL corpus must not crash
+    only_null = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    rep2 = Corpus(only_null).report()
+    assert rep2["n_distinct_texts"] == 1 and rep2["avg_chars"] == 0.0
+
+
+def test_line_dedup_literal_separator(spark):
+    from timefence_spark.operators import text as t_ops
+
+    df = spark.createDataFrame([(1, "abc.def.abc"), (2, "def.xyz")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in t_ops.line_dedup(df, id_col="doc_id", text_col="text", sep=".").collect()
+    }
+    # '.' must split into 3 literal segments, not on every character
+    assert out[1]["n_lines"] == 3
+    assert out[1]["text"] == "abc.def"          # second 'abc' deduped in-doc
+    assert out[2]["text"] == "xyz"              # 'def' seen in doc 1 first

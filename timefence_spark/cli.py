@@ -866,6 +866,11 @@ def corpus_clean(
         stages.append(f"quality>={min_quality}")
     if languages:
         langs = [x.strip() for x in languages.split(",") if x.strip()]
+        if not langs:
+            raise click.ClickException(
+                f"--languages {languages!r} parsed to an empty list — it "
+                "would drop every document."
+            )
         c = c.filter_languages(langs)
         stages.append(f"languages={langs}")
     if benchmark:
@@ -876,9 +881,15 @@ def corpus_clean(
         c = c.redact_pii()
         stages.append("redact_pii")
     if blocklist:
+        try:
+            blocklist_text = Path(blocklist).read_text()
+        except OSError as exc:
+            raise click.ClickException(
+                f"Cannot read --blocklist file {blocklist!r}: {exc}"
+            ) from exc
         domains = [
             line.strip()
-            for line in Path(blocklist).read_text().splitlines()
+            for line in blocklist_text.splitlines()
             if line.strip() and not line.startswith("#")
         ]
         c = c.filter_blocked_domains(domains)
@@ -892,11 +903,13 @@ def corpus_clean(
                 k.strip(): float(v)
                 for k, v in (part.split("=") for part in split_spec.split(","))
             }
+            c = c.split(weights, salt=salt)
         except ValueError as exc:
+            # covers both parse errors and split_by_hash's weight
+            # validation (must sum to 1.0, non-negative)
             raise click.ClickException(
                 f"Bad --split spec {split_spec!r} (want train=0.9,val=0.1): {exc}"
             ) from exc
-        c = c.split(weights, salt=salt)
         stages.append(f"split({split_spec})")
 
     c.df.write.mode("overwrite").parquet(output_path)

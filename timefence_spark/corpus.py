@@ -165,13 +165,15 @@ class Corpus:
 
     def filter_pii(self, *, max_pii: int = 0, rules=None) -> "Corpus":
         """Drop documents with more than ``max_pii`` PII matches (the
-        drop-don't-redact policy some pipelines prefer)."""
+        drop-don't-redact policy some pipelines prefer). NULL-text
+        documents have zero matches and are kept — the counts are NULL
+        for them, so the coalesce matters."""
         ids = (
             pii.pii_signals(
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 rules=rules,
             )
-            .where(F.col("n_pii") <= max_pii)
+            .where(F.coalesce(F.col("n_pii"), F.lit(0)) <= max_pii)
             .select(self.id_col)
         )
         return self._keep_ids(ids)
@@ -227,27 +229,37 @@ class Corpus:
     # ---- profiling -------------------------------------------------------
 
     def report(self) -> dict:
-        """Corpus health profile in three small actions: row/char/token
-        stats + quality/PII rates (one agg over joined scan-side
-        projections), language distribution (one groupBy), and the exact
-        duplicate rate (one distinct-hash agg). Returns plain Python — the
-        numbers a pipeline owner checks before burning cluster time on a
-        full clean."""
+        """Corpus health profile: row/char/token/quality stats, PII rate,
+        exact-duplicate rate, language distribution. Four small actions —
+        three aggregations over scan-side projections plus one language
+        groupBy — with NO join (pairing two projections of the same rows
+        on id would re-scan and shuffle for nothing). Returns plain
+        Python — the numbers a pipeline owner checks before burning
+        cluster time on a full clean. NULL-text documents count as zero
+        chars/tokens sources of nothing: they form one duplicate group
+        and carry no PII."""
         from pyspark.sql import functions as FF
 
+        def _f(v, default=0.0, nd=4):
+            return round(float(v), nd) if v is not None else default
+
         q = text.quality_score(self.df, id_col=self.id_col, text_col=self.text_col)
-        p = pii.pii_signals(self.df, id_col=self.id_col, text_col=self.text_col)
-        joined = q.join(p.select(self.id_col, "has_pii"), self.id_col)
-        row = joined.agg(
+        row = q.agg(
             FF.count(FF.lit(1)).alias("n_docs"),
             FF.avg("n_chars").alias("avg_chars"),
             FF.expr("percentile(n_chars, 0.5)").alias("median_chars"),
             FF.avg("n_tokens").alias("avg_tokens"),
             FF.avg("quality_score").alias("avg_quality"),
-            FF.count(FF.when(FF.col("quality_score") >= 0.75, 1)).alias("n_high_quality"),
-            FF.count(FF.when(FF.col("has_pii"), 1)).alias("n_pii_docs"),
+            FF.count(FF.when(FF.col("quality_score") >= 0.75, 1)).alias(
+                "n_high_quality"
+            ),
         ).first()
         n_docs = int(row["n_docs"] or 0)
+        prow = (
+            pii.pii_signals(self.df, id_col=self.id_col, text_col=self.text_col)
+            .agg(FF.count(FF.when(FF.col("has_pii"), 1)).alias("n_pii_docs"))
+            .first()
+        )
         langs = {
             r["lang_pred"]: r["n"]
             for r in text.lang_id(self.df, id_col=self.id_col, text_col=self.text_col)
@@ -255,28 +267,38 @@ class Corpus:
             .agg(FF.count(FF.lit(1)).alias("n"))
             .collect()
         }
-        n_distinct = (
+        # countDistinct skips NULL hashes; all-NULL texts are ONE
+        # duplicate group, so add it back explicitly.
+        drow = (
             self.df.select(
                 FF.md5(FF.col(self.text_col).cast("string")).alias("h")
             )
-            .agg(FF.countDistinct("h").alias("d"))
-            .first()["d"]
+            .agg(
+                FF.countDistinct("h").alias("d"),
+                FF.max(FF.when(FF.col("h").isNull(), 1).otherwise(0)).alias(
+                    "has_null"
+                ),
+            )
+            .first()
         )
+        n_distinct = int(drow["d"] or 0) + int(drow["has_null"] or 0)
         return {
             "n_docs": n_docs,
-            "n_distinct_texts": int(n_distinct or 0),
+            "n_distinct_texts": n_distinct,
             "exact_dup_pct": (
                 round(100.0 * (n_docs - n_distinct) / n_docs, 2) if n_docs else 0.0
             ),
-            "avg_chars": round(float(row["avg_chars"]), 1) if n_docs else 0.0,
-            "median_chars": float(row["median_chars"]) if n_docs else 0.0,
-            "avg_tokens": round(float(row["avg_tokens"]), 1) if n_docs else 0.0,
-            "avg_quality": round(float(row["avg_quality"]), 4) if n_docs else 0.0,
+            "avg_chars": _f(row["avg_chars"], nd=1),
+            "median_chars": _f(row["median_chars"], nd=1),
+            "avg_tokens": _f(row["avg_tokens"], nd=1),
+            "avg_quality": _f(row["avg_quality"]),
             "high_quality_pct": (
-                round(100.0 * int(row["n_high_quality"]) / n_docs, 2) if n_docs else 0.0
+                round(100.0 * int(row["n_high_quality"]) / n_docs, 2)
+                if n_docs
+                else 0.0
             ),
             "pii_doc_pct": (
-                round(100.0 * int(row["n_pii_docs"]) / n_docs, 2) if n_docs else 0.0
+                round(100.0 * int(prow["n_pii_docs"]) / n_docs, 2) if n_docs else 0.0
             ),
             "languages": langs,
         }

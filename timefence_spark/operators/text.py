@@ -612,34 +612,45 @@ def line_dedup(
 
     Returns one row per input document: (id, text (deduplicated,
     ``sep``-joined), n_lines, n_kept). Documents whose every line was
-    seen earlier keep an empty text.
+    seen earlier keep an empty text. ``sep`` is treated as a LITERAL
+    separator on both the split and the re-join.
 
-    Physical shape: one explode scan-side, ONE shuffle of (line, id, pos)
-    for the first-occurrence window (partitioned by the line text — the
-    ``min_len`` bypass keeps degenerate hot lines out of it), then one
-    groupBy(id) to reassemble. Line text crosses the wire once."""
+    Physical shape: ONE explode scan-side, ONE shuffle of (line, id, pos)
+    for the first-occurrence window, one groupBy(id) to reassemble.
+    Bypassed short lines still ride the shuffle, but each gets its OWN
+    singleton window partition (the partition key is salted per-row for
+    them), so a hot stop-line can never skew the first-occurrence sort."""
+    import re
+
     from pyspark.sql.window import Window
 
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        # F.split takes a regex: escape so sep is literal, matching the
+        # literal array_join below (an unescaped '.' would split on
+        # every character and silently wipe the corpus).
+        F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)), -1)).alias(
             "__pos", "__line"
         ),
     )
-    w = Window.partitionBy("__line").orderBy(F.asc(id_col), F.asc("__pos"))
-    if min_len > 0:
-        # Short lines never enter the window shuffle at all — they are
-        # kept unconditionally scan-side, so a hot stop-line cannot skew
-        # the first-occurrence sort.
-        short = lines.where(F.length("__line") < min_len).withColumn(
-            "__keep", F.lit(True)
-        )
-        long_ = lines.where(F.length("__line") >= min_len).withColumn(
-            "__keep", F.row_number().over(w) == 1
-        )
-        flagged = long_.unionByName(short)
-    else:
-        flagged = lines.withColumn("__keep", F.row_number().over(w) == 1)
+    short = F.length("__line") < min_len
+    # Salting short lines' partition key gives them singleton partitions:
+    # one pass, one shuffle, no hot keys; their row_number is trivially 1.
+    pkey = (
+        F.when(
+            F.lit(min_len > 0) & short,
+            F.concat_ws(
+                "\x1e",
+                F.col("__line"),
+                F.col(id_col).cast("string"),
+                F.col("__pos").cast("string"),
+            ),
+        ).otherwise(F.col("__line"))
+        if min_len > 0
+        else F.col("__line")
+    )
+    w = Window.partitionBy(pkey).orderBy(F.asc(id_col), F.asc("__pos"))
+    flagged = lines.withColumn("__keep", F.row_number().over(w) == 1)
     rebuilt = (
         flagged.groupBy(id_col)
         .agg(
