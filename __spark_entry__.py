@@ -1451,28 +1451,35 @@ def _pack_next_fit_cte(b: int) -> str:
                ) AS rn
         FROM (SELECT doc_id, n_chars, {h} AS h FROM documents)
     ), r AS (
+        -- state: cur = open chunk index, used = its token fill,
+        -- m = its member count (zero-token docs occupy a chunk without
+        -- raising used; oversized docs must still skip past them)
         SELECT shard, rn, doc_id, n_chars,
                0 AS chunk, 0 AS chunk_offset,
                n_chars > {b} AS oversized,
                CASE WHEN n_chars > {b} THEN 1 ELSE 0 END AS cur,
-               CASE WHEN n_chars > {b} THEN 0 ELSE n_chars END AS used
+               CASE WHEN n_chars > {b} THEN 0 ELSE n_chars END AS used,
+               CASE WHEN n_chars > {b} THEN 0 ELSE 1 END AS m
         FROM s WHERE rn = 1
         UNION ALL
         SELECT s.shard, s.rn, s.doc_id, s.n_chars,
                CASE WHEN s.n_chars > {b}
-                    THEN r.cur + CASE WHEN r.used > 0 THEN 1 ELSE 0 END
+                    THEN r.cur + CASE WHEN r.m > 0 THEN 1 ELSE 0 END
                     WHEN r.used + s.n_chars > {b} THEN r.cur + 1
                     ELSE r.cur END AS chunk,
                CASE WHEN s.n_chars > {b} OR r.used + s.n_chars > {b}
                     THEN 0 ELSE r.used END AS chunk_offset,
                s.n_chars > {b} AS oversized,
                CASE WHEN s.n_chars > {b}
-                    THEN r.cur + CASE WHEN r.used > 0 THEN 1 ELSE 0 END + 1
+                    THEN r.cur + CASE WHEN r.m > 0 THEN 1 ELSE 0 END + 1
                     WHEN r.used + s.n_chars > {b} THEN r.cur + 1
                     ELSE r.cur END AS cur,
                CASE WHEN s.n_chars > {b} THEN 0
                     WHEN r.used + s.n_chars > {b} THEN s.n_chars
-                    ELSE r.used + s.n_chars END AS used
+                    ELSE r.used + s.n_chars END AS used,
+               CASE WHEN s.n_chars > {b} THEN 0
+                    WHEN r.used + s.n_chars > {b} THEN 1
+                    ELSE r.m + 1 END AS m
         FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1
     )
     """

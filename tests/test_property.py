@@ -342,17 +342,18 @@ def test_pack_next_fit_matches_python_reference(spark, toks, budget, shards):
         by_shard.setdefault(h(i) % shards, []).append((i, t))
     for shard, docs in by_shard.items():
         docs.sort(key=lambda it: (h(it[0]), it[0]))
-        cur, used = 0, 0
+        cur, used, m = 0, 0, 0
         for i, t in docs:
             if t > budget:
-                cur += 1 if used > 0 else 0
+                cur += 1 if m > 0 else 0
                 expected[i] = (shard, cur, 0, True)
-                cur, used = cur + 1, 0
+                cur, used, m = cur + 1, 0, 0
                 continue
             if used + t > budget:
-                cur, used = cur + 1, 0
+                cur, used, m = cur + 1, 0, 0
             expected[i] = (shard, cur, used, False)
             used += t
+            m += 1
 
     for r in out:
         assert expected[r["doc_id"]] == (

@@ -145,21 +145,26 @@ def pack_next_fit(
         chunk = [0] * n
         offset = [0] * n
         oversized = [False] * n
-        cur, used = 0, 0
+        # m tracks chunk MEMBERSHIP, not just token usage: a zero-token
+        # document occupies the chunk without raising `used`, and an
+        # oversized doc must still open a fresh chunk past it (the
+        # "oversized docs sit alone" contract).
+        cur, used, m = 0, 0, 0
         for i in range(n):
             t = int(toks[i])
             if t > budget:
                 # Oversized: own chunk, then continue fresh.
-                cur += 1 if used > 0 else 0
+                cur += 1 if m > 0 else 0
                 chunk[i], offset[i], oversized[i] = cur, 0, True
                 cur += 1
-                used = 0
+                used, m = 0, 0
                 continue
             if used + t > budget:
                 cur += 1
-                used = 0
+                used, m = 0, 0
             chunk[i], offset[i] = cur, used
             used += t
+            m += 1
         pdf = pdf.copy()
         pdf["chunk"] = chunk
         pdf["chunk_offset"] = offset
