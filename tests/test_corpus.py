@@ -212,3 +212,36 @@ def test_line_dedup_literal_separator(spark):
     assert out[1]["n_lines"] == 3
     assert out[1]["text"] == "abc.def"          # second 'abc' deduped in-doc
     assert out[2]["text"] == "xyz"              # 'def' seen in doc 1 first
+
+
+def test_dedup_lines_document_scope_and_fluency_filter(spark):
+    from timefence_spark.operators import text as t_ops
+
+    rows = [
+        (1, "repeated boilerplate line\nbody one\nrepeated boilerplate line"),
+        (2, "repeated boilerplate line\nbody two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # document scope: in-doc repeat removed, doc 2 keeps its own copy
+    out = {
+        r["doc_id"]: r["text"]
+        for r in t_ops.line_dedup(
+            docs, id_col="doc_id", text_col="text", scope="document"
+        ).collect()
+    }
+    assert out[1] == "repeated boilerplate line\nbody one"
+    assert out[2] == "repeated boilerplate line\nbody two"
+    with pytest.raises(ValueError):
+        t_ops.line_dedup(docs, id_col="doc_id", text_col="text", scope="global")
+    # facade passes scope through
+    c = Corpus(docs).dedup_lines(min_len=0, scope="document")
+    assert c.df.where(F.col("doc_id") == 2).head()["text"] == out[2]
+
+    fluent = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzzq qqzx wvvw qpqp")],
+        "doc_id long, text string",
+    )
+    # under the corpus's own add-1 LM: doc 1 mean NLL ~2.17 (two 'the'
+    # occurrences), doc 2 ~2.30 (all hapaxes) — 2.2 separates them
+    kept = Corpus(fluent).filter_fluency(max_nll=2.2)
+    assert _ids(kept) == {1}

@@ -124,6 +124,20 @@ class Corpus:
         )
         return self._keep_ids(ids)
 
+    def filter_fluency(self, *, max_nll: float, lm=None, **kwargs) -> "Corpus":
+        """Drop documents whose mean unigram NLL exceeds ``max_nll`` —
+        the CCNet-style fluency gate (score against ``lm`` or the
+        corpus's own statistics; see text.unigram_logprob)."""
+        ids = (
+            text.unigram_logprob(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                lm=lm, **kwargs,
+            )
+            .where(F.col("mean_nll") <= max_nll)
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
     def decontaminate(self, benchmark: DataFrame, **kwargs) -> "Corpus":
         """Drop documents sharing word n-grams with the benchmark set."""
         ids = (
@@ -148,13 +162,17 @@ class Corpus:
             )
         )
 
-    def dedup_lines(self, *, min_len: int = 20, sep: str = "\n") -> "Corpus":
-        """C4-style corpus-wide line dedup: every line kept only at its
-        global first occurrence; the text column is rewritten with the
-        surviving lines. Payload columns are preserved via a join on id."""
+    def dedup_lines(
+        self, *, min_len: int = 20, sep: str = "\n", scope: str = "corpus"
+    ) -> "Corpus":
+        """C4-style line dedup: every line kept only at its first
+        occurrence — globally (``scope='corpus'``) or within each
+        document (``scope='document'``, repeated-boilerplate removal);
+        the text column is rewritten with the surviving lines. Payload
+        columns are preserved via a join on id."""
         rebuilt = text.line_dedup(
             self.df, id_col=self.id_col, text_col=self.text_col,
-            sep=sep, min_len=min_len,
+            sep=sep, min_len=min_len, scope=scope,
         ).select(self.id_col, F.col("text").alias("__rebuilt"))
         out = (
             self.df.join(rebuilt, self.id_col)

@@ -602,13 +602,17 @@ def line_dedup(
     text_col: str,
     sep: str = "\n",
     min_len: int = 0,
+    scope: str = "corpus",
 ) -> DataFrame:
-    """C4-style line-level dedup ACROSS the corpus: every distinct line
-    is kept only at its first occurrence (ordered by (doc id, position));
-    later occurrences are removed from their documents' text. Lines
-    shorter than ``min_len`` characters bypass dedup entirely (C4 dedups
-    three-sentence spans, not stop-words — raise ``min_len`` at scale so
-    hot short lines neither skew the window nor vanish from every doc).
+    """C4-style line-level dedup: every distinct line is kept only at its
+    first occurrence (ordered by (doc id, position)); later occurrences
+    are removed from their documents' text. ``scope='corpus'`` (default)
+    dedups globally; ``scope='document'`` dedups only within each
+    document (repeated-boilerplate removal that leaves other docs'
+    copies alone). Lines shorter than ``min_len`` characters bypass
+    dedup entirely (C4 dedups three-sentence spans, not stop-words —
+    raise ``min_len`` at scale so hot short lines neither skew the
+    window nor vanish from every doc).
 
     Returns one row per input document: (id, text (deduplicated,
     ``sep``-joined), n_lines, n_kept). Documents whose every line was
@@ -624,6 +628,8 @@ def line_dedup(
 
     from pyspark.sql.window import Window
 
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
     lines = df.select(
         F.col(id_col),
         # F.split takes a regex: escape so sep is literal, matching the
@@ -649,7 +655,8 @@ def line_dedup(
         if min_len > 0
         else F.col("__line")
     )
-    w = Window.partitionBy(pkey).orderBy(F.asc(id_col), F.asc("__pos"))
+    part = [pkey] if scope == "corpus" else [F.col(id_col), pkey]
+    w = Window.partitionBy(*part).orderBy(F.asc(id_col), F.asc("__pos"))
     flagged = lines.withColumn("__keep", F.row_number().over(w) == 1)
     rebuilt = (
         flagged.groupBy(id_col)
