@@ -373,3 +373,52 @@ def test_pack_next_fit_matches_python_reference(spark, toks, budget, shards):
             assert members[k] == 1
         else:
             assert s <= budget
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    min_len=st.integers(min_value=0, max_value=3),
+    scope_doc=st.booleans(),
+)
+def test_line_dedup_matches_python_reference(spark, data, min_len, scope_doc):
+    """Distributed first-occurrence line dedup must agree with a
+    sequential reference over any partitioning: lines w<N> per doc,
+    global (or per-doc) first occurrence ordered by (doc_id, pos);
+    short lines bypass."""
+    from timefence_spark.operators.text import line_dedup
+
+    docs = [(i, "\n".join(f"w{w}" for w in words)) for i, words in enumerate(data)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    scope = "document" if scope_doc else "corpus"
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(
+            df, id_col="doc_id", text_col="text", min_len=min_len, scope=scope
+        ).collect()
+    }
+    seen: set = set()
+    for doc_id, words in enumerate(data):
+        if scope == "document":
+            seen = set()
+        kept = []
+        for w in words:
+            line = f"w{w}"
+            if len(line) < min_len:
+                kept.append(line)
+                continue
+            key = line if scope == "corpus" else (doc_id, line)
+            if key not in seen:
+                seen.add(key)
+                kept.append(line)
+        expected = ("\n".join(kept), len(words), len(kept))
+        assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
