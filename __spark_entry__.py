@@ -1152,7 +1152,8 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 50 == 0)
     corpus = docs.where(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate(
-        corpus, bench, id_col="doc_id", text_col="text", n=5, min_overlap=1
+        corpus, bench, id_col="doc_id", text_col="text", n=5, min_overlap=1,
+        hash_fn="md5",
     )
 
 
@@ -1168,13 +1169,18 @@ ORACLE_DECONTAMINATION = r"""
                ]) AS grams
         FROM t
     ), bench AS (
-        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+        SELECT DISTINCT CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+               AS gh
+        FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0)
     ), corpus AS (
         SELECT * FROM g WHERE doc_id % 50 <> 0
     ), m AS (
         SELECT c.doc_id, COUNT(*) AS matched
-        FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
-        JOIN bench USING (gram)
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                     AS gh
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus)) c
+        JOIN bench USING (gh)
         GROUP BY c.doc_id
     )
     SELECT corpus.doc_id,
@@ -1857,7 +1863,8 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean_ids = (
         dedup.decontaminate(
-            survivors, bench, id_col="doc_id", text_col="text", n=7, min_overlap=1
+            survivors, bench, id_col="doc_id", text_col="text", n=7,
+            min_overlap=1, hash_fn="md5",
         )
         .where(~F.col("contaminated"))
         .select("doc_id")
@@ -1923,8 +1930,14 @@ ORACLE_CORPUS_CLEAN = f"""
               FROM survivors)
     ), contaminated AS (
         SELECT DISTINCT c.doc_id
-        FROM (SELECT doc_id, unnest(grams) AS gram FROM cg) c
-        JOIN bg USING (gram)
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                     AS gh
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM cg)) c
+        JOIN (SELECT DISTINCT
+                     CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                     AS gh
+              FROM bg) b USING (gh)
     )
     SELECT s.doc_id, s.lang, s.source, 'train' AS split
     FROM survivors s
