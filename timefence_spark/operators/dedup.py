@@ -500,17 +500,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int = 1000,
+    hash_index: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity join over word n-gram sets.
 
     Inverted index: explode n-grams, drop grams appearing in more than
     ``max_doc_freq`` docs (they generate quadratic candidates but carry no
     selectivity), count co-occurring grams per pair, compute
-    |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard)."""
+    |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard).
+
+    ``hash_index`` (default on) keys the inverted index by the grams'
+    64-bit xxhash instead of the n-word strings — the exploded rows, the
+    doc-frequency aggregation and the pair self-join then carry longs
+    (same device as decontaminate's hash_grams, ~3x less index cost). A
+    cross-gram hash collision (probability ~ distinct_grams^2 / 2^64)
+    could overcount one intersection; pass ``hash_index=False`` for the
+    literal string index."""
     base = _staged_shingles(df, id_col=id_col, text_col=text_col, k=n).withColumn(
         "__n", F.size("__grams")
     )
-    inv = base.select(id_col, "__n", F.explode("__grams").alias("gram"))
+    gram_keys = (
+        F.transform("__grams", lambda g: F.xxhash64(g))
+        if hash_index
+        else F.col("__grams")
+    )
+    inv = base.select(id_col, "__n", F.explode(gram_keys).alias("gram"))
     rare = (
         inv.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
