@@ -59,11 +59,15 @@ BENCH_QUERIES = [
     # Iterative shape: transitive dedup via min-label propagation.
     "dedup_components",
     # Pipeline-extension shapes (round 5): regex scan, pack + assemble
-    # (applyInPandas per shard + one (shard, chunk) shuffle), and the
-    # composed end-to-end cleaning chain.
+    # (applyInPandas per shard + one (shard, chunk) shuffle), the composed
+    # end-to-end cleaning chain, corpus-wide first-occurrence line dedup
+    # (window + reassembly shuffles), and the unigram-LM fluency score
+    # (explode pre-agg + LM join + doc groupBy).
     "pii_redact",
     "pack_assemble",
     "corpus_clean",
+    "line_dedup",
+    "unigram_nll",
 ]
 
 
