@@ -1349,8 +1349,11 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_pii_signals_sql() -> str:
     from timefence_spark.operators import pii
 
+    # coalesce mirrors pii_signals' NULL-text contract: zero counts, not
+    # NULL, so has_pii is never NULL.
     counts = ", ".join(
-        "len(regexp_extract_all(text, '" + pat + "')) AS n_" + name
+        "coalesce(len(regexp_extract_all(text, '" + pat + "')), 0) AS n_"
+        + name
         for name, pat, _ in pii.PII_RULES
     )
     return (
@@ -1515,7 +1518,9 @@ def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", token_col="n_chars", budget=400,
         num_shards=_PACK_SHARDS, salt="pack", hash_fn="md5",
     )
-    return packing.assemble_chunks(packed, text_col="text", token_col="n_chars")
+    return packing.assemble_chunks(
+        packed, id_col="doc_id", text_col="text", token_col="n_chars"
+    )
 
 
 def _oracle_pack_assemble_sql() -> str:
@@ -1525,7 +1530,7 @@ def _oracle_pack_assemble_sql() -> str:
     SELECT r.shard, CAST(r.chunk AS BIGINT) AS chunk,
            COUNT(*) AS n_docs,
            CAST(SUM(r.n_chars) AS BIGINT) AS n_tokens,
-           string_agg(d.text, ' ' ORDER BY r.chunk_offset) AS text
+           string_agg(d.text, ' ' ORDER BY r.chunk_offset, d.doc_id) AS text
     FROM r JOIN documents d USING (doc_id)
     GROUP BY r.shard, r.chunk
     """

@@ -127,16 +127,23 @@ class Corpus:
     def filter_fluency(self, *, max_nll: float, lm=None, **kwargs) -> "Corpus":
         """Drop documents whose mean unigram NLL exceeds ``max_nll`` —
         the CCNet-style fluency gate (score against ``lm`` or the
-        corpus's own statistics; see text.unigram_logprob)."""
-        ids = (
+        corpus's own statistics; see text.unigram_logprob).
+
+        Token-less documents (NULL/empty/whitespace-only text) have no
+        ``unigram_logprob`` row, hence no score; they are KEPT — the gate
+        measures fluency, not emptiness, and this mirrors filter_pii's
+        keep-NULL-text policy. Chain ``filter_quality`` first to drop
+        empties. Implemented as an anti-join on the over-threshold ids so
+        unscored documents pass through."""
+        drop = (
             text.unigram_logprob(
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 lm=lm, **kwargs,
             )
-            .where(F.col("mean_nll") <= max_nll)
+            .where(F.col("mean_nll") > max_nll)
             .select(self.id_col)
         )
-        return self._keep_ids(ids)
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
     def decontaminate(self, benchmark: DataFrame, **kwargs) -> "Corpus":
         """Drop documents sharing word n-grams with the benchmark set."""
@@ -184,8 +191,9 @@ class Corpus:
     def filter_pii(self, *, max_pii: int = 0, rules=None) -> "Corpus":
         """Drop documents with more than ``max_pii`` PII matches (the
         drop-don't-redact policy some pipelines prefer). NULL-text
-        documents have zero matches and are kept — the counts are NULL
-        for them, so the coalesce matters."""
+        documents have zero matches and are kept (pii_signals reports 0,
+        never NULL; the coalesce here is belt-and-braces for custom
+        rules)."""
         ids = (
             pii.pii_signals(
                 self.df, id_col=self.id_col, text_col=self.text_col,

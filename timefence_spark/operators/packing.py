@@ -180,6 +180,7 @@ def pack_next_fit(
 def assemble_chunks(
     packed: DataFrame,
     *,
+    id_col: str,
     text_col: str,
     token_col: str,
     sep: str = " ",
@@ -190,10 +191,16 @@ def assemble_chunks(
 
     Returns (shard, chunk, n_docs, n_tokens, text). One shuffle on the
     (shard, chunk) key; the in-chunk ordering is an array_sort over the
-    collected (offset, text) structs, so chunk size (bounded by the pack
-    budget) bounds the per-group memory, never the corpus."""
+    collected (offset, id, text) structs, so chunk size (bounded by the
+    pack budget) bounds the per-group memory, never the corpus. The id
+    rides in the sort struct as a tie-break: zero-token documents share
+    their ``chunk_offset`` with the following document, and without a
+    unique secondary key the concatenation order of such ties would fall
+    to the text values (and differ from any external replay)."""
     ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("chunk_offset"), F.col(text_col)))
+        F.collect_list(
+            F.struct(F.col("chunk_offset"), F.col(id_col), F.col(text_col))
+        )
     )
     return packed.groupBy("shard", "chunk").agg(
         F.count(F.lit(1)).alias("n_docs"),

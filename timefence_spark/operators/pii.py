@@ -69,7 +69,12 @@ EXTENDED_PII_RULES: list[tuple[str, str, str]] = [
 
 
 def _count(text: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+    # NULL text means zero matches, not NULL counts: a caller filtering
+    # with ~has_pii must not silently drop NULL-text documents.
+    return F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))),
+        F.lit(0),
+    )
 
 
 def pii_signals(
@@ -87,7 +92,9 @@ def pii_signals(
     Counts are computed on the RAW text independently per family (phone
     counts are not suppressed by an overlapping email match — families
     rarely overlap and independent counts keep each column meaningful on
-    its own). One projection, no shuffle."""
+    its own). NULL-text rows report zero counts and ``has_pii = false``
+    (never NULL), so boolean filters see every document. One projection,
+    no shuffle."""
     active = rules if rules is not None else PII_RULES
     text = F.col(text_col)
     counts = df.select(

@@ -492,7 +492,11 @@ def unigram_logprob(
     Returns ``(id, n_tokens, oov_frac, mean_nll)`` where ``mean_nll`` is
     the mean of ``-ln p(w)`` over the document's tokens (lower = more
     fluent under the LM) and ``oov_frac`` the fraction of tokens missing
-    from the LM.
+    from the LM. Token-less documents (NULL/empty/whitespace-only text)
+    produce NO output row — they have no tokens to score; callers who
+    need every id back should left-join this result (as
+    ``Corpus.filter_fluency`` does via its anti-join on over-threshold
+    ids, which keeps unscored documents).
 
     Physical shape: tokens explode scan-side and pre-aggregate to one row
     per (doc, distinct word) before any join; the LM attaches with an

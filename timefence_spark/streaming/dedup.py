@@ -55,8 +55,12 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """First-arrival exact dedup of a document stream by content hash.
 
-    Appends ``hash_col`` (hash of the ``content_cols`` values, ``\\x1f``-
-    joined) and drops every later row with a hash already seen.
+    Appends ``hash_col`` and drops every later row with a hash already
+    seen. For a single content column the hash is ``hash_fn(value)``
+    directly; for multiple columns each value is hashed on its own (NULLs
+    become the literal ``<NULL>`` marker), the per-column hash tokens are
+    joined with ``:``, and that string is hashed again — so the value is
+    reproducible externally as ``h(h(c1) : h(c2) : ...)``.
 
     * ``watermark=None`` — global dedup: state holds every distinct hash
       seen since the query started. Right for bounded replays and modest
