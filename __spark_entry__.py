@@ -2415,7 +2415,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering = correctness-check rotation (VERDICT r5 item 2): the
+    # driver verifies a ~50-entry prefix of this dict per round, so
+    # least-recently-checked entries go FIRST. Round 6 leads with the
+    # nine entries the r5 driver run skipped (the four never-checked
+    # media/streaming/ivf-arrow ones up front), then the r5-green set in
+    # its prior order; whatever falls off the tail this round was green
+    # in CORRECTNESS_r05 and rotates forward next round.
     return {
+        "knn_ivf_arrow": q_knn_ivf_arrow,
+        "media_dedup": q_media_dedup,
+        "media_frames": q_media_frames,
+        "streaming_dedup": q_streaming_dedup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_metadata": q_media_metadata,
+        "media_decode": q_media_decode,
+        "streaming_asof": q_streaming_asof,
+        "streaming_asof_static": q_streaming_asof_static,
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2466,15 +2482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "knn_ivf_arrow": q_knn_ivf_arrow,
-        "embedding_near_dup": q_embedding_near_dup,
-        "media_metadata": q_media_metadata,
-        "media_decode": q_media_decode,
-        "media_dedup": q_media_dedup,
-        "media_frames": q_media_frames,
-        "streaming_asof": q_streaming_asof,
-        "streaming_asof_static": q_streaming_asof_static,
-        "streaming_dedup": q_streaming_dedup,
     }
 
 
