@@ -1,21 +1,34 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "runs": {name: [sec, ...]}, "spread": {...},
-"sf": ...}.
+Prints ONE compact JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec, ...}, "scale": ..., "skew": ...,
+"streaming": ..., "sf": ...}. The line is kept under ~1.9 KB because the
+driver archives only the LAST 2000 bytes of output — rounds 4 and 5 both
+overflowed that window with per-run arrays and the gating artifact became
+unparseable. Full detail (raw runs, spreads, shuffle bytes per scenario) is
+written to BENCH_DETAIL.json at the repo root and echoed to stderr.
 
-Each query is forced end-to-end with the noop sink (full plan execution, no
-driver-side row transfer). Timing: untimed warmups absorb plan compilation
-and codegen (reference bench.py:11-16 methodology), then the MINIMUM of the
-timed runs is reported. Min — not the reference's median — because this
-host is shared: identical plans measured 2s on one run and 29s on the next
-while the JVM used ~3 of 32 cores (external stalls, host load ~10 with no
-local work). The median of a handful of runs is corrupted whenever ≥half
-the runs catch a stall; the minimum estimates the uncontended cost, and
-every raw run is recorded in "runs" so the variance is visible rather than
-averaged away. The noisiest queries (ANN + MinHash — Python-worker and
-JIT-ramp heavy) get 6 timed rounds, the rest 3, so the fastest-3 trio
-used by the stability gate usually dodges the stalls.
+Timing: untimed warmups absorb plan compilation and codegen (reference
+bench.py:11-16 methodology), then the MINIMUM of the timed runs is
+reported. Min — not the reference's median — because this host is shared:
+identical plans measured 2s on one run and 29s on the next while the JVM
+used ~3 of 32 cores (external stalls, host load ~10 with no local work).
+The median of a handful of runs is corrupted whenever >=half the runs catch
+a stall; the minimum estimates the uncontended cost, and every raw run is
+recorded in the detail file so the variance is visible rather than averaged
+away.
+
+Scale/skew scenarios run in FRESH-JVM subprocesses (one scenario each, via
+SPARK_GRAFT_SCENARIO=<label> re-invocation): round 5 measured 1m_x10 at
+17.5s in the shared parent JVM where a clean JVM measures ~11s — heap
+carry-over (full old gen, fragmented humongous regions after the 10M
+scenarios) contaminated the gating numbers. Each subprocess warms codegen
+with one untimed 100k_x1 build (same plan shape as every scenario), then
+times its target.
+
+Shuffle accounting reads the in-process AppStatusStore via py4j (stage
+deltas bracketing exactly one run) — no UI, no HTTP, works with
+spark.ui.enabled=false.
 
 Stability gate: per query, the spread of the 3 fastest runs
 ((max3-min3)/median3) must stay under 50%; otherwise the script still
@@ -27,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -51,8 +65,8 @@ BENCH_QUERIES = [
     # 100 TB-shaped scale paths (VERDICT r1 item 9): RP-LSH ANN and banded
     # MinHash LSH dedup, so the approximate plans have per-round trend data.
     "knn_lsh",
-    # IVF in both kernels (VERDICT r4 item 1): expr = cross-join assignment
-    # + interpreted fold; arrow = matmul assignment, no assignment shuffle.
+    # IVF in both kernels (VERDICT r4 item 1): expr = broadcast-literal
+    # centroid assignment + interpreted fold; arrow = matmul assignment.
     "knn_ivf",
     "knn_ivf_arrow",
     "minhash_dedup",
@@ -108,7 +122,11 @@ SCALE_CONFIGS = [
             }
         },
     ),
-    ("1m_x50", 1_000_000, 50, 2, {}),
+    # Width trend for the UNION_GROUP_MAX_FEATURES chunking cap: x10 /
+    # x25 / x50 at 1M gives three points on the features axis (VERDICT r5
+    # item 10 — the cap's linearity claim needs trend data, 3 runs each).
+    ("1m_x25", 1_000_000, 25, 3, {}),
+    ("1m_x50", 1_000_000, 50, 3, {}),
     ("10m_x1", 10_000_000, 1, 1, {}),  # ~minutes; linearity check
     ("10m_x10", 10_000_000, 10, 3, {}),
 ]
@@ -160,6 +178,124 @@ def _gen_scale_data(n_labels: int, n_features: int) -> tuple[str, list[str]]:
     return labels_path, feature_paths
 
 
+def _scale_label_features(n_labels: int, n_features: int, embargo=None):
+    import timefence_spark as tf
+
+    labels_path, feature_paths = _gen_scale_data(n_labels, n_features)
+    labels = tf.Labels(
+        path=labels_path,
+        keys="user_id",
+        label_time="label_time",
+        target="churned",
+    )
+    features = [
+        tf.Feature(
+            tf.Source(path=p, keys=["user_id"], timestamp="updated_at"),
+            columns=[f"val_{i}"],
+            name=f"feature_{i}",
+            embargo=embargo,
+        )
+        for i, p in enumerate(feature_paths)
+    ]
+    return labels, features
+
+
+def _warmup_build(spark) -> None:
+    """One untimed 100k_x1 build: every scale scenario shares this plan
+    shape, so it warms parse/codegen/JIT for the fresh scenario JVM at
+    ~2s instead of paying a full-size first run."""
+    import shutil
+    import uuid
+
+    import timefence_spark as tf
+
+    labels, features = _scale_label_features(100_000, 1)
+    out = f"/tmp/tf_scale_warm_{uuid.uuid4().hex[:8]}.parquet"
+    tf.build(labels, features, out, max_lookback="365d", spark=spark)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_scale_scenario(spark, label: str) -> dict:
+    """One build() scenario: warmup, then n timed runs (min reported);
+    the first timed run is bracketed by statusStore snapshots so the
+    shuffle delta covers exactly one execution."""
+    import shutil
+    import uuid
+
+    import timefence_spark as tf
+
+    cfg = {c[0]: c for c in SCALE_CONFIGS}[label]
+    _, n_labels, n_features, n_runs, scenario_kwargs = cfg
+    build_kwargs = dict(scenario_kwargs)
+    embargo = build_kwargs.pop("embargo", None)
+    _warmup_build(spark)
+    labels, features = _scale_label_features(n_labels, n_features, embargo)
+    runs = []
+    shuffle = None
+    for run_i in range(n_runs):
+        out = f"/tmp/tf_scale_out_{uuid.uuid4().hex[:8]}.parquet"
+        before = _stages_snapshot(spark) if run_i == 0 else None
+        t0 = time.perf_counter()
+        tf.build(
+            labels, features, out, max_lookback="365d", spark=spark,
+            **build_kwargs,
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+        if run_i == 0:
+            shuffle = _shuffle_delta(before, _stages_snapshot(spark))
+        shutil.rmtree(out, ignore_errors=True)
+        for extra in ("train", "test"):
+            shutil.rmtree(
+                out.replace(".parquet", f"_{extra}.parquet"),
+                ignore_errors=True,
+            )
+    res = {
+        "sec": min(runs),
+        "runs": runs,
+        "n_labels": n_labels,
+        "n_features": n_features,
+    }
+    if shuffle is not None:
+        res["shuffle"] = shuffle
+    return res
+
+
+def _run_audit_scenario(spark) -> dict:
+    """Rebuild-and-compare audit at the reference's published shape
+    (BASELINE.md README row: audit 1M x 10 = 8.5 s): build the target
+    once (untimed), then time audit() end-to-end."""
+    import shutil
+    import uuid
+
+    import timefence_spark as tf
+
+    _warmup_build(spark)
+    labels, features = _scale_label_features(1_000_000, 10)
+    target = f"/tmp/tf_audit_target_{uuid.uuid4().hex[:8]}.parquet"
+    tf.build(labels, features, target, max_lookback="365d", spark=spark)
+    runs = []
+    shuffle = None
+    for run_i in range(3):
+        before = _stages_snapshot(spark) if run_i == 0 else None
+        t0 = time.perf_counter()
+        tf.audit(
+            target,
+            features,
+            keys="user_id",
+            label_time="label_time",
+            max_lookback="365d",
+            spark=spark,
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+        if run_i == 0:
+            shuffle = _shuffle_delta(before, _stages_snapshot(spark))
+    shutil.rmtree(target, ignore_errors=True)
+    res = {"sec": min(runs), "runs": runs, "n_labels": 1_000_000, "n_features": 10}
+    if shuffle is not None:
+        res["shuffle"] = shuffle
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Skew bench: one hot entity key holding HALF of all rows. The plain union
 # plan puts the hot key's labels+features into ONE window partition (a
@@ -175,6 +311,11 @@ def _gen_scale_data(n_labels: int, n_features: int) -> tuple[str, list[str]]:
 # sort costs ~1s and the bucketed plan's extra shuffles swamp the win; the
 # straggler only dominates once the hot partition reaches ~10M rows.
 SKEW_N_LABELS = 10_000_000
+
+SKEW_VARIANTS = {
+    "union_plain": {},
+    "union_skew_bucket_90d": {"skew_bucket": 90 * 86400},
+}
 
 
 def _gen_skew_data() -> tuple[str, str]:
@@ -217,61 +358,65 @@ def _gen_skew_data() -> tuple[str, str]:
     return labels_path, feat_path
 
 
-def _bench_skew(spark) -> dict[str, dict]:
+def _run_skew_variant(spark, variant: str) -> dict:
     from timefence_spark.operators.asof import asof_join
 
     labels_path, feat_path = _gen_skew_data()
     labels = spark.read.parquet(labels_path)
     feats = spark.read.parquet(feat_path)
-    variants: dict[str, dict] = {
-        "union_plain": {},
-        "union_skew_bucket_90d": {"skew_bucket": 90 * 86400},
-    }
-    results: dict[str, dict] = {}
-    for name, kwargs in variants.items():
-        joined = asof_join(
-            labels,
-            feats,
-            on="user_id",
-            left_time="label_time",
-            right_time="updated_at",
-            value_cols=["val"],
-            prefix="f",
-            lookback=365 * 86400,
-            strategy="union",
-            **kwargs,
-        )
-        runs = _timed_runs(lambda: _force(joined), 2)
-        # one extra untimed execution bracketed by snapshots, so the
-        # shuffle delta covers exactly one run (not warmups + timed runs)
-        before = _stages_snapshot(spark)
+    joined = asof_join(
+        labels,
+        feats,
+        on="user_id",
+        left_time="label_time",
+        right_time="updated_at",
+        value_cols=["val"],
+        prefix="f",
+        lookback=365 * 86400,
+        strategy="union",
+        **SKEW_VARIANTS[variant],
+    )
+    _force(joined)  # warmup: plan + codegen
+    runs = []
+    shuffle = None
+    for run_i in range(2):
+        before = _stages_snapshot(spark) if run_i == 0 else None
+        t0 = time.perf_counter()
         _force(joined)
-        shuffle = _shuffle_delta(before, _stages_snapshot(spark))
-        results[name] = {"sec": min(runs), "runs": runs}
-        if shuffle is not None:
-            results[name]["shuffle"] = shuffle
-        print(f"skew {name}: {runs} shuffle={shuffle}", file=sys.stderr)
-    return results
+        runs.append(round(time.perf_counter() - t0, 3))
+        if run_i == 0:
+            shuffle = _shuffle_delta(before, _stages_snapshot(spark))
+    res = {"sec": min(runs), "runs": runs}
+    if shuffle is not None:
+        res["shuffle"] = shuffle
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Streaming bench: availableNow replays at SF_DIR, timed per run with a
+# fresh checkpoint so the number is per-batch overhead + state-store cost.
+# ---------------------------------------------------------------------------
 
 
 def _bench_streaming(spark) -> dict[str, dict]:
-    """Stream-stream as-of replay at SF_DIR (VERDICT r4 item 7): the same
-    availableNow file-source staging the correctness gate uses, timed.
-    Staging is untimed; each timed run replays every micro-batch through
-    applyInPandasWithState into the noop streaming sink with a fresh
-    checkpoint, so the number is per-batch overhead + state-store cost,
-    not parquet write cost. Two variants: the default (HDFS-backed) state
-    store and RocksDB — the provider you'd run at 100 TB state scale."""
+    """Stream-stream as-of and streaming exact-dedup replays (VERDICT r4
+    item 7 / r5 item 9). Staging is untimed; each timed run replays every
+    micro-batch with a fresh checkpoint. The as-of variants time both the
+    default (HDFS-backed) state store and RocksDB — the provider you'd
+    run at 100 TB state scale; dedup likewise."""
     import shutil
     import uuid as _uuid
 
-    from timefence_spark.streaming import streaming_asof_join
+    from timefence_spark.streaming import (
+        streaming_asof_join,
+        streaming_exact_dedup,
+    )
 
     stage, _ = entry_mod._stage_event_streams(spark, SF_DIR, with_sentinels=True)
     lbl_schema = "event_id long, entity long, label_time timestamp_ntz"
     ft_schema = "user_id long, feature_time timestamp_ntz, v double"
 
-    def run_once() -> None:
+    def run_asof() -> None:
         qname = f"b{_uuid.uuid4().hex[:8]}"
         ls = (
             spark.readStream.schema(lbl_schema)
@@ -305,6 +450,36 @@ def _bench_streaming(spark) -> dict[str, dict]:
         )
         q.awaitTermination(600)
 
+    # Dedup replay: the sf documents table split into 8 micro-batch files,
+    # first-arrival content-hash state carried across batch boundaries.
+    from pyspark.sql import functions as F
+
+    ddir = f"{stage}/dedup_in"
+    docs = entry_mod._t(spark, SF_DIR, "documents", spread=False).select(
+        "doc_id", "text"
+    )
+    for b in range(8):
+        docs.where(F.col("doc_id") % 8 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{ddir}/b{b}")
+
+    def run_dedup() -> None:
+        qname = f"d{_uuid.uuid4().hex[:8]}"
+        ds = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{ddir}/*")
+        )
+        deduped = streaming_exact_dedup(ds, content_cols="text", hash_fn="md5")
+        q = (
+            deduped.writeStream.format("noop")
+            .option("checkpointLocation", f"{stage}/ckpt_{qname}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     rocksdb = (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -314,14 +489,16 @@ def _bench_streaming(spark) -> dict[str, dict]:
     except Exception:
         prev = None
     results: dict[str, dict] = {}
-    for name, provider in (
-        ("streaming_asof", None),
-        ("streaming_asof_rocksdb", rocksdb),
+    for name, provider, run_once in (
+        ("streaming_asof", None, run_asof),
+        ("streaming_asof_rocksdb", rocksdb, run_asof),
+        ("streaming_dedup", None, run_dedup),
+        ("streaming_dedup_rocksdb", rocksdb, run_dedup),
     ):
         if provider is not None:
             spark.conf.set(conf_key, provider)
         try:
-            run_once()  # one warmup: ~20 s per replay, plan cost amortized
+            run_once()  # one warmup replay, plan cost amortized
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -339,21 +516,33 @@ def _bench_streaming(spark) -> dict[str, dict]:
     return results
 
 
+# ---------------------------------------------------------------------------
+# Shuffle accounting: stage-metric deltas from the in-process
+# AppStatusStore (py4j), replacing the round<=5 UI REST polling — zero
+# HTTP, no spark.ui.enabled requirement, and no per-scenario listener
+# overhead beyond what Spark already runs for its status APIs.
+# ---------------------------------------------------------------------------
+
+
 def _stages_snapshot(spark) -> list[dict] | None:
-    """All stage metrics from the UI REST API (needs spark.ui.enabled).
+    """(stageId, shuffle bytes) for every stage the app has run so far.
 
-    Returns None when the UI is off or unreachable — shuffle accounting is
-    then simply omitted from the bench line rather than failing it."""
+    Returns None if the internal API shape ever changes — shuffle
+    accounting is then simply omitted rather than failing the bench."""
     try:
-        import json as _json
-        import urllib.request
-
-        ui = spark.sparkContext.uiWebUrl
-        app_id = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
-        ) as r:
-            return _json.load(r)
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        no_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        stages = store.stageList(empty, False, False, no_quantiles, empty)
+        return [
+            {
+                "stageId": s.stageId(),
+                "shuffleWriteBytes": s.shuffleWriteBytes(),
+                "shuffleReadBytes": s.shuffleReadBytes(),
+            }
+            for s in (stages.apply(i) for i in range(stages.size()))
+        ]
     except Exception:
         return None
 
@@ -377,115 +566,73 @@ def _shuffle_delta(before: list[dict] | None, after: list[dict] | None):
     }
 
 
-def _bench_scale(spark) -> dict[str, dict]:
-    """End-to-end build() timings per scenario.
+# ---------------------------------------------------------------------------
+# Fresh-JVM scenario runner: the parent re-invokes this script with
+# SPARK_GRAFT_SCENARIO=<label> per scale/skew scenario; the child builds
+# its own SparkSession, runs exactly one scenario, and prints one
+# SCENARIO_RESULT line. Scenario labels: any SCALE_CONFIGS label,
+# "audit_rebuild_1m_x10", or "skew:<variant>".
+# ---------------------------------------------------------------------------
 
-    No per-scenario warmup: every scenario shares one plan shape, so the
-    first (smallest) scenario warms codegen for all of them — warming each
-    1M/10M scenario would double its cost for no extra signal. Reported
-    value = min of the timed runs (see module docstring), raw runs kept.
-    The first timed run of each scenario also records its shuffle
-    read/write bytes (UI REST delta)."""
-    import shutil
-    import uuid
+SCENARIO_ENV = "SPARK_GRAFT_SCENARIO"
+SCENARIO_PREFIX = "SCENARIO_RESULT "
 
-    import timefence_spark as tf
 
-    results: dict[str, dict] = {}
-    for label, n_labels, n_features, n_runs, scenario_kwargs in SCALE_CONFIGS:
-        labels_path, feature_paths = _gen_scale_data(n_labels, n_features)
-        labels = tf.Labels(
-            path=labels_path,
-            keys="user_id",
-            label_time="label_time",
-            target="churned",
+def _make_session(app: str):
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{CPUS}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The suite compiles hundreds of whole-stage-codegen classes; the
+        # JVM default 240 MB code cache fills mid-suite, HotSpot disables
+        # the compiler, and late queries run interpreted (observed 5-10x
+        # slowdowns with run-to-run variance). 512 MB holds the whole suite.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
         )
-        # embargo is a per-Feature argument (reference benchmarks/
-        # bench.py:99-114 routes it the same way); the rest go to build().
-        build_kwargs = dict(scenario_kwargs)
-        embargo = build_kwargs.pop("embargo", None)
-        features = [
-            tf.Feature(
-                tf.Source(path=p, keys=["user_id"], timestamp="updated_at"),
-                columns=[f"val_{i}"],
-                name=f"feature_{i}",
-                embargo=embargo,
-            )
-            for i, p in enumerate(feature_paths)
-        ]
-        runs = []
-        shuffle = None
-        for run_i in range(n_runs):
-            out = f"/tmp/tf_scale_out_{uuid.uuid4().hex[:8]}.parquet"
-            before = _stages_snapshot(spark) if run_i == 0 else None
-            t0 = time.perf_counter()
-            tf.build(
-                labels, features, out, max_lookback="365d", spark=spark,
-                **build_kwargs,
-            )
-            runs.append(round(time.perf_counter() - t0, 3))
-            if run_i == 0:
-                shuffle = _shuffle_delta(before, _stages_snapshot(spark))
-            shutil.rmtree(out, ignore_errors=True)
-            for extra in ("train", "test"):
-                shutil.rmtree(
-                    out.replace(".parquet", f"_{extra}.parquet"),
-                    ignore_errors=True,
-                )
-        results[label] = {
-            "sec": min(runs),
-            "runs": runs,
-            "n_labels": n_labels,
-            "n_features": n_features,
-        }
-        if shuffle is not None:
-            results[label]["shuffle"] = shuffle
-        print(f"scale {label}: {runs} shuffle={shuffle}", file=sys.stderr)
-
-    # Rebuild-and-compare audit at the reference's published shape
-    # (BASELINE.md README row: audit 1M x 10 = 8.5 s): build the target
-    # once, then time audit() end-to-end.
-    labels_path, feature_paths = _gen_scale_data(1_000_000, 10)
-    labels = tf.Labels(
-        path=labels_path, keys="user_id", label_time="label_time", target="churned"
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
     )
-    features = [
-        tf.Feature(
-            tf.Source(path=p, keys=["user_id"], timestamp="updated_at"),
-            columns=[f"val_{i}"],
-            name=f"feature_{i}",
+
+
+def _scenario_main(label: str) -> int:
+    spark = _make_session(f"timefence-bench-{label}")
+    spark.sparkContext.setLogLevel("ERROR")
+    if label.startswith("skew:"):
+        res = _run_skew_variant(spark, label.split(":", 1)[1])
+    elif label == "audit_rebuild_1m_x10":
+        res = _run_audit_scenario(spark)
+    else:
+        res = _run_scale_scenario(spark, label)
+    print(SCENARIO_PREFIX + json.dumps(res), flush=True)
+    spark.stop()
+    return 0
+
+
+def _run_scenario_subprocess(label: str) -> dict:
+    env = dict(os.environ, **{SCENARIO_ENV: label})
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=2400,
         )
-        for i, p in enumerate(feature_paths)
-    ]
-    target = f"/tmp/tf_audit_target_{uuid.uuid4().hex[:8]}.parquet"
-    tf.build(labels, features, target, max_lookback="365d", spark=spark)
-    runs = []
-    shuffle = None
-    for run_i in range(3):
-        before = _stages_snapshot(spark) if run_i == 0 else None
-        t0 = time.perf_counter()
-        tf.audit(
-            target,
-            features,
-            keys="user_id",
-            label_time="label_time",
-            max_lookback="365d",
-            spark=spark,
-        )
-        runs.append(round(time.perf_counter() - t0, 3))
-        if run_i == 0:
-            shuffle = _shuffle_delta(before, _stages_snapshot(spark))
-    shutil.rmtree(target, ignore_errors=True)
-    results["audit_rebuild_1m_x10"] = {
-        "sec": min(runs),
-        "runs": runs,
-        "n_labels": 1_000_000,
-        "n_features": 10,
-    }
-    if shuffle is not None:
-        results["audit_rebuild_1m_x10"]["shuffle"] = shuffle
-    print(f"scale audit_rebuild_1m_x10: {runs}", file=sys.stderr)
-    return results
+    except subprocess.TimeoutExpired:
+        return {"err": "scenario subprocess timed out"}
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith(SCENARIO_PREFIX):
+            res = json.loads(line[len(SCENARIO_PREFIX):])
+            print(f"scenario {label}: {res}", file=sys.stderr)
+            return res
+    tail = (p.stdout[-200:] + " | " + p.stderr[-400:]).replace("\n", " ")
+    return {"err": f"rc={p.returncode}: {tail}"}
 
 
 # Extra timed rounds for the queries with Python-worker or JIT ramp
@@ -547,31 +694,68 @@ def _trimmed_spread(runs: list[float]) -> tuple[float, float]:
     return rel, round(fastest[-1] - fastest[0], 3)
 
 
-def main() -> None:
-    spark = (
-        SparkSession.builder.appName("timefence-spark-bench")
-        .master(f"local[{CPUS}]")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # The suite compiles hundreds of whole-stage-codegen classes; the
-        # JVM default 240 MB code cache fills mid-suite, HotSpot disables
-        # the compiler, and late queries run interpreted (observed 5-10x
-        # slowdowns with run-to-run variance). 512 MB holds the whole suite.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
-        )
-        # The UI stays ON for the bench (unlike tests): its REST API is how
-        # per-scenario shuffle bytes are measured. Listener overhead is
-        # negligible next to the timed work and identical across rounds.
-        .config("spark.ui.enabled", "true")
-        # Keep raw progress bars out of captured output: the bench artifact
-        # should be the one JSON line, not carriage-return escapes.
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+MAX_STDOUT_LINE = 1900  # driver archives the last 2000 bytes of output
+
+
+def _compact_line(detail: dict) -> str:
+    """The one stdout JSON line, guaranteed to fit the driver's 2000-byte
+    tail window: per-query seconds plus per-scenario {sec, shuffle-write
+    MB}; raw runs/spreads live in BENCH_DETAIL.json. If a future section
+    still overflows, shuffle fields drop first, then scale 'runs' detail —
+    never the queries map."""
+
+    def slim(section: dict, with_shuffle: bool) -> dict:
+        out = {}
+        for name, r in section.items():
+            if "err" in r:
+                out[name] = {"err": r["err"][:60]}
+                continue
+            row = {"sec": r["sec"]}
+            sh = r.get("shuffle")
+            if with_shuffle and sh:
+                row["sw_mb"] = sh["shuffle_write_mb"]
+            out[name] = row
+        return out
+
+    for with_shuffle in (True, False):
+        compact = {
+            "metric": detail["metric"],
+            "value": detail["value"],
+            "unit": detail["unit"],
+            "queries": detail["queries"],
+            "unstable": detail["unstable"],
+            "scale": slim(detail["scale"], with_shuffle),
+            "skew": slim(detail["skew"], with_shuffle),
+            "streaming": {
+                n: r.get("sec", r.get("err", "?"))
+                for n, r in detail["streaming"].items()
+            },
+            "sf": detail["sf"],
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= MAX_STDOUT_LINE:
+            return line
+    # Last resort: queries-only (spec minimum).
+    return json.dumps(
+        {
+            "metric": detail["metric"],
+            "value": detail["value"],
+            "unit": detail["unit"],
+            "queries": detail["queries"],
+            "sf": detail["sf"],
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
+
+
+def main() -> int:
+    scenario = os.environ.get(SCENARIO_ENV)
+    if scenario:
+        return _scenario_main(scenario)
+
+    spark = _make_session("timefence-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
@@ -588,22 +772,26 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = min(runs)
         spreads[name], abs_gaps[name] = _trimmed_spread(runs)
+        print(f"query {name}: {runs}", file=sys.stderr)
 
-    # Scale scenarios (reference extended matrix) — SPARK_GRAFT_SCALE=0
+    # Streaming replays share the parent JVM (light, sf-sized state);
+    # scale/skew each get a fresh JVM via subprocess — SPARK_GRAFT_SCALE=0
     # skips them for a quick query-suite-only run.
-    # Section order matters: the 10M scale scenarios leave the JVM with a
-    # full old gen and fragmented humongous regions, which inflated (and
-    # once inverted) the skew and streaming sections when they ran after —
-    # the standalone skew ratio is ~2x in favor of bucketing, but measured
-    # 0.8x when sequenced after the 10M builds. Light sections run FIRST.
-    scale: dict[str, dict] = {}
-    skew: dict[str, dict] = {}
     streaming: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
         streaming = _bench_streaming(spark)
+    spark.stop()
+
+    scale: dict[str, dict] = {}
+    skew: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
-        skew = _bench_skew(spark)
-        scale = _bench_scale(spark)
+        for variant in SKEW_VARIANTS:
+            skew[variant] = _run_scenario_subprocess(f"skew:{variant}")
+        for label, *_ in SCALE_CONFIGS:
+            scale[label] = _run_scenario_subprocess(label)
+        scale["audit_rebuild_1m_x10"] = _run_scenario_subprocess(
+            "audit_rebuild_1m_x10"
+        )
 
     unstable = sorted(
         n
@@ -615,24 +803,25 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "timefence_spark headline suite wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs": all_runs,
-                "spread": spreads,
-                "unstable": unstable,
-                "scale": scale,
-                "skew": skew,
-                "streaming": streaming,
-                "sf": sf_val,
-            }
-        )
-    )
-    spark.stop()
+    detail = {
+        "metric": "timefence_spark headline suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": all_runs,
+        "spread": spreads,
+        "unstable": unstable,
+        "scale": scale,
+        "skew": skew,
+        "streaming": streaming,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print("detail: " + json.dumps(detail), file=sys.stderr)
+    print(_compact_line(detail))
     if unstable:
         print(
             f"bench spread >{SPREAD_LIMIT:.0%} for: {', '.join(unstable)}",
