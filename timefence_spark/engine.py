@@ -630,7 +630,27 @@ def build(
 
         # Pre-pass: load + validate every source, then run ALL duplicate
         # checks as one batched Spark action (see _batch_duplicate_checks)
-        # — still before any join work, so bad sources fail fast.
+        # — still before any materialization, so bad sources fail fast.
+        #
+        # Loading is parallelized across a small thread pool: each
+        # spark.read.parquet is a serial driver round-trip (parquet footer
+        # job, ~50ms) and a 10-source build was paying them one by one.
+        # Validation stays on the main thread, in declaration order, so
+        # error messages are deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        unique_sources: list = []
+        for feat in flat_features:
+            if feat.source.name not in {s.name for s in unique_sources}:
+                unique_sources.append(feat.source)
+        if len(unique_sources) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(unique_sources))) as pool:
+                loaded = list(
+                    pool.map(lambda s: load_source_df(spark, s), unique_sources)
+                )
+            registered_sources.update(
+                {s.name: df for s, df in zip(unique_sources, loaded)}
+            )
         pending_checks: list[tuple[str, DataFrame, Feature]] = []
         for feat in flat_features:
             src_name = feat.source.name
@@ -643,9 +663,35 @@ def build(
                 pending_checks.append(
                     (f"c{len(pending_checks)}", registered_sources[src_name], feat)
                 )
+
+        # The duplicate-check action runs on a BACKGROUND thread while the
+        # main thread builds feature tables and join plans (driver-side
+        # Catalyst work): the collect costs ~1s of the ~5s total at the
+        # 100K-label scale, and nothing before the first materialization
+        # needs its result. _resolve_dup_checks() joins the thread — and
+        # raises any TimefenceDuplicateError — before any side effect
+        # (feature-cache write, broadcast sizing, output write), so the
+        # fail-fast contract is ordering-identical where it matters.
+        dup_future = None
+        dup_pool = None
         if pending_checks:
             _emit(f"Checking {len(pending_checks)} source(s) for duplicates")
-            source_counts.update(_batch_duplicate_checks(pending_checks))
+            dup_pool = ThreadPoolExecutor(max_workers=1)
+            dup_future = dup_pool.submit(_batch_duplicate_checks, pending_checks)
+
+        def _resolve_dup_checks() -> None:
+            nonlocal dup_future
+            if dup_future is not None:
+                fut, dup_future = dup_future, None
+                try:
+                    source_counts.update(fut.result())
+                finally:
+                    dup_pool.shutdown(wait=False)
+
+        if store is not None:
+            # Feature-cache writes below are materializations; keep the
+            # classic strict ordering when a store is attached.
+            _resolve_dup_checks()
 
         for i, feat in enumerate(flat_features, 1):
             _emit(f"Computing {feat.name} ({i}/{len(flat_features)})")
@@ -700,13 +746,43 @@ def build(
         matched: dict[str, DataFrame] = {}
         strategies: dict[str, str] = {}
         physical_plans: dict[str, str] = {}
+        # Plan probes (physical_summary → manifest) force a full Catalyst
+        # physical planning of each join output — ~0.5-1s of driver time
+        # for a 10-feature single-pass group, separate from the planning
+        # the write itself performs. They run on background threads (py4j
+        # releases the GIL during JVM calls, so they genuinely overlap)
+        # and are joined after the output write.
+        plan_probe_pool = ThreadPoolExecutor(max_workers=2)
+        plan_probe_futures: list[tuple[list[str], Any]] = []
+
+        def _probe_plan(df: DataFrame) -> str:
+            try:
+                from timefence_spark.plans import physical_summary
+
+                return str(physical_summary(df))
+            except Exception:  # plan probe must never fail a build
+                return ""
+
+        def _submit_plan_probe(names: list[str], df: DataFrame) -> None:
+            plan_probe_futures.append(
+                (names, plan_probe_pool.submit(_probe_plan, df))
+            )
+
+        def _resolve_plan_probes() -> None:
+            for names, fut in plan_probe_futures:
+                try:
+                    summary = fut.result()
+                except Exception:
+                    summary = ""
+                for fname in names:
+                    physical_plans[fname] = summary
+            plan_probe_futures.clear()
+            plan_probe_pool.shutdown(wait=False)
         union_groups: dict[tuple, list[Feature]] = {}
         op = "<" if join == "strict" else "<="
         for i, feat in enumerate(flat_features, 1):
             fdf, value_cols = feature_tables[feat.name]
             key_pairs = [(lk, feat.key_mapping.get(lk, lk)) for lk in labels.keys]
-            src_rows = source_counts.get(feat.source.name)
-            small = src_rows is not None and src_rows <= broadcast_max_rows
             feat_strategy = strategy
             if strategy == "auto":
                 # Union is the measured default at every shape (see
@@ -714,6 +790,12 @@ def build(
                 # opt-in for extreme key skew.
                 feat_strategy = "union"
             strategies[feat.name] = feat_strategy
+            if feat_strategy == "join":
+                # Broadcast sizing needs the source row counts — join the
+                # background duplicate-check action for them.
+                _resolve_dup_checks()
+            src_rows = source_counts.get(feat.source.name)
+            small = src_rows is not None and src_rows <= broadcast_max_rows
             transcript.append(
                 f"-- pit_match[{feat.name}] strategy={feat_strategy} "
                 f"broadcast={small and feat_strategy == 'join'} "
@@ -744,12 +826,7 @@ def build(
                 broadcast_feature=small and feat_strategy == "join",
                 bucket_s=skew_bucket_s,
             )
-            try:
-                from timefence_spark.plans import physical_summary
-
-                physical_plans[feat.name] = str(physical_summary(matched[feat.name]))
-            except Exception:  # plan probe must never fail a build
-                physical_plans[feat.name] = ""
+            _submit_plan_probe([feat.name], matched[feat.name])
 
         group_outputs: list[DataFrame] = []
         chunked_groups = [
@@ -784,14 +861,7 @@ def build(
                 carry_left=zero_join,
             )
             group_outputs.append(gout)
-            try:
-                from timefence_spark.plans import physical_summary
-
-                summary = str(physical_summary(gout))
-            except Exception:  # plan probe must never fail a build
-                summary = ""
-            for feat in group_feats:
-                physical_plans[feat.name] = summary
+            _submit_plan_probe([feat.name for feat in group_feats], gout)
 
         # ---- Step 4: recombine on the spine row id ---------------------
         if zero_join:
@@ -903,6 +973,11 @@ def build(
         result = result.orderBy(*labels.keys, lt)
 
         # ---- Step 5: one materialization -> write + count + stats ------
+        # Join the background duplicate-check action NOW: any
+        # TimefenceDuplicateError must surface before the first output
+        # side effect (and before config errors from the write options,
+        # matching the classic sequential ordering).
+        _resolve_dup_checks()
         _emit("Writing output")
         if part_list:
             part_cols = part_list
@@ -941,6 +1016,7 @@ def build(
         if stats_map is None:
             stats_map = combined.agg(*aggs).first().asDict()
         result_cols = result.columns
+        _resolve_plan_probes()
 
         label_count = int(stats_map["__n_labels"])
         label_time_range = (
@@ -1087,6 +1163,13 @@ def build(
             dataframe=result,
         )
     finally:
+        # Error paths can leave the background pools (duplicate check,
+        # plan probes) un-joined; shut them down without waiting so a
+        # failed build doesn't block interpreter exit on a collect.
+        for _pool in ("dup_pool", "plan_probe_pool"):
+            p = locals().get(_pool)
+            if p is not None:
+                p.shutdown(wait=False)
         # The spine's localCheckpoint blocks are freed by the
         # ContextCleaner once the DataFrame is garbage-collected;
         # unpersist() does not apply to checkpointed data.
