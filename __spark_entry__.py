@@ -1727,26 +1727,33 @@ ORACLE_NORMALIZE = r"""
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line-level dedup across the corpus. Every space becomes a
-    line break (planted identically in both engines), so 'lines' are
-    words and the operator keeps each word's global first occurrence —
-    maximal duplicate pressure on the first-occurrence window."""
+    """C4-style line-level dedup across the corpus, at the operator's
+    DEFAULT dedup floor (min_len=10). Every third space becomes a line
+    break (planted identically in both engines), so 'lines' are 3-word
+    shingles: most clear the floor and dedup to their global first
+    occurrence, while the short ones ('a the big') exercise the
+    always-keep bypass."""
     docs = _t(spark, sf_dir, "documents", spread=False).select(
-        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+        "doc_id",
+        F.regexp_replace("text", r"(\w+ \w+ \w+) ", "$1\n").alias("text"),
     )
     return text.line_dedup(docs, id_col="doc_id", text_col="text")
 
 
-ORACLE_LINE_DEDUP = """
+ORACLE_LINE_DEDUP = r"""
     WITH p AS (
-        SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS l
+        SELECT doc_id,
+               string_split(
+                   regexp_replace(text, '(\w+ \w+ \w+) ', '\1' || chr(10), 'g'),
+                   chr(10)
+               ) AS l
         FROM documents
     ), e AS (
         SELECT doc_id, l[i + 1] AS line, i AS pos
         FROM p, unnest(range(0, len(l))) AS t(i)
     ), k AS (
         SELECT doc_id, line, pos,
-               ROW_NUMBER() OVER (
+               len(line) < 10 OR ROW_NUMBER() OVER (
                    PARTITION BY line ORDER BY doc_id ASC, pos ASC
                ) = 1 AS keep
         FROM e

@@ -774,6 +774,31 @@ def main() -> int:
         spreads[name], abs_gaps[name] = _trimmed_spread(runs)
         print(f"query {name}: {runs}", file=sys.stderr)
 
+    # Skew-shaped line_dedup row (VERDICT r5 item 3): one boilerplate
+    # line planted at the head of HALF the corpus's documents, each text
+    # repeated 20x so the hot line appears tens of thousands of times.
+    # The min-struct aggregation combines it map-side; this row regresses
+    # if anyone reintroduces the per-line window straggler.
+    from pyspark.sql import functions as F
+    from timefence_spark.operators.text import line_dedup
+
+    hot = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE CONTENT LIKE THIS\n"
+    docs = entry_mod._t(spark, SF_DIR, "documents", spread=False).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(hot)).otherwise(F.lit("")),
+            F.array_join(
+                F.array_repeat(F.regexp_replace("text", " ", "\n"), 20), "\n"
+            ),
+        ).alias("text"),
+    )
+    skew_df = line_dedup(docs, id_col="doc_id", text_col="text")
+    runs = _timed_runs(lambda: _force(skew_df), 3)
+    all_runs["line_dedup_skew"] = runs
+    timings["line_dedup_skew"] = min(runs)
+    spreads["line_dedup_skew"], abs_gaps["line_dedup_skew"] = _trimmed_spread(runs)
+    print(f"query line_dedup_skew: {runs}", file=sys.stderr)
+
     # Streaming replays share the parent JVM (light, sf-sized state);
     # scale/skew each get a fresh JVM via subprocess — SPARK_GRAFT_SCALE=0
     # skips them for a quick query-suite-only run.

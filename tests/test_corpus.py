@@ -206,7 +206,9 @@ def test_line_dedup_literal_separator(spark):
     df = spark.createDataFrame([(1, "abc.def.abc"), (2, "def.xyz")], "doc_id long, text string")
     out = {
         r["doc_id"]: r
-        for r in t_ops.line_dedup(df, id_col="doc_id", text_col="text", sep=".").collect()
+        for r in t_ops.line_dedup(
+            df, id_col="doc_id", text_col="text", sep=".", min_len=0
+        ).collect()
     }
     # '.' must split into 3 literal segments, not on every character
     assert out[1]["n_lines"] == 3

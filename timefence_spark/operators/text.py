@@ -599,13 +599,21 @@ def normalize_text(
     return df.withColumn(out_col or text_col, t)
 
 
+# Default dedup floor for line_dedup: lines shorter than this many
+# characters bypass dedup (always kept). C4's line filters target
+# sentence-scale spans, not stop-words and bullets; semantically, a
+# corpus-scope dedup of sub-floor lines ("", "-", "the") would strip them
+# from every document but the globally first one.
+LINE_DEDUP_MIN_LEN = 10
+
+
 def line_dedup(
     df: DataFrame,
     *,
     id_col: str,
     text_col: str,
     sep: str = "\n",
-    min_len: int = 0,
+    min_len: int = LINE_DEDUP_MIN_LEN,
     scope: str = "corpus",
 ) -> DataFrame:
     """C4-style line-level dedup: every distinct line is kept only at its
@@ -613,24 +621,29 @@ def line_dedup(
     are removed from their documents' text. ``scope='corpus'`` (default)
     dedups globally; ``scope='document'`` dedups only within each
     document (repeated-boilerplate removal that leaves other docs'
-    copies alone). Lines shorter than ``min_len`` characters bypass
-    dedup entirely (C4 dedups three-sentence spans, not stop-words —
-    raise ``min_len`` at scale so hot short lines neither skew the
-    window nor vanish from every doc).
+    copies alone). Lines shorter than ``min_len`` characters (default
+    :data:`LINE_DEDUP_MIN_LEN`) bypass dedup entirely and are always
+    kept; pass ``min_len=0`` to dedup every line.
 
     Returns one row per input document: (id, text (deduplicated,
     ``sep``-joined), n_lines, n_kept). Documents whose every line was
     seen earlier keep an empty text. ``sep`` is treated as a LITERAL
     separator on both the split and the re-join.
 
-    Physical shape: ONE explode scan-side, ONE shuffle of (line, id, pos)
-    for the first-occurrence window, one groupBy(id) to reassemble.
-    Bypassed short lines still ride the shuffle, but each gets its OWN
-    singleton window partition (the partition key is salted per-row for
-    them), so a hot stop-line can never skew the first-occurrence sort."""
+    Physical shape: ONE explode scan-side; the first occurrence per line
+    is a MIN(struct(id, pos)) aggregation — partial aggregation combines
+    a hot line to one candidate per map partition, so a boilerplate
+    header duplicated across half the corpus costs one row per
+    partition, not one 50%-of-the-corpus sort partition (the window
+    formulation used through round 5 had exactly that straggler). The
+    winners then attach back with an equi-join on the line — skewed
+    line keys there are split by AQE skew-join handling, which can never
+    rescue a window — and one groupBy(id) reassembles documents. At
+    extreme scale, keying the aggregation and join by a 128-bit content
+    hash of the line instead of the line text would halve the shuffled
+    bytes; the exact-line key is kept here for oracle-replayable
+    simplicity."""
     import re
-
-    from pyspark.sql.window import Window
 
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
@@ -643,25 +656,26 @@ def line_dedup(
             "__pos", "__line"
         ),
     )
-    short = F.length("__line") < min_len
-    # Salting short lines' partition key gives them singleton partitions:
-    # one pass, one shuffle, no hot keys; their row_number is trivially 1.
-    pkey = (
-        F.when(
-            F.lit(min_len > 0) & short,
-            F.concat_ws(
-                "\x1e",
-                F.col("__line"),
-                F.col(id_col).cast("string"),
-                F.col("__pos").cast("string"),
-            ),
-        ).otherwise(F.col("__line"))
-        if min_len > 0
-        else F.col("__line")
+    group_cols = ["__line"] if scope == "corpus" else [id_col, "__line"]
+    winners = (
+        lines.where(F.length("__line") >= min_len)
+        .groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
+                )
+            ).alias("__w")
+        )
     )
-    part = [pkey] if scope == "corpus" else [F.col(id_col), pkey]
-    w = Window.partitionBy(*part).orderBy(F.asc(id_col), F.asc("__pos"))
-    flagged = lines.withColumn("__keep", F.row_number().over(w) == 1)
+    occurrence = F.struct(
+        F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
+    )
+    flagged = lines.join(winners, group_cols, "left").withColumn(
+        # no winner row = sub-floor line (bypasses dedup, always kept)
+        "__keep",
+        F.col("__w").isNull() | (occurrence == F.col("__w")),
+    )
     rebuilt = (
         flagged.groupBy(id_col)
         .agg(
