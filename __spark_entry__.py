@@ -886,6 +886,82 @@ ORACLE_TOKEN_BPE = r"""
 """
 
 
+def q_token_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token counts under the vendored deterministic BPE
+    (operators/bpe.py, 105 merges trained from a fixed corpus): the
+    real-tokenizer injection point (text.token_count_exact, Arrow-batched
+    mapInPandas) exercised end-to-end instead of only the regex proxy.
+    The oracle replays the SAME greedy merge loop as a recursive CTE
+    over the same merge table — both engines compute BPE independently,
+    from characters up."""
+    from timefence_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.token_count_exact(
+        docs, id_col="doc_id", text_col="text", tokenizer_fn=bpe.token_count
+    )
+
+
+def _oracle_token_count_exact_sql() -> str:
+    from timefence_spark.operators import bpe
+
+    keys = ", ".join(
+        "'" + (a + " " + b).replace("'", "''") + "'"
+        for a, b in bpe.VENDORED_MERGES
+    )
+    vals = ", ".join(str(i) for i in range(len(bpe.VENDORED_MERGES)))
+    merge_map = f"MAP([{keys}], [{vals}])"
+    big = bpe.MAX_RANK_SENTINEL
+    # rank of each adjacent token pair under the merge table (sentinel =
+    # not mergeable); list_min picks the best rank, list_position its
+    # leftmost occurrence — exactly bpe.encode's iteration.
+    rs = (
+        f"list_transform(range(1, len(toks)), i -> "
+        f"coalesce(list_extract(map_extract({merge_map}, "
+        f"toks[i] || ' ' || toks[i+1]), 1), {big}))"
+    )
+    return rf"""
+    WITH RECURSIVE
+    words AS (
+        SELECT DISTINCT w AS word FROM (
+            SELECT unnest(string_split_regex(coalesce(text,''), '\s+')) AS w
+            FROM documents) WHERE len(w) > 0
+    ),
+    enc AS (
+        SELECT word, string_split(word, '') AS toks FROM words
+        UNION ALL
+        SELECT word,
+               list_slice(toks, 1, j - 1)
+                 || [toks[j] || toks[j + 1]]
+                 || list_slice(toks, j + 2, len(toks)) AS toks
+        FROM (
+            SELECT word, toks, list_min(rs) AS best,
+                   list_position(rs, list_min(rs)) AS j
+            FROM (SELECT word, toks, {rs} AS rs FROM enc WHERE len(toks) > 1)
+        ) WHERE best < {big}
+    ),
+    term AS (
+        SELECT word, len(toks) AS n_tok
+        FROM (SELECT word, toks,
+                     CASE WHEN len(toks) > 1 THEN list_min({rs})
+                          ELSE {big} END AS best
+              FROM enc)
+        WHERE best = {big}
+    ),
+    doc_words AS (
+        SELECT doc_id, w AS word, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(coalesce(text,''), '\s+')) AS w
+            FROM documents) WHERE len(w) > 0 GROUP BY 1, 2
+    )
+    SELECT d.doc_id, CAST(coalesce(sum(dw.c * t.n_tok), 0) AS BIGINT) AS n_tokens
+    FROM documents d
+    LEFT JOIN doc_words dw USING (doc_id)
+    LEFT JOIN term t USING (word)
+    GROUP BY d.doc_id
+    """
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k document fingerprint sketch (portable md5 hashes), emitted as a
     comma-joined string for scalar value hashing."""
@@ -2439,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "streaming_asof": q_streaming_asof,
         "streaming_asof_static": q_streaming_asof_static,
+        "token_count_exact": q_token_count_exact,  # new in round 6
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2511,6 +2588,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_token_stats": ORACLE_TEXT_TOKENS,
         "token_count_bpe": ORACLE_TOKEN_BPE,
+        "token_count_exact": _oracle_token_count_exact_sql(),
         "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,

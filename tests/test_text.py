@@ -255,3 +255,34 @@ def test_line_dedup_min_len_and_first_occurrence(spark):
     assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
     # doc 3's only line was seen earlier -> empty text
     assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_vendored_bpe_deterministic_and_greedy():
+    """The vendored BPE must be a pure function of its fixed training
+    text (merge list stable across imports/reloads) and encode by global
+    best rank at the leftmost occurrence — the loop the SQL oracle
+    replays."""
+    import importlib
+
+    from timefence_spark.operators import bpe
+
+    merges_a = list(bpe.VENDORED_MERGES)
+    importlib.reload(bpe)
+    assert bpe.VENDORED_MERGES == merges_a
+    assert len(bpe.VENDORED_MERGES) > 50
+
+    # concatenation of the tokens must reproduce the word; unknown
+    # characters fall back to singles
+    for w in ["customer", "table", "spark", "xyzzy", "a", ""]:
+        toks = bpe.encode(w) if w else []
+        assert "".join(toks) == w
+    # rank order decides, not left-to-right scanning: with ranks
+    # {(b,c):0, (a,b):1} the (b,c) merge wins even though (a,b) is
+    # leftmost
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe.encode("abc", ranks) == ["a", "bc"]
+    # leftmost occurrence of the best-ranked pair merges first
+    ranks = {("a", "a"): 0}
+    assert bpe.encode("aaa", ranks) == ["aa", "a"]
+    assert bpe.token_count(None) == 0
+    assert bpe.token_count("  ") == 0
