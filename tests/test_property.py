@@ -422,3 +422,42 @@ def test_line_dedup_matches_python_reference(spark, data, min_len, scope_doc):
                 kept.append(line)
         expected = ("\n".join(kept), len(words), len(kept))
         assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+def test_connected_components_algorithms_agree(spark, edges):
+    """star contraction and the driver union-find must label every random
+    graph identically to min-label propagation (component = min reachable
+    id), including chains, self-loops, parallel edges, and isolated
+    vertices."""
+    from timefence_spark.operators.dedup import connected_components
+
+    n = 31
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    results = {}
+    for algo in ("propagation", "star", "local"):
+        out = connected_components(
+            e, v, id_col="doc_id", algorithm=algo, max_iter=40
+        )
+        results[algo] = sorted(
+            (r["doc_id"], r["component_id"]) for r in out.collect()
+        )
+    assert results["star"] == results["propagation"]
+    assert results["local"] == results["propagation"]

@@ -631,24 +631,58 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
-def connected_components(
-    edges: DataFrame, vertices: DataFrame, *, id_col: str, max_iter: int = 25
-) -> DataFrame:
-    """(id, component_id) where component_id is the min id reachable through
-    ``edges`` [(id_a, id_b)] — iterative min-label propagation.
+# Edge-count gate for connected_components(algorithm='auto'): at or below
+# this many distinct edges the whole graph fits comfortably on the driver
+# and a union-find finishes in milliseconds where every distributed round
+# costs a fixed job + two shuffles. Above it, the alternating
+# large-star/small-star rounds run — the shape that survives 100 TB.
+CC_LOCAL_MAX_EDGES = 1_000_000
 
-    Each round joins current labels across edges and keeps the elementwise
-    min; lineage is truncated with localCheckpoint per round so plans stay
-    flat. Rounds needed = graph diameter; near-duplicate clusters are
-    shallow (pairs all share a common doc), so convergence is fast. This is
-    the standard driver-coordinated loop (same shape GraphFrames uses) —
-    per-round cost is two shuffles on the edge list, and ONE Spark job:
-    the checkpoints are lazy, so the round's convergence count is the
-    action that materializes them (an eager checkpoint plus a separate
-    count paid the fixed job overhead twice per round).
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str,
+    max_iter: int = 25,
+    algorithm: str = "auto",
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
+) -> DataFrame:
+    """(id, component_id) where component_id is the min id reachable
+    through ``edges`` [(id_a, id_b)].
+
+    ``algorithm`` picks the physical strategy; all three produce the
+    identical labeling (property-tested against each other on random
+    graphs):
+
+    * ``'auto'`` (default) — count distinct edges (one job that also
+      materializes the checkpointed edge list); at most
+      ``local_max_edges`` edges, solve with a driver-side union-find
+      (``'local'``), otherwise run ``'star'``. The explicit size gate is
+      the same contract as a broadcast join: small graphs are a driver
+      problem, not a cluster problem.
+    * ``'star'`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      2014): each round points high nodes at their neighborhood minimum,
+      so star-heavy near-dup graphs contract in ~2 rounds and chains in
+      O(log n) rounds, vs graph-diameter rounds for label propagation.
+    * ``'propagation'`` — the classic min-label propagation loop
+      (diameter rounds; kept as the reference implementation the others
+      are differentially tested against).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if algorithm not in ("auto", "local", "star", "propagation"):
+        raise ValueError(
+            "algorithm must be 'auto', 'local', 'star' or 'propagation', "
+            f"got {algorithm!r}"
+        )
+
+    if algorithm != "propagation":
+        return _cc_star_or_local(
+            edges, vertices, id_col=id_col, max_iter=max_iter,
+            algorithm=algorithm, local_max_edges=local_max_edges,
+        )
 
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -695,6 +729,171 @@ def connected_components(
     return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component_id"))
 
 
+def _cc_labels_from_mapping(
+    vertices: DataFrame, mapping: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, component_id) for every vertex: mapped nodes take their
+    component minimum, isolated vertices are their own component."""
+    return (
+        vertices.select(F.col(id_col))
+        .join(mapping.withColumnRenamed("vid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("component_id"),
+        )
+    )
+
+
+def _cc_local_union_find(edge_rows, vertices: DataFrame, id_col: str) -> DataFrame:
+    """Driver-side union-find over collected edges; component = min id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the min id stays the root, so the root IS the
+            # component id when the loop finishes
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    spark = vertices.sparkSession
+    id_type = vertices.schema[id_col].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("vid", id_type), T.StructField("comp", id_type)]
+    )
+    mapping = spark.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+    return _cc_labels_from_mapping(vertices, mapping, id_col)
+
+
+def _cc_star_or_local(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str,
+    max_iter: int,
+    algorithm: str,
+    local_max_edges: int,
+) -> DataFrame:
+    """'auto' / 'local' / 'star' strategies for connected_components.
+
+    The star path's convergence test is a (count, xxhash64-sum) signature
+    of the edge set, fused into each round's materializing action — an
+    exact set comparison would cost an extra shuffle per round for a
+    check that in practice fires once. A colliding signature would stop
+    one round early at astronomical odds (64-bit sum over the symmetric
+    difference); the labeling is additionally property-tested against
+    min-label propagation on random graphs."""
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) sum: a long sum of 64-bit hashes overflows under
+        # ANSI mode; the decimal accumulator is exact at any edge count
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row["n"] or 0), int(row["h"] or 0)
+
+    if algorithm in ("auto", "local"):
+        # Gate and fetch in ONE job: collect up to the cap + 1. Under the
+        # cap, the graph is a driver problem (same contract as a
+        # broadcast join); one row over, the overfetch is discarded and
+        # the distributed star rounds take over.
+        rows = (
+            e.collect()
+            if algorithm == "local"  # explicit: no cap, caller's call
+            else e.limit(local_max_edges + 1).collect()
+        )
+        if algorithm == "local" or len(rows) <= local_max_edges:
+            if not rows:
+                return vertices.select(
+                    F.col(id_col), F.col(id_col).alias("component_id")
+                )
+            return _cc_local_union_find(
+                (tuple(r) for r in rows), vertices, id_col
+            )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # Large-star: every neighbor v larger than u points at the
+        # minimum of u's closed neighborhood. Preserves connectivity,
+        # never emits self-loops (the target is <= u < v).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("mn")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .distinct()
+        )
+        # Small-star: direct edges large->small, point every smaller
+        # neighbor (and u itself) at the neighborhood minimum.
+        dir_e = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        smins = dir_e.groupBy("u").agg(F.min("v").alias("mn"))
+        e = (
+            dir_e.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionByName(
+                smins.select(F.col("u"), F.col("mn").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sig = signature(e)  # ONE job: materializes round + convergence probe
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(star) did not converge within "
+            f"max_iter={max_iter} rounds; component ids may be split. "
+            "Raise max_iter for adversarially long chains.",
+            stacklevel=2,
+        )
+    # Fixpoint edges are stars (node -> component min); centers label
+    # themselves. The defensive min-agg collapses the (rare) final
+    # pre-convergence state where a node still carries two targets.
+    mapping = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("comp"))
+        .select(F.col("u").alias("vid"), "comp")
+        .unionByName(
+            e.select(F.col("v").alias("vid"), F.col("v").alias("comp")).distinct()
+        )
+        .groupBy("vid")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return _cc_labels_from_mapping(vertices, mapping, id_col)
+
+
 def minhash_components(
     df: DataFrame,
     *,
@@ -708,6 +907,7 @@ def minhash_components(
     hash_fn: str = "xxhash64",
     max_iter: int = 25,
     max_bucket_size: int | None = None,
+    cc_algorithm: str = "auto",
 ) -> DataFrame:
     """Full transitive near-duplicate grouping: (id, component_id).
 
@@ -715,6 +915,8 @@ def minhash_components(
     transitive closure assigns {A, B, C} one component so a downstream
     "keep min id per component" drops both B and C. This is the standard
     corpus-dedup policy at scale (cluster then keep one representative).
+    ``cc_algorithm`` selects the closure strategy — see
+    :func:`connected_components`.
     """
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
@@ -722,7 +924,8 @@ def minhash_components(
         max_bucket_size=max_bucket_size,
     )
     return connected_components(
-        pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter
+        pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter,
+        algorithm=cc_algorithm,
     )
 
 
