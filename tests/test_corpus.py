@@ -247,3 +247,27 @@ def test_dedup_lines_document_scope_and_fluency_filter(spark):
     # occurrences), doc 2 ~2.30 (all hapaxes) — 2.2 separates them
     kept = Corpus(fluent).filter_fluency(max_nll=2.2)
     assert _ids(kept) == {1}
+
+
+def test_report_is_one_action(spark, docs):
+    """report() chains quality/PII/lang/hash into one projection and one
+    aggregate (VERDICT r5 item 7: the old shape paid four separate
+    scans). Two pins: the aggregated frame's physical plan reads the
+    corpus EXACTLY once, and the whole report is one action — at most 3
+    jobs, because AQE materializes the exact-distinct aggregate's two
+    shuffle stages as separate jobs; the old multi-action shape cost 5+
+    jobs and four scans."""
+    from timefence_spark.plans import physical_summary
+
+    combined, _ = Corpus(docs)._report_frame()
+    assert len(physical_summary(combined).scans) == 1
+
+    def n_jobs() -> int:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        return store.jobsList(sc._jvm.java.util.ArrayList()).size()
+
+    Corpus(docs).report()  # warm: plan/codegen jobs out of the way
+    before = n_jobs()
+    Corpus(docs).report()
+    assert n_jobs() - before <= 3

@@ -254,23 +254,56 @@ class Corpus:
 
     # ---- profiling -------------------------------------------------------
 
+    def _report_frame(self):
+        """The single chained projection report() aggregates: quality ->
+        PII -> language, each carrying prior columns via keep_cols, plus
+        the content hash — one scan of the corpus, zero joins. Exposed
+        separately so tests can pin the plan shape (exactly one scan)."""
+        from pyspark.sql import functions as FF
+
+        q = text.quality_score(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            keep_cols=[self.text_col],
+        )
+        p = pii.pii_signals(
+            q, id_col=self.id_col, text_col=self.text_col,
+            keep_cols=["n_chars", "n_tokens", "quality_score", self.text_col],
+        )
+        lang_keys = sorted(text.LANG_MARKERS)
+        combined = text.lang_id(
+            p, id_col=self.id_col, text_col=self.text_col,
+            keep_cols=["n_chars", "n_tokens", "quality_score", "has_pii",
+                       self.text_col],
+        ).select(
+            "n_chars",
+            "n_tokens",
+            "quality_score",
+            "has_pii",
+            "lang_pred",
+            FF.md5(FF.col(self.text_col).cast("string")).alias("__h"),
+        )
+        return combined, lang_keys
+
     def report(self) -> dict:
         """Corpus health profile: row/char/token/quality stats, PII rate,
-        exact-duplicate rate, language distribution. Four small actions —
-        three aggregations over scan-side projections plus one language
-        groupBy — with NO join (pairing two projections of the same rows
-        on id would re-scan and shuffle for nothing). Returns plain
-        Python — the numbers a pipeline owner checks before burning
-        cluster time on a full clean. NULL-text documents count as zero
-        chars/tokens sources of nothing: they form one duplicate group
-        and carry no PII."""
+        exact-duplicate rate, language distribution — all from ONE Spark
+        action. The quality, PII, and language operators chain into a
+        single scan-side projection (each carries the earlier columns
+        through via ``keep_cols`` — no joins, no re-scans), the content
+        hash rides the same select, and one aggregate computes every
+        number including the fixed-key language counts (the marker
+        profile's key set is static, so per-language conditional counts
+        replace the old groupBy). Returns plain Python — the numbers a
+        pipeline owner checks before burning cluster time on a full
+        clean. NULL-text documents count as zero chars/tokens sources of
+        nothing: they form one duplicate group and carry no PII."""
         from pyspark.sql import functions as FF
 
         def _f(v, default=0.0, nd=4):
             return round(float(v), nd) if v is not None else default
 
-        q = text.quality_score(self.df, id_col=self.id_col, text_col=self.text_col)
-        row = q.agg(
+        combined, lang_keys = self._report_frame()
+        row = combined.agg(
             FF.count(FF.lit(1)).alias("n_docs"),
             FF.avg("n_chars").alias("avg_chars"),
             FF.expr("percentile(n_chars, 0.5)").alias("median_chars"),
@@ -279,35 +312,26 @@ class Corpus:
             FF.count(FF.when(FF.col("quality_score") >= 0.75, 1)).alias(
                 "n_high_quality"
             ),
+            FF.count(FF.when(FF.col("has_pii"), 1)).alias("n_pii_docs"),
+            # countDistinct skips NULL hashes; all-NULL texts are ONE
+            # duplicate group, so add it back explicitly.
+            FF.countDistinct("__h").alias("d"),
+            FF.max(
+                FF.when(FF.col("__h").isNull(), 1).otherwise(0)
+            ).alias("has_null"),
+            *[
+                FF.count(FF.when(FF.col("lang_pred") == k, 1)).alias(f"l_{k}")
+                for k in lang_keys
+            ],
+            FF.count(FF.when(FF.col("lang_pred").isNull(), 1)).alias("l_null"),
         ).first()
         n_docs = int(row["n_docs"] or 0)
-        prow = (
-            pii.pii_signals(self.df, id_col=self.id_col, text_col=self.text_col)
-            .agg(FF.count(FF.when(FF.col("has_pii"), 1)).alias("n_pii_docs"))
-            .first()
-        )
         langs = {
-            r["lang_pred"]: r["n"]
-            for r in text.lang_id(self.df, id_col=self.id_col, text_col=self.text_col)
-            .groupBy("lang_pred")
-            .agg(FF.count(FF.lit(1)).alias("n"))
-            .collect()
+            k: int(row[f"l_{k}"]) for k in lang_keys if int(row[f"l_{k}"])
         }
-        # countDistinct skips NULL hashes; all-NULL texts are ONE
-        # duplicate group, so add it back explicitly.
-        drow = (
-            self.df.select(
-                FF.md5(FF.col(self.text_col).cast("string")).alias("h")
-            )
-            .agg(
-                FF.countDistinct("h").alias("d"),
-                FF.max(FF.when(FF.col("h").isNull(), 1).otherwise(0)).alias(
-                    "has_null"
-                ),
-            )
-            .first()
-        )
-        n_distinct = int(drow["d"] or 0) + int(drow["has_null"] or 0)
+        if int(row["l_null"]):
+            langs[None] = int(row["l_null"])
+        n_distinct = int(row["d"] or 0) + int(row["has_null"] or 0)
         return {
             "n_docs": n_docs,
             "n_distinct_texts": n_distinct,
@@ -324,7 +348,7 @@ class Corpus:
                 else 0.0
             ),
             "pii_doc_pct": (
-                round(100.0 * int(prow["n_pii_docs"]) / n_docs, 2) if n_docs else 0.0
+                round(100.0 * int(row["n_pii_docs"]) / n_docs, 2) if n_docs else 0.0
             ),
             "languages": langs,
         }

@@ -83,6 +83,7 @@ def pii_signals(
     id_col: str,
     text_col: str,
     rules: list[tuple[str, str, str]] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document PII match counts: one ``n_<family>`` column per rule
     (default families: ``n_email``, ``n_phone``, ``n_ipv4``), plus
@@ -96,6 +97,7 @@ def pii_signals(
     (never NULL), so boolean filters see every document. One projection,
     no shuffle."""
     active = rules if rules is not None else PII_RULES
+    keep = [F.col(c) for c in (keep_cols or [])]
     text = F.col(text_col)
     counts = df.select(
         F.col(id_col),
@@ -103,6 +105,7 @@ def pii_signals(
             _count(text, pat).alias(f"n_{name}")
             for name, pat, _ in active
         ],
+        *keep,
     )
     total = None
     for name, _, _ in active:
@@ -113,6 +116,7 @@ def pii_signals(
         *[f"n_{name}" for name, _, _ in active],
         total.alias("n_pii"),
         (total > 0).alias("has_pii"),
+        *keep,
     )
 
 

@@ -101,6 +101,7 @@ def quality_score(
     id_col: str,
     text_col: str,
     stopwords: list[str] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Heuristic quality signals + a composite [0,1] score.
 
@@ -112,9 +113,15 @@ def quality_score(
     pass a production stopword list for the target corpus language. The
     list lands in the plan as one array literal, so arbitrarily large
     profiles stay scan-speed.
+
+    ``keep_cols`` carries the named input columns through to the output
+    unchanged (names must not collide with the metric columns) — this is
+    how Corpus.report chains several scan-side operators into ONE
+    projection instead of joining their outputs back together on id.
     """
     if stopwords is None:
         stopwords = EN_STOPWORDS
+    keep = [F.col(c) for c in (keep_cols or [])]
     # Staged projections (see repetition_signals): tokenize once, count
     # once, then derive ratios/score from plain columns.
     staged = df.select(
@@ -122,6 +129,7 @@ def quality_score(
         F.col(text_col).alias("__text"),
         F.length(text_col).alias("n_chars"),
         _tokens(F.col(text_col)).alias("__toks"),
+        *keep,
     )
     text = F.col("__text")
     toks = F.col("__toks")
@@ -144,6 +152,7 @@ def quality_score(
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
             "__n_stop"
         ),
+        *keep,
     )
     n_chars = F.col("n_chars")
     n_tokens = F.col("n_tokens")
@@ -160,6 +169,7 @@ def quality_score(
         F.round(1.0 - F.col("__n_types").cast("double") / n_tokens, 6).alias(
             "repetition"
         ),
+        *keep,
     )
     length_ok = (n_chars >= 50) & (n_chars <= 100_000)
     score = (
@@ -178,6 +188,7 @@ def quality_score(
         "stopword_ratio",
         "repetition",
         F.round(score, 2).alias("quality_score"),
+        *keep,
     )
 
 
@@ -187,6 +198,7 @@ def lang_id(
     id_col: str,
     text_col: str,
     markers: dict[str, list[str]] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Marker-word language heuristic: count hits against each language's
     marker list; predict the argmax (ties -> lexicographically LARGEST
@@ -198,12 +210,16 @@ def lang_id(
     languages. Each list becomes one array literal in the projection, so
     the operator stays scan-speed regardless of profile size.
 
-    Returns (id, lang_pred, lang_score). One projection, no shuffle."""
+    Returns (id, lang_pred, lang_score), plus any ``keep_cols`` carried
+    through unchanged. One projection, no shuffle."""
     if markers is None:
         markers = LANG_MARKERS
+    keep = [F.col(c) for c in (keep_cols or [])]
     # Staged projections (see repetition_signals): one tokenize, then one
     # filter per language over the staged array, then one argmax.
-    staged = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    staged = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks"), *keep
+    )
     toks = F.col("__toks")
     scores = []
     for lang, lang_markers in sorted(markers.items()):
@@ -218,6 +234,7 @@ def lang_id(
         id_col,
         F.size(toks).alias("__n_tokens"),
         F.array_max(F.array(*scores)).alias("__best"),
+        *keep,
     )
     return scored.select(
         id_col,
@@ -225,6 +242,7 @@ def lang_id(
         F.round(
             F.col("__best")["hits"].cast("double") / F.col("__n_tokens"), 6
         ).alias("lang_score"),
+        *keep,
     )
 
 
