@@ -381,3 +381,67 @@ def test_max_bucket_size_skips_hot_buckets(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in sim_capped.collect()}
     assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the loop's lineage pins from executor
+    -local blocks to reliable-FS checkpoints: same labels either way,
+    and the directory actually receives checkpoint data."""
+    import os
+
+    from timefence_spark.operators.dedup import connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    want = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            e, v, id_col="doc_id", algorithm="star"
+        ).collect()
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            e, v, id_col="doc_id", algorithm="star", checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert got == want
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
+def test_build_reliable_checkpoint(spark, tmp_path):
+    """build(checkpoint_dir=...) pins the spine to reliable storage on a
+    non-zero-join plan (strategy='join' forces the rowid spine path)."""
+    import os
+
+    import timefence_spark as tf
+
+    sf = "/root/testdata/sf0.001"
+    labels = tf.Labels(
+        path=f"{sf}/orders.parquet", keys="o_custkey",
+        label_time="o_orderdate", target="o_totalprice",
+    )
+    feat = tf.Feature(
+        tf.Source(f"{sf}/orders.parquet", keys="o_custkey",
+                  timestamp="o_orderdate"),
+        sql="SELECT o_custkey, o_orderdate AS feature_time, "
+            "MAX(o_totalprice) AS prev_total FROM {source} GROUP BY 1, 2",
+        name="prev_spend", embargo="1d", on_duplicate="keep_any",
+    )
+    ckpt = str(tmp_path / "build_ckpt")
+    out = str(tmp_path / "train.parquet")
+    res = tf.build(
+        labels, [feat], out, spark=spark, strategy="join",
+        checkpoint_dir=ckpt,
+    )
+    assert res.stats.row_count > 0
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"

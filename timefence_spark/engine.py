@@ -40,6 +40,7 @@ from timefence_spark._constants import (
     DEFAULT_RTOL,
     UNION_GROUP_MAX_FEATURES,
 )
+from timefence_spark._checkpoint import pin
 from timefence_spark._duration import (
     duration_seconds,
     format_duration,
@@ -92,6 +93,10 @@ DEFAULT_BROADCAST_MAX_ROWS = 5_000_000
 # ---------------------------------------------------------------------------
 # Session + misc helpers
 # ---------------------------------------------------------------------------
+
+
+def _opt_str(p: str | Path | None) -> str | None:
+    return str(p) if p is not None else None
 
 
 def get_spark(spark: SparkSession | None = None) -> SparkSession:
@@ -444,6 +449,7 @@ def build(
     broadcast_max_rows: int = DEFAULT_BROADCAST_MAX_ROWS,
     output_partition_by: str | Sequence[str] | None = None,
     skew_bucket: str | timedelta | None = None,
+    checkpoint_dir: str | Path | None = None,
 ) -> BuildResult:
     """Build a point-in-time correct training set.
 
@@ -457,7 +463,10 @@ def build(
     not a ``.parquet`` file path), ``skew_bucket`` (duration, e.g. "30d":
     split hot entity keys into time buckets of this width inside the union
     as-of plan, bounding any single sort partition — see
-    operators/asof._asof_union_single_pass).
+    operators/asof._asof_union_single_pass), ``checkpoint_dir`` (pin the
+    spine's row ids to RELIABLE storage instead of executor-local blocks —
+    survives executor loss on long cluster builds; see
+    timefence_spark._checkpoint and docs/concepts/scale.md).
     """
     start_time = time.time()
     spark = get_spark(spark)
@@ -601,8 +610,9 @@ def build(
         # engine.py:1087-1090, 1231-1257 relies on stable ids the same
         # way). With a checkpoint there is no lineage to recompute from:
         # downstream stages read the materialized blocks or fail fast.
-        # Blocks are freed when the DataFrame is GC'd.
-        spine = spine.localCheckpoint(eager=True)
+        # Blocks are freed when the DataFrame is GC'd. checkpoint_dir
+        # upgrades the pin to reliable storage (executor-loss-proof).
+        spine = pin(spine, checkpoint_dir=_opt_str(checkpoint_dir), eager=True)
     # Label count and time range are NOT probed here: every build path
     # keeps the spine 1:1 in the combined table (carry_left emits one row
     # per label row; the recombination joins are left joins on a unique
@@ -1200,12 +1210,16 @@ def audit(
     max_staleness: str | timedelta | None = None,
     join: str = "strict",
     spark: SparkSession | None = None,
+    checkpoint_dir: str | Path | None = None,
 ) -> AuditReport:
     """Audit a dataset for temporal leakage.
 
     Two modes (dispatch mirrors reference engine.py:1525-1546):
     1. Rebuild-and-compare: provide features, keys, label_time.
     2. Temporal check: provide feature_time_columns.
+
+    ``checkpoint_dir`` pins the rebuild-compare row ids to reliable
+    storage instead of executor-local blocks (see build()).
     """
     if feature_time_columns is not None:
         return _audit_temporal(
@@ -1229,6 +1243,7 @@ def audit(
         max_staleness=max_staleness,
         join=join,
         spark=spark,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -1325,6 +1340,7 @@ def _audit_rebuild(
     max_staleness: str | timedelta | None = None,
     join: str = "strict",
     spark: SparkSession | None = None,
+    checkpoint_dir: str | Path | None = None,
 ) -> AuditReport:
     """Rebuild-and-compare: recompute every feature with the correct PIT join
     and diff values against the existing dataset (reference engine.py:1635-1872)."""
@@ -1339,9 +1355,11 @@ def _audit_rebuild(
     existing = _load_dataset_df(spark, data)
     # Same rowid pin as the build spine: checkpoint, don't just cache —
     # the rebuild-compare join is keyed on these ids.
-    existing = existing.withColumn(
-        ROW_ID, F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    existing = pin(
+        existing.withColumn(ROW_ID, F.monotonically_increasing_id()),
+        checkpoint_dir=_opt_str(checkpoint_dir),
+        eager=True,
+    )
     total = existing.count()
     existing_cols = [c for c in existing.columns if c != ROW_ID]
 

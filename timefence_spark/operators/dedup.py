@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timefence_spark._checkpoint import pin
+
 # 2^31 - 1: keeps a*h + b inside int64 (a, h < p -> a*h < 2^62), so the
 # permutation family (a*h + b) mod p runs in native long arithmetic.
 _MERSENNE_P = (1 << 31) - 1
@@ -647,6 +649,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "auto",
     local_max_edges: int = CC_LOCAL_MAX_EDGES,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component_id) where component_id is the min id reachable
     through ``edges`` [(id_a, id_b)].
@@ -669,6 +672,11 @@ def connected_components(
     * ``'propagation'`` — the classic min-label propagation loop
       (diameter rounds; kept as the reference implementation the others
       are differentially tested against).
+
+    ``checkpoint_dir`` upgrades the per-round lineage pins from
+    executor-local blocks to reliable-storage checkpoints (survives
+    executor loss mid-loop — the right setting for long iterative jobs
+    on preemptible executors; see docs/concepts/scale.md).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -682,16 +690,21 @@ def connected_components(
         return _cc_star_or_local(
             edges, vertices, id_col=id_col, max_iter=max_iter,
             algorithm=algorithm, local_max_edges=local_max_edges,
+            checkpoint_dir=checkpoint_dir,
         )
 
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    sym = sym.localCheckpoint(eager=False)
+    sym = pin(sym, checkpoint_dir=checkpoint_dir, eager=False)
 
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=False)
+    labels = pin(
+        vertices.select(
+            F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+        ),
+        checkpoint_dir=checkpoint_dir,
+        eager=False,
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -711,8 +724,8 @@ def connected_components(
                 F.col("comp").alias("__prev"),
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=False)
         )
+        new_labels = pin(new_labels, checkpoint_dir=checkpoint_dir, eager=False)
         changed = new_labels.where(F.col("comp") != F.col("__prev")).count()
         labels = new_labels.select("vid", "comp")
         if changed == 0:
@@ -788,6 +801,7 @@ def _cc_star_or_local(
     max_iter: int,
     algorithm: str,
     local_max_edges: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """'auto' / 'local' / 'star' strategies for connected_components.
 
@@ -798,10 +812,11 @@ def _cc_star_or_local(
     one round early at astronomical odds (64-bit sum over the symmetric
     difference); the labeling is additionally property-tested against
     min-label propagation on random graphs."""
-    e = (
+    e = pin(
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=False)
+        .where(F.col("u") != F.col("v")),
+        checkpoint_dir=checkpoint_dir,
+        eager=False,
     )
 
     def signature(df: DataFrame) -> tuple[int, int]:
@@ -863,8 +878,8 @@ def _cc_star_or_local(
                 smins.select(F.col("u"), F.col("mn").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        e = pin(e, checkpoint_dir=checkpoint_dir, eager=False)
         sig = signature(e)  # ONE job: materializes round + convergence probe
         if sig == prev_sig:
             break
@@ -908,6 +923,7 @@ def minhash_components(
     max_iter: int = 25,
     max_bucket_size: int | None = None,
     cc_algorithm: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full transitive near-duplicate grouping: (id, component_id).
 
@@ -925,7 +941,7 @@ def minhash_components(
     )
     return connected_components(
         pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter,
-        algorithm=cc_algorithm,
+        algorithm=cc_algorithm, checkpoint_dir=checkpoint_dir,
     )
 
 
