@@ -2516,6 +2516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof": q_streaming_asof,
         "streaming_asof_static": q_streaming_asof_static,
         "token_count_exact": q_token_count_exact,  # new in round 6
+        # Changed in round 6 (new default/algorithm) — must be in the
+        # driver-checked prefix this round:
+        "line_dedup": q_line_dedup,
+        "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2559,10 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "mixture_sample": q_mixture_sample,
         "normalize_text": q_normalize_text,
-        "line_dedup": q_line_dedup,
         "minhash_dedup": q_minhash_dedup,
-        "dedup_components": q_dedup_components,
-        "dedup_keep_best": q_dedup_keep_best,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
