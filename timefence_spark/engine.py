@@ -1377,6 +1377,22 @@ def _audit_rebuild(
         registered: dict[str, DataFrame] = {}
         audited: list[tuple[Feature, list[str], list[tuple[str, str]]]] = []
         groups: dict[tuple, list[tuple[Feature, DataFrame, list[str]]]] = {}
+        # Parallel source loading, same rationale as build(): each
+        # spark.read is a serial ~50ms driver round-trip otherwise.
+        from concurrent.futures import ThreadPoolExecutor
+
+        unique_sources = []
+        for feat in flat_features:
+            if feat.source.name not in {s.name for s in unique_sources}:
+                unique_sources.append(feat.source)
+        if len(unique_sources) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(unique_sources))) as pool:
+                loaded = list(
+                    pool.map(lambda s: load_source_df(spark, s), unique_sources)
+                )
+            registered.update(
+                {s.name: df for s, df in zip(unique_sources, loaded)}
+            )
         for feat in flat_features:
             src_name = feat.source.name
             if src_name not in registered:
