@@ -306,3 +306,26 @@ def test_mixture_sample_rates_and_nesting(spark, docs):
         sampling.mixture_sample(
             d, id_col="doc_id", strata_col="lang", fractions={"en": 1.5}
         )
+
+
+def test_pii_signals_null_text_reports_zero(spark):
+    """NULL-text rows must report 0 counts and has_pii=false (not NULL):
+    a ~has_pii filter would otherwise silently drop them."""
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators import pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob@x.example.org"), (2, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pii.pii_signals(docs, id_col="doc_id", text_col="text").collect()
+    }
+    assert rows[2]["n_email"] == 0 and rows[2]["n_pii"] == 0
+    assert rows[2]["has_pii"] is False
+    assert rows[1]["has_pii"] is True
+    kept = pii.pii_signals(docs, id_col="doc_id", text_col="text").where(
+        ~F.col("has_pii")
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]

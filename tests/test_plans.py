@@ -143,3 +143,19 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_line_dedup_has_no_window(spark):
+    """The r6 straggler fix is structural: first-occurrence-per-line must
+    be a map-side-combining aggregation + join, never a per-line Window
+    (one hot line would own one sort partition at corpus scale). This
+    pins the physical plan so the window formulation can't creep back."""
+    from timefence_spark.operators.text import line_dedup
+    from timefence_spark.plans import physical_summary
+
+    docs = spark.createDataFrame(
+        [(i, "a long enough line\nshort") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = line_dedup(docs, id_col="doc_id", text_col="text")
+    assert physical_summary(out).windows == 0
