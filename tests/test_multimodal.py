@@ -69,3 +69,54 @@ def test_sample_frames_fanout(spark, media):
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     for idxs in per_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame idx
+
+
+def test_ppm_codec_roundtrip_and_real_decode_through_operators(spark):
+    """A REAL codec (pure-numpy Netpbm P6) flows through the multimodal
+    operators end-to-end: decode_images reads true dimensions from the
+    header, resize_images produces a decodable PPM of the target size
+    with nearest-neighbor pixels, and the batch shapes are the same
+    Arrow-batched mapInPandas contracts the stubs use."""
+    import numpy as np
+
+    from timefence_spark.operators import codecs, multimodal
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        1: rng.integers(0, 256, (8, 12, 3), dtype=np.uint8),
+        2: rng.integers(0, 256, (20, 5, 3), dtype=np.uint8),
+    }
+    # round-trip, including a commented header
+    assert np.array_equal(codecs.ppm_decode(codecs.ppm_encode(imgs[1])), imgs[1])
+    commented = b"P6\n# a comment\n12 8\n255\n" + imgs[1].tobytes()
+    assert np.array_equal(codecs.ppm_decode(commented), imgs[1])
+
+    df = spark.createDataFrame(
+        [(k, bytearray(codecs.ppm_encode(v))) for k, v in imgs.items()],
+        "media_id long, content binary",
+    )
+    decoded = {
+        r["media_id"]: r
+        for r in multimodal.decode_images(
+            df, id_col="media_id", binary_col="content",
+            decode_fn=codecs.ppm_decode_info,
+        ).collect()
+    }
+    assert (decoded[1]["width"], decoded[1]["height"]) == (12, 8)
+    assert (decoded[2]["width"], decoded[2]["height"]) == (5, 20)
+    assert decoded[1]["format"] == "ppm"
+
+    resized = {
+        r["media_id"]: bytes(r["resized"])
+        for r in multimodal.resize_images(
+            df, id_col="media_id", binary_col="content", width=4, height=6,
+            resize_fn=codecs.ppm_resize,
+        ).collect()
+    }
+    out = codecs.ppm_decode(resized[1])
+    assert out.shape == (6, 4, 3)
+    # nearest-neighbor: corner pixels survive exactly
+    assert tuple(out[0, 0]) == tuple(imgs[1][0, 0])
+
+    stats = codecs.ppm_channel_stats(codecs.ppm_encode(imgs[2]))
+    assert stats["mean_r"] == pytest.approx(imgs[2][:, :, 0].mean())

@@ -7,11 +7,15 @@ Design for 100 TB media pipelines:
 * Decode / resize / feature-extract / frame-sample run as Arrow-batched
   ``mapInPandas`` stages (one Python worker per partition, zero-copy
   batches), NOT row-at-a-time UDFs.
-* The actual codec calls are STUBBED in this environment (no PIL/ffmpeg in
-  the container): ``decode_fn=None`` uses a deterministic fake decoder that
+* Heavyweight codec calls are injection points (no PIL/ffmpeg in this
+  container): ``decode_fn=None`` uses a deterministic fake decoder that
   derives stable pseudo-metadata from the bytes, keeping every Spark-side
   contract (schema, batch shape, partitioning) real and testable. Pass a
-  real ``decode_fn(bytes) -> dict`` to swap in PIL/ffmpeg in production.
+  real ``decode_fn(bytes) -> dict`` to swap in PIL/ffmpeg in production —
+  or use :mod:`timefence_spark.operators.codecs`, a dependency-free
+  pure-numpy Netpbm PPM codec whose ``ppm_decode_info`` / ``ppm_resize``
+  plug straight into these operators, so one REAL image format runs
+  through the whole pipeline even here.
 """
 
 from __future__ import annotations
