@@ -2196,6 +2196,46 @@ ORACLE_MEDIA_DECODE = """
 """
 
 
+def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec under the differential gate: binary Netpbm P6 images
+    are planted as expressions (header + uniform 'x' raster, dimensions
+    a pure function of doc_id), and the pure-numpy PPM decoder
+    (operators/codecs.py) parses them back inside the Arrow-batched
+    mapInPandas stage. The oracle recomputes the planted dimensions
+    independently — the Spark side must actually parse the bytes to
+    match."""
+    from timefence_spark.operators import codecs, multimodal
+
+    w = (F.col("doc_id") % 13 + 2).cast("int")
+    h = (F.col("doc_id") % 7 + 3).cast("int")
+    ppm = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"),
+            F.repeat(F.lit("x"), w * h * 3),
+        ),
+        "UTF-8",
+    )
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", ppm.alias("payload")
+    )
+    return multimodal.decode_images(
+        docs, id_col="doc_id", binary_col="payload",
+        decode_fn=codecs.ppm_decode_info,
+    )
+
+
+ORACLE_MEDIA_DECODE_PPM = """
+    SELECT doc_id,
+           CAST(doc_id % 13 + 2 AS INT) AS width,
+           CAST(doc_id % 7 + 3 AS INT) AS height,
+           3 AS channels,
+           'ppm' AS format
+    FROM documents
+"""
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-level media dedup: group payloads by content sha (the
     metadata struct's hash — no decode), survivor = min doc_id. The
@@ -2516,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof": q_streaming_asof,
         "streaming_asof_static": q_streaming_asof_static,
         "token_count_exact": q_token_count_exact,  # new in round 6
+        "media_decode_ppm": q_media_decode_ppm,  # new in round 6
         # Changed in round 6 (new default/algorithm) — must be in the
         # driver-checked prefix this round:
         "line_dedup": q_line_dedup,
@@ -2591,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": ORACLE_TEXT_TOKENS,
         "token_count_bpe": ORACLE_TOKEN_BPE,
         "token_count_exact": _oracle_token_count_exact_sql(),
+        "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
         "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,
