@@ -524,3 +524,43 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_exact_dedup(stream, content_cols="text", watermark="1 hour")
+
+
+def test_stateless_text_operators_compose_with_streams(spark, tmp_path):
+    """The scan-speed text/PII operators are pure projections, so they
+    compose with readStream unchanged — quality/PII filtering of a
+    document stream needs no operator variants. Streamed output must
+    equal the batch run row-for-row."""
+    from timefence_spark.operators import pii, text
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (2, "mail me: alice@example.org or call 555-867-5309 twice"),
+        (3, "short"),
+        (4, None),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    batch = spark.createDataFrame(rows, schema)
+    for i in (0, 1):
+        batch.where(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"b{i}"))
+
+    def chain(df):
+        scored = text.quality_score(
+            df, id_col="doc_id", text_col="text", keep_cols=["text"]
+        )
+        return pii.pii_signals(
+            scored, id_col="doc_id", text_col="text",
+            keep_cols=["n_chars", "quality_score"],
+        ).select("doc_id", "n_chars", "quality_score", "n_pii", "has_pii")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got = _run_stream(spark, tmp_path, chain(stream))
+    want = chain(spark.read.parquet(str(src / "*")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
