@@ -271,3 +271,24 @@ def test_report_is_one_action(spark, docs):
     before = n_jobs()
     Corpus(docs).report()
     assert n_jobs() - before <= 3
+
+
+def test_with_token_counts_feeds_pack(spark):
+    """Facade chain corpus -> exact BPE token counts -> next-fit packing:
+    counts match the vendored tokenizer, schema is preserved + n_tokens,
+    and the packed output respects the budget."""
+    from timefence_spark.operators import bpe
+
+    rows = [(i, "the customer orders table joins the lineitem table") for i in range(6)]
+    rows.append((6, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Corpus(docs).with_token_counts()
+    got = {r["doc_id"]: r["n_tokens"] for r in c.df.collect()}
+    assert got[0] == bpe.token_count(rows[0][1])
+    assert got[6] == 0
+    assert c.df.columns == ["doc_id", "text", "n_tokens"]
+    packed = c.pack(token_col="n_tokens", budget=got[0] * 2, num_shards=1)
+    per_chunk = (
+        packed.groupBy("chunk").sum("n_tokens").collect()
+    )
+    assert all(r["sum(n_tokens)"] <= got[0] * 2 for r in per_chunk)

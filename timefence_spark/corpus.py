@@ -353,6 +353,24 @@ class Corpus:
             "languages": langs,
         }
 
+    def with_token_counts(
+        self, *, out_col: str = "n_tokens", tokenizer_fn=None
+    ) -> "Corpus":
+        """Attach an exact token count column (the input to :meth:`pack`'s
+        ``token_col``). ``tokenizer_fn=None`` uses the vendored
+        deterministic BPE (operators/bpe.py); pass a production
+        tokenizer's ``encode``-length for deployment. One Arrow-batched
+        mapInPandas stage plus an id-keyed join back onto the corpus
+        (the tokenizer stage projects (id, count) only, so the join
+        carries no text on the build side)."""
+        from timefence_spark.operators import bpe
+
+        counts = text.token_count_exact(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            tokenizer_fn=tokenizer_fn or bpe.token_count, out_col=out_col,
+        )
+        return self._wrap(self.df.join(counts, self.id_col, "left"))
+
     def pack(
         self, *, token_col: str, budget: int, boundaries: bool = True, **kwargs
     ) -> DataFrame:
