@@ -1061,7 +1061,12 @@ def build(
             # label_time survives flatten unchanged: flatten only strips
             # "{feature}__" prefixes and label_time never carries one.
             ts_type = result.schema[lt].dataType
-            for split_name, (start, end) in splits.items():
+            # The split writes are disjoint filters over the SAME persisted
+            # pre-sort cache, so they run as concurrent Spark actions
+            # (thread pool): two splits cost ~one write's wall clock
+            # instead of two sequential ones.
+            def _write_split(item):
+                split_name, (start, end) = item
                 split_file = (
                     output_path.parent
                     / f"{output_path.stem}_{split_name}{output_path.suffix or '.parquet'}"
@@ -1071,7 +1076,10 @@ def build(
                     & (F.col(lt) < F.lit(end).cast(ts_type))
                 )
                 _write_output(split_df, split_file)
-                split_paths[split_name] = split_file
+                return split_name, split_file
+
+            with ThreadPoolExecutor(max_workers=min(4, len(splits))) as spool:
+                split_paths = dict(spool.map(_write_split, splits.items()))
 
         elapsed = time.time() - start_time
         stats = BuildStats(
