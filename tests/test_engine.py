@@ -883,3 +883,31 @@ def test_union_group_chunking_matches_join(spark, monkeypatch, tmp_path):
     assert "(3 single-pass union group(s))" in res_chunked.sql
     joined, _ = run("join")
     assert full_union == chunked_union == joined
+
+
+def test_preload_sources_csv_stays_ntz_and_conf_restored(spark, tmp_path):
+    """CSV sources mutate session conf during NTZ schema inference, so
+    _preload_sources must load them sequentially: with several CSV
+    sources the session timestampType must come back untouched and every
+    inferred timestamp column must still be TIMESTAMP_NTZ."""
+    import timefence_spark as tf
+    from timefence_spark.engine import _preload_sources
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.csv"
+        p.write_text("user_id,updated_at,v\n1,2024-01-01 00:00:00,1.5\n")
+        paths.append(str(p))
+    feats = [
+        tf.Feature(
+            tf.Source(p, keys=["user_id"], timestamp="updated_at", format="csv"),
+            columns=["v"], name=f"f{i}",
+        )
+        for i, p in enumerate(paths)
+    ]
+    prev = spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+    loaded = _preload_sources(spark, feats)
+    assert spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ") == prev
+    assert len(loaded) == 3
+    for df in loaded.values():
+        assert df.schema["updated_at"].dataType.typeName() == "timestamp_ntz"

@@ -23,6 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# setCheckpointDir() is NOT idempotent to observe via getCheckpointDir():
+# Spark fully qualifies the path AND appends a random UUID subdirectory
+# (e.g. 'file:/tmp/ckpt/c7f3...'), so comparing against the raw target
+# always mismatches. Track what WE set per SparkContext instead —
+# otherwise every pin() call would mkdir a fresh UUID directory (one per
+# connected-components round) and stomp any user-configured dir.
+_SET_DIRS: dict[str, str] = {}
+
 
 def pin(
     df: DataFrame, *, checkpoint_dir: str | None = None, eager: bool = True
@@ -31,12 +39,14 @@ def pin(
 
     ``checkpoint_dir=None`` -> ``localCheckpoint(eager)``;
     otherwise the SparkContext checkpoint dir is pointed at
-    ``checkpoint_dir`` (idempotent) and ``checkpoint(eager)`` writes the
-    blocks to reliable storage."""
+    ``checkpoint_dir`` (set once per (context, dir) — see ``_SET_DIRS``)
+    and ``checkpoint(eager)`` writes the blocks to reliable storage."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     target = str(checkpoint_dir)
-    if sc.getCheckpointDir() != target:
+    app_id = sc.applicationId
+    if _SET_DIRS.get(app_id) != target:
         sc.setCheckpointDir(target)
+        _SET_DIRS[app_id] = target
     return df.checkpoint(eager=eager)

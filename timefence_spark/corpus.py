@@ -360,16 +360,23 @@ class Corpus:
         ``token_col``). ``tokenizer_fn=None`` uses the vendored
         deterministic BPE (operators/bpe.py); pass a production
         tokenizer's ``encode``-length for deployment. One Arrow-batched
-        mapInPandas stage plus an id-keyed join back onto the corpus
-        (the tokenizer stage projects (id, count) only, so the join
-        carries no text on the build side)."""
+        mapInPandas stage; every input column rides through it
+        (``keep_cols``), so there is no reattach join and duplicate ids
+        cannot inflate the corpus."""
         from timefence_spark.operators import bpe
 
-        counts = text.token_count_exact(
-            self.df, id_col=self.id_col, text_col=self.text_col,
-            tokenizer_fn=tokenizer_fn or bpe.token_count, out_col=out_col,
+        if out_col in self.df.columns:
+            raise ValueError(
+                f"with_token_counts out_col {out_col!r} already exists"
+            )
+        keep = [c for c in self.df.columns if c != self.id_col]
+        return self._wrap(
+            text.token_count_exact(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                tokenizer_fn=tokenizer_fn or bpe.token_count,
+                out_col=out_col, keep_cols=keep,
+            )
         )
-        return self._wrap(self.df.join(counts, self.id_col, "left"))
 
     def pack(
         self, *, token_col: str, budget: int, boundaries: bool = True, **kwargs

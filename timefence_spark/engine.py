@@ -98,6 +98,45 @@ DEFAULT_BROADCAST_MAX_ROWS = 5_000_000
 def _opt_str(p: str | Path | None) -> str | None:
     return str(p) if p is not None else None
 
+def _preload_sources(spark: SparkSession, flat_features) -> dict[str, DataFrame]:
+    """Load every unique source, parallelizing only the THREAD-SAFE ones.
+
+    Plain parquet / in-memory-DataFrame sources are pure reads and load
+    through a small thread pool (each spark.read is otherwise a serial
+    ~50ms driver round-trip). CSV and SQL sources mutate session-global
+    state — the CSV reader temporarily flips spark.sql.timestampType for
+    NTZ inference, SQL sources register temp views — so they load
+    sequentially on the calling thread; two concurrent CSV loads could
+    otherwise "restore" each other's conf value and silently flip every
+    later timestamp to TIMESTAMP_LTZ."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    unique_sources: list = []
+    seen: set[str] = set()
+    for feat in flat_features:
+        if feat.source.name not in seen:
+            seen.add(feat.source.name)
+            unique_sources.append(feat.source)
+    parallel_safe = [
+        s
+        for s in unique_sources
+        if not isinstance(s, SQLSource)
+        and (s.df is not None or s.format == "parquet")
+    ]
+    registered: dict[str, DataFrame] = {}
+    if len(parallel_safe) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(parallel_safe))) as pool:
+            loaded = list(
+                pool.map(lambda s: load_source_df(spark, s), parallel_safe)
+            )
+        registered.update({s.name: df for s, df in zip(parallel_safe, loaded)})
+    for src in unique_sources:
+        if src.name not in registered:
+            registered[src.name] = load_source_df(spark, src)
+    return registered
+
+
+
 
 def get_spark(spark: SparkSession | None = None) -> SparkSession:
     """Active session, or a local one with scale-sane defaults."""
@@ -641,26 +680,12 @@ def build(
         # Pre-pass: load + validate every source, then run ALL duplicate
         # checks as one batched Spark action (see _batch_duplicate_checks)
         # — still before any materialization, so bad sources fail fast.
-        #
-        # Loading is parallelized across a small thread pool: each
-        # spark.read.parquet is a serial driver round-trip (parquet footer
-        # job, ~50ms) and a 10-source build was paying them one by one.
-        # Validation stays on the main thread, in declaration order, so
+        # Thread-safe sources load in parallel (see _preload_sources);
+        # validation stays on the main thread, in declaration order, so
         # error messages are deterministic.
         from concurrent.futures import ThreadPoolExecutor
 
-        unique_sources: list = []
-        for feat in flat_features:
-            if feat.source.name not in {s.name for s in unique_sources}:
-                unique_sources.append(feat.source)
-        if len(unique_sources) > 1:
-            with ThreadPoolExecutor(max_workers=min(8, len(unique_sources))) as pool:
-                loaded = list(
-                    pool.map(lambda s: load_source_df(spark, s), unique_sources)
-                )
-            registered_sources.update(
-                {s.name: df for s, df in zip(unique_sources, loaded)}
-            )
+        registered_sources.update(_preload_sources(spark, flat_features))
         pending_checks: list[tuple[str, DataFrame, Feature]] = []
         for feat in flat_features:
             src_name = feat.source.name
@@ -1385,22 +1410,7 @@ def _audit_rebuild(
         registered: dict[str, DataFrame] = {}
         audited: list[tuple[Feature, list[str], list[tuple[str, str]]]] = []
         groups: dict[tuple, list[tuple[Feature, DataFrame, list[str]]]] = {}
-        # Parallel source loading, same rationale as build(): each
-        # spark.read is a serial ~50ms driver round-trip otherwise.
-        from concurrent.futures import ThreadPoolExecutor
-
-        unique_sources = []
-        for feat in flat_features:
-            if feat.source.name not in {s.name for s in unique_sources}:
-                unique_sources.append(feat.source)
-        if len(unique_sources) > 1:
-            with ThreadPoolExecutor(max_workers=min(8, len(unique_sources))) as pool:
-                loaded = list(
-                    pool.map(lambda s: load_source_df(spark, s), unique_sources)
-                )
-            registered.update(
-                {s.name: df for s, df in zip(unique_sources, loaded)}
-            )
+        registered.update(_preload_sources(spark, flat_features))
         for feat in flat_features:
             src_name = feat.source.name
             if src_name not in registered:

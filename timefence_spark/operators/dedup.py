@@ -634,11 +634,13 @@ def decontaminate(
 
 
 # Edge-count gate for connected_components(algorithm='auto'): at or below
-# this many distinct edges the whole graph fits comfortably on the driver
-# and a union-find finishes in milliseconds where every distributed round
-# costs a fixed job + two shuffles. Above it, the alternating
+# this many DISTINCT directed edges the graph is collected and solved on
+# the driver (union-find). At the cap this is ~500K two-field Rows over
+# the wire and up to ~1M mapping tuples shipped back — single-digit
+# seconds and well within a default driver heap, vs a fixed job + two
+# shuffles per distributed round. Above it, the alternating
 # large-star/small-star rounds run — the shape that survives 100 TB.
-CC_LOCAL_MAX_EDGES = 1_000_000
+CC_LOCAL_MAX_EDGES = 500_000
 
 
 def connected_components(
@@ -658,12 +660,12 @@ def connected_components(
     identical labeling (property-tested against each other on random
     graphs):
 
-    * ``'auto'`` (default) — count distinct edges (one job that also
-      materializes the checkpointed edge list); at most
-      ``local_max_edges`` edges, solve with a driver-side union-find
-      (``'local'``), otherwise run ``'star'``. The explicit size gate is
-      the same contract as a broadcast join: small graphs are a driver
-      problem, not a cluster problem.
+    * ``'auto'`` (default) — collect up to ``local_max_edges`` + 1
+      distinct edges in one limit+collect job; if the limit wasn't hit,
+      solve with a driver-side union-find (``'local'``), otherwise run
+      ``'star'``. The explicit size gate is the same contract as a
+      broadcast join: small graphs are a driver problem, not a cluster
+      problem.
     * ``'star'`` — alternating large-star/small-star contraction
       (Kiveris et al., "Connected Components in MapReduce and Beyond",
       2014): each round points high nodes at their neighborhood minimum,
@@ -812,9 +814,13 @@ def _cc_star_or_local(
     one round early at astronomical odds (64-bit sum over the symmetric
     difference); the labeling is additionally property-tested against
     min-label propagation on random graphs."""
+    # distinct up front: LSH pair generators emit the same edge from
+    # several bands; the gate should measure (and the driver collect,
+    # when taken, should transfer) unique edges, not band multiplicity.
     e = pin(
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .where(F.col("u") != F.col("v")),
+        .where(F.col("u") != F.col("v"))
+        .distinct(),
         checkpoint_dir=checkpoint_dir,
         eager=False,
     )

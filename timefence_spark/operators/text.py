@@ -730,33 +730,43 @@ def token_count_exact(
     text_col: str,
     tokenizer_fn,
     out_col: str = "n_tokens",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact token counts under a REAL tokenizer: ``tokenizer_fn(text) ->
     int`` (e.g. a HuggingFace/BPE encoder's length) runs Arrow-batched
     through ``mapInPandas`` — the injection-point pattern the multimodal
     stubs use, since tokenizer libraries are deployment-specific. Returns
-    (id, out_col). Use :func:`token_count_bpe` for the dependency-free
-    regex estimate.
+    (id, *keep_cols, out_col); ``keep_cols`` carries input columns
+    through the stage row-for-row (no join needed to reattach counts, so
+    duplicate ids cannot inflate the output). Use
+    :func:`token_count_bpe` for the dependency-free regex estimate.
 
     100 TB shape: partitioning preserved, one Python worker per
     partition, Arrow batch transfer — the tokenizer is the only per-row
     Python in the pipeline, confined to this stage."""
     import pandas as pd
 
-    id_type = df.schema[id_col].dataType.simpleString()
+    keep = list(keep_cols or [])
+    if out_col in (id_col, *keep):
+        raise ValueError(
+            f"out_col {out_col!r} collides with a kept column"
+        )
+    schema_parts = [f"{id_col} {df.schema[id_col].dataType.simpleString()}"]
+    schema_parts += [
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    ]
+    schema_parts.append(f"{out_col} long")
 
     def batches(it):
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    out_col: [
-                        int(tokenizer_fn(t if t is not None else ""))
-                        for t in pdf[text_col]
-                    ],
-                }
-            )
+            out = {id_col: pdf[id_col].values}
+            for c in keep:
+                out[c] = pdf[c].values
+            out[out_col] = [
+                int(tokenizer_fn(t if t is not None else ""))
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(
-        batches, f"{id_col} {id_type}, {out_col} long"
-    )
+    in_cols = [id_col, *dict.fromkeys([*keep, text_col])]
+    return df.select(*in_cols).mapInPandas(batches, ", ".join(schema_parts))
