@@ -445,3 +445,25 @@ def test_build_reliable_checkpoint(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
+def test_star_contraction_mid_size_chain_graph(spark):
+    """Distributed star path on a graph too deep for comfortable
+    propagation: 200 chains of 500 nodes (diameter 500, 99.8K edges).
+    Star contraction must converge in O(log n) rounds within the default
+    max_iter and label every chain with its block minimum."""
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators.dedup import connected_components
+
+    n, block = 100_000, 500
+    ids = spark.range(n)
+    e = ids.where((F.col("id") + 1) % block != 0).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    v = ids.select(F.col("id").alias("doc_id"))
+    out = connected_components(e, v, id_col="doc_id", algorithm="star")
+    bad = out.where(
+        F.col("component_id") != (F.col("doc_id") - F.col("doc_id") % block)
+    ).count()
+    assert bad == 0
