@@ -1054,6 +1054,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED closure strategy under the differential gate: same
+    pairs, same expected labeling as dedup_components, but forced through
+    the alternating large-star/small-star rounds (the 'auto' route picks
+    the driver union-find at these scales, so without this entry the
+    star path would never face the oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_components(
+        docs, id_col="doc_id", text_col="text", num_perm=64, bands=16,
+        threshold=0.7, hash_fn="md5", cc_algorithm="star",
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup: transitive near-dup components + keep the
     best-quality doc per component (ties to the smaller id). Oracle =
@@ -2561,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-checked prefix this round:
         "line_dedup": q_line_dedup,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "dedup_keep_best": q_dedup_keep_best,
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
@@ -2664,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle replays candidate generation + verification exactly.
         "minhash_dedup": _oracle_minhash_dedup_sql(),
         "dedup_components": _oracle_dedup_components_sql(),
+        "dedup_components_star": _oracle_dedup_components_sql(),
         "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),

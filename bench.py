@@ -652,6 +652,9 @@ NOISY_QUERIES = {
     # Deepest join tree of the PIT suite; spread tripped the gate once on
     # a loaded host with only 3 samples.
     "pit_composite_keys",
+    # Gate-collect + union-find rides the full LSH pipeline per run; its
+    # 3-run mins bounced 2.7-3.3s across sessions, 6 samples steady it.
+    "dedup_components",
 }
 
 SPREAD_LIMIT = 0.50
