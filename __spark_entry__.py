@@ -2576,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_components_star": q_dedup_components_star,
         "dedup_keep_best": q_dedup_keep_best,
+        "pack_assemble": q_pack_assemble,
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2611,7 +2612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_stream": q_pack_stream,
         "pack_next_fit": q_pack_next_fit,
-        "pack_assemble": q_pack_assemble,
         "url_signals": q_url_signals,
         "domain_counts": q_domain_counts,
         "domain_blocklist": q_domain_blocklist,
