@@ -992,6 +992,47 @@ ORACLE_FINGERPRINT = r"""
 """
 
 
+# Fixed demo classifier: positive weight on reference-like words,
+# negative on spammy ones — shared by the Spark entry and the oracle.
+CLF_WEIGHTS = {
+    "table": 2.0,
+    "query": 1.5,
+    "data": 1.0,
+    "the": 0.25,
+    "slow": -1.5,
+    "dup": -2.0,
+}
+CLF_BIAS = -0.5
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear unigram quality classifier (fasttext-style gate): literal
+    weights compiled into one scan-speed projection; sigmoid rounded to
+    6 places so libm exp differences can't break the hash compare."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.classifier_score(
+        docs, id_col="doc_id", text_col="text",
+        weights=CLF_WEIGHTS, bias=CLF_BIAS,
+    )
+
+
+def _oracle_classifier_sql() -> str:
+    terms = " + ".join(
+        f"{w} * len(list_filter(toks, t -> t = '{word}')) / len(toks)"
+        for word, w in CLF_WEIGHTS.items()
+    )
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(1.0 / (1.0 + exp(-({CLF_BIAS} + {terms}))), 6) AS clf_score
+    FROM t
+    """
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.quality_score(docs, id_col="doc_id", text_col="text")
@@ -2577,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "dedup_keep_best": q_dedup_keep_best,
         "pack_assemble": q_pack_assemble,
+        "classifier_score": q_classifier_score,  # new in round 6
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2679,6 +2721,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _oracle_minhash_dedup_sql(),
         "dedup_components": _oracle_dedup_components_sql(),
         "dedup_components_star": _oracle_dedup_components_sql(),
+        "classifier_score": _oracle_classifier_sql(),
         "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),

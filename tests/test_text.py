@@ -286,3 +286,52 @@ def test_vendored_bpe_deterministic_and_greedy():
     assert bpe.encode("aaa", ranks) == ["aa", "a"]
     assert bpe.token_count(None) == 0
     assert bpe.token_count("  ") == 0
+
+
+def test_classifier_score_paths_agree_and_gate_filters(spark):
+    """The literal-expression path and the explode+broadcast-join path
+    must score identically (up to the documented last-ulp round), and
+    the Corpus gate keeps only docs over the threshold."""
+    from timefence_spark import Corpus
+    from timefence_spark.operators import text as t_ops
+
+    rows = [
+        (1, "the table holds the query data"),
+        (2, "slow dup slow dup slow"),
+        (3, "table table query"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = {"table": 2.0, "query": 1.5, "slow": -1.5, "dup": -2.0}
+    expr = {
+        r["doc_id"]: r
+        for r in t_ops.classifier_score(
+            docs, id_col="doc_id", text_col="text", weights=weights, bias=-0.5
+        ).collect()
+    }
+    wdf = spark.createDataFrame(list(weights.items()), "word string, weight double")
+    joined = {
+        r["doc_id"]: r
+        for r in t_ops.classifier_score(
+            docs, id_col="doc_id", text_col="text", weights_df=wdf, bias=-0.5
+        ).collect()
+    }
+    import math
+
+    for i in (1, 2, 3):
+        assert abs(expr[i]["clf_score"] - joined[i]["clf_score"]) <= 1e-6
+    # hand-check doc 3: (2*2 + 1.5*1)/3 - 0.5 = 1.3333...
+    want = 1.0 / (1.0 + math.exp(-(2 * 2 + 1.5) / 3 + 0.5))
+    assert expr[3]["clf_score"] == pytest.approx(want, abs=1e-6)
+    # NULL text scores NULL on both paths
+    assert expr[4]["clf_score"] is None and joined[4]["clf_score"] is None
+    # classifier gate: positive docs survive, spammy + NULL are dropped
+    kept = {
+        r["doc_id"]
+        for r in Corpus(docs)
+        .filter_classifier(min_score=0.5, weights=weights, bias=-0.5)
+        .df.collect()
+    }
+    assert kept == {1, 3}
+    with pytest.raises(ValueError):
+        t_ops.classifier_score(docs, id_col="doc_id", text_col="text")

@@ -145,6 +145,24 @@ class Corpus:
         )
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def filter_classifier(
+        self, *, min_score: float, weights=None, weights_df=None,
+        bias: float = 0.0,
+    ) -> "Corpus":
+        """Keep documents scoring at least ``min_score`` under the linear
+        unigram classifier (see text.classifier_score) — the
+        fasttext-style "reference-like text" gate. Unscorable (NULL-text)
+        documents are dropped: a classifier gate is an allow-list."""
+        ids = (
+            text.classifier_score(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                weights=weights, weights_df=weights_df, bias=bias,
+            )
+            .where(F.col("clf_score") >= min_score)
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
     def decontaminate(self, benchmark: DataFrame, **kwargs) -> "Corpus":
         """Drop documents sharing word n-grams with the benchmark set."""
         ids = (

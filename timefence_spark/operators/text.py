@@ -450,6 +450,94 @@ def fingerprint(
     return tokenized.select(F.col(id_col), mink.alias("fingerprint"))
 
 
+def classifier_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float] | None = None,
+    weights_df: DataFrame | None = None,
+    bias: float = 0.0,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Linear (fasttext-style) document classifier over unigram features —
+    the "does this look like reference text" scoring step public LLM
+    pipelines run between heuristic gates and expensive filters.
+
+    ``score = sigmoid(bias + sum_w weight(w) * n_w / n_tokens)`` where
+    ``n_w`` counts occurrences of word ``w`` (lowercased whitespace
+    tokens) and ``n_tokens`` normalizes for length. Returns
+    (id, n_tokens, out_col) with the score rounded to 6 places (libm exp
+    differs across engines in the last ulp; rounding keeps the score
+    oracle-replayable).
+
+    Two physical paths, same math:
+
+    * ``weights`` (dict) — every weight becomes a literal in ONE
+      projection (like lang_id's marker arrays): scan-speed, zero
+      shuffle. Right for curated vocabularies up to a few hundred terms;
+      the deterministic left-to-right fold also makes this the
+      differential-oracle path.
+    * ``weights_df`` — a (word, weight) DataFrame for production-sized
+      vocabularies: tokens explode scan-side, pre-aggregate to one row
+      per (doc, distinct word), inner-join the weight table (AQE
+      broadcasts vocabulary-sized sides), one groupBy(doc) sums. Join
+      and aggregate carry (id, word-hash-sized rows) only. Summation
+      order over the hash aggregation is engine-arbitrary, so scores can
+      differ from the expression path in the last ulp — the 6-place
+      round normally absorbs it.
+    """
+    if (weights is None) == (weights_df is None):
+        raise ValueError("pass exactly one of weights / weights_df")
+    sig = lambda x: F.lit(1.0) / (F.lit(1.0) + F.exp(-x))  # noqa: E731
+    if weights is not None:
+        staged = df.select(
+            F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+        )
+        toks = F.col("__toks")
+        raw = F.lit(float(bias))
+        n_tokens = F.col("__n")
+        counted = staged.select(
+            id_col, F.size(toks).alias("__n"), toks.alias("__toks")
+        )
+        for word, w in weights.items():
+            n_w = F.size(F.filter(F.col("__toks"), lambda t: t == F.lit(word)))
+            raw = raw + F.lit(float(w)) * n_w.cast("double") / n_tokens
+        return counted.select(
+            id_col,
+            F.col("__n").alias("n_tokens"),
+            F.round(sig(raw), 6).alias(out_col),
+        )
+    per_doc = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__n_w"))
+    )
+    wdf = weights_df.select(
+        F.col(weights_df.columns[0]).alias("__w"),
+        F.col(weights_df.columns[1]).cast("double").alias("__weight"),
+    )
+    sums = (
+        per_doc.join(wdf, "__w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__weight") * F.col("__n_w")).alias("__wsum"))
+    )
+    lengths = df.select(
+        F.col(id_col), F.size(_tokens(F.col(text_col))).alias("n_tokens")
+    )
+    return lengths.join(sums, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.round(
+            sig(
+                F.lit(float(bias))
+                + F.coalesce("__wsum", F.lit(0.0)) / F.col("n_tokens")
+            ),
+            6,
+        ).alias(out_col),
+    )
+
+
 def word_frequencies(
     df: DataFrame,
     *,
