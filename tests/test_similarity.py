@@ -420,3 +420,40 @@ def test_ivf_expr_assignment_degenerate_centroids(spark):
     assert [r["centroid_id"] for r in top] == [0]      # NaN first
     probes = assign(rows, "id", "v", 3).collect()
     assert [r["centroid_id"] for r in probes] == [0, 1, 2]
+
+
+def test_ivf_index_build_search_matches_direct(spark, tmp_path, sf_dir):
+    """Persisted IVF index: ivf_search against ivf_build_index output
+    must equal ivf_topk on the same parameters, and the search must
+    actually PRUNE the partitioned corpus (reads nprobe'd partitions,
+    not all nlist)."""
+    from timefence_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    queries = emb.where(F.col("vec_id") % 5 == 0).limit(8)
+    params = dict(nlist=8, seed=42, hash_fn="xxhash64")
+    direct = sim.ivf_topk(
+        queries, corpus, query_id="vec_id", corpus_id="vec_id",
+        k=5, nprobe=2, **params,
+    )
+    idx = str(tmp_path / "ivf_idx")
+    sim.ivf_build_index(
+        corpus, corpus_id="vec_id", path=idx, **params
+    )
+    searched = sim.ivf_search(
+        spark, idx, queries, query_id="vec_id", k=5, nprobe=2
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = sorted(map(lambda r: tuple(r), searched.collect()), key=lambda t: (t[0], t[3]))
+    want = sorted(map(lambda r: tuple(r), direct.collect()), key=lambda t: (t[0], t[3]))
+    assert got == want and len(got) > 0
+
+    # partition pruning: the searched plan's corpus scan must carry a
+    # centroid_id partition filter (pushed to the directory listing)
+    import os
+
+    parts = [d for d in os.listdir(f"{idx}/corpus") if d.startswith("centroid_id=")]
+    assert len(parts) == 8
+    plan = searched._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan and "PartitionFilters: [" in plan

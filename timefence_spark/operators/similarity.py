@@ -753,23 +753,9 @@ def ivf_topk(
     the expr default. Both kernels collect the nlist centroid vectors to
     the driver (tiny by construction: nlist rows) and ship them in the
     plan/closure."""
-    if hash_fn == "xxhash64":
-        sample_hash = F.xxhash64(F.col("cid").cast("string"), F.lit(seed))
-    else:
-        sample_hash = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("cid").cast("string"), F.lit(f":{seed}"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-    sampled = (
-        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
-        .withColumn("__h", sample_hash)
-        .orderBy("__h")
-        .limit(nlist)
-        .withColumn("centroid_id", F.row_number().over(Window.orderBy("__h")) - 1)
-        .select("centroid_id", F.col("cv").alias("centroid"))
+    sampled = _ivf_centroids(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
+        seed=seed, hash_fn=hash_fn,
     )
     if compute == "arrow":
         assign = _ivf_assign_arrow_factory(sampled)
@@ -787,6 +773,45 @@ def ivf_topk(
     cand = query_probes.join(corpus_assigned, "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    return _ivf_rank(cand, compute=compute, round_to=round_to, k=k)
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    nlist: int,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(centroid_id, centroid): a deterministic hash-sample of ``nlist``
+    corpus vectors, ids dense in hash order."""
+    if hash_fn == "xxhash64":
+        sample_hash = F.xxhash64(F.col("cid").cast("string"), F.lit(seed))
+    else:
+        sample_hash = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cid").cast("string"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    return (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .withColumn("__h", sample_hash)
+        .orderBy("__h")
+        .limit(nlist)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("__h")) - 1)
+        .select("centroid_id", F.col("cv").alias("centroid"))
+    )
+
+
+def _ivf_rank(
+    cand: DataFrame, *, compute: str, round_to: int | None, k: int
+) -> DataFrame:
+    """Exact re-rank of probed candidates: (query_id, neighbor_id,
+    cosine, rank <= k), deterministic tie-break on the smaller id."""
     if compute == "arrow":
         scored = _pairwise_cosine_arrow(
             cand.select("query_id", "neighbor_id", "__qv", "__cv"),
@@ -801,6 +826,100 @@ def ivf_topk(
         ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    compute: str = "expr",
+    path: str,
+) -> None:
+    """Materialize an IVF-flat index to ``path`` for repeated searches:
+
+    * ``<path>/centroids`` — the ``nlist`` sampled centroid vectors.
+    * ``<path>/corpus`` — every corpus vector with its nearest-centroid
+      assignment, written ``partitionBy('centroid_id')``.
+
+    The partitioned layout is the point: :func:`ivf_search` filters on
+    the probed centroid ids, so the parquet reader PRUNES to
+    nprobe/nlist of the index directories — repeated queries never
+    rescan (or re-assign) the full corpus, which is the difference
+    between an index and a cached DataFrame at 100 TB. Rebuild when the
+    corpus changes (assignment is a pure function of (corpus, nlist,
+    seed, hash_fn))."""
+    sampled = _ivf_centroids(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
+        seed=seed, hash_fn=hash_fn,
+    )
+    sampled.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = (
+        _ivf_assign_arrow_factory(sampled)
+        if compute == "arrow"
+        else _ivf_assign_expr_factory(sampled)
+    )
+    assigned = assign(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+        ),
+        "neighbor_id", "__cv", 1,
+    )
+    assigned.select("neighbor_id", F.col("__cv").alias("vector"), "centroid_id")\
+        .write.mode("overwrite").partitionBy("centroid_id")\
+        .parquet(f"{path}/corpus")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int | None = 6,
+    compute: str = "expr",
+) -> DataFrame:
+    """Top-k search against a persisted :func:`ivf_build_index` index.
+
+    Queries assign to their ``nprobe`` nearest centroids (centroids table
+    is nlist rows — collected into the assignment expression), the
+    distinct probed centroid ids (at most nlist values) become a static
+    IN-filter on the partitioned corpus — file-level partition pruning,
+    no full-index scan — and the survivors re-rank exactly. Matches
+    :func:`ivf_topk` output for the same parameters."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assign = (
+        _ivf_assign_arrow_factory(centroids)
+        if compute == "arrow"
+        else _ivf_assign_expr_factory(centroids)
+    )
+    query_probes = assign(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        ),
+        "query_id", "__qv", nprobe,
+    )
+    probed = [
+        int(r["centroid_id"])
+        for r in query_probes.select("centroid_id").distinct().collect()
+    ]
+    index = spark.read.parquet(f"{path}/corpus").where(
+        F.col("centroid_id").isin(probed or [-1])
+    )
+    cand = query_probes.join(
+        index.select(
+            "centroid_id", "neighbor_id", F.col("vector").alias("__cv")
+        ),
+        "centroid_id",
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    return _ivf_rank(cand, compute=compute, round_to=round_to, k=k)
 
 
 def _seq_l2_norm(vec) -> float | None:
