@@ -777,6 +777,37 @@ def main() -> int:
         spreads[name], abs_gaps[name] = _trimmed_spread(runs)
         print(f"query {name}: {runs}", file=sys.stderr)
 
+    # Persisted-IVF payoff row: the index is built ONCE (untimed) and the
+    # timed runs only assign queries + prune to nprobe/nlist partitions —
+    # the number to compare against knn_ivf (which re-samples centroids
+    # and re-assigns the corpus every run).
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from timefence_spark.operators import similarity as _sim
+
+    emb = entry_mod._t(spark, SF_DIR, "embeddings", spread=False)
+    ivf_corpus = emb.where(F.col("vec_id") % 50 != 0)
+    ivf_queries = emb.where(F.col("vec_id") % 50 == 0)
+    idx_path = f"/tmp/tf_ivf_idx_{_uuid.uuid4().hex[:8]}"
+    _sim.ivf_build_index(
+        ivf_corpus, corpus_id="vec_id", nlist=16, path=idx_path
+    )
+    runs = _timed_runs(
+        lambda: _force(
+            _sim.ivf_search(
+                spark, idx_path, ivf_queries, query_id="vec_id", k=10, nprobe=4
+            )
+        ),
+        3,
+    )
+    _shutil.rmtree(idx_path, ignore_errors=True)
+    all_runs["knn_ivf_indexed"] = runs
+    timings["knn_ivf_indexed"] = min(runs)
+    spreads["knn_ivf_indexed"], abs_gaps["knn_ivf_indexed"] = _trimmed_spread(runs)
+    print(f"query knn_ivf_indexed: {runs}", file=sys.stderr)
+
     # Skew-shaped line_dedup row (VERDICT r5 item 3): one boilerplate
     # line planted at the head of HALF the corpus's documents, each text
     # repeated 20x so the hot line appears tens of thousands of times.
