@@ -1084,6 +1084,66 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+# Boilerplate sentence planted at the head of every even doc: its
+# 8-token windows duplicate across half the corpus, giving the
+# exact-substring detector real signal (the synthetic word soup has
+# almost no natural k-gram overlap).
+_SPAN_BOILER = (
+    "subscribe to our newsletter today for more great content like this"
+)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (the detection half of the
+    published exact-substring dedup recipe): fraction of each document's
+    8-token windows whose sequence appeared earlier in the corpus. The
+    planted boilerplate head makes half the docs carry duplicated runs;
+    first occurrences stay clean."""
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.duplicate_spans(docs, id_col="doc_id", text_col="text", k=8)
+
+
+def _oracle_duplicate_spans_sql() -> str:
+    return rf"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '{_SPAN_BOILER} ' || text ELSE text END AS text
+        FROM documents
+    ), t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM p
+    ), w AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i + 1 : i + 8], ' ') AS gram
+        FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
+        WHERE len(toks) >= 8
+    ), f AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id ASC, pos ASC
+               ) > 1 AS dup
+        FROM w
+    ), s AS (
+        SELECT doc_id, COUNT(*) AS n_windows,
+               COUNT(*) FILTER (dup) AS n_dup_windows
+        FROM f GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_windows, 0) AS n_windows,
+           coalesce(s.n_dup_windows, 0) AS n_dup_windows,
+           ROUND(CASE WHEN coalesce(s.n_windows, 0) > 0
+                      THEN s.n_dup_windows::DOUBLE / s.n_windows
+                      ELSE 0.0 END, 6) AS dup_fraction
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate grouping: every document labeled with the
     min doc_id reachable through verified MinHash-LSH pairs (iterative
@@ -2619,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "pack_assemble": q_pack_assemble,
         "classifier_score": q_classifier_score,  # new in round 6
+        "duplicate_spans": q_duplicate_spans,  # new in round 6
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2722,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _oracle_dedup_components_sql(),
         "dedup_components_star": _oracle_dedup_components_sql(),
         "classifier_score": _oracle_classifier_sql(),
+        "duplicate_spans": _oracle_duplicate_spans_sql(),
         "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),

@@ -467,3 +467,55 @@ def test_star_contraction_mid_size_chain_graph(spark):
         F.col("component_id") != (F.col("doc_id") - F.col("doc_id") % block)
     ).count()
     assert bad == 0
+
+
+def test_duplicate_spans_known_answers(spark):
+    """Hand-checked exact-substring stats: doc 2 copies doc 1's opening
+    six tokens, so with k=3 its first four windows are duplicates; short
+    docs have zero windows; document scope only flags in-doc repeats."""
+    from timefence_spark import Corpus
+    from timefence_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f x y"),
+        (3, "tiny"),
+        (4, "p q r p q r p q"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(
+            docs, id_col="doc_id", text_col="text", k=3
+        ).collect()
+    }
+    # doc1: 6 windows, all first -> 0 dups. doc2: 6 windows, the 4
+    # windows inside "a b c d e f" repeat doc1's.
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (6, 0)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (6, 4)
+    assert out[2]["dup_fraction"] == pytest.approx(4 / 6, abs=1e-6)
+    assert (out[3]["n_windows"], out[3]["dup_fraction"]) == (0, 0.0)
+    assert (out[5]["n_windows"], out[5]["dup_fraction"]) == (0, 0.0)
+    # doc4 "p q r p q r p q": windows pqr qrp rpq pqr qrp rpq -> last 3 dup
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (6, 3)
+
+    # document scope: doc2's overlap with doc1 no longer counts, doc4's
+    # in-doc repeats still do
+    doc_scope = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in duplicate_spans(
+            docs, id_col="doc_id", text_col="text", k=3, scope="document"
+        ).collect()
+    }
+    assert doc_scope[2] == 0 and doc_scope[4] == 3
+
+    kept = {
+        r["doc_id"]
+        for r in Corpus(docs)
+        .filter_substring_dup(max_dup_fraction=0.4, k=3)
+        .df.collect()
+    }
+    assert kept == {1, 3, 4, 5} - {4}  # doc4 at 0.5 > 0.4 dropped too
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, id_col="doc_id", text_col="text", scope="x")

@@ -163,6 +163,23 @@ class Corpus:
         )
         return self._keep_ids(ids)
 
+    def filter_substring_dup(
+        self, *, max_dup_fraction: float, k: int = 8, scope: str = "corpus"
+    ) -> "Corpus":
+        """Drop documents whose duplicated k-token-window fraction
+        exceeds ``max_dup_fraction`` (exact-substring duplication
+        signal; see dedup.duplicate_spans). Short docs (< k tokens)
+        have fraction 0.0 and are kept."""
+        ids = (
+            dedup.duplicate_spans(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                k=k, scope=scope,
+            )
+            .where(F.col("dup_fraction") <= max_dup_fraction)
+            .select(self.id_col)
+        )
+        return self._keep_ids(ids)
+
     def decontaminate(self, benchmark: DataFrame, **kwargs) -> "Corpus":
         """Drop documents sharing word n-grams with the benchmark set."""
         ids = (

@@ -915,6 +915,79 @@ def _cc_star_or_local(
     return _cc_labels_from_mapping(vertices, mapping, id_col)
 
 
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    scope: str = "corpus",
+) -> DataFrame:
+    """Exact-substring duplication stats: slide a ``k``-token window over
+    every document and mark each window whose token sequence appeared
+    earlier (corpus-wide first occurrence ordered by (doc id, position);
+    ``scope='document'`` restricts to in-document repeats). This is the
+    detection half of the published exact-substring dedup recipe for
+    training data — long verbatim overlaps show up as runs of duplicated
+    windows, and the per-document duplicated fraction is the filter
+    signal (drop or down-weight docs that are mostly copied text).
+
+    Returns (id, n_windows, n_dup_windows, dup_fraction). Documents with
+    fewer than ``k`` tokens have zero windows and ``dup_fraction`` 0.0.
+
+    Physical shape — the same straggler-proof pattern as line_dedup: one
+    scan-side posexplode to (window-gram, id, pos), first occurrence per
+    gram as a MIN(struct) aggregation (map-side combine collapses hot
+    boilerplate grams), an AQE-splittable join back, one groupBy(id).
+    The gram key is the joined token string; at extreme scale hash it
+    (the decontaminate operator shows the 64-bit-gram-key variant)."""
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tokenized = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    windows = tokenized.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        ).alias("__pos", "__gram"),
+    ).where(F.size(toks) >= k)
+    group_cols = ["__gram"] if scope == "corpus" else [id_col, "__gram"]
+    winners = windows.groupBy(*group_cols).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp"))
+        ).alias("__w")
+    )
+    occurrence = F.struct(
+        F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
+    )
+    flagged = windows.join(winners, group_cols).withColumn(
+        "__dup", occurrence != F.col("__w")
+    )
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count(F.when(F.col("__dup"), 1)).alias("n_dup_windows"),
+    )
+    return df.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.round(
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
 def minhash_components(
     df: DataFrame,
     *,
