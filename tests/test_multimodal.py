@@ -120,3 +120,43 @@ def test_ppm_codec_roundtrip_and_real_decode_through_operators(spark):
 
     stats = codecs.ppm_channel_stats(codecs.ppm_encode(imgs[2]))
     assert stats["mean_r"] == pytest.approx(imgs[2][:, :, 0].mean())
+
+
+def test_wav_codec_roundtrip_and_decode_audio(spark):
+    """Real PCM WAV flows through decode_audio: encode sine waves with
+    the pure-numpy codec, decode true header facts back through the
+    Arrow-batched stage; RMS of a full-scale sine is amplitude/sqrt(2)."""
+    import numpy as np
+
+    from timefence_spark.operators import codecs, multimodal
+
+    t = np.arange(16000)
+    mono = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    stereo = np.stack([mono[:8000], -mono[:8000]], axis=1)
+    clips = {1: (mono, 16000), 2: (stereo, 44100)}
+    wav1 = codecs.wav_encode(mono, 16000)
+    back, rate = codecs.wav_decode(wav1)
+    assert rate == 16000 and np.array_equal(back[:, 0], mono)
+    assert codecs.wav_rms(wav1) == pytest.approx(10000 / np.sqrt(2), rel=1e-3)
+
+    df = spark.createDataFrame(
+        [(k, bytearray(codecs.wav_encode(a, r))) for k, (a, r) in clips.items()],
+        "media_id long, content binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_audio(
+            df, id_col="media_id", binary_col="content",
+            decode_fn=codecs.wav_decode_info,
+        ).collect()
+    }
+    assert (out[1]["sample_rate"], out[1]["n_samples"], out[1]["channels"]) == (
+        16000, 16000, 1,
+    )
+    assert (out[2]["sample_rate"], out[2]["n_samples"], out[2]["channels"]) == (
+        44100, 8000, 2,
+    )
+    assert out[1]["format"] == "wav"
+    # fake fallback keeps the same schema and determinism
+    fake = multimodal.decode_audio(df, id_col="media_id", binary_col="content")
+    assert fake.columns == ["media_id", "sample_rate", "n_samples", "channels", "format"]

@@ -95,3 +95,87 @@ def ppm_channel_stats(data: bytes) -> dict:
         "mean_b": float(img[:, :, 2].mean()),
         "std": float(img.std()),
     }
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio counterpart to the PPM image codec: a fully
+# public container with an ASCII/LE-integer header, decodable with numpy
+# alone, so the audio pipeline stages run with REAL samples too.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, channels)) as WAV."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    hdr += b"data" + _struct.pack("<I", len(data))
+    return hdr + data
+
+
+def _wav_chunks(data: bytes):
+    """Yield (chunk_id, payload_offset, payload_size) for every RIFF
+    chunk; tolerates the odd-size padding byte the spec requires."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = _struct.unpack_from("<I", data, pos + 4)[0]
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM16 WAV bytes to ((n, channels) int16 array, rate)."""
+    fmt = raw = None
+    for cid, off, size in _wav_chunks(data):
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", data, off)
+        elif cid == b"data":
+            raw = data[off : off + size]
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(raw, dtype=np.int16)
+    return samples.reshape(-1, ch), rate
+
+
+def wav_decode_info(data: bytes) -> dict:
+    """``decode_fn`` for :func:`multimodal.decode_audio`: real header
+    parse, no sample copy."""
+    if not data:
+        return {"sample_rate": 0, "n_samples": 0, "channels": 0, "format": "empty"}
+    fmt = data_size = None
+    for cid, off, size in _wav_chunks(data):
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", data, off)
+        elif cid == b"data":
+            data_size = size
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _, ch, rate, _, block_align, _ = fmt
+    return {
+        "sample_rate": rate,
+        "n_samples": data_size // block_align if block_align else 0,
+        "channels": ch,
+        "format": "wav",
+    }
+
+
+def wav_rms(data: bytes) -> float:
+    """Root-mean-square amplitude over all channels — the
+    feature-extraction stage with real samples."""
+    samples, _ = wav_decode(data)
+    return float(np.sqrt((samples.astype(np.float64) ** 2).mean()))

@@ -106,6 +106,64 @@ def decode_images(
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
 
 
+AUDIO_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def _fake_audio_decode(data: bytes) -> dict:
+    """Deterministic stand-in audio decoder (content-hash-derived
+    pseudo-metadata). Use codecs.wav_decode_info for real PCM WAV."""
+    h = hashlib.sha256(data or b"").digest()
+    return {
+        "sample_rate": (8000, 16000, 44100)[h[0] % 3],
+        "n_samples": 1000 + int.from_bytes(h[1:3], "big"),
+        "channels": 1 + h[3] % 2,
+        "format": "fake",
+    }
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    decode_fn: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode audio metadata via Arrow-batched mapInPandas.
+
+    Output: (id, sample_rate, n_samples, channels, format) — duration is
+    ``n_samples / sample_rate`` downstream. Same batching contract as
+    :func:`decode_images`; ``decode_fn=None`` uses the deterministic
+    fake, ``codecs.wav_decode_info`` decodes real PCM WAV with numpy
+    alone, and a soundfile/ffmpeg-backed function slots in the same way
+    in production."""
+    import pandas as pd
+
+    fn = decode_fn or _fake_audio_decode
+    out_schema = T.StructType([df.schema[id_col], *AUDIO_INFO_SCHEMA.fields])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            infos = [fn(b if b is not None else b"") for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "sample_rate": [i["sample_rate"] for i in infos],
+                    "n_samples": [i["n_samples"] for i in infos],
+                    "channels": [i["channels"] for i in infos],
+                    "format": [i["format"] for i in infos],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
 def resize_images(
     df: DataFrame,
     *,
