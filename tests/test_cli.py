@@ -291,3 +291,42 @@ def test_corpus_clean_error_paths(tmp_path, spark):
     assert r2.exit_code != 0 and "blocklist" in r2.output
     r3 = _run(base + ["--languages", " , "], tmp_path)
     assert r3.exit_code != 0 and "empty" in r3.output
+
+
+def test_corpus_clean_new_gates(tmp_path, spark):
+    """Round-6 gates from the CLI: substring-dup ceiling, classifier
+    floor (weights from a JSON file), and their error paths."""
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, boiler + " unique tail one table query data"),
+        (2, boiler + " other ending words here table query"),
+        (3, "completely different text about slow dup spam spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "g.parquet")
+    out = str(tmp_path / "go.parquet")
+    docs.write.parquet(inp)
+    base = ["corpus-clean", "--input", inp, "--output", out, "--dedup", "none"]
+
+    # doc 2 repeats doc 1's 10-token boilerplate head -> high dup fraction
+    r = _run(base + ["--max-substring-dup", "0.2", "--json"], tmp_path)
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["rows_out"] == 2  # doc 2 dropped
+
+    wfile = tmp_path / "w.json"
+    wfile.write_text(json.dumps({"table": 3.0, "query": 2.0, "spam": -3.0}))
+    r = _run(
+        base + ["--clf-weights", str(wfile), "--min-clf-score", "0.5", "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["rows_out"] == 2  # spammy doc 3 dropped
+
+    r = _run(base + ["--min-clf-score", "0.5"], tmp_path)
+    assert r.exit_code != 0 and "--clf-weights" in r.output
+    bad = tmp_path / "bad.json"
+    bad.write_text("[]")
+    r = _run(base + ["--min-clf-score", "0.5", "--clf-weights", str(bad)], tmp_path)
+    assert r.exit_code != 0 and "non-empty JSON object" in r.output

@@ -820,6 +820,23 @@ def quickstart(target_dir) -> None:
 @click.option("--gopher/--no-gopher", default=False, help="Gopher quality rules gate.")
 @click.option("--min-quality", type=float, default=None, help="Composite quality-score floor.")
 @click.option("--languages", default=None, help="Comma-separated language codes to keep.")
+@click.option(
+    "--max-substring-dup", type=float, default=None,
+    help="Drop docs whose duplicated 8-token-window fraction exceeds this.",
+)
+@click.option(
+    "--max-nll", type=float, default=None,
+    help="Unigram-LM fluency ceiling (mean NLL; CCNet-style gate).",
+)
+@click.option(
+    "--clf-weights", default=None,
+    help="JSON file of {word: weight} for the linear quality classifier.",
+)
+@click.option("--clf-bias", type=float, default=0.0, show_default=True)
+@click.option(
+    "--min-clf-score", type=float, default=None,
+    help="Classifier score floor (requires --clf-weights).",
+)
 @click.option("--benchmark", default=None, help="Eval-set parquet for decontamination.")
 @click.option("--ngram", type=int, default=8, show_default=True, help="Decontamination n-gram size.")
 @click.option("--redact-pii/--no-redact-pii", default=False)
@@ -830,7 +847,8 @@ def quickstart(target_dir) -> None:
 @click.option("--json", "json_out", is_flag=True, help="Machine-readable summary.")
 def corpus_clean(
     input_path, output_path, id_col, text_col, dedup_mode, gopher,
-    min_quality, languages, benchmark, ngram, redact_pii, blocklist,
+    min_quality, languages, max_substring_dup, max_nll, clf_weights,
+    clf_bias, min_clf_score, benchmark, ngram, redact_pii, blocklist,
     sample_fraction, split_spec, salt, json_out,
 ) -> None:
     """Run a training-data cleaning pipeline over a document corpus.
@@ -873,6 +891,29 @@ def corpus_clean(
             )
         c = c.filter_languages(langs)
         stages.append(f"languages={langs}")
+    if max_substring_dup is not None:
+        c = c.filter_substring_dup(max_dup_fraction=max_substring_dup)
+        stages.append(f"substring_dup<={max_substring_dup}")
+    if max_nll is not None:
+        c = c.filter_fluency(max_nll=max_nll)
+        stages.append(f"fluency nll<={max_nll}")
+    if min_clf_score is not None:
+        if not clf_weights:
+            raise click.ClickException("--min-clf-score requires --clf-weights")
+        try:
+            weights = json.loads(Path(clf_weights).read_text())
+        except (OSError, json.JSONDecodeError) as exc:
+            raise click.ClickException(
+                f"Cannot read --clf-weights {clf_weights!r}: {exc}"
+            ) from exc
+        if not isinstance(weights, dict) or not weights:
+            raise click.ClickException(
+                "--clf-weights must be a non-empty JSON object of word: weight"
+            )
+        c = c.filter_classifier(
+            min_score=min_clf_score, weights=weights, bias=clf_bias
+        )
+        stages.append(f"classifier>={min_clf_score}")
     if benchmark:
         bench_df = read_parquet(spark, benchmark)
         c = c.decontaminate(bench_df, n=ngram)
