@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "corpus_clean",
     "line_dedup",
     "unigram_nll",
+    # Round-6 operator families: linear classifier (scan-speed literal
+    # projection) and exact-substring window dedup (min-struct agg +
+    # join, the line_dedup shape at k-gram granularity).
+    "classifier_score",
+    "duplicate_spans",
 ]
 
 
