@@ -1027,8 +1027,11 @@ def _oracle_classifier_sql() -> str:
         FROM documents
     )
     SELECT doc_id,
-           len(toks) AS n_tokens,
-           ROUND(1.0 / (1.0 + exp(-({CLF_BIAS} + {terms}))), 6) AS clf_score
+           CASE WHEN toks IS NULL THEN 0 ELSE len(toks) END AS n_tokens,
+           CASE WHEN toks IS NULL OR len(toks) = 0
+                THEN ROUND(1.0 / (1.0 + exp(-(CAST({CLF_BIAS} AS DOUBLE)))), 6)
+                ELSE ROUND(1.0 / (1.0 + exp(-({CLF_BIAS} + {terms}))), 6)
+           END AS clf_score
     FROM t
     """
 

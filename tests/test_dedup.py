@@ -186,6 +186,34 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_local_force_gate(spark, monkeypatch):
+    """Explicit algorithm='local' refuses driver collects past
+    CC_LOCAL_FORCE_EDGES unless force=True; 'auto' is unaffected (its
+    collect is capped at local_max_edges and overflows to 'star')."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11)], "doc_id long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    monkeypatch.setattr(dedup, "CC_LOCAL_FORCE_EDGES", 2)
+    with pytest.raises(ValueError, match="force=True"):
+        dedup.connected_components(
+            edges, vertices, id_col="doc_id", algorithm="local"
+        )
+    forced = dedup.connected_components(
+        edges, vertices, id_col="doc_id", algorithm="local", force=True
+    )
+    assert {r["doc_id"]: r["component_id"] for r in forced.collect()} == want
+    # 'auto' ignores the force gate entirely: over local_max_edges it
+    # falls through to the distributed star rounds, same labeling
+    auto = dedup.connected_components(
+        edges, vertices, id_col="doc_id", algorithm="auto", local_max_edges=1
+    )
+    assert {r["doc_id"]: r["component_id"] for r in auto.collect()} == want
+
+
 def test_connected_components_rejects_bad_max_iter(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     vertices = spark.createDataFrame([(1,), (2,)], "doc_id long")

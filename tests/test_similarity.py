@@ -457,3 +457,10 @@ def test_ivf_index_build_search_matches_direct(spark, tmp_path, sf_dir):
     assert len(parts) == 8
     plan = searched._jdf.queryExecution().executedPlan().toString()
     assert "centroid_id" in plan and "PartitionFilters: [" in plan
+
+    # single assignment stage per search: query_probes is pin()-ed, so
+    # the candidate join reads the materialized probe blocks (an
+    # ExistingRDD scan) instead of re-running the centroid-assignment
+    # projection over the raw query parquet a second time
+    assert "ExistingRDD" in plan
+    assert "embeddings.parquet" not in plan

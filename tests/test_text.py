@@ -323,15 +323,22 @@ def test_classifier_score_paths_agree_and_gate_filters(spark):
     # hand-check doc 3: (2*2 + 1.5*1)/3 - 0.5 = 1.3333...
     want = 1.0 / (1.0 + math.exp(-(2 * 2 + 1.5) / 3 + 0.5))
     assert expr[3]["clf_score"] == pytest.approx(want, abs=1e-6)
-    # NULL text scores NULL on both paths
-    assert expr[4]["clf_score"] is None and joined[4]["clf_score"] is None
-    # classifier gate: positive docs survive, spammy + NULL are dropped
+    # zero-token contract: NULL text -> n_tokens = 0 and the model's
+    # no-evidence prediction sigmoid(bias), identically on both paths —
+    # guarded with F.when, so it cannot depend on legacy-vs-ANSI
+    # size(NULL) semantics
+    no_evidence = 1.0 / (1.0 + math.exp(0.5))
+    for path in (expr, joined):
+        assert path[4]["n_tokens"] == 0
+        assert path[4]["clf_score"] == pytest.approx(no_evidence, abs=1e-6)
+    # classifier gate: positive docs survive, spammy docs drop, and the
+    # token-less doc is KEPT (keep-unscored, mirroring filter_fluency)
     kept = {
         r["doc_id"]
         for r in Corpus(docs)
         .filter_classifier(min_score=0.5, weights=weights, bias=-0.5)
         .df.collect()
     }
-    assert kept == {1, 3}
+    assert kept == {1, 3, 4}
     with pytest.raises(ValueError):
         t_ops.classifier_score(docs, id_col="doc_id", text_col="text")

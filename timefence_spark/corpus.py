@@ -151,17 +151,25 @@ class Corpus:
     ) -> "Corpus":
         """Keep documents scoring at least ``min_score`` under the linear
         unigram classifier (see text.classifier_score) — the
-        fasttext-style "reference-like text" gate. Unscorable (NULL-text)
-        documents are dropped: a classifier gate is an allow-list."""
-        ids = (
+        fasttext-style "reference-like text" gate.
+
+        Zero-token (NULL-text) documents are KEPT, mirroring
+        ``filter_fluency``'s keep-unscored policy: the gate measures
+        reference-likeness, not emptiness, and a doc with no tokens gives
+        the classifier no evidence either way (its nominal score,
+        ``sigmoid(bias)``, is a property of the model, not the doc).
+        Chain ``filter_quality`` first to drop empties. Implemented as an
+        anti-join on the scored-and-below-threshold ids so token-less
+        documents pass through."""
+        drop = (
             text.classifier_score(
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 weights=weights, weights_df=weights_df, bias=bias,
             )
-            .where(F.col("clf_score") >= min_score)
+            .where((F.col("n_tokens") > 0) & (F.col("clf_score") < min_score))
             .select(self.id_col)
         )
-        return self._keep_ids(ids)
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
     def filter_substring_dup(
         self, *, max_dup_fraction: float, k: int = 8, scope: str = "corpus"

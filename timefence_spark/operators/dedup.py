@@ -642,6 +642,12 @@ def decontaminate(
 # large-star/small-star rounds run — the shape that survives 100 TB.
 CC_LOCAL_MAX_EDGES = 500_000
 
+# Hard refusal cap for the EXPLICIT algorithm='local' path: 'auto' never
+# collects past CC_LOCAL_MAX_EDGES by construction, but 'local' collects
+# the whole edge set on the driver — above this many edges that is an
+# OOM-shaped request, so refuse unless the caller passes force=True.
+CC_LOCAL_FORCE_EDGES = 5_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -652,6 +658,7 @@ def connected_components(
     algorithm: str = "auto",
     local_max_edges: int = CC_LOCAL_MAX_EDGES,
     checkpoint_dir: str | None = None,
+    force: bool = False,
 ) -> DataFrame:
     """(id, component_id) where component_id is the min id reachable
     through ``edges`` [(id_a, id_b)].
@@ -665,7 +672,9 @@ def connected_components(
       solve with a driver-side union-find (``'local'``), otherwise run
       ``'star'``. The explicit size gate is the same contract as a
       broadcast join: small graphs are a driver problem, not a cluster
-      problem.
+      problem. Explicit ``algorithm='local'`` skips that gate but still
+      refuses past ``CC_LOCAL_FORCE_EDGES`` (5M) distinct edges unless
+      ``force=True`` — a driver collect at that size is an OOM request.
     * ``'star'`` — alternating large-star/small-star contraction
       (Kiveris et al., "Connected Components in MapReduce and Beyond",
       2014): each round points high nodes at their neighborhood minimum,
@@ -692,7 +701,7 @@ def connected_components(
         return _cc_star_or_local(
             edges, vertices, id_col=id_col, max_iter=max_iter,
             algorithm=algorithm, local_max_edges=local_max_edges,
-            checkpoint_dir=checkpoint_dir,
+            checkpoint_dir=checkpoint_dir, force=force,
         )
 
     sym = edges.select(
@@ -804,6 +813,7 @@ def _cc_star_or_local(
     algorithm: str,
     local_max_edges: int,
     checkpoint_dir: str | None = None,
+    force: bool = False,
 ) -> DataFrame:
     """'auto' / 'local' / 'star' strategies for connected_components.
 
@@ -839,11 +849,25 @@ def _cc_star_or_local(
         # cap, the graph is a driver problem (same contract as a
         # broadcast join); one row over, the overfetch is discarded and
         # the distributed star rounds take over.
-        rows = (
-            e.collect()
-            if algorithm == "local"  # explicit: no cap, caller's call
-            else e.limit(local_max_edges + 1).collect()
-        )
+        if algorithm == "local":
+            # Explicit local is the caller's call up to a point: past
+            # CC_LOCAL_FORCE_EDGES the driver collect is an OOM-shaped
+            # request, so refuse unless force=True. 'auto' never hits
+            # this — its collect is capped at local_max_edges + 1.
+            cap = int(CC_LOCAL_FORCE_EDGES)
+            if force:
+                rows = e.collect()
+            else:
+                rows = e.limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise ValueError(
+                        f"connected_components(algorithm='local') would "
+                        f"collect more than {cap} distinct edges on the "
+                        "driver. Use algorithm='auto'/'star' for graphs "
+                        "this size, or pass force=True to collect anyway."
+                    )
+        else:
+            rows = e.limit(local_max_edges + 1).collect()
         if algorithm == "local" or len(rows) <= local_max_edges:
             if not rows:
                 return vertices.select(
@@ -949,11 +973,16 @@ def duplicate_spans(
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
+    # greatest() guard: for docs with < k tokens the unguarded sequence
+    # would be descending and its transform would evaluate slice(toks, 0,
+    # k) — a runtime error that today only avoids firing because the
+    # size>=k filter happens to push below the Generate. Same guard as
+    # the sibling shingle code (text.py fingerprint, minhash shingles).
     windows = tokenized.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
                 lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
             )
         ).alias("__pos", "__gram"),

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timefence_spark._checkpoint import pin
 from timefence_spark.operators.asof import (
     BROADCAST_BYTES_THRESHOLD,
     estimated_size_bytes,
@@ -900,11 +901,17 @@ def ivf_search(
         if compute == "arrow"
         else _ivf_assign_expr_factory(centroids)
     )
-    query_probes = assign(
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-        ),
-        "query_id", "__qv", nprobe,
+    # pin(): the assignment projection feeds BOTH the probed-id collect
+    # and the candidate join; without the localCheckpoint it would be
+    # recomputed in each job (two assignment stages per search).
+    query_probes = pin(
+        assign(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+            ),
+            "query_id", "__qv", nprobe,
+        )
     )
     probed = [
         int(r["centroid_id"])

@@ -471,6 +471,13 @@ def classifier_score(
     differs across engines in the last ulp; rounding keeps the score
     oracle-replayable).
 
+    Zero-token contract: a document with no tokens (NULL text — split
+    always yields >= 1 token otherwise) gets ``n_tokens = 0`` and
+    ``score = sigmoid(bias)``, the linear model's no-evidence
+    prediction. Guarded explicitly with ``F.when`` — never via
+    ``size(NULL)``, whose value differs between legacy (-1) and ANSI
+    (NULL) modes, so the contract holds on every pyspark >= 3.5.
+
     Two physical paths, same math:
 
     * ``weights`` (dict) — every weight becomes a literal in ONE
@@ -498,7 +505,11 @@ def classifier_score(
         raw = F.lit(float(bias))
         n_tokens = F.col("__n")
         counted = staged.select(
-            id_col, F.size(toks).alias("__n"), toks.alias("__toks")
+            id_col,
+            F.when(toks.isNotNull(), F.size(toks))
+            .otherwise(F.lit(0))
+            .alias("__n"),
+            toks.alias("__toks"),
         )
         for word, w in weights.items():
             n_w = F.size(F.filter(F.col("__toks"), lambda t: t == F.lit(word)))
@@ -506,7 +517,12 @@ def classifier_score(
         return counted.select(
             id_col,
             F.col("__n").alias("n_tokens"),
-            F.round(sig(raw), 6).alias(out_col),
+            F.round(
+                F.when(F.col("__n") > 0, sig(raw)).otherwise(
+                    sig(F.lit(float(bias)))
+                ),
+                6,
+            ).alias(out_col),
         )
     per_doc = (
         df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__w"))
@@ -522,17 +538,22 @@ def classifier_score(
         .groupBy(id_col)
         .agg(F.sum(F.col("__weight") * F.col("__n_w")).alias("__wsum"))
     )
+    t = _tokens(F.col(text_col))
     lengths = df.select(
-        F.col(id_col), F.size(_tokens(F.col(text_col))).alias("n_tokens")
+        F.col(id_col),
+        F.when(t.isNotNull(), F.size(t)).otherwise(F.lit(0)).alias("n_tokens"),
     )
     return lengths.join(sums, id_col, "left").select(
         id_col,
         "n_tokens",
         F.round(
-            sig(
-                F.lit(float(bias))
-                + F.coalesce("__wsum", F.lit(0.0)) / F.col("n_tokens")
-            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                sig(
+                    F.lit(float(bias))
+                    + F.coalesce("__wsum", F.lit(0.0)) / F.col("n_tokens")
+                ),
+            ).otherwise(sig(F.lit(float(bias)))),
             6,
         ).alias(out_col),
     )
