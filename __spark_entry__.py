@@ -2353,6 +2353,82 @@ ORACLE_MEDIA_DECODE_PPM = """
 """
 
 
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED format under the differential gate: deterministic
+    8-bit RGB PNGs (dimensions and uniform per-channel values pure
+    functions of doc_id) are encoded with the Paeth filter in one
+    mapInPandas stage, then the stdlib-zlib + numpy PNG decoder
+    (operators/codecs.py) inflates, unfilters, and computes per-channel
+    stats in the next. The oracle recomputes dimensions AND pixel
+    statistics independently — matching proves the inflate+unfilter path
+    reconstructed the actual raster, not just the header."""
+    import numpy as np
+    import pandas as pd
+
+    from timefence_spark.operators import codecs, multimodal
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 13 + 2, d % 7 + 3
+                img = np.empty((h, w, 3), np.uint8)
+                img[:, :, 0] = d % 256
+                img[:, :, 1] = (d * 3 + 1) % 256
+                img[:, :, 2] = (d * 5 + 2) % 256
+                payloads.append(codecs.png_encode(img, filter_type=4))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    planted = (
+        _t(spark, sf_dir, "documents", spread=False)
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+    info = multimodal.decode_images(
+        planted, id_col="doc_id", binary_col="payload",
+        decode_fn=codecs.png_decode_info,
+    )
+    stats = multimodal.image_channel_stats(
+        planted, id_col="doc_id", binary_col="payload",
+        stats_fn=codecs.png_channel_stats,
+    )
+    return info.join(stats, "doc_id").select(
+        "doc_id", "width", "height", "channels", "format",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_rgb", 6).alias("std_rgb"),
+    )
+
+
+ORACLE_MEDIA_DECODE_PNG = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % 256 AS DOUBLE) AS r,
+               CAST((doc_id * 3 + 1) % 256 AS DOUBLE) AS g,
+               CAST((doc_id * 5 + 2) % 256 AS DOUBLE) AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(doc_id % 13 + 2 AS INT) AS width,
+           CAST(doc_id % 7 + 3 AS INT) AS height,
+           3 AS channels,
+           'png' AS format,
+           ROUND(r, 6) AS mean_r,
+           ROUND(g, 6) AS mean_g,
+           ROUND(b, 6) AS mean_b,
+           ROUND(sqrt((
+               (r - (r + g + b) / 3) * (r - (r + g + b) / 3)
+             + (g - (r + g + b) / 3) * (g - (r + g + b) / 3)
+             + (b - (r + g + b) / 3) * (b - (r + g + b) / 3)
+           ) / 3), 6) AS std_rgb
+    FROM t
+"""
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-level media dedup: group payloads by content sha (the
     metadata struct's hash — no decode), survivor = min doc_id. The
@@ -2674,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof_static": q_streaming_asof_static,
         "token_count_exact": q_token_count_exact,  # new in round 6
         "media_decode_ppm": q_media_decode_ppm,  # new in round 6
+        "media_decode_png": q_media_decode_png,  # new in round 7
         # Changed in round 6 (new default/algorithm) — must be in the
         # driver-checked prefix this round:
         "line_dedup": q_line_dedup,
@@ -2753,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": ORACLE_TOKEN_BPE,
         "token_count_exact": _oracle_token_count_exact_sql(),
         "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
+        "media_decode_png": ORACLE_MEDIA_DECODE_PNG,
         "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,

@@ -12,10 +12,11 @@ Design for 100 TB media pipelines:
   derives stable pseudo-metadata from the bytes, keeping every Spark-side
   contract (schema, batch shape, partitioning) real and testable. Pass a
   real ``decode_fn(bytes) -> dict`` to swap in PIL/ffmpeg in production —
-  or use :mod:`timefence_spark.operators.codecs`, a dependency-free
-  pure-numpy Netpbm PPM codec whose ``ppm_decode_info`` / ``ppm_resize``
-  plug straight into these operators, so one REAL image format runs
-  through the whole pipeline even here.
+  or use :mod:`timefence_spark.operators.codecs`, dependency-free
+  numpy/stdlib codecs (Netpbm PPM, zlib-compressed PNG, PCM WAV) whose
+  ``*_decode_info`` / ``*_resize`` / ``*_channel_stats`` functions plug
+  straight into these operators, so REAL uncompressed AND compressed
+  formats run through the whole pipeline even here.
 """
 
 from __future__ import annotations
@@ -237,5 +238,57 @@ def sample_frames(
                     idxs.append(i)
                     frames.append(fr)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_rgb", T.DoubleType()),
+    ]
+)
+
+
+def image_channel_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    stats_fn: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Feature-extraction stage with real pixels: per-channel means +
+    global std per image, Arrow-batched through mapInPandas.
+
+    Output: (id, mean_r, mean_g, mean_b, std_rgb). ``stats_fn(bytes) ->
+    {'mean_r','mean_g','mean_b','std'}`` is the codec injection point —
+    :func:`codecs.ppm_channel_stats` and :func:`codecs.png_channel_stats`
+    plug in directly; there is no fake fallback because channel stats
+    without a decoder are meaningless (unlike dimensions, which the fake
+    decoder pseudo-derives)."""
+    import pandas as pd
+
+    if stats_fn is None:
+        raise ValueError(
+            "image_channel_stats requires a stats_fn (e.g. "
+            "codecs.png_channel_stats); there is no deterministic fake "
+            "for pixel statistics."
+        )
+    out_schema = T.StructType([df.schema[id_col], *IMAGE_STATS_SCHEMA.fields])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [stats_fn(b if b is not None else b"") for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "mean_r": [s["mean_r"] for s in stats],
+                    "mean_g": [s["mean_g"] for s in stats],
+                    "mean_b": [s["mean_b"] for s in stats],
+                    "std_rgb": [s["std"] for s in stats],
+                }
+            )
 
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
