@@ -1112,6 +1112,23 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(docs, id_col="doc_id", text_col="text", k=8)
 
 
+def q_duplicate_spans_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query, key_by='hash': every shuffled row carries a 16-byte
+    gram key instead of the joined 8-token string. Shares the text-mode
+    oracle — identical output IS the correctness claim for the 128-bit
+    key (a divergence would mean a hash collision or a keying bug)."""
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.duplicate_spans(
+        docs, id_col="doc_id", text_col="text", k=8, key_by="hash"
+    )
+
+
 def _oracle_duplicate_spans_sql() -> str:
     return rf"""
     WITH p AS (
@@ -1931,6 +1948,18 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"(\w+ \w+ \w+) ", "$1\n").alias("text"),
     )
     return text.line_dedup(docs, id_col="doc_id", text_col="text")
+
+
+def q_line_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query, key_by='hash': the winner aggregation and attach-back
+    join key on a 128-bit line hash instead of the line text. Shares the
+    text-mode oracle — identical output IS the correctness claim for
+    the hash keying."""
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id",
+        F.regexp_replace("text", r"(\w+ \w+ \w+) ", "$1\n").alias("text"),
+    )
+    return text.line_dedup(docs, id_col="doc_id", text_col="text", key_by="hash")
 
 
 ORACLE_LINE_DEDUP = r"""
@@ -2760,6 +2789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assemble": q_pack_assemble,
         "classifier_score": q_classifier_score,  # new in round 6
         "duplicate_spans": q_duplicate_spans,  # new in round 6
+        "duplicate_spans_hash": q_duplicate_spans_hash,  # new in round 7
+        "line_dedup_hash": q_line_dedup_hash,  # new in round 7
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -2865,6 +2896,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_star": _oracle_dedup_components_sql(),
         "classifier_score": _oracle_classifier_sql(),
         "duplicate_spans": _oracle_duplicate_spans_sql(),
+        "duplicate_spans_hash": _oracle_duplicate_spans_sql(),
+        "line_dedup_hash": ORACLE_LINE_DEDUP,
         "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),

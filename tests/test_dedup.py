@@ -547,3 +547,28 @@ def test_duplicate_spans_known_answers(spark):
     assert kept == {1, 3, 4, 5} - {4}  # doc4 at 0.5 > 0.4 dropped too
     with pytest.raises(ValueError):
         duplicate_spans(docs, id_col="doc_id", text_col="text", scope="x")
+
+
+def test_duplicate_spans_hash_mode_matches_text_mode(spark):
+    """key_by='hash' shuffles 16-byte gram keys instead of token strings
+    but must report identical duplication stats, including short docs
+    and in-document repeats."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f x y"),
+        (3, "tiny"),
+        (4, "p q r p q r p q"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for scope in ("corpus", "document"):
+        kw = dict(id_col="doc_id", text_col="text", k=3, scope=scope)
+        by_text = sorted(map(tuple, dedup.duplicate_spans(docs, **kw).collect()))
+        by_hash = sorted(
+            map(tuple, dedup.duplicate_spans(docs, key_by="hash", **kw).collect())
+        )
+        assert by_text == by_hash, scope
+    with pytest.raises(ValueError, match="key_by"):
+        dedup.duplicate_spans(
+            docs, id_col="doc_id", text_col="text", k=3, key_by="sha"
+        )

@@ -342,3 +342,27 @@ def test_classifier_score_paths_agree_and_gate_filters(spark):
     assert kept == {1, 3, 4}
     with pytest.raises(ValueError):
         t_ops.classifier_score(docs, id_col="doc_id", text_col="text")
+
+
+def test_line_dedup_hash_mode_matches_text_mode(spark):
+    """key_by='hash' must produce byte-identical output to key_by='text'
+    on data with a hot boilerplate line, in-doc repeats, and sub-floor
+    short lines — the 128-bit key changes the shuffle shape, never the
+    answer."""
+    from timefence_spark.operators import text as t_ops
+
+    hot = "this exact header line appears in most documents"
+    rows = [
+        (i, "\n".join([hot, f"unique line number {i} with payload", "xx",
+                       hot if i % 3 == 0 else f"tail {i}"]))
+        for i in range(1, 40)
+    ] + [(99, None), (100, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", min_len=3)
+    by_text = sorted(map(tuple, t_ops.line_dedup(docs, **kw).collect()))
+    by_hash = sorted(
+        map(tuple, t_ops.line_dedup(docs, key_by="hash", **kw).collect())
+    )
+    assert by_text == by_hash
+    with pytest.raises(ValueError, match="key_by"):
+        t_ops.line_dedup(docs, key_by="md5", **kw)

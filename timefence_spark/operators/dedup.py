@@ -946,6 +946,7 @@ def duplicate_spans(
     text_col: str,
     k: int = 8,
     scope: str = "corpus",
+    key_by: str = "text",
 ) -> DataFrame:
     """Exact-substring duplication stats: slide a ``k``-token window over
     every document and mark each window whose token sequence appeared
@@ -963,10 +964,19 @@ def duplicate_spans(
     scan-side posexplode to (window-gram, id, pos), first occurrence per
     gram as a MIN(struct) aggregation (map-side combine collapses hot
     boilerplate grams), an AQE-splittable join back, one groupBy(id).
-    The gram key is the joined token string; at extreme scale hash it
-    (the decontaminate operator shows the 64-bit-gram-key variant)."""
+
+    ``key_by='text'`` (default) keys by the joined token string —
+    exactly oracle-replayable. ``key_by='hash'`` keys by a 128-bit
+    content key (two independent xxhash64 halves) computed scan-side
+    INSIDE the explode expression, so no stage ever shuffles gram text
+    at all — every shuffled row is (16-byte key, id, pos). Unlike
+    line_dedup, spans never needs the gram downstream, so hash mode
+    removes gram bytes from the wire entirely; output is identical on
+    non-adversarial data (collision odds ~2^-64 per pair)."""
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    if key_by not in ("text", "hash"):
+        raise ValueError(f"key_by must be 'text' or 'hash', got {key_by!r}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     tokenized = df.select(
@@ -978,12 +988,23 @@ def duplicate_spans(
     # k) — a runtime error that today only avoids firing because the
     # size>=k filter happens to push below the Generate. Same guard as
     # the sibling shingle code (text.py fingerprint, minhash shingles).
+    if key_by == "hash":
+        # hash inside the transform: the gram string exists only as an
+        # intermediate expression value; exploded rows carry 16 bytes
+        gram_of = lambda i: F.struct(  # noqa: E731
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("k1"),
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(toks, i + 1, k)), F.lit(1)
+            ).alias("k2"),
+        )
+    else:
+        gram_of = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
     windows = tokenized.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                gram_of,
             )
         ).alias("__pos", "__gram"),
     ).where(F.size(toks) >= k)

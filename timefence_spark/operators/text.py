@@ -742,6 +742,7 @@ def line_dedup(
     sep: str = "\n",
     min_len: int = LINE_DEDUP_MIN_LEN,
     scope: str = "corpus",
+    key_by: str = "text",
 ) -> DataFrame:
     """C4-style line-level dedup: every distinct line is kept only at its
     first occurrence (ordered by (doc id, position)); later occurrences
@@ -765,15 +766,29 @@ def line_dedup(
     formulation used through round 5 had exactly that straggler). The
     winners then attach back with an equi-join on the line — skewed
     line keys there are split by AQE skew-join handling, which can never
-    rescue a window — and one groupBy(id) reassembles documents. At
-    extreme scale, keying the aggregation and join by a 128-bit content
-    hash of the line instead of the line text would halve the shuffled
-    bytes; the exact-line key is kept here for oracle-replayable
-    simplicity."""
+    rescue a window — and one groupBy(id) reassembles documents.
+
+    ``key_by`` picks the aggregation + join key:
+
+    * ``'text'`` (default) — the literal line string: exactly
+      replayable by an external SQL oracle, collision-free.
+    * ``'hash'`` — a 128-bit content key (two independent xxhash64
+      halves): the winner aggregation shuffles FIXED-WIDTH 16-byte keys
+      (its combiner output is (key, min-struct) — no text at all), and
+      the attach-back join partitions/sorts on those fixed keys; the
+      probe side still carries each line once, for the rebuild, so line
+      text crosses the wire ONCE instead of three times. The shape for
+      100 TB corpora where lines average hundreds of bytes. A collision
+      would wrongly drop one line at ~2^-64 odds per pair — the same
+      accepted trade as published content-hash exact dedup. Output is
+      identical to ``'text'`` on non-adversarial data (asserted against
+      the same oracle in the differential suite)."""
     import re
 
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    if key_by not in ("text", "hash"):
+        raise ValueError(f"key_by must be 'text' or 'hash', got {key_by!r}")
     lines = df.select(
         F.col(id_col),
         # F.split takes a regex: escape so sep is literal, matching the
@@ -783,7 +798,20 @@ def line_dedup(
             "__pos", "__line"
         ),
     )
-    group_cols = ["__line"] if scope == "corpus" else [id_col, "__line"]
+    if key_by == "hash":
+        # 128-bit content key: aggregation + join shuffle 16 fixed bytes
+        # per line, never the line text (which only the rebuild groupBy
+        # needs, and that shuffles per-DOC rows, not per-LINE keys)
+        lines = lines.withColumns(
+            {
+                "__k1": F.xxhash64("__line"),
+                "__k2": F.xxhash64("__line", F.lit(1)),
+            }
+        )
+        key_cols = ["__k1", "__k2"]
+    else:
+        key_cols = ["__line"]
+    group_cols = key_cols if scope == "corpus" else [id_col, *key_cols]
     winners = (
         lines.where(F.length("__line") >= min_len)
         .groupBy(*group_cols)
