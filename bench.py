@@ -33,7 +33,14 @@ spark.ui.enabled=false.
 Stability gate: per query, the spread of the 3 fastest runs
 ((max3-min3)/median3) must stay under 50%; otherwise the script still
 prints the JSON line but exits 1 — an unstable bench must not silently
-gate regressions.
+gate regressions. Scale scenarios with >=3 runs (including both 10M
+shapes, 4 runs each) feed the same gate as "scale:<label>".
+
+Round-over-round comparison: the headline "value" sums the CURRENT
+suite, which has grown across rounds — the artifact's "suite" key
+(query count + 8-hex hash of the sorted query-name set) says whether
+two rounds' totals are comparable at all; when it differs, compare the
+per-query seconds, which are stable keys.
 """
 
 from __future__ import annotations
@@ -87,6 +94,10 @@ BENCH_QUERIES = [
     # join, the line_dedup shape at k-gram granularity).
     "classifier_score",
     "duplicate_spans",
+    # Round-7: 128-bit hash keying — the spans pair is the clean wire
+    # comparison (hash mode ships NO gram text; shuffle deltas for both
+    # modes are bracketed below and land in "key_sw_mb").
+    "duplicate_spans_hash",
 ]
 
 
@@ -132,8 +143,13 @@ SCALE_CONFIGS = [
     # item 10 — the cap's linearity claim needs trend data, 3 runs each).
     ("1m_x25", 1_000_000, 25, 3, {}),
     ("1m_x50", 1_000_000, 50, 3, {}),
-    ("10m_x1", 10_000_000, 1, 1, {}),  # ~minutes; linearity check
-    ("10m_x10", 10_000_000, 10, 3, {}),
+    # 10M rows get 4 timed runs (min-of-N like the light suite, one spare
+    # for a stall) so their round-over-round deltas are adjudicable: r5/r6
+    # shipped 1 and 3 runs whose 22%/54% spreads nobody could call real
+    # or noise. Their trimmed spreads feed the same stability gate as the
+    # light suite (as "scale:<label>" entries).
+    ("10m_x1", 10_000_000, 1, 4, {}),
+    ("10m_x10", 10_000_000, 10, 4, {}),
 ]
 
 SCALE_SEED = 42
@@ -726,12 +742,18 @@ def _compact_line(detail: dict) -> str:
         return out
 
     for with_shuffle in (True, False):
+        key_sw = {
+            k: (v or {}).get("shuffle_write_mb")
+            for k, v in detail.get("key_mode_shuffle", {}).items()
+        }
         compact = {
             "metric": detail["metric"],
             "value": detail["value"],
             "unit": detail["unit"],
+            "suite": detail["suite"],
             "queries": detail["queries"],
             "unstable": detail["unstable"],
+            "key_sw_mb": key_sw,
             "scale": slim(detail["scale"], with_shuffle),
             "skew": slim(detail["skew"], with_shuffle),
             "streaming": {
@@ -831,12 +853,41 @@ def main() -> int:
             ),
         ).alias("text"),
     )
-    skew_df = line_dedup(docs, id_col="doc_id", text_col="text")
-    runs = _timed_runs(lambda: _force(skew_df), 3)
-    all_runs["line_dedup_skew"] = runs
-    timings["line_dedup_skew"] = min(runs)
-    spreads["line_dedup_skew"], abs_gaps["line_dedup_skew"] = _trimmed_spread(runs)
-    print(f"query line_dedup_skew: {runs}", file=sys.stderr)
+    # Timed twice: key_by='text' (oracle default) vs key_by='hash'
+    # (128-bit content keys). On THIS scenario the lines are single words
+    # (shorter than a 16-byte key), so hash mode demonstrates timing
+    # parity on the straggler shape, not a wire win; the wire win shows
+    # in the duplicate_spans pair below, whose text keys are 8-token
+    # grams and whose hash mode ships no gram text at all.
+    key_shuffle: dict[str, dict | None] = {}
+    for ld_name, ld_key_by in (
+        ("line_dedup_skew", "text"),
+        ("line_dedup_skew_hash", "hash"),
+    ):
+        skew_df = line_dedup(
+            docs, id_col="doc_id", text_col="text", key_by=ld_key_by
+        )
+        runs = _timed_runs(lambda: _force(skew_df), 3)
+        before = _stages_snapshot(spark)
+        _force(skew_df)
+        key_shuffle[ld_name] = _shuffle_delta(before, _stages_snapshot(spark))
+        all_runs[ld_name] = runs
+        timings[ld_name] = min(runs)
+        spreads[ld_name], abs_gaps[ld_name] = _trimmed_spread(runs)
+        print(
+            f"query {ld_name}: {runs} shuffle={key_shuffle[ld_name]}",
+            file=sys.stderr,
+        )
+
+    # Shuffle-byte evidence for the hash-keyed spans mode: one bracketed
+    # run of each (plans already warmed by the light suite above).
+    for span_name in ("duplicate_spans", "duplicate_spans_hash"):
+        before = _stages_snapshot(spark)
+        _force(queries[span_name](spark, SF_DIR))
+        key_shuffle[span_name] = _shuffle_delta(before, _stages_snapshot(spark))
+        print(
+            f"shuffle {span_name}: {key_shuffle[span_name]}", file=sys.stderr
+        )
 
     # Streaming replays share the parent JVM (light, sf-sized state);
     # scale/skew each get a fresh JVM via subprocess — SPARK_GRAFT_SCALE=0
@@ -857,6 +908,17 @@ def main() -> int:
             "audit_rebuild_1m_x10"
         )
 
+    # Scale scenarios with >=3 runs join the stability gate (as
+    # "scale:<label>"): a 10M number whose 3 fastest runs disagree by
+    # >50% must fail loudly, not gate a regression call.
+    scale_spread: dict[str, float] = {}
+    for lbl, r in scale.items():
+        if len(r.get("runs", [])) >= 3:
+            rel, gap = _trimmed_spread(r["runs"])
+            scale_spread[lbl] = rel
+            spreads[f"scale:{lbl}"] = rel
+            abs_gaps[f"scale:{lbl}"] = gap
+
     unstable = sorted(
         n
         for n, s in spreads.items()
@@ -867,17 +929,30 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    import hashlib as _hashlib
+
+    suite_names = sorted(timings)
+    # Round-over-round comparison key: "value" sums whatever the CURRENT
+    # suite contains, so it is only comparable across rounds when this
+    # key (count + hash of the sorted query-name set) is unchanged.
+    # When the suite grows, compare per-query seconds instead.
+    suite_key = f"{len(suite_names)}q@" + _hashlib.sha256(
+        ",".join(suite_names).encode()
+    ).hexdigest()[:8]
     detail = {
         "metric": "timefence_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "suite": suite_key,
         "queries": timings,
         "runs": all_runs,
         "spread": spreads,
+        "scale_spread": scale_spread,
         "unstable": unstable,
         "scale": scale,
         "skew": skew,
         "streaming": streaming,
+        "key_mode_shuffle": key_shuffle,
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
