@@ -14,7 +14,12 @@ Two pin strengths:
 * ``checkpoint`` (``checkpoint_dir='hdfs://...'``) — blocks are written
   to the reliable FS under the given directory and survive any executor.
   The right setting for long iterative jobs on preemptible/spot
-  executors at cluster scale; costs one DFS write per pin.
+  executors at cluster scale; costs one DFS write per pin. RETENTION:
+  Spark does not delete reliable checkpoint data by default
+  (``spark.cleaner.referenceTracking.cleanCheckpoints`` is false), and
+  iterative callers pin once per round — set that conf to true or give
+  each application its own subdirectory and remove it after the job
+  (see docs/concepts/scale.md, "Checkpoint durability").
 
 See docs/concepts/scale.md ("Checkpoint durability").
 """

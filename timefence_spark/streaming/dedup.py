@@ -73,7 +73,14 @@ def streaming_exact_dedup(
     Within one micro-batch the surviving row for a duplicated hash is
     partition-order dependent (Spark keeps an arbitrary first); across
     micro-batches arrival order decides. Downstream aggregates on the
-    hash column are deterministic either way."""
+    hash column are deterministic either way.
+
+    STATE COMPATIBILITY: the hash format changed in round 6 (see
+    CHANGELOG.md) — single-column now hashes the value directly,
+    multi-column nests per-column hashes. State written by the earlier
+    format never matches the new hashes, so restarting an existing
+    query after an upgrade silently re-admits previously-seen documents.
+    Restart from a fresh checkpoint location after upgrading."""
     if isinstance(content_cols, str):
         content_cols = [content_cols]
     out = stream.withColumn(hash_col, _content_hash(content_cols, hash_fn))
