@@ -2274,6 +2274,78 @@ def _oracle_knn_ivf_sql(
     """
 
 
+def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: deterministic hash-sampled
+    centroids (portable md5 mode), shuffle-free literal-centroid
+    assignment, within-cluster pairwise cosine >= threshold. The oracle
+    rebuilds the identical clustering and pair set in DuckDB. Threshold
+    0.4: the synthetic embeddings top out near ~0.51 similarity."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.semantic_dup_pairs(
+        emb, id_col="vec_id", n_clusters=16, threshold=0.4, hash_fn="md5",
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor set under the pairwise drop-if-smaller-dup policy
+    (same canonicalization as minhash_dedup, over semantic pairs)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.semantic_dedup(
+        emb, id_col="vec_id", n_clusters=16, threshold=0.4, hash_fn="md5",
+    ).select("vec_id")
+
+
+def _oracle_semantic_sql(
+    *, survivors: bool, nlist: int = 16, threshold: float = 0.4, seed: int = 42
+) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
+    )
+    prefix = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hashed AS (
+        SELECT vec_id, v,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':{seed}')), 1, 15))
+                    AS BIGINT) AS hh
+        FROM e
+    ), cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY hh) - 1 AS centroid_id, v AS cv
+        FROM (SELECT * FROM hashed ORDER BY hh LIMIT {nlist})
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {cos.format(a="e.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.centroid_id AS cluster_id,
+               ROUND({cos.format(a="a.v", b="b.v")}, 6) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )"""
+    if survivors:
+        return (
+            prefix
+            + f"""
+    SELECT vec_id FROM e
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs WHERE cosine >= {threshold})
+    """
+        )
+    return (
+        prefix
+        + f"""
+    SELECT id_a, id_b, cluster_id, cosine FROM pairs
+    WHERE cosine >= {threshold}
+    """
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via RP-LSH blocking. The
     hyperplanes are seed-deterministic driver constants, so the oracle
@@ -2773,6 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "streaming_dedup": q_streaming_dedup,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dup_pairs": q_semantic_dup_pairs,  # new in round 7
+        "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
         "streaming_asof": q_streaming_asof,
@@ -2904,6 +2978,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _oracle_knn_ivf_sql(),
         "knn_ivf_arrow": _oracle_knn_ivf_sql(),
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
+        "semantic_dup_pairs": _oracle_semantic_sql(survivors=False),
+        "semantic_dedup": _oracle_semantic_sql(survivors=True),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_dedup": ORACLE_MEDIA_DEDUP,

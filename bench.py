@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     # comparison (hash mode ships NO gram text; shuffle deltas for both
     # modes are bracketed below and land in "key_sw_mb").
     "duplicate_spans_hash",
+    # Round-7: SemDeDup-style within-cluster cosine pairs (centroid
+    # assignment is a shuffle-free literal projection; the self-join is
+    # the only exchange).
+    "semantic_dup_pairs",
 ]
 
 

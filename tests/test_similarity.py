@@ -464,3 +464,47 @@ def test_ivf_index_build_search_matches_direct(spark, tmp_path, sf_dir):
     # projection over the raw query parquet a second time
     assert "ExistingRDD" in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_semantic_dedup_planted_duplicates(spark, sf_dir):
+    """SemDeDup pipeline on planted duplicates: an identical copy of a
+    vector must pair with cosine 1.0 inside its cluster, the dedup
+    policy must drop the larger id, and the expr/arrow kernels must
+    produce the same pair set."""
+    from timefence_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(copies)
+    kw = dict(id_col="vec_id", n_clusters=8, threshold=0.95)
+    pairs = sim.semantic_dup_pairs(planted, **kw).collect()
+    found = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    for i in range(5):
+        assert found.get((i, i + 100000)) == pytest.approx(1.0, abs=1e-6), i
+    # identical vectors always share a cluster (assignment is a pure
+    # function of the vector), so recall on exact copies is 1.0
+    survivors = {
+        r["vec_id"]
+        for r in sim.semantic_dedup(planted, **kw).select("vec_id").collect()
+    }
+    assert all(i in survivors for i in range(5))
+    assert not any(i + 100000 in survivors for i in range(5))
+
+    arrow_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.semantic_dup_pairs(planted, compute="arrow", **kw).collect()
+    }
+    assert arrow_pairs == found
+
+    # hot-cluster cap: capping below the planted cluster sizes must not
+    # error, and every surviving pair still meets the threshold
+    capped = sim.semantic_dup_pairs(planted, max_cluster_size=10, **kw).collect()
+    assert all(r["cosine"] >= 0.95 for r in capped)
+    with pytest.raises(ValueError, match="n_clusters"):
+        sim.semantic_dup_pairs(planted, id_col="vec_id", n_clusters=0)
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        sim.semantic_dup_pairs(planted, id_col="vec_id", max_cluster_size=1)

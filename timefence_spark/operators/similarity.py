@@ -1208,3 +1208,127 @@ def embedding_near_dup_pairs(
         scored.where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    compute: str = "expr",
+    round_to: int | None = 6,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then score cosine
+    similarity only WITHIN each cluster — the published recipe for
+    finding semantically-redundant training documents that exact and
+    MinHash dedup cannot see (paraphrases, templated rewrites,
+    translations of boilerplate).
+
+    Returns (id_a, id_b, cluster_id, cosine) with id_a < id_b and
+    cosine >= ``threshold``, rounded to ``round_to`` places.
+
+    Physical shape, 100 TB story:
+
+    * Clustering reuses the IVF machinery: ``n_clusters`` deterministic
+      hash-sampled centroids (:func:`_ivf_centroids`), assignment as ONE
+      literal-centroid projection (``compute='expr'``) or one matmul per
+      Arrow batch (``'arrow'``) — zero shuffle either way.
+    * The only shuffle is the cluster-keyed self-join; candidate volume
+      is sum(c_i^2)/2 over cluster sizes instead of N^2/2, and
+      ``max_cluster_size`` skips degenerate hot clusters (same recall
+      trade, same mechanism as the LSH ``max_bucket_size`` caps). Size
+      ``n_clusters`` ~ N/1000 so clusters stay joinable; SemDeDup used
+      50K clusters for ~600M documents.
+    * Scoring needs the vectors on both sides, so pairs carry two
+      vectors each — with ``compute='arrow'`` the cosine itself is one
+      einsum per batch.
+
+    Centroid sampling, assignment tie-breaks, and the sequential-fold
+    cosine are all deterministic, so an external SQL oracle can replay
+    the exact pair set (hash_fn='md5' for cross-engine hashes).
+    """
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if compute not in ("expr", "arrow"):
+        raise ValueError(f"compute must be 'expr' or 'arrow', got {compute!r}")
+    centroids = _ivf_centroids(
+        df, corpus_id=id_col, corpus_vec=vec_col, nlist=n_clusters,
+        seed=seed, hash_fn=hash_fn,
+    )
+    assign = (
+        _ivf_assign_arrow_factory(centroids)
+        if compute == "arrow"
+        else _ivf_assign_expr_factory(centroids)
+    )
+    assigned = assign(
+        df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")),
+        "__sid", "__sv", 1,
+    )
+    if max_cluster_size is not None:
+        if max_cluster_size < 2:
+            raise ValueError(
+                f"max_cluster_size must be >= 2, got {max_cluster_size}"
+            )
+        w = Window.partitionBy("centroid_id")
+        assigned = (
+            assigned.withColumn("__csz", F.count(F.lit(1)).over(w))
+            .where(F.col("__csz") <= max_cluster_size)
+            .drop("__csz")
+        )
+    a = assigned.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("__sid").alias("id_a"),
+        F.col("__sv").alias("__va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("__sid").alias("id_b"),
+        F.col("__sv").alias("__vb"),
+    )
+    cand = a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b"))
+    if compute == "arrow":
+        scored = _pairwise_cosine_arrow(
+            cand.select("cluster_id", "id_a", "id_b", "__va", "__vb"),
+            a_col="__va", b_col="__vb", round_to=round_to,
+        )
+    else:
+        score = cosine(F.col("__va"), F.col("__vb"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.select("cluster_id", "id_a", "id_b", score.alias("cosine"))
+    return scored.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cluster_id", "cosine"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    compute: str = "expr",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Drop every row with a semantic near-duplicate of smaller id —
+    the same pairwise canonicalization policy as :func:`minhash_dedup`
+    (feed :func:`semantic_dup_pairs` into
+    :func:`dedup.connected_components` for transitive grouping
+    instead). Returns the surviving rows of ``df`` unchanged."""
+    pairs = semantic_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        threshold=threshold, seed=seed, hash_fn=hash_fn, compute=compute,
+        max_cluster_size=max_cluster_size,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
