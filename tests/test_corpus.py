@@ -292,3 +292,28 @@ def test_with_token_counts_feeds_pack(spark):
         packed.groupBy("chunk").sum("n_tokens").collect()
     )
     assert all(r["sum(n_tokens)"] <= got[0] * 2 for r in per_chunk)
+
+
+def test_dedup_semantic_drops_planted_copies(spark, sf_dir):
+    """Corpus.dedup_semantic over a (id, vector) side table: the planted
+    identical-embedding doc (larger id) is dropped, docs without an
+    embedding row are kept (no vector, no redundancy evidence)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    copies = emb.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 70000).alias("doc_id"), "embedding"
+    )
+    vectors = emb.unionByName(copies)
+    docs = vectors.select("doc_id").unionByName(
+        spark.createDataFrame([(99999,)], "doc_id long")  # no embedding row
+    ).withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+    kept = {
+        r["doc_id"]
+        for r in Corpus(docs)
+        .dedup_semantic(vectors, n_clusters=8, threshold=0.999)
+        .df.collect()
+    }
+    assert all(i in kept for i in range(3))          # originals survive
+    assert not any(i + 70000 in kept for i in range(3))  # copies dropped
+    assert 99999 in kept                              # unscored doc kept

@@ -86,6 +86,38 @@ class Corpus:
             raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
         return self._keep_ids(ids)
 
+    def dedup_semantic(
+        self,
+        embeddings: DataFrame,
+        *,
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+        threshold: float = 0.9,
+        **semantic_kwargs,
+    ) -> "Corpus":
+        """SemDeDup-style semantic near-dup removal: ``embeddings`` is a
+        (id, vector) table keyed by this corpus's ``id_col`` (typically
+        precomputed by an embedding model over the same documents). Drops
+        every document whose embedding has a within-cluster cosine
+        neighbor >= ``threshold`` with a smaller id (the pairwise policy
+        of :func:`similarity.semantic_dedup`). Documents WITHOUT an
+        embedding row are kept — no vector, no evidence of redundancy
+        (the keep-unscored policy of filter_fluency/filter_classifier).
+        """
+        from timefence_spark.operators import similarity
+
+        losers = (
+            similarity.semantic_dup_pairs(
+                embeddings.select(F.col(self.id_col), F.col(vec_col)),
+                id_col=self.id_col, vec_col=vec_col,
+                n_clusters=n_clusters, threshold=threshold,
+                **semantic_kwargs,
+            )
+            .select(F.col("id_b").alias(self.id_col))
+            .distinct()
+        )
+        return self._wrap(self.df.join(losers, self.id_col, "left_anti"))
+
     # ---- quality / language / contamination ------------------------------
 
     def filter_quality(self, *, min_score: float = 0.75, **kwargs) -> "Corpus":
