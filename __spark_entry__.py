@@ -1164,6 +1164,73 @@ def _oracle_duplicate_spans_sql() -> str:
     """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: the planted boilerplate
+    head is cut from every even doc (its windows repeat earlier docs'),
+    first occurrences keep their text. The oracle re-derives covered
+    token indices and rebuilds each document independently."""
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", k=8
+    )
+
+
+def _oracle_remove_dup_spans_sql() -> str:
+    return rf"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '{_SPAN_BOILER} ' || text ELSE text END AS text
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS otoks,
+               string_split_regex(lower(text), '\s+') AS toks
+        FROM p
+    ), w AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i + 1 : i + 8], ' ') AS gram
+        FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
+        WHERE len(toks) >= 8
+    ), f AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id ASC, pos ASC
+               ) > 1 AS dup
+        FROM w
+    ), cov AS (
+        SELECT DISTINCT doc_id, pos + j AS idx
+        FROM f, unnest(range(0, 8)) AS v(j)
+        WHERE dup
+    ), tok AS (
+        SELECT doc_id, i - 1 AS idx, otoks[i] AS tok
+        FROM t, unnest(range(1, len(otoks) + 1)) AS u(i)
+    ), kept AS (
+        SELECT k.doc_id,
+               array_to_string(list(k.tok ORDER BY k.idx), ' ') AS text,
+               COUNT(*) AS n_kept
+        FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.idx = c.idx
+        WHERE c.doc_id IS NULL
+        GROUP BY k.doc_id
+    ), tot AS (
+        SELECT doc_id, len(otoks) AS n_tokens FROM t
+    )
+    SELECT d.doc_id,
+           coalesce(kept.text, '') AS text,
+           coalesce(tot.n_tokens, 0) AS n_tokens,
+           coalesce(tot.n_tokens, 0) - coalesce(kept.n_kept, 0) AS n_removed
+    FROM documents d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN kept USING (doc_id)
+    """
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate grouping: every document labeled with the
     min doc_id reachable through verified MinHash-LSH pairs (iterative
@@ -2864,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,  # new in round 6
         "duplicate_spans": q_duplicate_spans,  # new in round 6
         "duplicate_spans_hash": q_duplicate_spans_hash,  # new in round 7
+        "remove_dup_spans": q_remove_dup_spans,  # new in round 7
         "line_dedup_hash": q_line_dedup_hash,  # new in round 7
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
@@ -2971,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _oracle_classifier_sql(),
         "duplicate_spans": _oracle_duplicate_spans_sql(),
         "duplicate_spans_hash": _oracle_duplicate_spans_sql(),
+        "remove_dup_spans": _oracle_remove_dup_spans_sql(),
         "line_dedup_hash": ORACLE_LINE_DEDUP,
         "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),

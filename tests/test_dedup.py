@@ -572,3 +572,68 @@ def test_duplicate_spans_hash_mode_matches_text_mode(spark):
         dedup.duplicate_spans(
             docs, id_col="doc_id", text_col="text", k=3, key_by="sha"
         )
+
+
+def test_remove_duplicate_spans_known_answers(spark):
+    """Removal half of exact-substring dedup: doc2's copied opening is
+    cut (its windows repeat doc1's), first occurrences and short docs
+    keep their text, in-doc repeats are cut under both scopes, and the
+    hash keying changes nothing."""
+    from timefence_spark import Corpus
+    from timefence_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "A b c d e f g h"),
+        (2, "a b c d e f x y"),
+        (3, "tiny"),
+        (4, "p q r p q r p q"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, id_col="doc_id", text_col="text", k=3
+        ).collect()
+    }
+    assert out[1]["text"] == "A b c d e f g h" and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "x y" and out[2]["n_removed"] == 6
+    assert out[3]["text"] == "tiny" and out[3]["n_tokens"] == 1
+    assert out[4]["text"] == "p q r" and out[4]["n_removed"] == 5
+    assert out[5]["text"] == "" and out[5]["n_tokens"] == 0
+
+    doc_scope = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            docs, id_col="doc_id", text_col="text", k=3, scope="document"
+        ).collect()
+    }
+    assert doc_scope[2] == "a b c d e f x y"  # cross-doc repeat survives
+    assert doc_scope[4] == "p q r"
+
+    by_hash = sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(
+                docs, id_col="doc_id", text_col="text", k=3, key_by="hash"
+            ).collect(),
+        )
+    )
+    assert by_hash == sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(
+                docs, id_col="doc_id", text_col="text", k=3
+            ).collect(),
+        )
+    )
+
+    # facade: text rewritten in place, payload columns preserved
+    payload = docs.withColumn("src", F.lit("web"))
+    got = {
+        r["doc_id"]: (r["text"], r["src"])
+        for r in Corpus(payload).remove_substring_dups(k=3).df.collect()
+    }
+    assert got[2] == ("x y", "web") and got[1][0] == "A b c d e f g h"
+    with pytest.raises(ValueError, match="scope"):
+        remove_duplicate_spans(docs, id_col="doc_id", text_col="text", scope="x")

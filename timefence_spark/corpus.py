@@ -263,6 +263,27 @@ class Corpus:
         )
         return self._wrap(out)
 
+    def remove_substring_dups(
+        self, *, k: int = 8, scope: str = "corpus", key_by: str = "text"
+    ) -> "Corpus":
+        """Exact-substring REMOVAL (the companion to
+        ``filter_substring_dup``'s drop-the-document policy): every token
+        covered by a duplicated k-token window is cut from the text,
+        first occurrences keep theirs — see
+        :func:`dedup.remove_duplicate_spans`. Whitespace is normalized
+        to single spaces by the rebuild. Payload columns are preserved
+        via a join on id."""
+        rebuilt = dedup.remove_duplicate_spans(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            k=k, scope=scope, key_by=key_by,
+        ).select(self.id_col, F.col("text").alias("__rebuilt"))
+        out = (
+            self.df.join(rebuilt, self.id_col)
+            .withColumn(self.text_col, F.col("__rebuilt"))
+            .drop("__rebuilt")
+        )
+        return self._wrap(out)
+
     def filter_pii(self, *, max_pii: int = 0, rules=None) -> "Corpus":
         """Drop documents with more than ``max_pii`` PII matches (the
         drop-don't-redact policy some pipelines prefer). NULL-text

@@ -1048,6 +1048,120 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    scope: str = "corpus",
+    key_by: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): delete
+    from each document every token covered by a duplicated ``k``-token
+    window, keeping the corpus-wide first occurrence (ordered by
+    (doc id, position); ``scope='document'`` removes only in-document
+    repeats). :func:`duplicate_spans` is the matching detection half —
+    same windows, same winner rule.
+
+    Returns (id, text, n_tokens, n_removed): ``text`` is the surviving
+    tokens joined with single spaces (tokenization is whitespace-split,
+    so original inter-token whitespace is normalized; token case is
+    preserved — only the duplicate-match is case-insensitive, matching
+    duplicate_spans). Documents with < k tokens pass through unchanged
+    modulo that whitespace normalization; NULL text yields "".
+
+    Physical shape: the duplicate_spans agg+join detects dup windows,
+    each dup window explodes to its <= k covered token indices (ids+ints
+    only), one distinct, and the surviving-token reassembly is the
+    line_dedup groupBy pattern. ``key_by='hash'`` keys the window
+    aggregation+join by 128-bit gram hashes — no gram text on any wire.
+    """
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    if key_by not in ("text", "hash"):
+        raise ValueError(f"key_by must be 'text' or 'hash', got {key_by!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # original-case tokens for the rebuild; the gram key lowercases, so
+    # detection semantics match duplicate_spans exactly (lower() then
+    # split == split then lower() under a whitespace tokenizer)
+    tokenized = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), r"\s+").alias("__otoks"),
+    )
+    toks = F.col("__otoks")
+    gram_text = lambda i: F.lower(  # noqa: E731
+        F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    if key_by == "hash":
+        gram_of = lambda i: F.struct(  # noqa: E731
+            F.xxhash64(gram_text(i)).alias("k1"),
+            F.xxhash64(gram_text(i), F.lit(1)).alias("k2"),
+        )
+    else:
+        gram_of = gram_text
+    windows = tokenized.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+                gram_of,
+            )
+        ).alias("__pos", "__gram"),
+    ).where(F.size(toks) >= k)
+    group_cols = ["__gram"] if scope == "corpus" else [id_col, "__gram"]
+    winners = windows.groupBy(*group_cols).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp"))
+        ).alias("__w")
+    )
+    occurrence = F.struct(
+        F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
+    )
+    dup_windows = windows.join(winners, group_cols).where(
+        occurrence != F.col("__w")
+    )
+    covered = dup_windows.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+        ).alias("__idx"),
+    ).distinct()
+    tokens = tokenized.select(
+        F.col(id_col), F.posexplode(toks).alias("__idx", "__tok")
+    )
+    kept = tokens.join(covered, [id_col, "__idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def minhash_components(
     df: DataFrame,
     *,
