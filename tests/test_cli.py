@@ -330,3 +330,55 @@ def test_corpus_clean_new_gates(tmp_path, spark):
     bad.write_text("[]")
     r = _run(base + ["--min-clf-score", "0.5", "--clf-weights", str(bad)], tmp_path)
     assert r.exit_code != 0 and "non-empty JSON object" in r.output
+
+
+def test_corpus_clean_round7_gates(tmp_path, spark):
+    """Round-7 stages from the CLI: exact-substring removal rewrites the
+    text in place, and --semantic-embeddings drops the planted
+    identical-embedding doc."""
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, boiler + " unique tail alpha beta gamma delta"),
+        (2, boiler + " other ending words here epsilon zeta"),
+        (3, "completely different text with enough tokens to stand alone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "r7.parquet")
+    out = str(tmp_path / "r7o.parquet")
+    docs.write.parquet(inp)
+    base = ["corpus-clean", "--input", inp, "--output", out, "--dedup", "none"]
+
+    r = _run(base + ["--remove-substring-dups", "--json"], tmp_path)
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["rows_out"] == 3  # removal edits text, drops nothing
+    assert "remove_substring_dups" in summary["stages"]
+    cleaned = {r_["doc_id"]: r_["text"] for r_ in spark.read.parquet(out).collect()}
+    assert cleaned[1].startswith(boiler)          # first occurrence intact
+    assert not cleaned[2].startswith("one two")   # later occurrence cut
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v1 = [float(x) for x in rng.normal(size=8)]
+    v3 = [float(x) for x in rng.normal(size=8)]
+    emb = spark.createDataFrame(
+        [(1, v1), (2, v1), (3, v3)], "doc_id long, embedding array<double>"
+    )
+    epath = str(tmp_path / "emb.parquet")
+    emb.write.parquet(epath)
+    r = _run(
+        base
+        + [
+            "--semantic-embeddings", epath,
+            "--semantic-threshold", "0.999",
+            "--semantic-clusters", "2",
+            "--json",
+        ],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["rows_out"] == 2  # doc 2 shares doc 1's vector -> dropped
+    kept = {r_["doc_id"] for r_ in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}

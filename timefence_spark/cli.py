@@ -825,6 +825,25 @@ def quickstart(target_dir) -> None:
     help="Drop docs whose duplicated 8-token-window fraction exceeds this.",
 )
 @click.option(
+    "--remove-substring-dups", is_flag=True,
+    help="Cut duplicated 8-token windows from the text instead of "
+    "dropping documents (exact-substring removal; first occurrences "
+    "keep their text).",
+)
+@click.option(
+    "--semantic-embeddings", default=None,
+    help="Parquet of (id, embedding) rows keyed like the corpus: drop "
+    "SemDeDup-style semantic near-duplicates.",
+)
+@click.option(
+    "--semantic-threshold", type=float, default=0.9, show_default=True,
+    help="Within-cluster cosine floor for --semantic-embeddings.",
+)
+@click.option(
+    "--semantic-clusters", type=int, default=16, show_default=True,
+    help="Cluster count for --semantic-embeddings.",
+)
+@click.option(
     "--max-nll", type=float, default=None,
     help="Unigram-LM fluency ceiling (mean NLL; CCNet-style gate).",
 )
@@ -847,7 +866,9 @@ def quickstart(target_dir) -> None:
 @click.option("--json", "json_out", is_flag=True, help="Machine-readable summary.")
 def corpus_clean(
     input_path, output_path, id_col, text_col, dedup_mode, gopher,
-    min_quality, languages, max_substring_dup, max_nll, clf_weights,
+    min_quality, languages, max_substring_dup, remove_substring_dups,
+    semantic_embeddings, semantic_threshold, semantic_clusters,
+    max_nll, clf_weights,
     clf_bias, min_clf_score, benchmark, ngram, redact_pii, blocklist,
     sample_fraction, split_spec, salt, json_out,
 ) -> None:
@@ -894,6 +915,17 @@ def corpus_clean(
     if max_substring_dup is not None:
         c = c.filter_substring_dup(max_dup_fraction=max_substring_dup)
         stages.append(f"substring_dup<={max_substring_dup}")
+    if remove_substring_dups:
+        c = c.remove_substring_dups()
+        stages.append("remove_substring_dups")
+    if semantic_embeddings:
+        emb_df = read_parquet(spark, semantic_embeddings)
+        c = c.dedup_semantic(
+            emb_df, n_clusters=semantic_clusters, threshold=semantic_threshold
+        )
+        stages.append(
+            f"semantic_dedup(k={semantic_clusters},t={semantic_threshold})"
+        )
     if max_nll is not None:
         c = c.filter_fluency(max_nll=max_nll)
         stages.append(f"fluency nll<={max_nll}")
