@@ -461,3 +461,56 @@ def test_connected_components_algorithms_agree(spark, edges):
         )
     assert results["star"] == results["propagation"]
     assert results["local"] == results["propagation"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_remove_duplicate_spans_matches_python_reference(spark, data, k):
+    """Distributed exact-substring removal must agree with a sequential
+    reference over any partitioning: a token survives iff no duplicated
+    (later-than-first-occurrence) k-window covers it, and detection
+    (duplicate_spans) and removal must agree on which docs are touched."""
+    from timefence_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = [(i, " ".join(f"w{w}" for w in words)) for i, words in enumerate(data)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            df, id_col="doc_id", text_col="text", k=k
+        ).collect()
+    }
+    det = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in duplicate_spans(
+            df, id_col="doc_id", text_col="text", k=k
+        ).collect()
+    }
+    seen: set = set()
+    for doc_id, words in enumerate(data):
+        toks = [f"w{w}" for w in words]
+        covered: set = set()
+        for pos in range(max(len(toks) - k + 1, 0)):
+            gram = " ".join(toks[pos : pos + k])
+            if gram in seen:
+                covered.update(range(pos, pos + k))
+            else:
+                seen.add(gram)
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        expected = (" ".join(kept), len(toks), len(covered))
+        assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
+        assert (det[doc_id] > 0) == (len(covered) > 0)
