@@ -241,3 +241,16 @@ def test_png_pipeline_decode_resize_stats(spark):
     assert stats[2]["std_rgb"] == pytest.approx(want.std())
     with pytest.raises(ValueError, match="stats_fn"):
         multimodal.image_channel_stats(df, id_col="media_id", binary_col="content")
+
+    # NULL payload -> NULL stats, not a failed stage
+    with_null = df.unionByName(
+        spark.createDataFrame([(9, None)], "media_id long, content binary")
+    )
+    null_row = {
+        r["media_id"]: r
+        for r in multimodal.image_channel_stats(
+            with_null, id_col="media_id", binary_col="content",
+            stats_fn=codecs.png_channel_stats,
+        ).collect()
+    }[9]
+    assert null_row["mean_r"] is None and null_row["std_rgb"] is None

@@ -267,7 +267,9 @@ def image_channel_stats(
     :func:`codecs.ppm_channel_stats` and :func:`codecs.png_channel_stats`
     plug in directly; there is no fake fallback because channel stats
     without a decoder are meaningless (unlike dimensions, which the fake
-    decoder pseudo-derives)."""
+    decoder pseudo-derives). NULL/empty payloads yield NULL stats (the
+    codec stats functions raise on empty bytes — a missing image has no
+    statistics, and one bad row must not fail the stage)."""
     import pandas as pd
 
     if stats_fn is None:
@@ -280,14 +282,14 @@ def image_channel_stats(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            stats = [stats_fn(b if b is not None else b"") for b in pdf[binary_col]]
+            stats = [stats_fn(b) if b else None for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "mean_r": [s["mean_r"] for s in stats],
-                    "mean_g": [s["mean_g"] for s in stats],
-                    "mean_b": [s["mean_b"] for s in stats],
-                    "std_rgb": [s["std"] for s in stats],
+                    "mean_r": [s["mean_r"] if s else None for s in stats],
+                    "mean_g": [s["mean_g"] if s else None for s in stats],
+                    "mean_b": [s["mean_b"] if s else None for s in stats],
+                    "std_rgb": [s["std"] if s else None for s in stats],
                 }
             )
 
