@@ -120,9 +120,14 @@ def _force(df) -> None:
 
 SCALE_CONFIGS = [
     # (label, n_labels, n_features, timed_runs, build_kwargs)
-    ("100k_x1", 100_000, 1, 3, {}),
-    ("100k_x10", 100_000, 10, 3, {}),
-    ("1m_x1", 1_000_000, 1, 3, {}),
+    # Scenarios in the spread gate get 4 timed runs: the 100k_x1 warmup
+    # doesn't fully absorb JIT for larger shapes, so the first timed run
+    # regularly lands 1.5-2x the steady state — a 4th run lets the
+    # 3-fastest trim drop it (measured: 100k_x10 [6.3, 4.1, 3.7] tripped
+    # the 50% gate purely on that ramp run).
+    ("100k_x1", 100_000, 1, 4, {}),
+    ("100k_x10", 100_000, 10, 4, {}),
+    ("1m_x1", 1_000_000, 1, 4, {}),
     ("1m_x10", 1_000_000, 10, 3, {}),
     # Reference extended-matrix variants at the published 1M x 10 shape
     # (reference benchmarks/bench.py:228-236): per-feature embargo rides
@@ -300,7 +305,7 @@ def _run_audit_scenario(spark) -> dict:
     tf.build(labels, features, target, max_lookback="365d", spark=spark)
     runs = []
     shuffle = None
-    for run_i in range(3):
+    for run_i in range(4):  # 4 runs: see the SCALE_CONFIGS ramp note
         before = _stages_snapshot(spark) if run_i == 0 else None
         t0 = time.perf_counter()
         tf.audit(
