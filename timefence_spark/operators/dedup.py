@@ -998,26 +998,28 @@ def duplicate_spans(
     # k) — a runtime error that today only avoids firing because the
     # size>=k filter happens to push below the Generate. Same guard as
     # the sibling shingle code (text.py fingerprint, minhash shingles).
-    if key_by == "hash":
-        # hash inside the transform: the gram string exists only as an
-        # intermediate expression value; exploded rows carry 16 bytes
-        gram_of = lambda i: F.struct(  # noqa: E731
-            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("k1"),
-            F.xxhash64(
-                F.concat_ws(" ", F.slice(toks, i + 1, k)), F.lit(1)
-            ).alias("k2"),
-        )
-    else:
-        gram_of = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
     windows = tokenized.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-                gram_of,
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
             )
         ).alias("__pos", "__gram"),
     ).where(F.size(toks) >= k)
+    if key_by == "hash":
+        # hash AFTER the explode (one gram build per window, two cheap
+        # row-level hashes — hashing inside the transform would rebuild
+        # each slice+concat twice) and drop the string in the same
+        # projection: exploded rows shuffle 16 bytes, never gram text
+        windows = windows.select(
+            F.col(id_col),
+            "__pos",
+            F.struct(
+                F.xxhash64("__gram").alias("k1"),
+                F.xxhash64("__gram", F.lit(1)).alias("k2"),
+            ).alias("__gram"),
+        )
     group_cols = ["__gram"] if scope == "corpus" else [id_col, "__gram"]
     winners = windows.groupBy(*group_cols).agg(
         F.min(
@@ -1092,25 +1094,26 @@ def remove_duplicate_spans(
         F.split(F.col(text_col), r"\s+").alias("__otoks"),
     )
     toks = F.col("__otoks")
-    gram_text = lambda i: F.lower(  # noqa: E731
-        F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    if key_by == "hash":
-        gram_of = lambda i: F.struct(  # noqa: E731
-            F.xxhash64(gram_text(i)).alias("k1"),
-            F.xxhash64(gram_text(i), F.lit(1)).alias("k2"),
-        )
-    else:
-        gram_of = gram_text
     windows = tokenized.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-                gram_of,
+                lambda i: F.lower(F.concat_ws(" ", F.slice(toks, i + 1, k))),
             )
         ).alias("__pos", "__gram"),
     ).where(F.size(toks) >= k)
+    if key_by == "hash":
+        # hash after the explode (one gram build per window) and drop the
+        # string in the same projection — see duplicate_spans
+        windows = windows.select(
+            F.col(id_col),
+            "__pos",
+            F.struct(
+                F.xxhash64("__gram").alias("k1"),
+                F.xxhash64("__gram", F.lit(1)).alias("k2"),
+            ).alias("__gram"),
+        )
     group_cols = ["__gram"] if scope == "corpus" else [id_col, "__gram"]
     winners = windows.groupBy(*group_cols).agg(
         F.min(
