@@ -2017,6 +2017,38 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.line_dedup(docs, id_col="doc_id", text_col="text")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/context-window prep):
+    16-token chunks, 4-token overlap (stride 12), trailing chunks under
+    8 tokens dropped. Pure scan-side expressions; the oracle enumerates
+    the identical start offsets."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=16, overlap=4, min_tokens=8,
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               CAST(i * 12 AS INT) AS tok_start,
+               toks[i * 12 + 1 : i * 12 + 16] AS chunk
+        FROM t, unnest(range(0, CAST(ceil(len(toks)::DOUBLE / 12) AS BIGINT))) AS u(i)
+        WHERE len(toks) >= 1
+    )
+    SELECT doc_id, chunk_idx, tok_start,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    WHERE len(chunk) >= 8
+"""
+
+
 def q_line_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query, key_by='hash': the winner aggregation and attach-back
     join key on a 128-bit line hash instead of the line text. Shares the
@@ -2933,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_hash": q_duplicate_spans_hash,  # new in round 7
         "remove_dup_spans": q_remove_dup_spans,  # new in round 7
         "line_dedup_hash": q_line_dedup_hash,  # new in round 7
+        "chunk_documents": q_chunk_documents,  # new in round 7
         "pit_strict": q_pit_strict,
         "pit_embargo": q_pit_embargo,
         "pit_inclusive": q_pit_inclusive,
@@ -3041,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans_hash": _oracle_duplicate_spans_sql(),
         "remove_dup_spans": _oracle_remove_dup_spans_sql(),
         "line_dedup_hash": ORACLE_LINE_DEDUP,
+        "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "dedup_keep_best": _oracle_dedup_keep_best_sql(),
         "simhash_pairs": _oracle_simhash_pairs_sql(),
         "knn_lsh": _oracle_knn_lsh_sql(),

@@ -366,3 +366,47 @@ def test_line_dedup_hash_mode_matches_text_mode(spark):
     assert by_text == by_hash
     with pytest.raises(ValueError, match="key_by"):
         t_ops.line_dedup(docs, key_by="md5", **kw)
+
+
+def test_chunk_documents_known_answers(spark):
+    """Token-window chunking: stride = chunk_tokens - overlap, boundary
+    tokens repeat across chunks, trailing fragments below min_tokens are
+    dropped, token-less docs produce no rows, and the plan is a pure
+    projection (no exchange)."""
+    from timefence_spark.operators import text as t_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z"), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = t_ops.chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=4, overlap=1
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 3, 4, "d e f g"),
+        (1, 2, 6, 4, "g h i j"),
+        (1, 3, 9, 1, "j"),
+        (2, 0, 0, 3, "x y z"),
+        (4, 0, 0, 1, "solo"),
+    ]
+    # min_tokens drops the trailing fragment
+    trimmed = t_ops.chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=4, overlap=1, min_tokens=2,
+    )
+    assert (1, 3, 9, 1, "j") not in set(map(tuple, trimmed.collect()))
+    # scan-side: no shuffle anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for bad in (
+        dict(chunk_tokens=0),
+        dict(overlap=4),
+        dict(min_tokens=0),
+    ):
+        with pytest.raises(ValueError):
+            t_ops.chunk_documents(
+                docs, id_col="doc_id", text_col="text",
+                **{"chunk_tokens": 4, "overlap": 1, **bad},
+            )

@@ -474,6 +474,18 @@ class Corpus:
             )
         )
 
+    def chunk(
+        self, *, chunk_tokens: int = 512, overlap: int = 0, **kwargs
+    ) -> DataFrame:
+        """Terminal stage: split documents into (optionally overlapping)
+        token-window chunks — RAG/context-window prep; see
+        :func:`text.chunk_documents`. Returns the chunk DataFrame (not a
+        Corpus — one row per chunk, schema changes)."""
+        return text.chunk_documents(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            chunk_tokens=chunk_tokens, overlap=overlap, **kwargs,
+        )
+
     def pack(
         self, *, token_col: str, budget: int, boundaries: bool = True, **kwargs
     ) -> DataFrame:

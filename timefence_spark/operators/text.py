@@ -907,3 +907,70 @@ def token_count_exact(
 
     in_cols = [id_col, *dict.fromkeys([*keep, text_col])]
     return df.select(*in_cols).mapInPandas(batches, ", ".join(schema_parts))
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window chunks
+    — the context-window prep step for RAG indexing and fixed-length
+    training examples. One row per chunk:
+    (id, chunk_idx, tok_start, n_tokens, chunk_text), where chunk
+    ``i`` starts at token ``i * (chunk_tokens - overlap)`` and carries up
+    to ``chunk_tokens`` whitespace tokens re-joined with single spaces.
+    A trailing chunk shorter than ``min_tokens`` is dropped (fully
+    covered by the previous chunk's overlap or too small to embed);
+    documents with no tokens (NULL text) produce no rows.
+
+    100 TB shape: a pure scan-side projection — split, a
+    sequence/transform over start offsets, one posexplode. Zero shuffle,
+    cost linear in tokens emitted (overlap re-emits ``overlap`` tokens
+    per boundary; keep it << chunk_tokens)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    stride = chunk_tokens - overlap
+    tokenized = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, ... strictly below n (greatest
+    # guard: sequence() must never run descending for empty docs)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = tokenized.where(n >= 1).select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("tok_start"),
+                    F.slice(toks, s + 1, chunk_tokens).alias("__chunk"),
+                ),
+            )
+        ).alias("chunk_idx", "__c"),
+    )
+    return exploded.where(
+        (F.col("__c.tok_start") < F.col("__n"))
+        & (F.size("__c.__chunk") >= min_tokens)
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("__c.tok_start").alias("tok_start"),
+        F.size("__c.__chunk").alias("n_tokens"),
+        F.array_join(F.col("__c.__chunk"), " ").alias("chunk_text"),
+    )
