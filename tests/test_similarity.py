@@ -508,3 +508,76 @@ def test_semantic_dedup_planted_duplicates(spark, sf_dir):
         sim.semantic_dup_pairs(planted, id_col="vec_id", n_clusters=0)
     with pytest.raises(ValueError, match="max_cluster_size"):
         sim.semantic_dup_pairs(planted, id_col="vec_id", max_cluster_size=1)
+
+
+def test_assign_factory_gates_literal_budget(spark, emb, monkeypatch):
+    """compute='expr' past the nlist*dim literal budget must fall back to
+    the Arrow kernel (broadcast centroid matrix) with a warning, and the
+    fallback's assignment must agree with the expr kernel on clean data."""
+    from pyspark.sql import Window as W
+
+    sampled = (
+        emb.limit(4)
+        .withColumn("centroid_id", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("centroid_id", F.col("embedding").alias("centroid"))
+    )
+    rows = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    ).limit(50)
+
+    expr_assign = similarity._ivf_assign_factory(
+        sampled, compute="expr", nlist=4
+    )
+    expected = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in expr_assign(rows, "neighbor_id", "__cv", 1).collect()
+    }
+
+    # 4 centroids x 64 dims = 256 literals > budget of 8 -> arrow fallback
+    monkeypatch.setattr(similarity, "_ASSIGN_EXPR_MAX_LITERALS", 8)
+    with pytest.warns(UserWarning, match="literal budget"):
+        gated = similarity._ivf_assign_factory(sampled, compute="expr", nlist=4)
+    out = gated(rows, "neighbor_id", "__cv", 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    got = {r["neighbor_id"]: r["centroid_id"] for r in out.collect()}
+    assert got == expected
+
+    # nlist alone past the budget: gate fires WITHOUT collecting centroids
+    with pytest.warns(UserWarning, match="literal budget"):
+        gated2 = similarity._ivf_assign_factory(
+            sampled, compute="expr", nlist=100
+        )
+    got2 = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in gated2(rows, "neighbor_id", "__cv", 1).collect()
+    }
+    assert got2 == expected
+
+
+def test_assign_factory_semdedup_scale_plan_builds(spark):
+    """The SemDeDup-cited configuration (50K clusters x 768 dims) must
+    build an assignment plan: the expr kernel would need a ~400 MB SQL
+    string, so the factory must route to the Arrow kernel, collect the
+    centroid matrix columnar-side (toArrow), and ship it via sc.broadcast
+    — the plan is built and schema-checked without executing assignment."""
+    n, d = 50_000, 768
+    sampled = spark.range(n).select(
+        F.col("id").cast("int").alias("centroid_id"),
+        F.expr(
+            f"transform(sequence(1, {d}), "
+            "i -> cast(pmod(hash(id, i), 997) as double) / 997.0)"
+        ).alias("centroid"),
+    )
+    with pytest.warns(UserWarning, match="literal budget"):
+        assign = similarity._ivf_assign_factory(sampled, compute="expr", nlist=n)
+    queries = spark.range(10).select(
+        F.col("id").alias("qid"),
+        F.expr(
+            f"transform(sequence(1, {d}), i -> cast(i as double))"
+        ).alias("vec"),
+    )
+    out = assign(queries, "qid", "vec", 1)
+    assert [f.name for f in out.schema.fields] == ["qid", "vec", "centroid_id"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan

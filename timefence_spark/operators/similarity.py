@@ -31,6 +31,7 @@ that the fold would score against a same-width partner scores NULL instead
 from __future__ import annotations
 
 import logging
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -758,10 +759,7 @@ def ivf_topk(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
         seed=seed, hash_fn=hash_fn,
     )
-    if compute == "arrow":
-        assign = _ivf_assign_arrow_factory(sampled)
-    else:
-        assign = _ivf_assign_expr_factory(sampled)
+    assign = _ivf_assign_factory(sampled, compute=compute, nlist=nlist)
 
     corpus_assigned = assign(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")),
@@ -858,11 +856,7 @@ def ivf_build_index(
         seed=seed, hash_fn=hash_fn,
     )
     sampled.write.mode("overwrite").parquet(f"{path}/centroids")
-    assign = (
-        _ivf_assign_arrow_factory(sampled)
-        if compute == "arrow"
-        else _ivf_assign_expr_factory(sampled)
-    )
+    assign = _ivf_assign_factory(sampled, compute=compute, nlist=nlist)
     assigned = assign(
         corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
@@ -896,11 +890,9 @@ def ivf_search(
     no full-index scan — and the survivors re-rank exactly. Matches
     :func:`ivf_topk` output for the same parameters."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    assign = (
-        _ivf_assign_arrow_factory(centroids)
-        if compute == "arrow"
-        else _ivf_assign_expr_factory(centroids)
-    )
+    # nlist=None: the centroids table is a tiny persisted parquet file, so
+    # counting it (to apply the expr-literal gate) is a metadata-cheap scan.
+    assign = _ivf_assign_factory(centroids, compute=compute, nlist=None)
     # pin(): the assignment projection feeds BOTH the probed-id collect
     # and the candidate join; without the localCheckpoint it would be
     # recomputed in each job (two assignment stages per search).
@@ -964,7 +956,65 @@ def _sql_double(x) -> str:
     return f"{x!r}D"
 
 
-def _ivf_assign_expr_factory(sampled: DataFrame):
+#: Ceiling on nlist x dim before the literal-embedding expr kernel is
+#: refused in favor of the Arrow kernel. Past a few thousand doubles the
+#: generated SQL string stops being parseable in reasonable time (SemDeDup's
+#: own cited configuration — 50K clusters x 768 dims — would be a ~400 MB
+#: expression string), and the per-plan shipping cost dwarfs any
+#: oracle-exactness benefit. 8192 keeps every sane IVF configuration
+#: (nlist<=64 at dim<=128, nlist=16 at dim<=512) on the exact JVM path.
+_ASSIGN_EXPR_MAX_LITERALS = 8192
+
+
+def _ivf_assign_factory(sampled: DataFrame, *, compute: str, nlist: int | None = None):
+    """Choose the centroid-assignment kernel, gating the expr path on
+    centroid volume. ``compute='arrow'`` always takes the matmul kernel.
+    ``compute='expr'`` takes the literal-embedding kernel only while
+    nlist x dim <= :data:`_ASSIGN_EXPR_MAX_LITERALS`; past that the expr
+    SQL string is unbuildable at scale, so the factory falls back to the
+    Arrow kernel (which ships the centroid matrix via ``sc.broadcast`` —
+    once per executor, not per task) and warns, because the fallback's
+    last-ulp score differences are observable by an external oracle on
+    near-equidistant rows.
+
+    ``nlist`` is the caller's requested list count (an upper bound on the
+    sampled rows); when omitted it is counted from ``sampled`` — only do
+    that when ``sampled`` is cheap to scan (e.g. a persisted centroids
+    table), not a limit-over-the-corpus plan."""
+    if compute == "arrow":
+        return _ivf_assign_arrow_factory(sampled)
+    if nlist is None:
+        nlist = sampled.count()
+    if nlist > _ASSIGN_EXPR_MAX_LITERALS:
+        # dim >= 1, so nlist alone already exceeds the literal budget:
+        # skip the driver collect entirely (at SemDeDup scale it is the
+        # expensive part) and go straight to the broadcast kernel.
+        warnings.warn(
+            f"centroid assignment: nlist={nlist} exceeds the expr-kernel "
+            f"literal budget ({_ASSIGN_EXPR_MAX_LITERALS}); using the "
+            "Arrow kernel with a broadcast centroid matrix. Pass "
+            "compute='arrow' to silence this.",
+            stacklevel=3,
+        )
+        return _ivf_assign_arrow_factory(sampled)
+    rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    dim = max(
+        (len(r["centroid"]) for r in rows if r["centroid"] is not None),
+        default=0,
+    )
+    if len(rows) * dim > _ASSIGN_EXPR_MAX_LITERALS:
+        warnings.warn(
+            f"centroid assignment: nlist*dim = {len(rows)}x{dim} exceeds "
+            f"the expr-kernel literal budget ({_ASSIGN_EXPR_MAX_LITERALS}); "
+            "using the Arrow kernel with a broadcast centroid matrix. "
+            "Pass compute='arrow' to silence this.",
+            stacklevel=3,
+        )
+        return _ivf_assign_arrow_factory(sampled, _rows=rows)
+    return _ivf_assign_expr_factory(sampled, _rows=rows)
+
+
+def _ivf_assign_expr_factory(sampled: DataFrame, _rows=None):
     """Build the pure-expression centroid-assignment function: centroids
     are collected once (nlist rows) and embedded as array literals; each
     row is scored against every centroid and the top ``n_lists`` picked
@@ -985,7 +1035,11 @@ def _ivf_assign_expr_factory(sampled: DataFrame):
     order, including Spark's desc-order NaN-first / NULL-last placement:
     cosine lives in [-1, 1], so NULL maps to -2 (last) and NaN to +2
     (first) in the sort key; -i breaks ties toward the smaller id."""
-    cent_rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    cent_rows = (
+        _rows
+        if _rows is not None
+        else sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    )
     # NULL centroid vectors stay in the list (scoring NULL against every
     # row, ranked last — the old cross-join behavior) rather than being
     # silently dropped and renumbering nothing.
@@ -1055,13 +1109,16 @@ def _ivf_assign_expr_factory(sampled: DataFrame):
     return assign
 
 
-def _ivf_assign_arrow_factory(sampled: DataFrame):
+def _ivf_assign_arrow_factory(sampled: DataFrame, _rows=None):
     """Build the vectorized centroid-assignment function: centroids are
-    collected once (nlist rows — tiny by construction) and shipped in the
-    task closure; each Arrow batch scores (batch x dim) @ (dim x nlist) in
-    one matmul and emits its top ``n_lists`` centroid ids per row. No
-    cross join, no per-id window shuffle — the corpus is never shuffled
-    for assignment.
+    collected once — via ``toArrow()`` (columnar, no per-row py4j cost;
+    the path that matters at SemDeDup's cited 50K x 768, where the matrix
+    is ~300 MB) with a row-collect fallback — and shipped via
+    ``sc.broadcast``: ONE torrent-distributed copy per executor, instead
+    of a ~matrix-sized task closure re-serialized with every task. Each
+    Arrow batch scores (batch x dim) @ (dim x nlist) in one matmul and
+    emits its top ``n_lists`` centroid ids per row. No cross join, no
+    per-id window shuffle — the corpus is never shuffled for assignment.
 
     Ranking matches the expr path's (cosine desc, centroid_id asc): a
     stable argsort over the score row keeps centroid-id order on exact
@@ -1070,11 +1127,66 @@ def _ivf_assign_arrow_factory(sampled: DataFrame):
     import numpy as np
     import pandas as pd
 
-    cent_rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
-    cmat = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+    cmat = None
+    if _rows is None:
+        try:
+            tbl = sampled.toArrow()  # pyspark >= 4.0
+        except Exception:  # pragma: no cover - legacy collect path
+            tbl = None
+        if tbl is not None and tbl.num_rows:
+            import pyarrow.compute as pc
+
+            tbl = tbl.take(
+                pc.sort_indices(
+                    tbl, sort_keys=[("centroid_id", "ascending")]
+                )
+            )
+            col = tbl.column("centroid").combine_chunks()
+            lengths = pc.list_value_length(col)
+            if (
+                col.null_count == 0
+                and lengths.null_count == 0
+                and len(pc.unique(lengths)) == 1
+            ):
+                flat = col.flatten()
+                if flat.null_count == 0:
+                    dim0 = lengths[0].as_py()
+                    cmat = (
+                        flat.to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        .reshape(tbl.num_rows, dim0)
+                    )
+            if cmat is None:
+                cmat = np.vstack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in tbl.column("centroid").to_pylist()
+                    ]
+                )
+    if cmat is None:
+        cent_rows = (
+            _rows
+            if _rows is not None
+            else sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+        )
+        if not cent_rows:
+            # Empty corpus: same contract as the expr factory — an
+            # always-false filter, no numpy work, no broadcast.
+            def assign_empty(
+                df: DataFrame, idc: str, vecc: str, n_lists: int
+            ) -> DataFrame:
+                return df.select(
+                    F.col(idc), F.col(vecc), F.lit(0).alias("centroid_id")
+                ).where(F.lit(False))
+
+            return assign_empty
+        cmat = np.vstack(
+            [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+        )
     cnorm = np.linalg.norm(cmat, axis=1)
-    dim = cmat.shape[1]
-    nlist = cmat.shape[0]
+    dim = int(cmat.shape[1])
+    nlist = int(cmat.shape[0])
+    bc = sampled.sparkSession.sparkContext.broadcast((cmat, cnorm))
 
     def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
         id_type = df.schema[idc].dataType.simpleString()
@@ -1083,6 +1195,7 @@ def _ivf_assign_arrow_factory(sampled: DataFrame):
         nl = min(n_lists, nlist)
 
         def gen(batches):
+            cmat_b, cnorm_b = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -1100,8 +1213,8 @@ def _ivf_assign_arrow_factory(sampled: DataFrame):
                 if valid.any():
                     vmat = np.vstack(vals[valid]).astype(np.float64)
                     vnorm = np.linalg.norm(vmat, axis=1)
-                    raw = vmat @ cmat.T
-                    denom = np.outer(vnorm, cnorm)
+                    raw = vmat @ cmat_b.T
+                    denom = np.outer(vnorm, cnorm_b)
                     with np.errstate(divide="ignore", invalid="ignore"):
                         sc = raw / denom
                     # NULL (zero denom) ranks last: -inf under desc order.
@@ -1262,11 +1375,7 @@ def semantic_dup_pairs(
         df, corpus_id=id_col, corpus_vec=vec_col, nlist=n_clusters,
         seed=seed, hash_fn=hash_fn,
     )
-    assign = (
-        _ivf_assign_arrow_factory(centroids)
-        if compute == "arrow"
-        else _ivf_assign_expr_factory(centroids)
-    )
+    assign = _ivf_assign_factory(centroids, compute=compute, nlist=n_clusters)
     assigned = assign(
         df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")),
         "__sid", "__sv", 1,
