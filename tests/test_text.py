@@ -410,3 +410,71 @@ def test_chunk_documents_known_answers(spark):
                 docs, id_col="doc_id", text_col="text",
                 **{"chunk_tokens": 4, "overlap": 1, **bad},
             )
+
+
+@pytest.mark.parametrize(
+    "ansi,legacy",
+    [("true", "false"), ("false", "true")],
+    ids=["ansi-4x", "legacy-3x"],
+)
+def test_null_text_portable_across_size_semantics(spark, ansi, legacy):
+    """A NULL-text document must yield the SAME (oracle-pinned) outputs
+    under ANSI size(NULL)=NULL and under the legacy sizeOfNull=-1 config
+    some 3.x deployments still run — the _nsize guards make the operators
+    independent of session config, so counts are NULL (never -1) and no
+    -1 poisons a downstream ratio."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox the fox")],
+        "doc_id long, text string",
+    )
+    ops = {
+        "token_stats": lambda d: text_ops.token_stats(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "token_count_bpe": lambda d: text_ops.token_count_bpe(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "quality_score": lambda d: text_ops.quality_score(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "lang_id": lambda d: text_ops.lang_id(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "gopher_quality": lambda d: text_ops.gopher_quality(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "repetition_signals": lambda d: text_ops.repetition_signals(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "classifier_score": lambda d: text_ops.classifier_score(
+            d, id_col="doc_id", text_col="text", weights={"fox": 1.0}
+        ),
+    }
+    saved = {
+        "spark.sql.ansi.enabled": spark.conf.get("spark.sql.ansi.enabled"),
+        "spark.sql.legacy.sizeOfNull": spark.conf.get(
+            "spark.sql.legacy.sizeOfNull"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        spark.conf.set("spark.sql.legacy.sizeOfNull", legacy)
+        # sanity: the config really flips raw size(NULL) semantics
+        raw = df.where("doc_id = 1").select(
+            F.size(F.split(F.col("text"), " ")).alias("s")
+        ).head()["s"]
+        assert raw == (None if ansi == "true" else -1)
+        for name, op in ops.items():
+            rows = {r["doc_id"]: r.asDict() for r in op(df).collect()}
+            null_row = rows[1]
+            for col, val in null_row.items():
+                assert val != -1, (name, col, null_row)
+            if "n_tokens" in null_row and name != "classifier_score":
+                assert null_row["n_tokens"] is None, (name, null_row)
+            # the non-null doc is unaffected by config
+            assert rows[2]["doc_id"] == 2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

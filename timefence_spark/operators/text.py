@@ -29,6 +29,27 @@ def _tokens(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+def _nsize(arr: Column | str, guard: Column | None = None) -> Column:
+    """Array length with NULL-in-NULL-out on EVERY session config.
+
+    Plain ``F.size(NULL)`` is config-dependent: -1 under
+    ``spark.sql.legacy.sizeOfNull=true`` (the pre-ANSI default some 3.x
+    deployments still run), NULL under the ANSI semantics the oracles pin.
+    A -1 count silently poisons every downstream ratio instead of
+    propagating NULL, so guard explicitly rather than depend on the
+    session (same contract classifier_score establishes for its token
+    counts).
+
+    ``guard``: a CHEAP column whose (non-)nullness implies ``arr``'s —
+    pass the staged source column when ``arr`` is a derived expression
+    (filter/regexp over it), so the non-codegen derivation isn't
+    evaluated twice, once in the null check and once in the count (the
+    plan-shape tests pin single evaluation)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    guard = arr if guard is None else guard
+    return F.when(guard.isNotNull(), F.size(arr))
+
+
 def token_stats(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Token counting + type/token profile: n_chars, n_tokens, n_types,
     type_token_ratio, mean_token_len (BPE-ish proxy: whitespace tokens).
@@ -45,8 +66,8 @@ def token_stats(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     counts = staged.select(
         id_col,
         "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_types"),
+        _nsize(toks).alias("n_tokens"),
+        _nsize(F.array_distinct(toks), toks).alias("n_types"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("__tok_chars"),
@@ -80,9 +101,12 @@ def token_count_bpe(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     lowered = F.lower(F.col(text_col))
     counts = df.select(
         F.col(id_col),
-        F.size(F.split(lowered, r"\s+")).alias("n_tokens_ws"),
-        F.size(
-            F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+        _nsize(F.split(lowered, r"\s+"), F.col(text_col)).alias(
+            "n_tokens_ws"
+        ),
+        _nsize(
+            F.regexp_extract_all(lowered, F.lit(BPE_TOKEN_PATTERN), F.lit(0)),
+            F.col(text_col),
         ).alias("n_tokens_bpe"),
     )
     return counts.select(
@@ -137,8 +161,8 @@ def quality_score(
     counts = staged.select(
         id_col,
         "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("__n_types"),
+        _nsize(toks).alias("n_tokens"),
+        _nsize(F.array_distinct(toks), toks).alias("__n_types"),
         (
             F.col("n_chars")
             - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
@@ -149,9 +173,9 @@ def quality_score(
         (F.col("n_chars") - F.length(F.regexp_replace(text, r"[A-Z]", ""))).alias(
             "__uppers"
         ),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
-            "__n_stop"
-        ),
+        _nsize(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t)), toks
+        ).alias("__n_stop"),
         *keep,
     )
     n_chars = F.col("n_chars")
@@ -224,7 +248,9 @@ def lang_id(
     scores = []
     for lang, lang_markers in sorted(markers.items()):
         marker_arr = F.array(*[F.lit(w) for w in lang_markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        hits = _nsize(
+            F.filter(toks, lambda t: F.array_contains(marker_arr, t)), toks
+        )
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # array_max over (hits, lang) structs: max hits, then (on tied hit
     # counts) the lexicographically largest lang — struct comparison falls
@@ -232,7 +258,7 @@ def lang_id(
     # (list_max over identical structs).
     scored = staged.select(
         id_col,
-        F.size(toks).alias("__n_tokens"),
+        _nsize(toks).alias("__n_tokens"),
         F.array_max(F.array(*scores)).alias("__best"),
         *keep,
     )
@@ -283,19 +309,20 @@ def gopher_quality(
     )
     toks = F.col("__toks")
     text = F.col("__text")
-    n_words = F.size(toks)
+    n_words = _nsize(toks)
     total_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     # symbols: '#' plus unicode/ascii ellipsis occurrences across the doc
     n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
-    n_ellipsis = F.size(
-        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
+    n_ellipsis = _nsize(
+        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0)), text
     )
-    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_alpha_words = _nsize(F.filter(toks, lambda t: t.rlike("[a-z]")), toks)
     stop_arr = F.array(*[F.lit(w) for w in stopwords])
-    stop_hits = F.size(
-        F.filter(F.array_distinct(toks), lambda t: F.array_contains(stop_arr, t))
+    stop_hits = _nsize(
+        F.filter(F.array_distinct(toks), lambda t: F.array_contains(stop_arr, t)),
+        toks,
     )
     signals = staged.select(
         id_col,
@@ -360,7 +387,9 @@ def repetition_signals(
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
-    n = F.size(toks)
+    # _nsize for uniformity; behavior here is config-safe either way (both
+    # legacy -1 and ANSI NULL fail `n >= ngram` into the empty-gram branch).
+    n = _nsize(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1)))
     grams = F.when(
         n >= ngram,
