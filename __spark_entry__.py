@@ -2394,6 +2394,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def q_semantic_dup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dup_pairs with compute='grouped': the per-cluster
+    applyInPandas kernel (vectors cross the wire once per CLUSTER, not
+    once per candidate pair; cosine is one in-worker matmul). Shares
+    q_semantic_dup_pairs' oracle — producing the identical pair set and
+    scores through a different physical kernel IS the correctness claim
+    (same pattern as duplicate_spans_hash / line_dedup_hash)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.semantic_dup_pairs(
+        emb, id_col="vec_id", n_clusters=16, threshold=0.4, hash_fn="md5",
+        compute="grouped",
+    )
+
+
 def _oracle_semantic_sql(
     *, survivors: bool, nlist: int = 16, threshold: float = 0.4, seed: int = 42
 ) -> str:
@@ -2931,13 +2945,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering = correctness-check rotation (VERDICT r5 item 2): the
-    # driver verifies a ~50-entry prefix of this dict per round, so
-    # least-recently-checked entries go FIRST. Round 6 leads with the
-    # nine entries the r5 driver run skipped (the four never-checked
-    # media/streaming/ivf-arrow ones up front), then the r5-green set in
-    # its prior order; whatever falls off the tail this round was green
-    # in CORRECTNESS_r05 and rotates forward next round.
+    # Ordering = the driver's per-round check rotation: the driver
+    # verifies a ~50-entry prefix of this dict, so new/changed entries go
+    # near the FRONT to land in the checked prefix. Since round 7 this
+    # rotation is redundancy, not the only gate — tests/test_oracle.py
+    # replays EVERY entry against its DuckDB oracle on each pytest run —
+    # but keep the discipline: the driver's run is independent evidence.
     return {
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -2945,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dup_pairs": q_semantic_dup_pairs,  # new in round 7
+        "semantic_dup_grouped": q_semantic_dup_grouped,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3082,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_arrow": _oracle_knn_ivf_sql(),
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
         "semantic_dup_pairs": _oracle_semantic_sql(survivors=False),
+        "semantic_dup_grouped": _oracle_semantic_sql(survivors=False),
         "semantic_dedup": _oracle_semantic_sql(survivors=True),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,

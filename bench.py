@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     # assignment is a shuffle-free literal projection; the self-join is
     # the only exchange).
     "semantic_dup_pairs",
+    # Round-8: the grouped kernel — per-cluster applyInPandas instead of
+    # the pair-materializing self-join; vectors cross the wire once per
+    # cluster. Shuffle-byte comparison vs the self-join lands in
+    # "key_sw_mb" alongside the spans/line-dedup key-mode rows.
+    "semantic_dup_grouped",
 ]
 
 
@@ -888,12 +893,80 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # Shuffle-byte evidence for the hash-keyed spans mode: one bracketed
-    # run of each (plans already warmed by the light suite above).
-    for span_name in ("duplicate_spans", "duplicate_spans_hash"):
+    # Sentence-scale line_dedup rows (VERDICT r7 item 4): the skew rows
+    # above use single-word lines (SHORTER than a 16-byte key), so they
+    # demonstrate straggler behavior but cannot show the hash-key wire
+    # win. Here each line is a 10-token sentence (~60 chars) — the shape
+    # key_by='hash' is designed for: the winner agg + join shuffle
+    # fixed-width 128-bit keys instead of sentence text, so text-mode
+    # shuffle bytes must exceed hash-mode on this row.
+    toks = F.split(F.col("text"), " ")
+    n_sent = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    sent_body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_sent - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    hot_sent = "please subscribe to our newsletter for more content like this\n"
+    docs_sent = entry_mod._t(spark, SF_DIR, "documents", spread=False).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(hot_sent)).otherwise(
+                F.lit("")
+            ),
+            F.array_join(F.array_repeat(sent_body, 10), "\n"),
+        ).alias("text"),
+    )
+    for ld_name, ld_key_by in (
+        ("line_dedup_sent", "text"),
+        ("line_dedup_sent_hash", "hash"),
+    ):
+        sent_df = line_dedup(
+            docs_sent, id_col="doc_id", text_col="text", key_by=ld_key_by
+        )
+        runs = _timed_runs(lambda: _force(sent_df), 3)
         before = _stages_snapshot(spark)
-        _force(queries[span_name](spark, SF_DIR))
-        key_shuffle[span_name] = _shuffle_delta(before, _stages_snapshot(spark))
+        _force(sent_df)
+        key_shuffle[ld_name] = _shuffle_delta(before, _stages_snapshot(spark))
+        all_runs[ld_name] = runs
+        timings[ld_name] = min(runs)
+        spreads[ld_name], abs_gaps[ld_name] = _trimmed_spread(runs)
+        print(
+            f"query {ld_name}: {runs} shuffle={key_shuffle[ld_name]}",
+            file=sys.stderr,
+        )
+
+    # Shuffle-byte evidence for the hash-keyed spans mode and for the
+    # semantic grouped-vs-self-join kernels: one bracketed run of each
+    # (plans already warmed by the light suite above). The semantic rows
+    # disable auto-broadcast for the bracket: at bench sf the assigned
+    # side fits the broadcast threshold, which hides the self-join's two
+    # per-side vector shuffles — the comparison these rows exist to
+    # document is the 100 TB regime, where neither side broadcasts and
+    # the self-join ships every vector twice vs grouped's once.
+    for span_name in (
+        "duplicate_spans",
+        "duplicate_spans_hash",
+        "semantic_dup_pairs",
+        "semantic_dup_grouped",
+    ):
+        no_bcast = span_name.startswith("semantic")
+        if no_bcast:
+            saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            before = _stages_snapshot(spark)
+            _force(queries[span_name](spark, SF_DIR))
+            key_shuffle[span_name] = _shuffle_delta(
+                before, _stages_snapshot(spark)
+            )
+        finally:
+            if no_bcast:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", saved_thr
+                )
         print(
             f"shuffle {span_name}: {key_shuffle[span_name]}", file=sys.stderr
         )

@@ -637,3 +637,42 @@ def test_remove_duplicate_spans_known_answers(spark):
     assert got[2] == ("x y", "web") and got[1][0] == "A b c d e f g h"
     with pytest.raises(ValueError, match="scope"):
         remove_duplicate_spans(docs, id_col="doc_id", text_col="text", scope="x")
+
+
+def test_cc_local_broadcast_gated_past_auto_cap(spark, monkeypatch):
+    """ADVICE r7: the driver union-find labeling join must only PIN a
+    broadcast when the edge set came through the auto-path cap; an
+    explicit algorithm='local' past the cap keeps the size-gated default
+    join (AQE may still choose broadcast — we just must not force it)."""
+    from timefence_spark.operators import dedup as dd
+
+    seen = []
+    orig = dd._cc_labels_from_mapping
+
+    def spy(vertices, mapping, id_col, broadcast=False):
+        seen.append(broadcast)
+        return orig(vertices, mapping, id_col, broadcast=broadcast)
+
+    monkeypatch.setattr(dd, "_cc_labels_from_mapping", spy)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8)], "id_a long, id_b long"
+    )
+    verts = spark.range(1, 10).select(F.col("id"))
+
+    expected = {
+        r["id"]: r["component_id"]
+        for r in dd.connected_components(
+            edges, verts, id_col="id", algorithm="local"
+        ).collect()
+    }
+    assert seen == [True]  # 5 edges <= default cap: broadcast pinned
+
+    seen.clear()
+    got = {
+        r["id"]: r["component_id"]
+        for r in dd.connected_components(
+            edges, verts, id_col="id", algorithm="local", local_max_edges=2
+        ).collect()
+    }
+    assert seen == [False]  # past the cap: size-gated default join
+    assert got == expected

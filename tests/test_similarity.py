@@ -581,3 +581,54 @@ def test_assign_factory_semdedup_scale_plan_builds(spark):
     assert [f.name for f in out.schema.fields] == ["qid", "vec", "centroid_id"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_semantic_dup_pairs_grouped_matches_expr(spark, emb):
+    """compute='grouped' must produce the same pair set as the expr
+    kernel (same expr assignment; per-cluster matmul scoring), with ONE
+    cluster-keyed shuffle and no self-join in the plan."""
+    import timefence_spark.operators.similarity as sim
+
+    copies = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(copies)
+    kw = dict(id_col="vec_id", n_clusters=8, threshold=0.9)
+    expr_pairs = {
+        (r["id_a"], r["id_b"], r["cluster_id"]): r["cosine"]
+        for r in sim.semantic_dup_pairs(planted, **kw).collect()
+    }
+    grouped = sim.semantic_dup_pairs(planted, compute="grouped", **kw)
+    grouped_pairs = {
+        (r["id_a"], r["id_b"], r["cluster_id"]): r["cosine"]
+        for r in grouped.collect()
+    }
+    assert set(grouped_pairs) == set(expr_pairs)
+    for k, v in grouped_pairs.items():
+        assert v == pytest.approx(expr_pairs[k], abs=1e-6), k
+
+    # AQE prints Final + Initial plans; count only the final one
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan  # no pair-materializing self-join
+    # exactly one exchange: the cluster-keyed groupBy
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    # degenerate vectors never pair (same observable as NULL-scored expr)
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, None), (4, [0.0, 0.0]), (5, [1.0]),
+            (6, [float("nan"), 1.0]), (7, [float("nan"), 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sim.semantic_dup_pairs(
+        dirty, id_col="vec_id", n_clusters=1, threshold=0.5, compute="grouped"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(1, 2)}
+
+    with pytest.raises(ValueError, match="compute"):
+        sim.semantic_dup_pairs(dirty, id_col="vec_id", compute="bogus")

@@ -778,8 +778,19 @@ def _cc_labels_from_mapping(
     )
 
 
-def _cc_local_union_find(edge_rows, vertices: DataFrame, id_col: str) -> DataFrame:
-    """Driver-side union-find over collected edges; component = min id."""
+def _cc_local_union_find(
+    edge_rows, vertices: DataFrame, id_col: str, *, broadcast: bool = True
+) -> DataFrame:
+    """Driver-side union-find over collected edges; component = min id.
+
+    ``broadcast`` pins the labeling join's mapping side to a broadcast —
+    callers must only pass True when the edge set came through the
+    auto-path cap (~CC_LOCAL_MAX_EDGES, mapping <= ~8 MB of longs).
+    Explicit algorithm='local' can legitimately collect up to
+    CC_LOCAL_FORCE_EDGES edges (unbounded with force=True); forcing a
+    multi-hundred-MB mapping onto every executor there would be the
+    memory-pressure plan the size-gated default join avoids, so those
+    callers pass False and let AQE pick."""
     parent: dict = {}
 
     def find(x):
@@ -811,7 +822,7 @@ def _cc_local_union_find(edge_rows, vertices: DataFrame, id_col: str) -> DataFra
     mapping = spark.createDataFrame(
         [(x, find(x)) for x in parent], schema
     )
-    return _cc_labels_from_mapping(vertices, mapping, id_col, broadcast=True)
+    return _cc_labels_from_mapping(vertices, mapping, id_col, broadcast=broadcast)
 
 
 def _cc_star_or_local(
@@ -884,7 +895,14 @@ def _cc_star_or_local(
                     F.col(id_col), F.col(id_col).alias("component_id")
                 )
             return _cc_local_union_find(
-                (tuple(r) for r in rows), vertices, id_col
+                (tuple(r) for r in rows),
+                vertices,
+                id_col,
+                # Forced broadcast only for cap-bounded edge sets; an
+                # explicit 'local' past the auto cap keeps the size-gated
+                # default join (ADVICE r7: the mapping can be ~100s of MB
+                # at CC_LOCAL_FORCE_EDGES, GBs with force=True).
+                broadcast=len(rows) <= local_max_edges,
             )
 
     prev_sig = None

@@ -1359,9 +1359,22 @@ def semantic_dup_pairs(
       trade, same mechanism as the LSH ``max_bucket_size`` caps). Size
       ``n_clusters`` ~ N/1000 so clusters stay joinable; SemDeDup used
       50K clusters for ~600M documents.
-    * Scoring needs the vectors on both sides, so pairs carry two
-      vectors each — with ``compute='arrow'`` the cosine itself is one
-      einsum per batch.
+    * Scoring needs the vectors on both sides. With ``'expr'``/``'arrow'``
+      the cluster-keyed self-join shares one exchange (ReuseExchange)
+      but READS every vector from the shuffle service twice (a-side +
+      b-side) and materializes (id_a, id_b, va, vb) candidate rows —
+      O(sum c_i^2) vector copies in the join stage. With
+      ``compute='grouped'`` scoring is one ``applyInPandas`` per
+      cluster: each vector is shuffled AND read exactly once, nothing
+      pair-shaped is ever materialized row-wise, and the within-cluster
+      cosine is a single in-worker matmul (bench: same shuffle-write
+      bytes, ~0.78x read bytes and faster wall time at sf0.1). Grouped
+      is the 100 TB-friendly kernel whenever every cluster fits a worker
+      (pair ``max_cluster_size`` with it; the score matrix is
+      O(cluster^2) doubles in-memory). Assignment under 'grouped' uses
+      the exact expr kernel; scores share the arrow kernel's last-ulp
+      caveat vs the sequential fold (invisible at the default rounding
+      on non-adversarial data).
 
     Centroid sampling, assignment tie-breaks, and the sequential-fold
     cosine are all deterministic, so an external SQL oracle can replay
@@ -1369,13 +1382,19 @@ def semantic_dup_pairs(
     """
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
-    if compute not in ("expr", "arrow"):
-        raise ValueError(f"compute must be 'expr' or 'arrow', got {compute!r}")
+    if compute not in ("expr", "arrow", "grouped"):
+        raise ValueError(
+            f"compute must be 'expr', 'arrow' or 'grouped', got {compute!r}"
+        )
     centroids = _ivf_centroids(
         df, corpus_id=id_col, corpus_vec=vec_col, nlist=n_clusters,
         seed=seed, hash_fn=hash_fn,
     )
-    assign = _ivf_assign_factory(centroids, compute=compute, nlist=n_clusters)
+    assign = _ivf_assign_factory(
+        centroids,
+        compute="expr" if compute == "grouped" else compute,
+        nlist=n_clusters,
+    )
     assigned = assign(
         df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")),
         "__sid", "__sv", 1,
@@ -1390,6 +1409,11 @@ def semantic_dup_pairs(
             assigned.withColumn("__csz", F.count(F.lit(1)).over(w))
             .where(F.col("__csz") <= max_cluster_size)
             .drop("__csz")
+        )
+    if compute == "grouped":
+        return _semantic_pairs_grouped(
+            assigned, df.schema[id_col].dataType.simpleString(),
+            threshold=threshold, round_to=round_to,
         )
     a = assigned.select(
         F.col("centroid_id").alias("cluster_id"),
@@ -1415,6 +1439,83 @@ def semantic_dup_pairs(
     return scored.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cluster_id", "cosine"
     )
+
+
+def _semantic_pairs_grouped(
+    assigned: DataFrame,
+    id_type: str,
+    *,
+    threshold: float,
+    round_to: int | None,
+) -> DataFrame:
+    """The ``compute='grouped'`` scoring stage of :func:`semantic_dup_pairs`:
+    ONE shuffle keyed by cluster — each vector is written and read
+    exactly once (the self-join kernels reuse one exchange but read it
+    twice and materialize pair-carrying-vector rows) — then the full
+    within-cluster cosine as a single (c x dim) @ (dim x c) matmul per
+    cluster. Emits only the surviving (id_a < id_b, cosine >= threshold)
+    pairs, so nothing pair-shaped ever hits the wire.
+
+    Degenerate contract matches the expr kernel's observable output:
+    NULL / empty / ragged-width vectors and NaN-poisoned scores can never
+    reach the threshold there (NULL and NaN both fail ``>=``), and here
+    they are excluded by construction (only equal-width valid vectors
+    pair; zero-norm denominators divide to NaN, which fails the keep
+    mask). Scores share the arrow kernels' np.round-vs-F.round last-ulp
+    caveat."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, cluster_id int, cosine double"
+    thr = float(threshold)
+    cols = ["id_a", "id_b", "cluster_id", "cosine"]
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=cols)
+        cid = int(pdf["centroid_id"].iloc[0])
+        pdf = pdf.sort_values("__sid", kind="mergesort")
+        ids = pdf["__sid"].to_numpy()
+        vals = pdf["__sv"].to_numpy()
+        lengths = np.fromiter(
+            (len(v) if v is not None else -1 for v in vals),
+            dtype=np.int64,
+            count=n,
+        )
+        frames = []
+        for ln in np.unique(lengths):
+            if ln <= 0:
+                continue
+            idx = np.flatnonzero(lengths == ln)
+            if len(idx) < 2:
+                continue
+            vmat = np.vstack(vals[idx]).astype(np.float64)
+            norms = np.linalg.norm(vmat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = (vmat @ vmat.T) / np.outer(norms, norms)
+            if round_to is not None:
+                scores = np.round(scores, round_to)
+            iu, ju = np.triu_indices(len(idx), k=1)
+            s = scores[iu, ju]
+            with np.errstate(invalid="ignore"):
+                keep = s >= thr
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[idx[iu[keep]]],
+                            "id_b": ids[idx[ju[keep]]],
+                            "cluster_id": cid,
+                            "cosine": s[keep],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
+    return assigned.groupBy("centroid_id").applyInPandas(score_cluster, out_schema)
 
 
 def semantic_dedup(
