@@ -2031,7 +2031,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CHUNK_DOCUMENTS = r"""
     WITH t AS (
-        SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           tok -> tok <> '') AS toks
         FROM documents
     ), c AS (
         SELECT doc_id,

@@ -317,3 +317,25 @@ def test_dedup_semantic_drops_planted_copies(spark, sf_dir):
     assert all(i in kept for i in range(3))          # originals survive
     assert not any(i + 70000 in kept for i in range(3))  # copies dropped
     assert 99999 in kept                              # unscored doc kept
+
+
+def test_dedup_semantic_ignores_stale_side_table_rows(spark):
+    """ADVICE r7: a document must not be dropped because its only
+    near-duplicate exists solely in the embeddings side table (already
+    removed by an earlier pipeline stage) — that would leave no surviving
+    copy of the content. The embeddings are semi-joined to live ids."""
+    vectors = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    # doc 1 was removed earlier; only 2 and 3 are live
+    docs = spark.createDataFrame(
+        [(2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in Corpus(docs)
+        .dedup_semantic(vectors, n_clusters=1, threshold=0.99)
+        .df.collect()
+    }
+    assert kept == {2, 3}  # 2 survives: its dup (1) is not in the corpus

@@ -254,3 +254,33 @@ def test_png_pipeline_decode_resize_stats(spark):
         ).collect()
     }[9]
     assert null_row["mean_r"] is None and null_row["std_rgb"] is None
+
+
+def test_image_channel_stats_undecodable_payload_yields_null(spark):
+    """ADVICE r7: a truncated or non-conforming payload (codec raises a
+    CRC/size error) must yield NULL stats for THAT row, not fail the
+    stage — the docstring promises one bad row never kills the task."""
+    import numpy as np
+
+    from timefence_spark.operators import codecs, multimodal
+
+    img = (np.arange(2 * 2 * 3, dtype=np.uint8)).reshape(2, 2, 3)
+    good = codecs.png_encode(img)
+    rows = [
+        (1, good),
+        (2, good[: len(good) // 2]),       # truncated stream
+        (3, b"\x89PNG\r\n\x1a\njunk"),     # bad chunk structure
+        (4, b"not an image at all"),       # wrong magic
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r
+        for r in multimodal.image_channel_stats(
+            df, id_col="media_id", binary_col="content",
+            stats_fn=codecs.png_channel_stats,
+        ).collect()
+    }
+    assert got[1]["mean_r"] is not None
+    for bad in (2, 3, 4):
+        assert got[bad]["mean_r"] is None, bad
+        assert got[bad]["std_rgb"] is None, bad

@@ -478,3 +478,26 @@ def test_null_text_portable_across_size_semantics(spark, ansi, legacy):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_chunk_documents_empty_and_whitespace_docs(spark):
+    """ADVICE r7: empty-string and whitespace-only documents must produce
+    NO chunks at the default min_tokens=1 (split('') yields [''], which
+    previously leaked a zero-content chunk), and leading/trailing
+    whitespace must not inject empty tokens into real chunks."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a b"), (5, "  a b  ")],
+        "doc_id long, text string",
+    )
+    rows = text_ops.chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=4
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {4, 5}
+    for d in (4, 5):
+        (chunk,) = by_doc[d]
+        assert chunk["chunk_text"] == "a b"
+        assert chunk["n_tokens"] == 2
+        assert chunk["tok_start"] == 0

@@ -103,12 +103,22 @@ class Corpus:
         of :func:`similarity.semantic_dedup`). Documents WITHOUT an
         embedding row are kept — no vector, no evidence of redundancy
         (the keep-unscored policy of filter_fluency/filter_classifier).
+
+        The embeddings are semi-joined to the corpus's CURRENT ids
+        before pairing (ADVICE r7): a stale side-table row must not drop
+        a live document whose only near-duplicate was itself removed by
+        an earlier pipeline stage — that would leave no surviving copy
+        of the content. Clustering/pairing therefore see live documents
+        only.
         """
         from timefence_spark.operators import similarity
 
+        live = embeddings.select(F.col(self.id_col), F.col(vec_col)).join(
+            self.df.select(self.id_col), self.id_col, "left_semi"
+        )
         losers = (
             similarity.semantic_dup_pairs(
-                embeddings.select(F.col(self.id_col), F.col(vec_col)),
+                live,
                 id_col=self.id_col, vec_col=vec_col,
                 n_clusters=n_clusters, threshold=threshold,
                 **semantic_kwargs,

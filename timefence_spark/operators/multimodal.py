@@ -267,9 +267,10 @@ def image_channel_stats(
     :func:`codecs.ppm_channel_stats` and :func:`codecs.png_channel_stats`
     plug in directly; there is no fake fallback because channel stats
     without a decoder are meaningless (unlike dimensions, which the fake
-    decoder pseudo-derives). NULL/empty payloads yield NULL stats (the
-    codec stats functions raise on empty bytes — a missing image has no
-    statistics, and one bad row must not fail the stage)."""
+    decoder pseudo-derives). NULL/empty AND undecodable payloads yield
+    NULL stats — a truncated or non-conforming image raises inside the
+    codec (CRC/size errors), and one bad row must not fail the stage, so
+    per-row codec exceptions are caught and mapped to NULL (ADVICE r7)."""
     import pandas as pd
 
     if stats_fn is None:
@@ -280,9 +281,19 @@ def image_channel_stats(
         )
     out_schema = T.StructType([df.schema[id_col], *IMAGE_STATS_SCHEMA.fields])
 
+    def safe_stats(b) -> dict | None:
+        if not b:
+            return None
+        try:
+            return stats_fn(b)
+        except Exception:
+            # Undecodable payload (truncated stream, bad CRC, wrong
+            # magic): no statistics, not a failed stage.
+            return None
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            stats = [stats_fn(b) if b else None for b in pdf[binary_col]]
+            stats = [safe_stats(b) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

@@ -955,7 +955,11 @@ def chunk_documents(
     to ``chunk_tokens`` whitespace tokens re-joined with single spaces.
     A trailing chunk shorter than ``min_tokens`` is dropped (fully
     covered by the previous chunk's overlap or too small to embed);
-    documents with no tokens (NULL text) produce no rows.
+    documents with no tokens — NULL text, empty string, or
+    whitespace-only text — produce no rows. Unlike the corpus-wide
+    ``split`` convention (where ``''`` counts as one empty token), the
+    chunker filters empty split artifacts: a zero-content chunk is never
+    a valid RAG/training example (ADVICE r7).
 
     100 TB shape: a pure scan-side projection — split, a
     sequence/transform over start offsets, one posexplode. Zero shuffle,
@@ -971,7 +975,10 @@ def chunk_documents(
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     stride = chunk_tokens - overlap
     tokenized = df.select(
-        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        ).alias("__toks"),
     )
     toks = F.col("__toks")
     n = F.size(toks)
