@@ -2165,6 +2165,72 @@ ORACLE_UNIGRAM_NLL = r"""
 """
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped interpolated bigram fluency: mean -ln(0.5 * p_bi +
+    0.5 * p_uni) per document over bigram transitions, both LMs the
+    corpus's own statistics (add-1 unigram backoff). deterministic=True
+    folds contributions in (w_prev, word)-sorted order so the double
+    summation is bit-reproducible against the external oracle."""
+    return text.bigram_logprob(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", lam=0.5, deterministic=True,
+    )
+
+
+ORACLE_BIGRAM_NLL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tok -> tok <> '') AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, toks[i - 1] AS w_prev, toks[i] AS word
+        FROM t, unnest(range(2, len(toks) + 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), dp AS (
+        SELECT doc_id, w_prev, word, COUNT(*) AS cnt
+        FROM pairs GROUP BY 1, 2, 3
+    ), bi AS (
+        SELECT w_prev, word, COUNT(*) AS n_bi FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+        SELECT w_prev, SUM(n_bi) AS n_ctx FROM bi GROUP BY 1
+    ), uni AS (
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) + 1.0 * (COUNT(*) + 1) AS denom
+        FROM uni
+    ), contrib AS (
+        SELECT dp.doc_id, dp.w_prev, dp.word, dp.cnt,
+               bi.n_bi IS NULL AS oov,
+               dp.cnt * -ln(
+                   0.5 * COALESCE(CAST(bi.n_bi AS DOUBLE)
+                                  / CAST(ctx.n_ctx AS DOUBLE), 0.0)
+                   + 0.5 * ((COALESCE(uni.n, 0) + 1.0) / tot.denom)
+               ) AS c
+        FROM dp
+        LEFT JOIN bi USING (w_prev, word)
+        LEFT JOIN ctx USING (w_prev)
+        LEFT JOIN uni USING (word)
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(CASE WHEN oov THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt), 6) AS oov_frac,
+           ROUND(list_reduce(
+               list_transform(
+                   list(struct_pack(p := w_prev, w := word, c := c)
+                        ORDER BY w_prev, word),
+                   s -> s.c
+               ), (a, b) -> a + b) / SUM(cnt), 6) AS mean_nll
+    FROM contrib
+    GROUP BY doc_id
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the operators composed the way a real
     pretraining pipeline chains them, under ONE oracle: exact dedup (keep
@@ -2961,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dup_pairs": q_semantic_dup_pairs,  # new in round 7
         "semantic_dup_grouped": q_semantic_dup_grouped,  # new in round 8
+        "bigram_nll": q_bigram_nll,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3077,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _oracle_domain_blocklist_sql(),
         "word_freq": ORACLE_WORD_FREQ,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
+        "bigram_nll": ORACLE_BIGRAM_NLL,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "normalize_text": ORACLE_NORMALIZE,
         "line_dedup": ORACLE_LINE_DEDUP,

@@ -501,3 +501,95 @@ def test_chunk_documents_empty_and_whitespace_docs(spark):
         assert chunk["chunk_text"] == "a b"
         assert chunk["n_tokens"] == 2
         assert chunk["tok_start"] == 0
+
+
+def test_bigram_logprob_known_answers(spark):
+    """Hand-computed interpolated bigram NLL on a 3-doc corpus:
+    transitions score lam*p_bi + (1-lam)*p_uni with add-1 unigram
+    backoff; docs with < 2 tokens produce no row; unseen transitions
+    (under an external LM) count toward oov_frac."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.bigram_logprob(
+            docs, id_col="doc_id", text_col="text", lam=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3: one token; doc 4: NULL
+    # corpus: tokens a(3) b(3) x(1), N=7, V=3 -> denom = 7 + 1*(3+1) = 11
+    # bigrams: (a,b):3, (b,a):1 ; ctx totals: a->3, b->1
+    p_uni = {"a": 4 / 11, "b": 4 / 11}
+    p_ab = 0.5 * (3 / 3) + 0.5 * p_uni["b"]
+    p_ba = 0.5 * (1 / 1) + 0.5 * p_uni["a"]
+    d1 = (2 * -math.log(p_ab) + 1 * -math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["oov_frac"] == 0.0
+    assert out[1]["mean_nll"] == pytest.approx(d1, abs=1e-6)
+    assert out[2]["mean_nll"] == pytest.approx(-math.log(p_ab), abs=1e-6)
+
+    # external LM that has never seen (b, a): transition is OOV but still
+    # scored via the unigram backoff
+    lm = spark.createDataFrame(
+        [("a", "b", 3)], "w_prev string, word string, n_occurrences long"
+    )
+    uni = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("x", 1)], "word string, n_occurrences long"
+    )
+    ext = {
+        r["doc_id"]: r
+        for r in text_ops.bigram_logprob(
+            docs, id_col="doc_id", text_col="text",
+            lm=lm, lm_unigram=uni, lam=0.5,
+        ).collect()
+    }
+    assert ext[1]["oov_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    p_ba_oov = 0.5 * 0.0 + 0.5 * p_uni["a"]
+    d1_ext = (2 * -math.log(p_ab) + 1 * -math.log(p_ba_oov)) / 3
+    assert ext[1]["mean_nll"] == pytest.approx(d1_ext, abs=1e-6)
+
+    with pytest.raises(ValueError, match="lam"):
+        text_ops.bigram_logprob(docs, id_col="doc_id", text_col="text", lam=1.5)
+
+
+def test_filter_fluency_bigram_model(spark):
+    """Corpus.filter_fluency(model='bigram') drops high-NLL docs and
+    keeps unscored (< 2 token) docs."""
+    from timefence_spark.corpus import Corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 5),
+            (2, "the cat sat on the mat " * 5),
+            (3, "zq wv xj kp qq zz pq vx"),  # unseen-transition soup
+            (4, "one"),                       # single token: unscored, kept
+        ],
+        "doc_id long, text string",
+    )
+    # Reference LM trained on the fluent docs (the CCNet setup: score
+    # against a trusted corpus, not self — under self-statistics a
+    # unique-transition soup scores p_bi = 1 for every pair).
+    ref = docs.where("doc_id <= 2")
+    lm = text_ops.bigram_frequencies(ref, id_col="doc_id", text_col="text")
+    uni = text_ops.word_frequencies(ref, id_col="doc_id", text_col="text")
+    nll = {
+        r["doc_id"]: r["mean_nll"]
+        for r in text_ops.bigram_logprob(
+            docs, id_col="doc_id", text_col="text", lm=lm, lm_unigram=uni
+        ).collect()
+    }
+    assert nll[3] > max(nll[1], nll[2])
+    cut = (max(nll[1], nll[2]) + nll[3]) / 2
+    kept = {
+        r["doc_id"]
+        for r in Corpus(docs).filter_fluency(
+            max_nll=cut, model="bigram", lm=lm, lm_unigram=uni
+        ).df.collect()
+    }
+    assert kept == {1, 2, 4}
+    with pytest.raises(ValueError, match="model"):
+        Corpus(docs).filter_fluency(max_nll=1.0, model="trigram")

@@ -166,25 +166,38 @@ class Corpus:
         )
         return self._keep_ids(ids)
 
-    def filter_fluency(self, *, max_nll: float, lm=None, **kwargs) -> "Corpus":
-        """Drop documents whose mean unigram NLL exceeds ``max_nll`` —
-        the CCNet-style fluency gate (score against ``lm`` or the
-        corpus's own statistics; see text.unigram_logprob).
+    def filter_fluency(
+        self, *, max_nll: float, lm=None, model: str = "unigram", **kwargs
+    ) -> "Corpus":
+        """Drop documents whose mean NLL exceeds ``max_nll`` — the
+        CCNet-style fluency gate (score against ``lm`` or the corpus's
+        own statistics). ``model='unigram'`` (default) scores with
+        text.unigram_logprob; ``model='bigram'`` with the interpolated
+        text.bigram_logprob (``lm`` is then a (w_prev, word,
+        n_occurrences) table from text.bigram_frequencies; pass
+        ``lm_unigram=`` through ``kwargs`` for the backoff table).
 
-        Token-less documents (NULL/empty/whitespace-only text) have no
-        ``unigram_logprob`` row, hence no score; they are KEPT — the gate
-        measures fluency, not emptiness, and this mirrors filter_pii's
-        keep-NULL-text policy. Chain ``filter_quality`` first to drop
-        empties. Implemented as an anti-join on the over-threshold ids so
-        unscored documents pass through."""
-        drop = (
-            text.unigram_logprob(
+        Unscored documents are KEPT — token-less docs under 'unigram',
+        docs with < 2 tokens under 'bigram' — the gate measures fluency,
+        not emptiness, mirroring filter_pii's keep-NULL-text policy.
+        Chain ``filter_quality`` first to drop empties. Implemented as an
+        anti-join on the over-threshold ids so unscored documents pass
+        through."""
+        if model == "unigram":
+            scored = text.unigram_logprob(
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 lm=lm, **kwargs,
             )
-            .where(F.col("mean_nll") > max_nll)
-            .select(self.id_col)
-        )
+        elif model == "bigram":
+            scored = text.bigram_logprob(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                lm=lm, **kwargs,
+            )
+        else:
+            raise ValueError(
+                f"model must be 'unigram' or 'bigram', got {model!r}"
+            )
+        drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
     def filter_classifier(

@@ -728,6 +728,164 @@ def unigram_logprob(
     )
 
 
+def _bigram_pairs(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, w_prev, word) — one row per adjacent token pair. Empty split
+    artifacts (leading/trailing whitespace) are filtered BEFORE pairing
+    so they cannot break adjacency; \\s+ splitting guarantees no interior
+    empties. Docs with < 2 tokens emit no pairs. Scan-side: filter +
+    transform + one posexplode, zero shuffle."""
+    toks_raw = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(toks_raw, lambda t: t != F.lit("")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n = _nsize(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.struct(
+                F.element_at(toks, i - 1).alias("w_prev"),
+                F.element_at(toks, i).alias("word"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w_prev:string,word:string>>"))
+    return staged.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col, F.col("__g.w_prev"), F.col("__g.word")
+    )
+
+
+def bigram_frequencies(
+    df: DataFrame, *, id_col: str, text_col: str, top_k: int | None = None
+) -> DataFrame:
+    """Corpus-wide bigram table (w_prev, word, n_occurrences) — the
+    training step for :func:`bigram_logprob`'s LM, the bigram analogue of
+    :func:`word_frequencies`. Deterministic order: count desc, then
+    (w_prev, word) asc. One explode + one (w_prev, word) shuffle."""
+    out = (
+        _bigram_pairs(df, id_col=id_col, text_col=text_col)
+        .groupBy("w_prev", "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("w_prev"), F.asc("word"))
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame | None = None,
+    lm_unigram: DataFrame | None = None,
+    lam: float = 0.5,
+    smoothing_k: float = 1.0,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Per-document fluency under an INTERPOLATED bigram language model —
+    the middle tier of the CCNet-style perplexity filter family (CCNet,
+    Wenzek et al. 2020, filters on LM perplexity; a lambda-interpolated
+    bigram with unigram backoff is the standard dependency-free
+    approximation one rung above :func:`unigram_logprob`).
+
+    ``p(w_i | w_{i-1}) = lam * p_bi + (1 - lam) * p_uni`` where
+    ``p_bi = n(w_{i-1}, w_i) / n(w_{i-1}, ·)`` (0 for unseen context or
+    pair — the unigram interpolation term keeps every probability
+    positive) and ``p_uni`` is the same add-k unigram as
+    :func:`unigram_logprob`. ``lm`` is a (w_prev, word, n_occurrences)
+    table from :func:`bigram_frequencies` (``None``: the corpus's own
+    statistics); ``lm_unigram`` the matching (word, n_occurrences) table
+    (``None``: derived the same way).
+
+    Returns ``(id, n_bigrams, oov_frac, mean_nll)`` over the document's
+    BIGRAM positions (transitions): ``oov_frac`` = fraction of
+    transitions unseen in the bigram LM, ``mean_nll`` the mean
+    ``-ln p``. Documents with < 2 tokens have no transitions and produce
+    NO row (the keep-unscored policy of ``Corpus.filter_fluency``
+    applies downstream).
+
+    Physical shape mirrors :func:`unigram_logprob`: pairs explode
+    scan-side and pre-aggregate to one row per (doc, w_prev, word)
+    before any join; the bigram LM, its per-context totals, and the
+    unigram LM attach with un-hinted equi-joins (AQE broadcasts
+    vocabulary-sized tables); one groupBy(doc) finishes.
+    ``deterministic=True`` folds each document's contributions in
+    (w_prev, word)-sorted order for bit-reproducible external replay."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if lm is None:
+        lm = bigram_frequencies(df, id_col=id_col, text_col=text_col)
+    if lm_unigram is None:
+        lm_unigram = word_frequencies(df, id_col=id_col, text_col=text_col)
+    bi = lm.select(
+        "w_prev", "word", F.col("n_occurrences").cast("long").alias("__n_bi")
+    )
+    ctx = bi.groupBy("w_prev").agg(F.sum("__n_bi").alias("__n_ctx"))
+    uni = lm_unigram.select(
+        "word", F.col("n_occurrences").cast("long").alias("__n_uni")
+    )
+    totals = F.broadcast(
+        uni.agg(
+            F.coalesce(F.sum("__n_uni"), F.lit(0).cast("long")).alias("__N"),
+            F.count(F.lit(1)).alias("__V"),
+        )
+    )
+    denom = (
+        F.col("__N") + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
+    ).cast("double")
+
+    per_doc_pair = (
+        _bigram_pairs(df, id_col=id_col, text_col=text_col)
+        .groupBy(id_col, "w_prev", "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = (
+        per_doc_pair.join(bi, ["w_prev", "word"], "left")
+        .join(ctx, "w_prev", "left")
+        .join(uni, "word", "left")
+        .crossJoin(totals)
+    )
+    p_uni = (
+        F.coalesce(F.col("__n_uni"), F.lit(0)) + F.lit(float(smoothing_k))
+    ) / denom
+    p_bi = F.coalesce(
+        F.col("__n_bi").cast("double") / F.col("__n_ctx").cast("double"),
+        F.lit(0.0),
+    )
+    nll_pair = -F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    oov = F.when(F.col("__n_bi").isNull(), F.col("__cnt")).otherwise(F.lit(0))
+    grouped = joined.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_bigrams"),
+        F.sum(oov).alias("__oov"),
+        (
+            F.collect_list(
+                F.struct(
+                    F.col("w_prev"),
+                    F.col("word"),
+                    (F.col("__cnt") * nll_pair).alias("c"),
+                )
+            )
+            if deterministic
+            else F.sum(F.col("__cnt") * nll_pair)
+        ).alias("__nll"),
+    )
+    if deterministic:
+        nll_total = F.aggregate(
+            F.array_sort(F.col("__nll")), F.lit(0.0), lambda acc, s: acc + s["c"]
+        )
+    else:
+        nll_total = F.col("__nll")
+    return grouped.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(F.col("__oov").cast("double") / F.col("n_bigrams"), 6).alias(
+            "oov_frac"
+        ),
+        F.round(nll_total / F.col("n_bigrams"), 6).alias("mean_nll"),
+    )
+
+
 def normalize_text(
     df: DataFrame,
     *,
