@@ -2051,6 +2051,85 @@ ORACLE_CHUNK_DOCUMENTS = r"""
 """
 
 
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY format under the differential gate: baseline grayscale JPEGs
+    (operators/codecs.py: FDCT + flat-8 quantization + Annex-K Huffman)
+    built per doc_id as a grid of uniform 8x8 blocks — each block's value
+    a pure function of (doc_id, block row, block col), so the DC
+    difference chain and per-block EOB Huffman coding are exercised
+    across blocks while every block stays EXACTLY reconstructible (a
+    uniform block has only a DC coefficient; with q00=8 the 8*(v-128)
+    DC quantizes losslessly). Block counts are powers of two (1/2/4), so
+    mean and population variance are EXACT doubles in both engines — the
+    cross-engine hash compares identical IEEE values, no tolerance. The
+    oracle recomputes dimensions AND pixel statistics from the same
+    block-value formula — matching proves the Huffman+dequant+IDCT path
+    reconstructed the actual raster."""
+    import numpy as np
+    import pandas as pd
+
+    from timefence_spark.operators import codecs, multimodal
+
+    flat_q = np.full((8, 8), 8, np.int32)
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = d % 2 + 1, (d // 2) % 2 + 1  # blocks across / down
+                img = np.empty((bh * 8, bw * 8), np.uint8)
+                for bi in range(bh):
+                    for bj in range(bw):
+                        img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = (
+                            d * 7 + bi * 16 + bj * 29
+                        ) % 256
+                payloads.append(codecs.jpeg_encode_gray(img, quant=flat_q))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    planted = (
+        _t(spark, sf_dir, "documents", spread=False)
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+    info = multimodal.decode_images(
+        planted, id_col="doc_id", binary_col="payload",
+        decode_fn=codecs.jpeg_decode_info,
+    )
+    stats = multimodal.image_channel_stats(
+        planted, id_col="doc_id", binary_col="payload",
+        stats_fn=codecs.jpeg_channel_stats,
+    )
+    return info.join(stats, "doc_id").select(
+        "doc_id", "width", "height", "channels", "format",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("std_rgb", 6).alias("std_rgb"),
+    )
+
+
+ORACLE_MEDIA_DECODE_JPEG = """
+    WITH px AS (
+        SELECT d.doc_id,
+               CAST((d.doc_id * 7 + bi.i * 16 + bj.j * 29) % 256 AS DOUBLE)
+                   AS v
+        FROM documents d,
+             unnest(range(0, (d.doc_id // 2) % 2 + 1)) AS bi(i),
+             unnest(range(0, d.doc_id % 2 + 1)) AS bj(j)
+    )
+    SELECT doc_id,
+           CAST((doc_id % 2 + 1) * 8 AS INT) AS width,
+           CAST(((doc_id // 2) % 2 + 1) * 8 AS INT) AS height,
+           1 AS channels,
+           'jpeg' AS format,
+           ROUND(AVG(v), 6) AS mean_r,
+           ROUND(sqrt(AVG(v * v) - AVG(v) * AVG(v)), 6) AS std_rgb
+    FROM px
+    GROUP BY doc_id
+"""
+
+
 def q_line_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query, key_by='hash': the winner aggregation and attach-back
     join key on a 128-bit line hash instead of the line text. Shares the
@@ -3028,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,  # new in round 7
         "semantic_dup_grouped": q_semantic_dup_grouped,  # new in round 8
         "bigram_nll": q_bigram_nll,  # new in round 8
+        "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3120,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_exact": _oracle_token_count_exact_sql(),
         "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
         "media_decode_png": ORACLE_MEDIA_DECODE_PNG,
+        "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
         "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,

@@ -284,3 +284,50 @@ def test_image_channel_stats_undecodable_payload_yields_null(spark):
     for bad in (2, 3, 4):
         assert got[bad]["mean_r"] is None, bad
         assert got[bad]["std_rgb"] is None, bad
+
+
+def test_jpeg_codec_roundtrip_and_contracts():
+    """Baseline grayscale JPEG codec: lossy round-trip stays close on
+    smooth content, uniform blocks with a flat-8 quant table round-trip
+    EXACTLY (DC-only), tables are read from the stream, and unsupported
+    shapes (color/progressive/truncated) raise cleanly."""
+    import numpy as np
+
+    from timefence_spark.operators import codecs
+
+    # smooth gradient: small mean error, correct crop of edge blocks
+    x = np.linspace(0, 255, 50, dtype=np.uint8)
+    grad = np.tile(x, (33, 1))
+    enc = codecs.jpeg_encode_gray(grad)
+    dec = codecs.jpeg_decode_gray(enc)
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 3.0
+
+    info = codecs.jpeg_decode_info(enc)
+    assert info == {"width": 50, "height": 33, "channels": 1, "format": "jpeg"}
+
+    # uniform blocks + q00=8: exact reconstruction incl. non-multiple-of-8
+    flat8 = np.full((8, 8), 8, np.int32)
+    img = np.full((10, 12), 201, np.uint8)
+    assert (codecs.jpeg_decode_gray(codecs.jpeg_encode_gray(img, quant=flat8)) == 201).all()
+    stats = codecs.jpeg_channel_stats(codecs.jpeg_encode_gray(img, quant=flat8))
+    assert stats["mean_r"] == 201.0 and stats["std"] == 0.0
+
+    # negative-DC and AC-coefficient content round-trips losslessly when
+    # the quantized coefficients are re-fed (decode(encode(decode)) fixpoint)
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    once = codecs.jpeg_decode_gray(codecs.jpeg_encode_gray(noisy))
+    twice = codecs.jpeg_decode_gray(codecs.jpeg_encode_gray(once))
+    assert np.abs(twice.astype(int) - once.astype(int)).mean() < 1.5
+
+    with pytest.raises(ValueError, match="2-D uint8"):
+        codecs.jpeg_encode_gray(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.jpeg_decode_gray(b"not a jpeg")
+    with pytest.raises((ValueError, IndexError)):
+        codecs.jpeg_decode_gray(enc[: len(enc) // 2])  # truncated
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF0|baseline"):
+        codecs.jpeg_decode_gray(prog)

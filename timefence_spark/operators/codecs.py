@@ -402,3 +402,413 @@ def png_channel_stats(data: bytes) -> dict:
         "mean_b": float(img[:, :, 2].mean()),
         "std": float(img.std()),
     }
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, grayscale) — ITU-T T.81 is public; tables from Annex K.
+# The most common real image format moves from injection point to proven
+# path for the 1-component case: FDCT/quantize/zigzag/Huffman on encode,
+# generic DHT/DQT parsing + Huffman decode + dequant + IDCT on decode.
+# Color (chroma subsampling), progressive (SOF2) and restart intervals
+# stay out of scope and raise cleanly — inject a full decoder for those.
+# ---------------------------------------------------------------------------
+
+# Annex K.1 luminance quantization table (quality ~50), row-major.
+JPEG_LUMA_QUANT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Zigzag scan: _ZIGZAG[k] = row-major index of the k-th scanned coefficient.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3.1/K.3.2 luminance Huffman specs: (BITS[1..16], HUFFVAL).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical (BITS, HUFFVAL) spec."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the inverse map for bit-serial decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_canonical(bits, vals).items()
+    }
+
+
+# Orthonormal 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# FDCT of a block f is A @ f @ A.T, IDCT is A.T @ F @ A.
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, amplitude-bits) for a coefficient: negatives use the
+    ones'-complement convention of T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def jpeg_encode_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Baseline JFIF encoding of a 2-D uint8 grayscale image: 8x8 FDCT,
+    quantization (``quant`` defaults to the Annex K luminance table),
+    zigzag, DC-difference + run-length AC Huffman coding with the Annex K
+    luminance tables (emitted in DHT, so any conforming decoder reads
+    them from the stream). Edge blocks pad by replication."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode_gray expects a 2-D uint8 array")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = JPEG_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in [1, 255]")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    dc_codes = _huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_canonical(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    zz = _ZIGZAG
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            f = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coeffs = _DCT_A @ f @ _DCT_A.T
+            qc = np.round(coeffs / q).astype(np.int64).reshape(64)[zz]
+            diff = int(qc[0]) - prev_dc
+            prev_dc = int(qc[0])
+            size, bits = _jpeg_magnitude(diff)
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(qc)[0])) if qc.any() else 0
+            for k in range(1, 64):
+                if k > last_nz:
+                    break
+                v = int(qc[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _jpeg_magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    zz_q = q.reshape(64)[zz].astype(np.uint8).tobytes()
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + zz_q)  # DQT: 8-bit, table 0
+    out += seg(
+        0xC0,  # SOF0: 8-bit precision, 1 component, no subsampling
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00",
+    )
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    """Bit-serial reader over entropy-coded data with 0xFF00 de-stuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers (DRI) not supported")
+            else:
+                raise ValueError("unexpected marker inside scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _jpeg_segments(data: bytes):
+    """Yield (marker, payload, next_pos) for each segment before SOS."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad segment marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        payload = data[pos + 4 : pos + 2 + ln]
+        yield marker, payload, pos + 2 + ln
+        if marker == 0xDA:
+            return
+        pos += 2 + ln
+    raise ValueError("truncated JPEG")
+
+
+def jpeg_decode_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to a 2-D uint8 array. DQT and DHT
+    tables are read from the stream (not assumed), so any conforming
+    1-component baseline file decodes. Progressive (SOF2), multi-component
+    color, and restart intervals raise ValueError/NotImplementedError —
+    inject a full decoder for those."""
+    quants: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    dims = None
+    qsel = 0
+    dc_sel = ac_sel = 0
+    scan_pos = None
+    for marker, payload, nxt in _jpeg_segments(data):
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.frombuffer(payload[p + 1 : p + 65], np.uint8).astype(
+                    np.int32
+                )
+                dez = np.empty(64, np.int32)
+                dez[_ZIGZAG] = tbl
+                quants[tq] = dez.reshape(8, 8)
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported"
+            )
+        elif marker == 0xC0:  # SOF0
+            ncomp = payload[5]
+            if payload[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only 1-component (grayscale) JPEG is supported; "
+                    "inject a full decoder for color"
+                )
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            if payload[7] != 0x11:
+                raise ValueError("subsampling on a 1-component scan")
+            qsel = payload[8]
+            dims = (h, w)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nvals])
+                huffs[(tc, th)] = _huff_decode_map(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:  # SOS
+            if payload[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_sel, ac_sel = payload[2] >> 4, payload[2] & 0x0F
+            scan_pos = nxt
+    if dims is None or scan_pos is None:
+        raise ValueError("missing SOF0/SOS segment")
+    h, w = dims
+    q = quants.get(qsel)
+    dc_map = huffs.get((0, dc_sel))
+    ac_map = huffs.get((1, ac_sel))
+    if q is None or dc_map is None or ac_map is None:
+        raise ValueError("missing DQT/DHT table referenced by the scan")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((ph, pw), np.float64)
+    br = _BitReader(data, scan_pos)
+    prev_dc = 0
+    zz = _ZIGZAG
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coeffs_zz = np.zeros(64, np.int64)
+            size = br.huff(dc_map)
+            prev_dc += _jpeg_extend(br.read(size), size)
+            coeffs_zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = br.huff(ac_map)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                coeffs_zz[k] = _jpeg_extend(br.read(size), size)
+                k += 1
+            coeffs = np.empty(64, np.float64)
+            coeffs[zz] = coeffs_zz * q.reshape(64)[zz]
+            block = _DCT_A.T @ coeffs.reshape(8, 8) @ _DCT_A
+            out[by : by + 8, bx : bx + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_decode_info(data: bytes) -> dict:
+    """(width, height, channels, format) from the SOF0 header — the
+    ``decode_fn`` signature of :func:`multimodal.decode_images`."""
+    for marker, payload, _ in _jpeg_segments(data):
+        if marker == 0xC0:
+            return {
+                "width": int.from_bytes(payload[3:5], "big"),
+                "height": int.from_bytes(payload[1:3], "big"),
+                "channels": int(payload[5]),
+                "format": "jpeg",
+            }
+        if marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline JPEG (SOF0) supported")
+    raise ValueError("missing SOF0 segment")
+
+
+def jpeg_channel_stats(data: bytes) -> dict:
+    """Channel stats with REAL decoded pixels (grayscale: all three
+    channel means equal the gray mean) — the ``stats_fn`` signature of
+    :func:`multimodal.image_channel_stats`; matching an independently
+    computed oracle proves the Huffman+IDCT path reconstructed the
+    raster, not just the header."""
+    img = jpeg_decode_gray(data).astype(np.float64)
+    mean = float(img.mean())
+    return {"mean_r": mean, "mean_g": mean, "mean_b": mean, "std": float(img.std())}
