@@ -129,10 +129,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
     # knn_cosine: exact kNN scores every query x corpus pair by design.
-    # unigram_nll: the LM's two scalars (N, V) attach via a broadcast
-    # cross join of a ONE-row aggregate — the designed way to keep the
-    # call lazy; a nested-loop against one broadcast row is free.
-    allowed_bnlj = {"knn_cosine", "unigram_nll"}
+    # unigram_nll / bigram_nll: the LM's two scalars (N, V) attach via a
+    # broadcast cross join of a ONE-row aggregate — the designed way to
+    # keep the call lazy; a nested-loop against one broadcast row is free.
+    allowed_bnlj = {"knn_cosine", "unigram_nll", "bigram_nll"}
     offenders = {}
     for name, q in entry_mod.queries().items():
         if name.startswith("streaming"):
