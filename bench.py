@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     # cluster. Shuffle-byte comparison vs the self-join lands in
     # "key_sw_mb" alongside the spans/line-dedup key-mode rows.
     "semantic_dup_grouped",
+    # Round-8: interpolated bigram fluency (the unigram_nll shape one
+    # n-gram up: pair explode + pre-agg + three LM joins + doc groupBy).
+    "bigram_nll",
 ]
 
 

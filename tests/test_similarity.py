@@ -554,6 +554,19 @@ def test_assign_factory_gates_literal_budget(spark, emb, monkeypatch):
     }
     assert got2 == expected
 
+    # nlist=None (ivf_search reading persisted centroids): the capped
+    # collect detects an overfull table and falls back the same way
+    monkeypatch.setattr(similarity, "_ASSIGN_EXPR_MAX_LITERALS", 3)
+    with pytest.warns(UserWarning, match="literal budget"):
+        gated3 = similarity._ivf_assign_factory(
+            sampled, compute="expr", nlist=None
+        )
+    got3 = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in gated3(rows, "neighbor_id", "__cv", 1).collect()
+    }
+    assert got3 == expected
+
 
 def test_assign_factory_semdedup_scale_plan_builds(spark):
     """The SemDeDup-cited configuration (50K clusters x 768 dims) must

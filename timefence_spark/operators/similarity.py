@@ -890,8 +890,8 @@ def ivf_search(
     no full-index scan — and the survivors re-rank exactly. Matches
     :func:`ivf_topk` output for the same parameters."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    # nlist=None: the centroids table is a tiny persisted parquet file, so
-    # counting it (to apply the expr-literal gate) is a metadata-cheap scan.
+    # nlist=None: the factory applies the expr-literal gate with a
+    # budget-capped collect of the (tiny) persisted centroids table.
     assign = _ivf_assign_factory(centroids, compute=compute, nlist=None)
     # pin(): the assignment projection feeds BOTH the probed-id collect
     # and the candidate join; without the localCheckpoint it would be
@@ -978,14 +978,12 @@ def _ivf_assign_factory(sampled: DataFrame, *, compute: str, nlist: int | None =
     near-equidistant rows.
 
     ``nlist`` is the caller's requested list count (an upper bound on the
-    sampled rows); when omitted it is counted from ``sampled`` — only do
-    that when ``sampled`` is cheap to scan (e.g. a persisted centroids
-    table), not a limit-over-the-corpus plan."""
+    sampled rows); when omitted (``ivf_search`` reading a persisted
+    centroids table) the gate is applied with a budget-capped collect —
+    one bounded job, no separate count."""
     if compute == "arrow":
         return _ivf_assign_arrow_factory(sampled)
-    if nlist is None:
-        nlist = sampled.count()
-    if nlist > _ASSIGN_EXPR_MAX_LITERALS:
+    if nlist is not None and nlist > _ASSIGN_EXPR_MAX_LITERALS:
         # dim >= 1, so nlist alone already exceeds the literal budget:
         # skip the driver collect entirely (at SemDeDup scale it is the
         # expensive part) and go straight to the broadcast kernel.
@@ -997,7 +995,24 @@ def _ivf_assign_factory(sampled: DataFrame, *, compute: str, nlist: int | None =
             stacklevel=3,
         )
         return _ivf_assign_arrow_factory(sampled)
-    rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
+    if nlist is None:
+        # Unknown list count: fetch at most budget+1 rows in ONE job; an
+        # overfull result proves the budget is blown without completing
+        # the collect (the Arrow factory re-collects columnar-side).
+        cap = _ASSIGN_EXPR_MAX_LITERALS + 1
+        rows = sampled.limit(cap).collect()
+        if len(rows) >= cap:
+            warnings.warn(
+                f"centroid assignment: centroid count exceeds the "
+                f"expr-kernel literal budget ({_ASSIGN_EXPR_MAX_LITERALS}); "
+                "using the Arrow kernel with a broadcast centroid matrix. "
+                "Pass compute='arrow' to silence this.",
+                stacklevel=3,
+            )
+            return _ivf_assign_arrow_factory(sampled)
+        rows.sort(key=lambda r: r["centroid_id"])
+    else:
+        rows = sorted(sampled.collect(), key=lambda r: r["centroid_id"])
     dim = max(
         (len(r["centroid"]) for r in rows if r["centroid"] is not None),
         default=0,
