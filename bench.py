@@ -763,6 +763,13 @@ def _compact_line(detail: dict) -> str:
             k: (v or {}).get("shuffle_write_mb")
             for k, v in detail.get("key_mode_shuffle", {}).items()
         }
+        # Read bytes too: exchange-reusing plans (the semantic self-join)
+        # write once but READ per consumer, so the grouped kernel's wire
+        # win is only visible on the read side.
+        key_sr = {
+            k: (v or {}).get("shuffle_read_mb")
+            for k, v in detail.get("key_mode_shuffle", {}).items()
+        }
         compact = {
             "metric": detail["metric"],
             "value": detail["value"],
@@ -771,6 +778,7 @@ def _compact_line(detail: dict) -> str:
             "queries": detail["queries"],
             "unstable": detail["unstable"],
             "key_sw_mb": key_sw,
+            "key_sr_mb": key_sr,
             "scale": slim(detail["scale"], with_shuffle),
             "skew": slim(detail["skew"], with_shuffle),
             "streaming": {
