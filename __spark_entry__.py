@@ -2555,6 +2555,84 @@ def q_semantic_dup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ONE Lloyd (k-means) refinement iteration — what the
+    paper actually runs (k-means clustering, not a raw sample). The
+    oracle replays the ENTIRE refinement deterministically: the sampled
+    centroids, the first assignment, the per-(cluster, position) sorted
+    0.0-initialized summation that moves each centroid to its cluster
+    mean (bit-identical fold order in both engines), the re-assignment
+    against the refined centroids, and the within-cluster pair set."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.semantic_dup_pairs(
+        emb, id_col="vec_id", n_clusters=8, threshold=0.4, hash_fn="md5",
+        refine_iters=1,
+    )
+
+
+def _oracle_semantic_refined_sql(
+    *, nlist: int = 8, threshold: float = 0.4, seed: int = 42
+) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hashed AS (
+        SELECT vec_id, v,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':{seed}')), 1, 15))
+                    AS BIGINT) AS hh
+        FROM e
+    ), cent0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY hh) - 1 AS centroid_id, v AS cv
+        FROM (SELECT * FROM hashed ORDER BY hh LIMIT {nlist})
+    ), a0 AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {cos.format(a="e.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM e CROSS JOIN cent0 c
+        ) WHERE rn = 1
+    ), sums AS (
+        -- the sorted 0.0-initialized fold replays Spark's
+        -- aggregate(array_sort(collect_list(...)), 0.0, +) bit-for-bit
+        SELECT centroid_id, u.i AS pos,
+               list_reduce(
+                   list_prepend(0.0, list(a0.v[u.i] ORDER BY a0.vec_id)),
+                   (x, y) -> x + y) AS s,
+               COUNT(*) AS c
+        FROM a0, unnest(range(1, len(a0.v) + 1)) AS u(i)
+        GROUP BY 1, 2
+    ), cent1 AS (
+        SELECT centroid_id, list(s / c ORDER BY pos) AS mv
+        FROM sums GROUP BY 1
+    ), cent AS (
+        SELECT c0.centroid_id, COALESCE(c1.mv, c0.cv) AS cv
+        FROM cent0 c0 LEFT JOIN cent1 c1 USING (centroid_id)
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {cos.format(a="e.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.centroid_id AS cluster_id,
+               ROUND({cos.format(a="a.v", b="b.v")}, 6) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cluster_id, cosine FROM pairs
+    WHERE cosine >= {threshold}
+    """
+
+
 def _oracle_semantic_sql(
     *, survivors: bool, nlist: int = 16, threshold: float = 0.4, seed: int = 42
 ) -> str:
@@ -3106,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dup_pairs": q_semantic_dup_pairs,  # new in round 7
         "semantic_dup_grouped": q_semantic_dup_grouped,  # new in round 8
+        "semantic_dup_refined": q_semantic_dup_refined,  # new in round 8
         "bigram_nll": q_bigram_nll,  # new in round 8
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
@@ -3248,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_embedding_near_dup_sql(),
         "semantic_dup_pairs": _oracle_semantic_sql(survivors=False),
         "semantic_dup_grouped": _oracle_semantic_sql(survivors=False),
+        "semantic_dup_refined": _oracle_semantic_refined_sql(),
         "semantic_dedup": _oracle_semantic_sql(survivors=True),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,

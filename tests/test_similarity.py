@@ -645,3 +645,63 @@ def test_semantic_dup_pairs_grouped_matches_expr(spark, emb):
 
     with pytest.raises(ValueError, match="compute"):
         sim.semantic_dup_pairs(dirty, id_col="vec_id", compute="bogus")
+
+
+def test_refine_centroids_one_lloyd_iteration_exact(spark):
+    """refine_iters=1 must move each centroid to the numpy mean of the
+    vectors its initial version attracted (cosine argmax, ties to the
+    smaller centroid id), and an empty cluster keeps its old centroid."""
+    import numpy as np
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+        (5, [0.0, 0.8, 0.1]),
+        (6, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = {
+        r["centroid_id"]: np.array(r["centroid"])
+        for r in similarity._ivf_centroids(
+            df, corpus_id="vec_id", corpus_vec="embedding", nlist=2,
+            seed=42, hash_fn="xxhash64",
+        ).collect()
+    }
+    # brute-force the assignment the expr kernel performs
+    members: dict[int, list] = {0: [], 1: []}
+    for _, v in rows:
+        v = np.array(v)
+        scores = [
+            float(v @ init[c] / (np.linalg.norm(v) * np.linalg.norm(init[c])))
+            for c in (0, 1)
+        ]
+        best = 0 if scores[0] >= scores[1] else 1  # tie -> smaller id
+        members[best].append(v)
+    refined = {
+        r["centroid_id"]: np.array(r["centroid"])
+        for r in similarity._ivf_centroids(
+            df, corpus_id="vec_id", corpus_vec="embedding", nlist=2,
+            seed=42, hash_fn="xxhash64", refine_iters=1,
+        ).collect()
+    }
+    for c in (0, 1):
+        want = np.mean(members[c], axis=0) if members[c] else init[c]
+        assert np.allclose(refined[c], want, atol=1e-12), (c, refined[c], want)
+
+    # all-identical corpus: every row ties to centroid 0, centroid 1
+    # keeps its previous (identical) vector rather than vanishing
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    ref2 = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in similarity._ivf_centroids(
+            same, corpus_id="vec_id", corpus_vec="embedding", nlist=2,
+            seed=42, hash_fn="xxhash64", refine_iters=2,
+        ).collect()
+    }
+    assert set(ref2) == {0, 1}
+    assert ref2[0] == [1.0, 2.0] and ref2[1] == [1.0, 2.0]

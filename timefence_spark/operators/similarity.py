@@ -734,6 +734,7 @@ def ivf_topk(
     round_to: int | None = 6,
     hash_fn: str = "xxhash64",
     compute: str = "expr",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat: centroids = deterministic hash-sample of ``nlist`` corpus
     vectors; corpus rows are assigned to their nearest centroid (one broadcast
@@ -757,7 +758,7 @@ def ivf_topk(
     plan/closure."""
     sampled = _ivf_centroids(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
-        seed=seed, hash_fn=hash_fn,
+        seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
     )
     assign = _ivf_assign_factory(sampled, compute=compute, nlist=nlist)
 
@@ -783,9 +784,16 @@ def _ivf_centroids(
     nlist: int,
     seed: int,
     hash_fn: str,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """(centroid_id, centroid): a deterministic hash-sample of ``nlist``
-    corpus vectors, ids dense in hash order."""
+    corpus vectors, ids dense in hash order — optionally refined with
+    ``refine_iters`` Lloyd (k-means) iterations via
+    :func:`_refine_centroids`. Refinement is what SemDeDup actually runs
+    (k-means, not a raw sample); each iteration costs one assignment
+    projection plus one positional-mean shuffle over the corpus, and the
+    result stays bit-replayable by an external SQL oracle (sorted
+    deterministic summation — see _refine_centroids)."""
     if hash_fn == "xxhash64":
         sample_hash = F.xxhash64(F.col("cid").cast("string"), F.lit(seed))
     else:
@@ -796,13 +804,88 @@ def _ivf_centroids(
             16,
             10,
         ).cast("long")
-    return (
+    sampled = (
         corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
         .withColumn("__h", sample_hash)
         .orderBy("__h")
         .limit(nlist)
         .withColumn("centroid_id", F.row_number().over(Window.orderBy("__h")) - 1)
         .select("centroid_id", F.col("cv").alias("centroid"))
+    )
+    if refine_iters:
+        vecs = corpus.select(
+            F.col(corpus_id).alias("__rid"), F.col(corpus_vec).alias("__rv")
+        )
+        # pin() per iteration: iteration i+1's assignment factory collects
+        # the refined centroids, which would otherwise re-execute every
+        # prior iteration's corpus-wide aggregation chain (O(iters^2)).
+        sampled = pin(sampled)
+        for _ in range(int(refine_iters)):
+            sampled = pin(_refine_centroids(sampled, vecs, nlist=nlist))
+    return sampled
+
+
+def _refine_centroids(
+    sampled: DataFrame, vecs: DataFrame, *, nlist: int
+) -> DataFrame:
+    """One Lloyd iteration: assign every corpus vector to its nearest
+    centroid (the exact expr kernel — same tie-breaks an oracle can
+    replay), then move each centroid to its cluster's elementwise mean;
+    empty clusters keep their previous centroid (the standard k-means
+    convention, and the deterministic one).
+
+    The mean is computed per (centroid, position): posexplode, then a
+    SORTED sequential fold of each group's values (0.0-initialized, in
+    member-id order), so the double summation runs in ONE canonical
+    order — an external SQL engine replaying ``list(x ORDER BY id)``
+    with a 0.0-prepended reduce produces bit-identical centroids, which
+    keeps every downstream assignment and cosine oracle-exact.
+
+    100 TB shape: one rows x dim shuffle of (id, pos, value) per
+    iteration — ids and doubles only, no text, no pairs — and the fold
+    buffer per group is ONE position of one cluster (cluster_size
+    doubles), never a whole cluster of vectors. Keep ``refine_iters``
+    small (1-3); each iteration also costs one driver collect of nlist
+    centroids for the next assignment plan."""
+    assign = _ivf_assign_factory(sampled, compute="expr", nlist=nlist)
+    assigned = assign(vecs, "__rid", "__rv", 1)
+    pos = assigned.select(
+        "centroid_id", "__rid", F.posexplode("__rv").alias("__p", "__x")
+    )
+    sums = pos.groupBy("centroid_id", "__p").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__rid").alias("r"),
+                        F.col("__x").cast("double").alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    means = (
+        sums.select(
+            "centroid_id",
+            F.struct(F.col("__p"), (F.col("__s") / F.col("__c")).alias("m")).alias(
+                "__pm"
+            ),
+        )
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list("__pm")).alias("__pms"))
+        .select(
+            "centroid_id",
+            F.transform("__pms", lambda s: s["m"]).alias("__new"),
+        )
+    )
+    return sampled.join(means, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce("__new", F.col("centroid").cast("array<double>")).alias(
+            "centroid"
+        ),
     )
 
 
@@ -836,6 +919,7 @@ def ivf_build_index(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     compute: str = "expr",
+    refine_iters: int = 0,
     path: str,
 ) -> None:
     """Materialize an IVF-flat index to ``path`` for repeated searches:
@@ -853,7 +937,7 @@ def ivf_build_index(
     seed, hash_fn))."""
     sampled = _ivf_centroids(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
-        seed=seed, hash_fn=hash_fn,
+        seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
     )
     sampled.write.mode("overwrite").parquet(f"{path}/centroids")
     assign = _ivf_assign_factory(sampled, compute=compute, nlist=nlist)
@@ -1350,6 +1434,7 @@ def semantic_dup_pairs(
     compute: str = "expr",
     round_to: int | None = 6,
     max_cluster_size: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1391,9 +1476,17 @@ def semantic_dup_pairs(
       caveat vs the sequential fold (invisible at the default rounding
       on non-adversarial data).
 
-    Centroid sampling, assignment tie-breaks, and the sequential-fold
-    cosine are all deterministic, so an external SQL oracle can replay
-    the exact pair set (hash_fn='md5' for cross-engine hashes).
+    ``refine_iters`` runs that many Lloyd (k-means) iterations on the
+    sampled centroids before the final assignment — what SemDeDup
+    actually clusters with. Each iteration costs one assignment
+    projection plus one positional-mean shuffle over the corpus (see
+    :func:`_refine_centroids` for the deterministic fold that keeps it
+    oracle-replayable).
+
+    Centroid sampling, assignment tie-breaks, refinement means, and the
+    sequential-fold cosine are all deterministic, so an external SQL
+    oracle can replay the exact pair set (hash_fn='md5' for cross-engine
+    hashes).
     """
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
@@ -1403,7 +1496,7 @@ def semantic_dup_pairs(
         )
     centroids = _ivf_centroids(
         df, corpus_id=id_col, corpus_vec=vec_col, nlist=n_clusters,
-        seed=seed, hash_fn=hash_fn,
+        seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
     )
     assign = _ivf_assign_factory(
         centroids,
@@ -1544,6 +1637,7 @@ def semantic_dedup(
     hash_fn: str = "xxhash64",
     compute: str = "expr",
     max_cluster_size: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Drop every row with a semantic near-duplicate of smaller id —
     the same pairwise canonicalization policy as :func:`minhash_dedup`
@@ -1553,7 +1647,7 @@ def semantic_dedup(
     pairs = semantic_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
         threshold=threshold, seed=seed, hash_fn=hash_fn, compute=compute,
-        max_cluster_size=max_cluster_size,
+        max_cluster_size=max_cluster_size, refine_iters=refine_iters,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
