@@ -2244,6 +2244,67 @@ ORACLE_UNIGRAM_NLL = r"""
 """
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction: each document's text is wrapped in a
+    deterministic HTML template (head/style/script noise, comments,
+    entities, block tags), then strip_html recovers the text. The oracle
+    builds the identical template and replays the identical regex chain
+    in DuckDB — byte-for-byte equality of the extracted text is the
+    correctness claim (every pattern is Java-regex/RE2-identical)."""
+    from timefence_spark.operators.web import strip_html
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><style>p{color:red}</style>'
+                '</head><body><script>var x="<p>no</p>";</script>'
+                "<!-- crawler noise --><h1>"
+            ),
+            F.col("text"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail &#39;q&#39;&nbsp;end</p><br><div>id="),
+            F.col("doc_id").cast("string"),
+            F.lit("</div></body></html>"),
+        ).alias("text"),
+    )
+    return strip_html(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_STRIP_HTML = r"""
+    WITH raw AS (
+        SELECT doc_id,
+               '<html><head><title>t</title><style>p{color:red}</style>'
+               || '</head><body><script>var x="<p>no</p>";</script>'
+               || '<!-- crawler noise --><h1>' || text || '</h1><p>' || text
+               || ' &amp; tail &#39;q&#39;&nbsp;end</p><br><div>id='
+               || doc_id::VARCHAR || '</div></body></html>' AS h
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS h FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS h FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head\s*>', ' ', 'g') AS h FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g') AS h FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(h, '(?is)<template\b[^>]*>.*?</template\s*>', ' ', 'g') AS h FROM s4),
+    s6 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s5),
+    s7 AS (SELECT doc_id, regexp_replace(h,
+        '(?is)</?(?:p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|form)\b[^>]*>',
+        chr(10), 'g') AS h FROM s6),
+    s8 AS (SELECT doc_id, regexp_replace(h, '(?is)<br\s*/?>', chr(10), 'g') AS h FROM s7),
+    s9 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s8),
+    s10 AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(replace(replace(replace(h,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#34;', '"'),
+            '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
+            '&#160;', ' '), '&amp;', '&') AS h FROM s9),
+    s11 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]*\n[\s]*', chr(10), 'g') AS h FROM s10),
+    s12 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM s11)
+    SELECT doc_id, regexp_replace(h, '^\s+|\s+$', '', 'g') AS text
+    FROM s12
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped interpolated bigram fluency: mean -ln(0.5 * p_bi +
     0.5 * p_uni) per document over bigram transitions, both LMs the
@@ -3187,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_refined": q_semantic_dup_refined,  # new in round 8
         "bigram_nll": q_bigram_nll,  # new in round 8
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
+        "strip_html": q_strip_html,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3305,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "word_freq": ORACLE_WORD_FREQ,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "bigram_nll": ORACLE_BIGRAM_NLL,
+        "strip_html": ORACLE_STRIP_HTML,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "normalize_text": ORACLE_NORMALIZE,
         "line_dedup": ORACLE_LINE_DEDUP,

@@ -329,3 +329,41 @@ def test_pii_signals_null_text_reports_zero(spark):
         ~F.col("has_pii")
     )
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_strip_html_edge_cases(spark):
+    """strip_html: container-content drops, <header> must NOT match the
+    <head> drop, block boundaries become newlines, entities decode in
+    the standard order (&amp; last), malformed nesting degrades to
+    whitespace, NULL stays NULL."""
+    from timefence_spark.operators.web import strip_html
+
+    rows = [
+        (1, "<head><title>x</title></head><header>Site Menu</header>ok"),
+        (2, "a &amp;lt; b"),        # decodes to "a &lt; b", NOT "a < b"
+        (3, "<p>one</p><p>two</p>"),
+        (4, "<div>broken <b>nest</div> tail</b>"),
+        (5, None),
+        (6, "  no   markup\t here  "),
+        (7, "<SCRIPT>alert(1)</SCRIPT>visible<STYLE>x</STYLE>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_html(df, id_col="doc_id", text_col="text").collect()
+    }
+    assert got[1] == "Site Menu\nok"
+    assert got[2] == "a &lt; b"
+    assert got[3] == "one\ntwo"
+    assert got[4] == "broken nest\ntail"
+    assert got[5] is None
+    assert got[6] == "no markup here"
+    assert got[7] == "visible"
+
+    from timefence_spark.corpus import Corpus
+
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in Corpus(df.where("doc_id = 3")).strip_html().df.collect()
+    }
+    assert kept[3] == "one\ntwo"

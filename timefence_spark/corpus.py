@@ -267,6 +267,17 @@ class Corpus:
             )
         )
 
+    def strip_html(self) -> "Corpus":
+        """Extract boilerplate-free text from raw HTML in the text
+        column (script/style/comment removal, block tags to newlines,
+        entity decode — see web.strip_html). Run FIRST on crawled
+        corpora, before any text-quality or dedup stage."""
+        from timefence_spark.operators.web import strip_html as _sh
+
+        return self._wrap(
+            _sh(self.df, id_col=self.id_col, text_col=self.text_col)
+        )
+
     def dedup_lines(
         self, *, min_len: int = 20, sep: str = "\n", scope: str = "corpus"
     ) -> "Corpus":

@@ -121,3 +121,77 @@ def filter_blocked_domains(
     ).select(id_col).distinct()
     how = "left_semi" if invert else "left_anti"
     return df.join(blocked_ids, id_col, how)
+
+
+# Container tags whose CONTENT is noise, not text: dropped wholesale.
+# No regex backreferences (RE2 has none), so one pass per tag name.
+_DROP_CONTENT_TAGS = ("script", "style", "head", "noscript", "template")
+
+# Block-level tags whose boundaries become newlines, so downstream
+# line-granular operators (line_dedup, chunking) see document structure.
+_BLOCK_TAG_ALT = (
+    "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|table|blockquote|pre|"
+    "section|article|header|footer|form"
+)
+
+# Fixed entity map, decoded in list order: named + the common numeric
+# forms first, the ampersand itself LAST (standard decode order — doing
+# & first would double-decode "&amp;lt;").
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(
+    df: DataFrame,
+    *,
+    id_col: str,  # noqa: ARG001 - symmetry with the other operators
+    text_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Boilerplate-free text from raw HTML — the extraction step between
+    a web crawl and every text-quality operator in this package (the
+    role trafilatura/jusText play in public pipelines, reduced to its
+    deterministic regex core).
+
+    Pipeline (one projection, each step a single regexp pass):
+
+    1. drop ``<script>/<style>/<head>/<noscript>/<template>`` blocks
+       wholesale (their content is code, not text);
+    2. drop HTML comments;
+    3. turn block-tag boundaries (``<p>``, ``<div>``, headings, list
+       items, ...) and ``<br>`` into newlines so document structure
+       survives for line-granular operators;
+    4. strip every remaining tag to a space;
+    5. decode the fixed entity list (named + common numeric forms,
+       ``&amp;`` last);
+    6. collapse whitespace: blank-ish line runs to one newline,
+       horizontal runs to one space, trim.
+
+    Replaces ``text_col`` unless ``out_col`` is given. Every pattern is
+    restricted to constructs Java regex and RE2 treat identically — no
+    backreferences, no lookarounds — so an external SQL oracle replays
+    the extraction byte-for-byte. Scan-speed, zero shuffle; NULL text
+    stays NULL. This is deliberately NOT a DOM parser: malformed nesting
+    degrades to extra whitespace, never to an error."""
+    t = F.col(text_col)
+    for tag in _DROP_CONTENT_TAGS:
+        t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, f"(?is)</?(?:{_BLOCK_TAG_ALT})\\b[^>]*>", "\n")
+    t = F.regexp_replace(t, r"(?is)<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\r]*\n[\s]*", "\n")
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    return df.withColumn(out_col or text_col, t)
