@@ -382,3 +382,36 @@ def test_corpus_clean_round7_gates(tmp_path, spark):
     assert summary["rows_out"] == 2  # doc 2 shares doc 1's vector -> dropped
     kept = {r_["doc_id"] for r_ in spark.read.parquet(out).collect()}
     assert kept == {1, 3}
+
+
+def test_corpus_clean_strip_html_and_bigram_fluency(tmp_path, spark):
+    """--strip-html extracts text before every other stage, and
+    --fluency-model bigram routes --max-nll through the interpolated
+    bigram LM (a huge ceiling keeps all docs; the stage label records
+    the model)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><body><script>x()</script><p>the quick brown fox jumps over the lazy dog</p></body></html>"),
+            (2, "<p>an entirely different document about rivers and banks today</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "docs_html.parquet")
+    out = str(tmp_path / "clean_html.parquet")
+    docs.write.parquet(inp)
+    res = _run(
+        [
+            "corpus-clean", "--input", inp, "--output", out,
+            "--dedup", "none", "--strip-html",
+            "--max-nll", "1e9", "--fluency-model", "bigram", "--json",
+        ],
+        tmp_path,
+    )
+    assert res.exit_code == 0, res.output
+    summary = json.loads(res.output.strip().splitlines()[-1])
+    assert "strip_html" in summary["stages"]
+    assert "fluency[bigram] nll<=1000000000.0" in summary["stages"]
+    assert summary["rows_out"] == 2
+    cleaned = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert cleaned[1] == "the quick brown fox jumps over the lazy dog"
+    assert "<p>" not in cleaned[2]

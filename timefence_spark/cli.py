@@ -809,6 +809,11 @@ def quickstart(target_dir) -> None:
 @click.option("--id-col", default="doc_id", show_default=True)
 @click.option("--text-col", default="text", show_default=True)
 @click.option(
+    "--strip-html/--no-strip-html", "strip_html_flag", default=False,
+    help="Extract boilerplate-free text from raw HTML first (runs "
+    "before every other stage).",
+)
+@click.option(
     "--dedup",
     "dedup_mode",
     type=click.Choice(["none", "exact", "near", "best"]),
@@ -845,7 +850,12 @@ def quickstart(target_dir) -> None:
 )
 @click.option(
     "--max-nll", type=float, default=None,
-    help="Unigram-LM fluency ceiling (mean NLL; CCNet-style gate).",
+    help="LM fluency ceiling (mean NLL; CCNet-style gate).",
+)
+@click.option(
+    "--fluency-model", type=click.Choice(["unigram", "bigram"]),
+    default="unigram", show_default=True,
+    help="LM for --max-nll: unigram, or interpolated bigram.",
 )
 @click.option(
     "--clf-weights", default=None,
@@ -865,10 +875,11 @@ def quickstart(target_dir) -> None:
 @click.option("--salt", default="", help="Salt for sampling/split hashes.")
 @click.option("--json", "json_out", is_flag=True, help="Machine-readable summary.")
 def corpus_clean(
-    input_path, output_path, id_col, text_col, dedup_mode, gopher,
+    input_path, output_path, id_col, text_col, strip_html_flag,
+    dedup_mode, gopher,
     min_quality, languages, max_substring_dup, remove_substring_dups,
     semantic_embeddings, semantic_threshold, semantic_clusters,
-    max_nll, clf_weights,
+    max_nll, fluency_model, clf_weights,
     clf_bias, min_clf_score, benchmark, ngram, redact_pii, blocklist,
     sample_fraction, split_spec, salt, json_out,
 ) -> None:
@@ -888,6 +899,9 @@ def corpus_clean(
     n_in = df.count()
     c = Corpus(df, id_col=id_col, text_col=text_col)
     stages: list[str] = []
+    if strip_html_flag:
+        c = c.strip_html()
+        stages.append("strip_html")
     if dedup_mode == "exact":
         c = c.dedup_exact()
         stages.append("dedup_exact")
@@ -927,8 +941,8 @@ def corpus_clean(
             f"semantic_dedup(k={semantic_clusters},t={semantic_threshold})"
         )
     if max_nll is not None:
-        c = c.filter_fluency(max_nll=max_nll)
-        stages.append(f"fluency nll<={max_nll}")
+        c = c.filter_fluency(max_nll=max_nll, model=fluency_model)
+        stages.append(f"fluency[{fluency_model}] nll<={max_nll}")
     if min_clf_score is not None:
         if not clf_weights:
             raise click.ClickException("--min-clf-score requires --clf-weights")
