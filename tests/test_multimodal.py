@@ -331,3 +331,42 @@ def test_jpeg_codec_roundtrip_and_contracts():
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="SOF0|baseline"):
         codecs.jpeg_decode_gray(prog)
+
+
+def test_jpeg_color_codec_roundtrip_and_contracts():
+    """YCbCr 4:4:4 color JPEG: smooth content round-trips closely, the
+    unified jpeg_decode returns 2-D for gray and (h, w, 3) for color,
+    per-channel stats come from real pixels, and grayscale-only entry
+    points reject color files."""
+    import numpy as np
+
+    from timefence_spark.operators import codecs
+
+    x = np.linspace(0, 255, 48, dtype=np.uint8)
+    grad = np.stack(
+        [
+            np.tile(x, (24, 1)),
+            np.tile(x[::-1], (24, 1)),
+            np.full((24, 48), 80, np.uint8),
+        ],
+        axis=-1,
+    )
+    enc = codecs.jpeg_encode_rgb(grad)
+    dec = codecs.jpeg_decode(enc)
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 4.0
+    info = codecs.jpeg_decode_info(enc)
+    assert info["channels"] == 3 and info["format"] == "jpeg"
+
+    stats = codecs.jpeg_channel_stats(enc)
+    for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert abs(stats[key] - grad[:, :, ch].mean()) < 4.0, key
+
+    with pytest.raises(ValueError, match="grayscale"):
+        codecs.jpeg_decode_gray(enc)
+    with pytest.raises(ValueError, match="uint8"):
+        codecs.jpeg_encode_rgb(grad[:, :, 0])
+
+    # odd dims crop correctly through the color path
+    crop = grad[:13, :19]
+    assert codecs.jpeg_decode(codecs.jpeg_encode_rgb(crop)).shape == (13, 19, 3)

@@ -540,6 +540,84 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _jpeg_check_quant(quant: np.ndarray | None) -> np.ndarray:
+    q = JPEG_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in [1, 255]")
+    return q
+
+
+def _jpeg_encode_block(
+    bw: _BitWriter,
+    f: np.ndarray,
+    q: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + Huffman-emit one CENTERED 8x8 block; returns the
+    new DC predictor."""
+    coeffs = _DCT_A @ f @ _DCT_A.T
+    qc = np.round(coeffs / q).astype(np.int64).reshape(64)[_ZIGZAG]
+    diff = int(qc[0]) - prev_dc
+    prev_dc = int(qc[0])
+    size, bits = _jpeg_magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(qc)[0])) if qc.any() else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            break
+        v = int(qc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return prev_dc
+
+
+def _jpeg_container(
+    h: int, w: int, ncomp: int, q: np.ndarray, scan: bytes
+) -> bytes:
+    """Assemble SOI..EOI around an entropy-coded scan. All components
+    share quant table 0 and Huffman tables 0 (legal baseline JFIF; any
+    conforming decoder reads the selectors from the stream)."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    zz_q = q.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+    sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + zz_q)  # DQT: 8-bit, table 0
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += seg(0xDA, sos)
+    return out + scan + b"\xff\xd9"  # EOI
+
+
 def jpeg_encode_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     """Baseline JFIF encoding of a 2-D uint8 grayscale image: 8x8 FDCT,
     quantization (``quant`` defaults to the Annex K luminance table),
@@ -551,67 +629,63 @@ def jpeg_encode_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     h, w = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    q = JPEG_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
-    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
-        raise ValueError("quant must be 8x8 with entries in [1, 255]")
+    q = _jpeg_check_quant(quant)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
     dc_codes = _huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_codes = _huff_canonical(_AC_LUMA_BITS, _AC_LUMA_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    zz = _ZIGZAG
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             f = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coeffs = _DCT_A @ f @ _DCT_A.T
-            qc = np.round(coeffs / q).astype(np.int64).reshape(64)[zz]
-            diff = int(qc[0]) - prev_dc
-            prev_dc = int(qc[0])
-            size, bits = _jpeg_magnitude(diff)
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            bw.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(qc)[0])) if qc.any() else 0
-            for k in range(1, 64):
-                if k > last_nz:
-                    break
-                v = int(qc[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, bits = _jpeg_magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
-    scan = bw.flush()
+            prev_dc = _jpeg_encode_block(bw, f, q, dc_codes, ac_codes, prev_dc)
+    return _jpeg_container(h, w, 1, q, bw.flush())
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    zz_q = q.reshape(64)[zz].astype(np.uint8).tobytes()
-    out = b"\xff\xd8"  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + zz_q)  # DQT: 8-bit, table 0
-    out += seg(
-        0xC0,  # SOF0: 8-bit precision, 1 component, no subsampling
-        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-        + b"\x01" + b"\x01\x11\x00",
-    )
-    out += seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
-    out += seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
-    out += scan + b"\xff\xd9"  # EOI
-    return out
+def jpeg_encode_rgb(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Baseline JFIF encoding of an (h, w, 3) uint8 RGB image as YCbCr
+    4:4:4 (no chroma subsampling): BT.601 full-range conversion (kept in
+    float through the FDCT — no intermediate rounding), then per-MCU
+    interleaved Y/Cb/Cr blocks with independent DC predictors. All
+    components share the (``quant`` or Annex K luminance) quantization
+    table and the luminance Huffman tables — legal baseline JFIF, and
+    the selectors in the stream say so."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode_rgb expects an (h, w, 3) uint8 array")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _jpeg_check_quant(quant)
+    rf = arr[:, :, 0].astype(np.float64)
+    gf = arr[:, :, 1].astype(np.float64)
+    bf = arr[:, :, 2].astype(np.float64)
+    # centered planes (sample - 128), the FDCT's expected level shift
+    planes = [
+        0.299 * rf + 0.587 * gf + 0.114 * bf - 128.0,
+        -0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+        0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+    ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    dc_codes = _huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_canonical(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(planes):
+                prev_dc[ci] = _jpeg_encode_block(
+                    bw,
+                    plane[by : by + 8, bx : bx + 8],
+                    q,
+                    dc_codes,
+                    ac_codes,
+                    prev_dc[ci],
+                )
+    return _jpeg_container(h, w, 3, q, bw.flush())
 
 
 class _BitReader:
@@ -684,17 +758,17 @@ def _jpeg_segments(data: bytes):
     raise ValueError("truncated JPEG")
 
 
-def jpeg_decode_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to a 2-D uint8 array. DQT and DHT
-    tables are read from the stream (not assumed), so any conforming
-    1-component baseline file decodes. Progressive (SOF2), multi-component
-    color, and restart intervals raise ValueError/NotImplementedError —
-    inject a full decoder for those."""
+def _jpeg_decode_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
+    """Shared scan decoder: (per-component float planes BEFORE the +128
+    level shift / rounding, h, w) for baseline files with no chroma
+    subsampling (every sampling factor 0x11 — each MCU is one block per
+    component, so the per-MCU loop is uniform). DQT and DHT tables are
+    read from the stream, never assumed."""
     quants: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict] = {}
     dims = None
-    qsel = 0
-    dc_sel = ac_sel = 0
+    comps: list[dict] = []  # SOF order: {id, tq}
+    scan_sel: dict[int, tuple[int, int]] = {}  # component id -> (Td, Ta)
     scan_pos = None
     for marker, payload, nxt in _jpeg_segments(data):
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -715,19 +789,25 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
                 "only baseline sequential JPEG (SOF0) is supported"
             )
         elif marker == 0xC0:  # SOF0
-            ncomp = payload[5]
             if payload[0] != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
+            ncomp = payload[5]
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 1-component (grayscale) JPEG is supported; "
-                    "inject a full decoder for color"
+                    f"{ncomp}-component JPEG not supported (grayscale or "
+                    "YCbCr 4:4:4 only; inject a full decoder)"
                 )
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
-            if payload[7] != 0x11:
-                raise ValueError("subsampling on a 1-component scan")
-            qsel = payload[8]
+            comps = []
+            for ci in range(ncomp):
+                base = 6 + 3 * ci
+                if payload[base + 1] != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only; "
+                        "inject a full decoder)"
+                    )
+                comps.append({"id": payload[base], "tq": payload[base + 2]})
             dims = (h, w)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             p = 0
@@ -741,50 +821,91 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) not supported")
         elif marker == 0xDA:  # SOS
-            if payload[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_sel, ac_sel = payload[2] >> 4, payload[2] & 0x0F
+            ns = payload[0]
+            for si in range(ns):
+                cs = payload[1 + 2 * si]
+                tt = payload[2 + 2 * si]
+                scan_sel[cs] = (tt >> 4, tt & 0x0F)
             scan_pos = nxt
-    if dims is None or scan_pos is None:
+    if dims is None or scan_pos is None or not comps:
         raise ValueError("missing SOF0/SOS segment")
     h, w = dims
-    q = quants.get(qsel)
-    dc_map = huffs.get((0, dc_sel))
-    ac_map = huffs.get((1, ac_sel))
-    if q is None or dc_map is None or ac_map is None:
-        raise ValueError("missing DQT/DHT table referenced by the scan")
+    tables = []
+    for c in comps:
+        q = quants.get(c["tq"])
+        sel = scan_sel.get(c["id"])
+        if q is None or sel is None:
+            raise ValueError("missing DQT/DHT table referenced by the scan")
+        dc_map, ac_map = huffs.get((0, sel[0])), huffs.get((1, sel[1]))
+        if dc_map is None or ac_map is None:
+            raise ValueError("missing DQT/DHT table referenced by the scan")
+        tables.append((q, dc_map, ac_map))
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.empty((ph, pw), np.float64)
+    planes = [np.empty((ph, pw), np.float64) for _ in comps]
     br = _BitReader(data, scan_pos)
-    prev_dc = 0
+    prev_dc = [0] * len(comps)
     zz = _ZIGZAG
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            coeffs_zz = np.zeros(64, np.int64)
-            size = br.huff(dc_map)
-            prev_dc += _jpeg_extend(br.read(size), size)
-            coeffs_zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = br.huff(ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                coeffs_zz[k] = _jpeg_extend(br.read(size), size)
-                k += 1
-            coeffs = np.empty(64, np.float64)
-            coeffs[zz] = coeffs_zz * q.reshape(64)[zz]
-            block = _DCT_A.T @ coeffs.reshape(8, 8) @ _DCT_A
-            out[by : by + 8, bx : bx + 8] = block
-    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            for ci, (q, dc_map, ac_map) in enumerate(tables):
+                coeffs_zz = np.zeros(64, np.int64)
+                size = br.huff(dc_map)
+                prev_dc[ci] += _jpeg_extend(br.read(size), size)
+                coeffs_zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = br.huff(ac_map)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    coeffs_zz[k] = _jpeg_extend(br.read(size), size)
+                    k += 1
+                coeffs = np.empty(64, np.float64)
+                coeffs[zz] = coeffs_zz * q.reshape(64)[zz]
+                block = _DCT_A.T @ coeffs.reshape(8, 8) @ _DCT_A
+                planes[ci][by : by + 8, bx : bx + 8] = block
+    return [p[:h, :w] for p in planes], h, w
+
+
+def jpeg_decode_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to a 2-D uint8 array. DQT and DHT
+    tables are read from the stream (not assumed), so any conforming
+    1-component baseline file decodes. Progressive (SOF2), chroma
+    subsampling, and restart intervals raise ValueError /
+    NotImplementedError — inject a full decoder for those. 3-component
+    files decode via :func:`jpeg_decode`."""
+    planes, _, _ = _jpeg_decode_planes(data)
+    if len(planes) != 1:
+        raise ValueError(
+            "not a grayscale JPEG (use jpeg_decode for color files)"
+        )
+    return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG: 2-D uint8 for grayscale files, (h, w, 3)
+    uint8 RGB for YCbCr 4:4:4 color files (BT.601 full-range conversion,
+    the JFIF convention). Rounding happens ONCE, after the color-space
+    conversion, matching common decoders."""
+    planes, _, _ = _jpeg_decode_planes(data)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+    y = planes[0] + 128.0
+    cb = planes[1]  # already centered: stored as Cb - 128
+    cr = planes[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def jpeg_decode_info(data: bytes) -> dict:
@@ -805,10 +926,21 @@ def jpeg_decode_info(data: bytes) -> dict:
 
 def jpeg_channel_stats(data: bytes) -> dict:
     """Channel stats with REAL decoded pixels (grayscale: all three
-    channel means equal the gray mean) — the ``stats_fn`` signature of
+    channel means equal the gray mean; color: per-RGB-channel means) —
+    the ``stats_fn`` signature of
     :func:`multimodal.image_channel_stats`; matching an independently
-    computed oracle proves the Huffman+IDCT path reconstructed the
-    raster, not just the header."""
-    img = jpeg_decode_gray(data).astype(np.float64)
-    mean = float(img.mean())
-    return {"mean_r": mean, "mean_g": mean, "mean_b": mean, "std": float(img.std())}
+    computed oracle proves the Huffman+IDCT(+YCbCr) path reconstructed
+    the raster, not just the header."""
+    img = jpeg_decode(data).astype(np.float64)
+    if img.ndim == 2:
+        mean = float(img.mean())
+        return {
+            "mean_r": mean, "mean_g": mean, "mean_b": mean,
+            "std": float(img.std()),
+        }
+    return {
+        "mean_r": float(img[:, :, 0].mean()),
+        "mean_g": float(img[:, :, 1].mean()),
+        "mean_b": float(img[:, :, 2].mean()),
+        "std": float(img.std()),
+    }
