@@ -108,8 +108,11 @@ BENCH_QUERIES = [
     # "key_sw_mb" alongside the spans/line-dedup key-mode rows.
     "semantic_dup_grouped",
     # Round-8: interpolated bigram fluency (the unigram_nll shape one
-    # n-gram up: pair explode + pre-agg + three LM joins + doc groupBy).
+    # n-gram up: pair explode + pre-agg + three LM joins + doc groupBy)
+    # and HTML extraction (a pure scan-side regex chain — this row pins
+    # the whole-corpus cost of the crawl-ingest step).
     "bigram_nll",
+    "strip_html",
 ]
 
 
