@@ -514,3 +514,124 @@ def test_remove_duplicate_spans_matches_python_reference(spark, data, k):
         expected = (" ".join(kept), len(toks), len(covered))
         assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
         assert (det[doc_id] > 0) == (len(covered) > 0)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dog", "x1"]),
+            min_size=0, max_size=30,
+        ),
+        min_size=1, max_size=8,
+    ),
+    chunk_tokens=st.integers(min_value=1, max_value=7),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_reconstruction_property(
+    spark, docs, chunk_tokens, overlap
+):
+    """Chunking invariants for any corpus: with min_tokens=1, chunk i
+    starts at token i*stride, the chunks at overlap=0 concatenate back
+    to the exact token sequence, and every overlap re-emits exactly the
+    boundary tokens (chunk i's first `overlap` tokens == the previous
+    chunk's last `overlap`)."""
+    from timefence_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk_tokens - 1)
+    stride = chunk_tokens - overlap
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(
+        df, id_col="doc_id", text_col="text",
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt: list[str] = []
+        for j, ch in enumerate(chunks):
+            got = ch["chunk_text"].split(" ")
+            assert ch["tok_start"] == j * stride
+            assert got == toks[ch["tok_start"] : ch["tok_start"] + chunk_tokens]
+            rebuilt.extend(got[overlap:] if j else got)
+        # min_tokens=1 drops only fully-overlap-covered trailing chunks,
+        # so the de-overlapped concatenation is a prefix of the doc and
+        # covers every token that starts a new stride window
+        assert rebuilt == toks[: len(rebuilt)]
+        assert len(rebuilt) >= len(toks) - max(0, overlap - 1)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "sat", "mat", "dog"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=6,
+    ),
+    lam=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+def test_bigram_logprob_matches_python_reference(spark, docs, lam):
+    """bigram_logprob (self-LM) must agree with a direct python
+    implementation of the interpolated model on any corpus, and its
+    deterministic mode must agree with the default summation."""
+    import math
+    from collections import Counter
+
+    from timefence_spark.operators.text import bigram_logprob
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob(
+            df, id_col="doc_id", text_col="text", lam=lam
+        ).collect()
+    }
+    det = {
+        r["doc_id"]: r
+        for r in bigram_logprob(
+            df, id_col="doc_id", text_col="text", lam=lam, deterministic=True
+        ).collect()
+    }
+    uni = Counter(w for toks in docs for w in toks)
+    bi = Counter(
+        (toks[i], toks[i + 1]) for toks in docs for i in range(len(toks) - 1)
+    )
+    ctx = Counter()
+    for (p, _), n in bi.items():
+        ctx[p] += n
+    big_n = sum(uni.values())
+    vocab = len(uni)
+    denom = big_n + 1.0 * (vocab + 1)
+    for i, toks in enumerate(docs):
+        pairs = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        if not pairs:
+            assert i not in out
+            continue
+        nll = 0.0
+        for p, w in pairs:
+            p_bi = bi[(p, w)] / ctx[p] if ctx[p] else 0.0
+            p_uni = (uni[w] + 1.0) / denom
+            nll += -math.log(lam * p_bi + (1.0 - lam) * p_uni)
+        assert out[i]["n_bigrams"] == len(pairs)
+        assert out[i]["mean_nll"] == pytest.approx(nll / len(pairs), abs=1e-5)
+        assert det[i]["mean_nll"] == pytest.approx(
+            out[i]["mean_nll"], abs=1e-5
+        )
+        assert out[i]["oov_frac"] == 0.0  # self-LM: every pair is known
