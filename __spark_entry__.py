@@ -2236,6 +2236,105 @@ ORACLE_MEDIA_DECODE_JPEG_RGB = """
 """
 
 
+def q_media_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED (4:2:0) baseline JPEG — the layout most
+    real-world JPEGs use — under the differential gate. Images are
+    uniform per 16x16 MCU tile (power-of-two MCU grids, channel values
+    pairwise distinct as in the 4:4:4 entry), so the 2x2 chroma box
+    mean is the identity, every block carries only a DC coefficient,
+    and the decoded value follows the same round_even chain; the MCU
+    interleave (4 Y blocks + Cb + Cr), the subsampled-chroma planes and
+    the nearest-neighbor upsample are all exercised for real."""
+    import numpy as np
+    import pandas as pd
+
+    from timefence_spark.operators import codecs, multimodal
+
+    flat_q = np.full((8, 8), 8, np.int32)
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                mw, mh = d % 2 + 1, (d // 2) % 2 + 1  # MCUs across / down
+                img = np.empty((mh * 16, mw * 16, 3), np.uint8)
+                for bi in range(mh):
+                    for bj in range(mw):
+                        blk = img[
+                            bi * 16 : bi * 16 + 16, bj * 16 : bj * 16 + 16
+                        ]
+                        base = d * 7 + bi * 16 + bj * 29
+                        blk[:, :, 0] = base % 255 + 1
+                        blk[:, :, 1] = (base + 97) % 255 + 1
+                        blk[:, :, 2] = (base + 173) % 255 + 1
+                payloads.append(
+                    codecs.jpeg_encode_rgb(img, quant=flat_q, subsample="420")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    planted = (
+        _t(spark, sf_dir, "documents", spread=False)
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+    info = multimodal.decode_images(
+        planted, id_col="doc_id", binary_col="payload",
+        decode_fn=codecs.jpeg_decode_info,
+    )
+    stats = multimodal.image_channel_stats(
+        planted, id_col="doc_id", binary_col="payload",
+        stats_fn=codecs.jpeg_channel_stats,
+    )
+    return info.join(stats, "doc_id").select(
+        "doc_id", "width", "height", "channels", "format",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+ORACLE_MEDIA_DECODE_JPEG_420 = """
+    WITH blocks AS (
+        SELECT d.doc_id,
+               CAST((d.doc_id * 7 + bi.i * 16 + bj.j * 29) % 255 + 1
+                    AS DOUBLE) AS r0,
+               CAST((d.doc_id * 7 + bi.i * 16 + bj.j * 29 + 97) % 255 + 1
+                    AS DOUBLE) AS g0,
+               CAST((d.doc_id * 7 + bi.i * 16 + bj.j * 29 + 173) % 255 + 1
+                    AS DOUBLE) AS b0
+        FROM documents d,
+             unnest(range(0, (d.doc_id // 2) % 2 + 1)) AS bi(i),
+             unnest(range(0, d.doc_id % 2 + 1)) AS bj(j)
+    ), ycc AS (
+        SELECT doc_id,
+               round_even(0.299 * r0 + 0.587 * g0 + 0.114 * b0 - 128.0, 0) AS yq,
+               round_even(-0.168736 * r0 - 0.331264 * g0 + 0.5 * b0, 0) AS cbq,
+               round_even(0.5 * r0 - 0.418688 * g0 - 0.081312 * b0, 0) AS crq
+        FROM blocks
+    ), px AS (
+        SELECT doc_id,
+               LEAST(GREATEST(round_even(yq + 128.0 + 1.402 * crq, 0), 0), 255) AS rr,
+               LEAST(GREATEST(round_even(yq + 128.0 - 0.344136 * cbq
+                                          - 0.714136 * crq, 0), 0), 255) AS gg,
+               LEAST(GREATEST(round_even(yq + 128.0 + 1.772 * cbq, 0), 0), 255) AS bb
+        FROM ycc
+    )
+    SELECT doc_id,
+           CAST((doc_id % 2 + 1) * 16 AS INT) AS width,
+           CAST(((doc_id // 2) % 2 + 1) * 16 AS INT) AS height,
+           3 AS channels,
+           'jpeg' AS format,
+           ROUND(AVG(rr), 6) AS mean_r,
+           ROUND(AVG(gg), 6) AS mean_g,
+           ROUND(AVG(bb), 6) AS mean_b
+    FROM px
+    GROUP BY doc_id
+"""
+
+
 def q_line_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query, key_by='hash': the winner aggregation and attach-back
     join key on a 128-bit line hash instead of the line text. Shares the
@@ -3355,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,  # new in round 8
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "media_decode_jpeg_rgb": q_media_decode_jpeg_rgb,  # new in round 8
+        "media_decode_jpeg_420": q_media_decode_jpeg_420,  # new in round 8
         "strip_html": q_strip_html,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
@@ -3450,6 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_png": ORACLE_MEDIA_DECODE_PNG,
         "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
         "media_decode_jpeg_rgb": ORACLE_MEDIA_DECODE_JPEG_RGB,
+        "media_decode_jpeg_420": ORACLE_MEDIA_DECODE_JPEG_420,
         "fingerprint": ORACLE_FINGERPRINT,
         "lang_profile": ORACLE_LANG_PROFILE,
         "knn_cosine": ORACLE_KNN,

@@ -370,3 +370,37 @@ def test_jpeg_color_codec_roundtrip_and_contracts():
     # odd dims crop correctly through the color path
     crop = grad[:13, :19]
     assert codecs.jpeg_decode(codecs.jpeg_encode_rgb(crop)).shape == (13, 19, 3)
+
+
+def test_jpeg_420_codec_roundtrip():
+    """4:2:0 chroma subsampling: smooth content round-trips with only
+    the expected chroma-blur cost, odd dimensions crop correctly, and
+    the subsampled file is smaller than its 4:4:4 sibling."""
+    import numpy as np
+
+    from timefence_spark.operators import codecs
+
+    x = np.linspace(0, 255, 48, dtype=np.uint8)
+    grad = np.stack(
+        [
+            np.tile(x, (32, 1)),
+            np.tile(x[::-1], (32, 1)),
+            np.full((32, 48), 80, np.uint8),
+        ],
+        axis=-1,
+    )
+    enc444 = codecs.jpeg_encode_rgb(grad, subsample="444")
+    enc420 = codecs.jpeg_encode_rgb(grad, subsample="420")
+    assert len(enc420) < len(enc444)
+    dec = codecs.jpeg_decode(enc420)
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 4.0
+
+    rng = np.random.default_rng(11)
+    for shape in [(13, 19), (17, 33), (1, 1)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        out = codecs.jpeg_decode(codecs.jpeg_encode_rgb(img, subsample="420"))
+        assert out.shape == img.shape, shape
+
+    with pytest.raises(ValueError, match="subsample"):
+        codecs.jpeg_encode_rgb(grad, subsample="422")

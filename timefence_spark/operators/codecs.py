@@ -590,11 +590,17 @@ def _jpeg_encode_block(
 
 
 def _jpeg_container(
-    h: int, w: int, ncomp: int, q: np.ndarray, scan: bytes
+    h: int,
+    w: int,
+    ncomp: int,
+    q: np.ndarray,
+    scan: bytes,
+    sampling: list[int] | None = None,
 ) -> bytes:
     """Assemble SOI..EOI around an entropy-coded scan. All components
     share quant table 0 and Huffman tables 0 (legal baseline JFIF; any
-    conforming decoder reads the selectors from the stream)."""
+    conforming decoder reads the selectors from the stream).
+    ``sampling``: per-component H<<4|V byte (default 0x11 each)."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -602,8 +608,9 @@ def _jpeg_container(
     zz_q = q.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
     sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([ncomp])
+    samp = sampling or [0x11] * ncomp
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0x00])
+        sof += bytes([cid, samp[cid - 1], 0x00])
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])
@@ -643,16 +650,25 @@ def jpeg_encode_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     return _jpeg_container(h, w, 1, q, bw.flush())
 
 
-def jpeg_encode_rgb(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """Baseline JFIF encoding of an (h, w, 3) uint8 RGB image as YCbCr
-    4:4:4 (no chroma subsampling): BT.601 full-range conversion (kept in
-    float through the FDCT — no intermediate rounding), then per-MCU
-    interleaved Y/Cb/Cr blocks with independent DC predictors. All
-    components share the (``quant`` or Annex K luminance) quantization
-    table and the luminance Huffman tables — legal baseline JFIF, and
-    the selectors in the stream say so."""
+def jpeg_encode_rgb(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: str = "444",
+) -> bytes:
+    """Baseline JFIF encoding of an (h, w, 3) uint8 RGB image as YCbCr:
+    BT.601 full-range conversion (kept in float through the FDCT — no
+    intermediate rounding), then per-MCU interleaved blocks with
+    independent DC predictors. ``subsample='444'`` (default) keeps
+    chroma at full resolution (MCU = Y+Cb+Cr, one block each);
+    ``'420'`` box-averages each 2x2 chroma neighborhood (the layout
+    most real-world JPEGs use — MCU = 4 Y blocks + Cb + Cr over a 16x16
+    tile). All components share the (``quant`` or Annex K luminance)
+    quantization table and the luminance Huffman tables — legal baseline
+    JFIF, and the selectors in the stream say so."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("jpeg_encode_rgb expects an (h, w, 3) uint8 array")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -661,31 +677,69 @@ def jpeg_encode_rgb(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     gf = arr[:, :, 1].astype(np.float64)
     bf = arr[:, :, 2].astype(np.float64)
     # centered planes (sample - 128), the FDCT's expected level shift
-    planes = [
-        0.299 * rf + 0.587 * gf + 0.114 * bf - 128.0,
-        -0.168736 * rf - 0.331264 * gf + 0.5 * bf,
-        0.5 * rf - 0.418688 * gf - 0.081312 * bf,
-    ]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+    yp = 0.299 * rf + 0.587 * gf + 0.114 * bf - 128.0
+    cbp = -0.168736 * rf - 0.331264 * gf + 0.5 * bf
+    crp = 0.5 * rf - 0.418688 * gf - 0.081312 * bf
     dc_codes = _huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_codes = _huff_canonical(_AC_LUMA_BITS, _AC_LUMA_VALS)
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, plane in enumerate(planes):
+    if subsample == "444":
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            for p in (yp, cbp, crp)
+        ]
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci, plane in enumerate(planes):
+                    prev_dc[ci] = _jpeg_encode_block(
+                        bw,
+                        plane[by : by + 8, bx : bx + 8],
+                        q,
+                        dc_codes,
+                        ac_codes,
+                        prev_dc[ci],
+                    )
+        return _jpeg_container(h, w, 3, q, bw.flush())
+    # 4:2:0 — luma padded to the 16x16 MCU grid; chroma box-averaged 2x2
+    # then padded to the 8x8-per-MCU grid.
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    ylum = np.pad(yp, ((0, ph - h), (0, pw - w)), mode="edge")
+    ch2, cw2 = -(-h // 2) * 2, -(-w // 2) * 2
+    sub = []
+    for p in (cbp, crp):
+        p2 = np.pad(p, ((0, ch2 - h), (0, cw2 - w)), mode="edge")
+        box = p2.reshape(ch2 // 2, 2, cw2 // 2, 2).mean(axis=(1, 3))
+        sub.append(
+            np.pad(
+                box,
+                ((0, ph // 2 - box.shape[0]), (0, pw // 2 - box.shape[1])),
+                mode="edge",
+            )
+        )
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):  # Y: H then V
+                prev_dc[0] = _jpeg_encode_block(
+                    bw,
+                    ylum[my + by : my + by + 8, mx + bx : mx + bx + 8],
+                    q,
+                    dc_codes,
+                    ac_codes,
+                    prev_dc[0],
+                )
+            cy, cx = my // 2, mx // 2
+            for ci, plane in enumerate(sub, start=1):
                 prev_dc[ci] = _jpeg_encode_block(
                     bw,
-                    plane[by : by + 8, bx : bx + 8],
+                    plane[cy : cy + 8, cx : cx + 8],
                     q,
                     dc_codes,
                     ac_codes,
                     prev_dc[ci],
                 )
-    return _jpeg_container(h, w, 3, q, bw.flush())
+    return _jpeg_container(h, w, 3, q, bw.flush(), sampling=[0x22, 0x11, 0x11])
 
 
 class _BitReader:
@@ -760,10 +814,12 @@ def _jpeg_segments(data: bytes):
 
 def _jpeg_decode_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
     """Shared scan decoder: (per-component float planes BEFORE the +128
-    level shift / rounding, h, w) for baseline files with no chroma
-    subsampling (every sampling factor 0x11 — each MCU is one block per
-    component, so the per-MCU loop is uniform). DQT and DHT tables are
-    read from the stream, never assumed."""
+    level shift / rounding, h, w) for baseline files. Supports the two
+    layouts that cover real-world baseline JPEGs: no subsampling (every
+    sampling factor 1x1) and 4:2:0 (luma 2x2, chroma 1x1 — the MCU is a
+    16x16 tile of 4 Y blocks + Cb + Cr). Chroma planes come back at
+    their SUBSAMPLED resolution; the caller upsamples. DQT and DHT
+    tables are read from the stream, never assumed."""
     quants: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict] = {}
     dims = None
@@ -802,12 +858,21 @@ def _jpeg_decode_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
             comps = []
             for ci in range(ncomp):
                 base = 6 + 3 * ci
-                if payload[base + 1] != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only; "
-                        "inject a full decoder)"
-                    )
-                comps.append({"id": payload[base], "tq": payload[base + 2]})
+                samp = payload[base + 1]
+                comps.append(
+                    {
+                        "id": payload[base],
+                        "hs": samp >> 4,
+                        "vs": samp & 0x0F,
+                        "tq": payload[base + 2],
+                    }
+                )
+            factors = [(c["hs"], c["vs"]) for c in comps]
+            if factors != [(1, 1)] * ncomp and factors != [(2, 2), (1, 1), (1, 1)]:
+                raise NotImplementedError(
+                    f"sampling layout {factors} not supported (1x1 "
+                    "everywhere or 4:2:0; inject a full decoder)"
+                )
             dims = (h, w)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             p = 0
@@ -840,39 +905,59 @@ def _jpeg_decode_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
         if dc_map is None or ac_map is None:
             raise ValueError("missing DQT/DHT table referenced by the scan")
         tables.append((q, dc_map, ac_map))
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.empty((ph, pw), np.float64) for _ in comps]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+    planes = [
+        np.empty((mcus_y * 8 * c["vs"], mcus_x * 8 * c["hs"]), np.float64)
+        for c in comps
+    ]
     br = _BitReader(data, scan_pos)
     prev_dc = [0] * len(comps)
     zz = _ZIGZAG
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (q, dc_map, ac_map) in enumerate(tables):
-                coeffs_zz = np.zeros(64, np.int64)
-                size = br.huff(dc_map)
-                prev_dc[ci] += _jpeg_extend(br.read(size), size)
-                coeffs_zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = br.huff(ac_map)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    coeffs_zz[k] = _jpeg_extend(br.read(size), size)
-                    k += 1
-                coeffs = np.empty(64, np.float64)
-                coeffs[zz] = coeffs_zz * q.reshape(64)[zz]
-                block = _DCT_A.T @ coeffs.reshape(8, 8) @ _DCT_A
-                planes[ci][by : by + 8, bx : bx + 8] = block
-    return [p[:h, :w] for p in planes], h, w
+
+    def decode_block(ci: int) -> np.ndarray:
+        q, dc_map, ac_map = tables[ci]
+        coeffs_zz = np.zeros(64, np.int64)
+        size = br.huff(dc_map)
+        prev_dc[ci] += _jpeg_extend(br.read(size), size)
+        coeffs_zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = br.huff(ac_map)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coeffs_zz[k] = _jpeg_extend(br.read(size), size)
+            k += 1
+        coeffs = np.empty(64, np.float64)
+        coeffs[zz] = coeffs_zz * q.reshape(64)[zz]
+        return _DCT_A.T @ coeffs.reshape(8, 8) @ _DCT_A
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["vs"]):  # vertical blocks, raster order
+                    for bx in range(c["hs"]):
+                        oy = (my * c["vs"] + by) * 8
+                        ox = (mx * c["hs"] + bx) * 8
+                        planes[ci][oy : oy + 8, ox : ox + 8] = decode_block(ci)
+    # crop each plane to its component resolution (ceil of image/sampling)
+    out = []
+    for ci, c in enumerate(comps):
+        chh = -(-h * c["vs"] // vmax)
+        cww = -(-w * c["hs"] // hmax)
+        out.append(planes[ci][:chh, :cww])
+    return out, h, w
 
 
 def jpeg_decode_gray(data: bytes) -> np.ndarray:
@@ -892,15 +977,24 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG: 2-D uint8 for grayscale files, (h, w, 3)
-    uint8 RGB for YCbCr 4:4:4 color files (BT.601 full-range conversion,
-    the JFIF convention). Rounding happens ONCE, after the color-space
-    conversion, matching common decoders."""
-    planes, _, _ = _jpeg_decode_planes(data)
+    uint8 RGB for YCbCr color files — 4:4:4 or 4:2:0, where subsampled
+    chroma upsamples by nearest-neighbor replication (BT.601 full-range
+    conversion, the JFIF convention). Rounding happens ONCE, after the
+    color-space conversion, matching common decoders."""
+    planes, h, w = _jpeg_decode_planes(data)
     if len(planes) == 1:
         return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
     y = planes[0] + 128.0
-    cb = planes[1]  # already centered: stored as Cb - 128
-    cr = planes[2]
+    chroma = []
+    for p in planes[1:]:  # already centered: stored as C - 128
+        if p.shape != y.shape:
+            fy = -(-y.shape[0] // p.shape[0])  # ceil ratio (2 for 4:2:0)
+            fx = -(-y.shape[1] // p.shape[1])
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)[
+                : y.shape[0], : y.shape[1]
+            ]
+        chroma.append(p)
+    cb, cr = chroma
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
