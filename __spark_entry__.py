@@ -2477,8 +2477,53 @@ def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_html(docs, id_col="doc_id", text_col="text")
 
 
-ORACLE_STRIP_HTML = r"""
-    WITH raw AS (
+def _strip_html_chain_sql(raw_cte: str, carry: str = "") -> str:
+    r"""The DuckDB replay of web.strip_html's exact regex chain, as a WITH
+    block over ``raw_cte`` (which must emit ``doc_id``, the html as
+    ``h``, and any ``carry`` columns to pass through). Factored so every
+    entry that composes strip_html (strip_html itself, the WARC ingest
+    chain) replays the IDENTICAL steps."""
+    c = ("" if not carry else carry + ", ")
+    steps = [
+        (r"'(?is)<script\b[^>]*>.*?</script\s*>'", "' '"),
+        (r"'(?is)<style\b[^>]*>.*?</style\s*>'", "' '"),
+        (r"'(?is)<head\b[^>]*>.*?</head\s*>'", "' '"),
+        (r"'(?is)<noscript\b[^>]*>.*?</noscript\s*>'", "' '"),
+        (r"'(?is)<template\b[^>]*>.*?</template\s*>'", "' '"),
+        (r"'(?s)<!--.*?-->'", "' '"),
+        (
+            r"'(?is)</?(?:p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|table|"
+            r"blockquote|pre|section|article|header|footer|form)\b[^>]*>'",
+            "chr(10)",
+        ),
+        (r"'(?is)<br\s*/?>'", "chr(10)"),
+        (r"'(?s)<[^>]*>'", "' '"),
+    ]
+    sql = f"WITH raw AS ({raw_cte})"
+    prev = "raw"
+    for i, (pat, rep) in enumerate(steps, start=1):
+        sql += (
+            f",\n    s{i} AS (SELECT doc_id, {c}"
+            f"regexp_replace(h, {pat}, {rep}, 'g') AS h FROM {prev})"
+        )
+        prev = f"s{i}"
+    n = len(steps)
+    sql += f""",
+    s{n + 1} AS (SELECT doc_id, {c}
+        replace(replace(replace(replace(replace(replace(replace(replace(replace(h,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#34;', '"'),
+            '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
+            '&#160;', ' '), '&amp;', '&') AS h FROM {prev}),
+    s{n + 2} AS (SELECT doc_id, {c}regexp_replace(h, '[ \t\r]*\n[\s]*', chr(10), 'g') AS h FROM s{n + 1}),
+    s{n + 3} AS (SELECT doc_id, {c}regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM s{n + 2})
+    SELECT doc_id, {c}regexp_replace(h, '^\s+|\s+$', '', 'g') AS text
+    FROM s{n + 3}
+"""
+    return sql
+
+
+ORACLE_STRIP_HTML = _strip_html_chain_sql(
+    r"""
         SELECT doc_id,
                '<html><head><title>t</title><style>p{color:red}</style>'
                || '</head><body><script>var x="<p>no</p>";</script>'
@@ -2486,28 +2531,78 @@ ORACLE_STRIP_HTML = r"""
                || ' &amp; tail &#39;q&#39;&nbsp;end</p><br><div>id='
                || doc_id::VARCHAR || '</div></body></html>' AS h
         FROM documents
-    ),
-    s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS h FROM raw),
-    s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS h FROM s1),
-    s3 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head\s*>', ' ', 'g') AS h FROM s2),
-    s4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g') AS h FROM s3),
-    s5 AS (SELECT doc_id, regexp_replace(h, '(?is)<template\b[^>]*>.*?</template\s*>', ' ', 'g') AS h FROM s4),
-    s6 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s5),
-    s7 AS (SELECT doc_id, regexp_replace(h,
-        '(?is)</?(?:p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|form)\b[^>]*>',
-        chr(10), 'g') AS h FROM s6),
-    s8 AS (SELECT doc_id, regexp_replace(h, '(?is)<br\s*/?>', chr(10), 'g') AS h FROM s7),
-    s9 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s8),
-    s10 AS (SELECT doc_id,
-        replace(replace(replace(replace(replace(replace(replace(replace(replace(h,
-            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#34;', '"'),
-            '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
-            '&#160;', ' '), '&amp;', '&') AS h FROM s9),
-    s11 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]*\n[\s]*', chr(10), 'g') AS h FROM s10),
-    s12 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM s11)
-    SELECT doc_id, regexp_replace(h, '^\s+|\s+$', '', 'g') AS text
-    FROM s12
-"""
+    """
+)
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-ingest chain: each document's text becomes an HTML
+    page inside an HTTP response inside a per-record-GZIP WARC blob
+    (the Common-Crawl container); parse_warc explodes the records,
+    http_body strips the HTTP headers as a pure expression, and
+    strip_html recovers the text. The oracle rebuilds the expected
+    (uri, byte length, extracted text) straight from the documents
+    table — matching proves gzip-member framing, WARC header parsing,
+    payload slicing, HTTP splitting AND the HTML strip, end to end."""
+    from timefence_spark.operators.web import strip_html
+    from timefence_spark.sources import warc as warc_mod
+
+    import pandas as pd
+
+    http_prefix = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+    def gen(it):
+        for pdf in it:
+            blobs = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                html = (
+                    f"<html><body><h1>doc {d}</h1><p>"
+                    + (t or "")
+                    + " &amp; crawl</p></body></html>"
+                )
+                payload = (http_prefix + html).encode("utf-8")
+                blobs.append(
+                    warc_mod.build_warc(
+                        [("response", f"http://corpus.example/{d}", payload)],
+                        gzip_members=True,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "blob": blobs}
+            )
+
+    blobs = (
+        _t(spark, sf_dir, "documents", spread=False)
+        .select("doc_id", "text")
+        .mapInPandas(gen, "doc_id long, blob binary")
+    )
+    records = warc_mod.parse_warc(blobs, id_col="doc_id", binary_col="blob")
+    pages = records.where(F.col("warc_type") == "response").select(
+        "doc_id",
+        "target_uri",
+        "content_length",
+        warc_mod.http_body(F.col("payload")).alias("text"),
+    )
+    return strip_html(pages, id_col="doc_id", text_col="text").select(
+        "doc_id", "target_uri", "content_length", "text"
+    )
+
+
+ORACLE_WARC_INGEST_RAW = r"""
+        SELECT doc_id,
+               'http://corpus.example/' || doc_id::VARCHAR AS target_uri,
+               strlen(  -- DuckDB strlen = BYTE length of a VARCHAR
+                   'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                   || 'Content-Type: text/html' || chr(13) || chr(10)
+                   || chr(13) || chr(10)
+                   || '<html><body><h1>doc ' || doc_id::VARCHAR || '</h1><p>'
+                   || COALESCE(text, '') || ' &amp; crawl</p></body></html>'
+               )::BIGINT AS content_length,
+               '<html><body><h1>doc ' || doc_id::VARCHAR || '</h1><p>'
+               || COALESCE(text, '') || ' &amp; crawl</p></body></html>' AS h
+        FROM documents
+    """
 
 
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3456,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg_rgb": q_media_decode_jpeg_rgb,  # new in round 8
         "media_decode_jpeg_420": q_media_decode_jpeg_420,  # new in round 8
         "strip_html": q_strip_html,  # new in round 8
+        "warc_ingest": q_warc_ingest,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3577,6 +3673,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "bigram_nll": ORACLE_BIGRAM_NLL,
         "strip_html": ORACLE_STRIP_HTML,
+        "warc_ingest": _strip_html_chain_sql(
+            ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"
+        ),
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "normalize_text": ORACLE_NORMALIZE,
         "line_dedup": ORACLE_LINE_DEDUP,
