@@ -88,3 +88,52 @@ def test_read_warc_files(spark, tmp_path):
     assert {r["warc_file"].rsplit("/", 1)[-1] for r in out} == {
         "a.warc.gz", "b.warc",
     }
+
+
+def test_corpus_from_crawl(spark, tmp_path):
+    """Corpus.from_crawl: WARC files -> stripped text corpus with stable
+    per-record ids and surviving URIs, ready for the cleaning stages."""
+    from timefence_spark.corpus import Corpus
+
+    html = b"<html><body><h1>T</h1><p>hello &amp; crawl</p></body></html>"
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + html
+    p = tmp_path / "crawl"
+    p.mkdir()
+    (p / "a.warc.gz").write_bytes(
+        W.build_warc(
+            [
+                ("warcinfo", "urn:none", b"x"),
+                ("response", "http://a/x", http),
+                ("response", "http://a/y", http),
+            ],
+            gzip_members=True,
+        )
+    )
+    c = Corpus.from_crawl(spark, str(p))
+    rows = c.df.collect()
+    assert len(rows) == 2  # warcinfo dropped
+    assert {r["target_uri"] for r in rows} == {"http://a/x", "http://a/y"}
+    assert all(r["text"] == "T\nhello & crawl" for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 2  # unique stable ids
+    # chains into the normal pipeline
+    assert c.dedup_exact().df.count() == 1  # same text -> one survivor
+
+
+def test_read_jsonl(spark, tmp_path):
+    from timefence_spark.sources.readers import read_jsonl
+
+    f = tmp_path / "docs.jsonl"
+    f.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "welt", "lang": "de"}\n'
+        '{"doc_id": 3}\n'
+    )
+    df = read_jsonl(
+        spark, str(f), schema="doc_id long, text string, lang string",
+        text_col="text",
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["text"] == "hello"
+    assert rows[3]["text"] is None  # missing field NULL-fills under schema
+    with pytest.raises(ValueError, match="no field"):
+        read_jsonl(spark, str(f), schema="doc_id long", text_col="text")

@@ -50,6 +50,38 @@ class Corpus:
         self.id_col = id_col
         self.text_col = text_col
 
+    @classmethod
+    def from_crawl(
+        cls,
+        spark,
+        path: str,
+        *,
+        warc_types: tuple[str, ...] = ("response",),
+        strip: bool = True,
+    ) -> "Corpus":
+        """A Corpus straight from WARC crawl archives: read_warc ->
+        keep ``warc_types`` records -> http_body (expression-only HTTP
+        header strip) -> optional strip_html. Documents are keyed by a
+        deterministic (file, record) id: ``xxhash64(warc_file,
+        record_idx)`` — stable across reruns and partitionings, unique
+        per record. The URI survives as ``target_uri`` for domain
+        filtering. One lazy chain; nothing executes until an action."""
+        from timefence_spark.operators.web import strip_html
+        from timefence_spark.sources.warc import http_body, read_warc
+
+        recs = read_warc(spark, path).where(
+            F.col("warc_type").isin(list(warc_types))
+        )
+        docs = recs.select(
+            F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+            "warc_file",
+            "target_uri",
+            http_body(F.col("payload")).alias("text"),
+        )
+        if strip:
+            docs = strip_html(docs, id_col="doc_id", text_col="text")
+        return cls(docs)
+
     def _wrap(self, df: DataFrame) -> "Corpus":
         return Corpus(df, id_col=self.id_col, text_col=self.text_col)
 

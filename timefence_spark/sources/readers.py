@@ -83,6 +83,33 @@ def read_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
     return df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str | Path,
+    *,
+    schema: str | None = None,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Newline-delimited JSON — the interchange format LLM corpora ship
+    in (one document object per line). At 100 TB pass ``schema`` (a DDL
+    string): without it Spark runs a full inference SCAN of every file
+    before the real read, doubling ingest cost; with it the reader
+    single-passes and silently NULL-fills missing fields (corrupt lines
+    land in Spark's ``_corrupt_record`` convention). ``text_col`` adds a
+    cheap presence check so a wrong field name fails fast instead of
+    producing an all-NULL corpus."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(_abs(path))
+    if text_col is not None and text_col not in df.columns:
+        raise ValueError(
+            f"JSONL at {path} has no field {text_col!r}; found "
+            f"{df.columns}"
+        )
+    return df
+
+
 def _df_to_spark(spark: SparkSession, df: Any) -> DataFrame:
     """Accept a Spark DataFrame as-is; convert pandas/Arrow via Spark."""
     if isinstance(df, DataFrame):
