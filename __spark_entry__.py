@@ -2893,6 +2893,70 @@ def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination pairs: the eval slice
+    (vec_id % 50 == 0) is held out, centroids sample from the CORPUS
+    side only, both sides assign shuffle-free, and the cluster-keyed
+    corpus-bench join yields the contamination pairs. The oracle
+    replays clustering and pair set exactly (portable md5 sampling)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.semantic_contamination_pairs(
+        corpus, bench, id_col="vec_id", n_clusters=16, threshold=0.4,
+        hash_fn="md5",
+    )
+
+
+ORACLE_SEMANTIC_DECONTAM = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), corpus AS (
+        SELECT * FROM e WHERE vec_id % 50 != 0
+    ), bench AS (
+        SELECT * FROM e WHERE vec_id % 50 = 0
+    ), hashed AS (
+        SELECT vec_id, v,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':42')), 1, 15))
+                    AS BIGINT) AS hh
+        FROM corpus
+    ), cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY hh) - 1 AS centroid_id, v AS cv
+        FROM (SELECT * FROM hashed ORDER BY hh LIMIT 16)
+    ), ac AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT corpus.vec_id, corpus.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY corpus.vec_id ORDER BY
+                       list_dot_product(corpus.v, c.cv) /
+                       (SQRT(list_dot_product(corpus.v, corpus.v)) *
+                        SQRT(list_dot_product(c.cv, c.cv))) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM corpus CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), ab AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT bench.vec_id, bench.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY bench.vec_id ORDER BY
+                       list_dot_product(bench.v, c.cv) /
+                       (SQRT(list_dot_product(bench.v, bench.v)) *
+                        SQRT(list_dot_product(c.cv, c.cv))) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM bench CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id,
+           a.centroid_id AS cluster_id,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (SQRT(list_dot_product(a.v, a.v)) *
+                  SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM ac a JOIN ab b ON a.centroid_id = b.centroid_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (SQRT(list_dot_product(a.v, a.v)) *
+                 SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The survivor set under the pairwise drop-if-smaller-dup policy
     (same canonicalization as minhash_dedup, over semantic pairs)."""
@@ -3546,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,  # new in round 7
         "semantic_dup_grouped": q_semantic_dup_grouped,  # new in round 8
         "semantic_dup_refined": q_semantic_dup_refined,  # new in round 8
+        "semantic_decontam": q_semantic_decontam,  # new in round 8
         "bigram_nll": q_bigram_nll,  # new in round 8
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "media_decode_jpeg_rgb": q_media_decode_jpeg_rgb,  # new in round 8
@@ -3699,6 +3764,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dup_pairs": _oracle_semantic_sql(survivors=False),
         "semantic_dup_grouped": _oracle_semantic_sql(survivors=False),
         "semantic_dup_refined": _oracle_semantic_refined_sql(),
+        "semantic_decontam": ORACLE_SEMANTIC_DECONTAM,
         "semantic_dedup": _oracle_semantic_sql(survivors=True),
         "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,

@@ -339,3 +339,29 @@ def test_dedup_semantic_ignores_stale_side_table_rows(spark):
         .df.collect()
     }
     assert kept == {2, 3}  # 2 survives: its dup (1) is not in the corpus
+
+
+def test_decontaminate_semantic_drops_planted_contamination(spark):
+    """A corpus doc whose embedding matches a benchmark item is dropped;
+    unrelated docs and docs without embeddings survive."""
+    corpus_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (9, [1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(1, "contaminated"), (2, "clean"), (3, "no embedding")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in Corpus(docs)
+        .decontaminate_semantic(
+            corpus_emb, bench_emb, n_clusters=1, threshold=0.99
+        )
+        .df.collect()
+    }
+    # doc 9 exists only in the stale side table; it must not affect docs
+    assert kept == {2, 3}

@@ -160,6 +160,40 @@ class Corpus:
         )
         return self._wrap(self.df.join(losers, self.id_col, "left_anti"))
 
+    def decontaminate_semantic(
+        self,
+        embeddings: DataFrame,
+        bench_embeddings: DataFrame,
+        *,
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+        threshold: float = 0.9,
+        **kwargs,
+    ) -> "Corpus":
+        """Drop documents whose embedding is a semantic near-duplicate
+        of a benchmark item — the embedding-level sibling of
+        :meth:`decontaminate` (paraphrased eval items that share no
+        n-gram still collide in embedding space). ``embeddings`` is the
+        corpus-side (id, vector) table (semi-joined to the corpus's
+        CURRENT ids, same stale-row rule as dedup_semantic);
+        ``bench_embeddings`` the held-out set's. Documents without an
+        embedding row are kept (keep-unscored policy)."""
+        from timefence_spark.operators import similarity
+
+        live = embeddings.select(F.col(self.id_col), F.col(vec_col)).join(
+            self.df.select(self.id_col), self.id_col, "left_semi"
+        )
+        hits = (
+            similarity.semantic_contamination_pairs(
+                live, bench_embeddings, id_col=self.id_col,
+                vec_col=vec_col, n_clusters=n_clusters,
+                threshold=threshold, **kwargs,
+            )
+            .select(F.col("corpus_id").alias(self.id_col))
+            .distinct()
+        )
+        return self._wrap(self.df.join(hits, self.id_col, "left_anti"))
+
     # ---- quality / language / contamination ------------------------------
 
     def filter_quality(self, *, min_score: float = 0.75, **kwargs) -> "Corpus":

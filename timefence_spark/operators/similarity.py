@@ -1549,6 +1549,99 @@ def semantic_dup_pairs(
     )
 
 
+def semantic_contamination_pairs(
+    df: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    compute: str = "expr",
+    round_to: int | None = 6,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Embedding-level benchmark contamination: (corpus_id, bench_id,
+    cluster_id, cosine >= threshold) pairs between a training corpus and
+    a held-out eval set — the semantic sibling of the n-gram
+    :func:`dedup.decontaminate` (paraphrased or translated eval items
+    that share no 8-gram still collide in embedding space).
+
+    Physical shape: centroids are sampled (and optionally Lloyd-refined)
+    from the CORPUS side only — the deterministic reference frame — and
+    BOTH tables assign against them with the shuffle-free kernel; the
+    only exchange is the cluster-keyed corpus-bench join, whose bench
+    side is benchmark-sized (AQE broadcasts it). Nothing corpus-sized is
+    ever pairwise."""
+    bench_id_col = bench_id_col or id_col
+    bench_vec_col = bench_vec_col or vec_col
+    if compute not in ("expr", "arrow"):
+        raise ValueError(f"compute must be 'expr' or 'arrow', got {compute!r}")
+    centroids = _ivf_centroids(
+        df, corpus_id=id_col, corpus_vec=vec_col, nlist=n_clusters,
+        seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
+    )
+    assign = _ivf_assign_factory(centroids, compute=compute, nlist=n_clusters)
+    corpus_a = assign(
+        df.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")),
+        "__cid", "__cv", 1,
+    ).select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("__cid").alias("corpus_id"),
+        F.col("__cv").alias("__va"),
+    )
+    bench_a = assign(
+        bench.select(
+            F.col(bench_id_col).alias("__bid"),
+            F.col(bench_vec_col).alias("__bv"),
+        ),
+        "__bid", "__bv", 1,
+    ).select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("__bid").alias("bench_id"),
+        F.col("__bv").alias("__vb"),
+    )
+    cand = corpus_a.join(bench_a, "cluster_id")
+    if compute == "arrow":
+        scored = _pairwise_cosine_arrow(
+            cand.select("cluster_id", "corpus_id", "bench_id", "__va", "__vb"),
+            a_col="__va", b_col="__vb", round_to=round_to,
+        )
+    else:
+        score = cosine(F.col("__va"), F.col("__vb"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.select(
+            "cluster_id", "corpus_id", "bench_id", score.alias("cosine")
+        )
+    return scored.where(F.col("cosine") >= threshold).select(
+        "corpus_id", "bench_id", "cluster_id", "cosine"
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Drop every corpus row with a semantic near-duplicate in the
+    benchmark (same keep-unscored policy as the n-gram decontaminate:
+    rows without an embedding row simply produce no pair and survive).
+    Returns the surviving rows of ``df`` unchanged."""
+    pairs = semantic_contamination_pairs(
+        df, bench, id_col=id_col, vec_col=vec_col, **kwargs
+    )
+    hits = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
+    return df.join(hits, id_col, "left_anti")
+
+
 def _semantic_pairs_grouped(
     assigned: DataFrame,
     id_type: str,
