@@ -415,3 +415,52 @@ def test_corpus_clean_strip_html_and_bigram_fluency(tmp_path, spark):
     cleaned = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert cleaned[1] == "the quick brown fox jumps over the lazy dog"
     assert "<p>" not in cleaned[2]
+
+
+def test_corpus_clean_semantic_decontamination(tmp_path, spark):
+    """--semantic-bench-embeddings drops corpus docs whose embedding
+    matches a benchmark item; requires the corpus-side table."""
+    docs = spark.createDataFrame(
+        [(1, "contaminated text body"), (2, "a clean document body")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(500, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    inp = str(tmp_path / "d.parquet")
+    ep = str(tmp_path / "e.parquet")
+    bp = str(tmp_path / "b.parquet")
+    out = str(tmp_path / "o.parquet")
+    docs.write.parquet(inp)
+    emb.write.parquet(ep)
+    bench.write.parquet(bp)
+    res = _run(
+        [
+            "corpus-clean", "--input", inp, "--output", out,
+            "--dedup", "none",
+            "--semantic-embeddings", ep,
+            "--semantic-bench-embeddings", bp,
+            "--semantic-clusters", "1", "--semantic-threshold", "0.99",
+            "--json",
+        ],
+        tmp_path,
+    )
+    assert res.exit_code == 0, res.output
+    summary = json.loads(res.output.strip().splitlines()[-1])
+    assert any(s.startswith("semantic_decontam") for s in summary["stages"])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {2}
+
+    bad = _run(
+        [
+            "corpus-clean", "--input", inp, "--output", out,
+            "--dedup", "none", "--semantic-bench-embeddings", bp,
+        ],
+        tmp_path,
+    )
+    assert bad.exit_code != 0
+    assert "requires --semantic-embeddings" in bad.output

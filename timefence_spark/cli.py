@@ -849,6 +849,12 @@ def quickstart(target_dir) -> None:
     help="Cluster count for --semantic-embeddings.",
 )
 @click.option(
+    "--semantic-bench-embeddings", default=None,
+    help="Parquet of benchmark (id, embedding) rows: drop corpus docs "
+    "whose embedding is a semantic near-duplicate of an eval item "
+    "(requires --semantic-embeddings for the corpus side).",
+)
+@click.option(
     "--max-nll", type=float, default=None,
     help="LM fluency ceiling (mean NLL; CCNet-style gate).",
 )
@@ -879,6 +885,7 @@ def corpus_clean(
     dedup_mode, gopher,
     min_quality, languages, max_substring_dup, remove_substring_dups,
     semantic_embeddings, semantic_threshold, semantic_clusters,
+    semantic_bench_embeddings,
     max_nll, fluency_model, clf_weights,
     clf_bias, min_clf_score, benchmark, ngram, redact_pii, blocklist,
     sample_fraction, split_spec, salt, json_out,
@@ -939,6 +946,20 @@ def corpus_clean(
         )
         stages.append(
             f"semantic_dedup(k={semantic_clusters},t={semantic_threshold})"
+        )
+    if semantic_bench_embeddings:
+        if not semantic_embeddings:
+            raise click.ClickException(
+                "--semantic-bench-embeddings requires --semantic-embeddings"
+            )
+        emb_df = read_parquet(spark, semantic_embeddings)
+        bench_emb = read_parquet(spark, semantic_bench_embeddings)
+        c = c.decontaminate_semantic(
+            emb_df, bench_emb, n_clusters=semantic_clusters,
+            threshold=semantic_threshold,
+        )
+        stages.append(
+            f"semantic_decontam(k={semantic_clusters},t={semantic_threshold})"
         )
     if max_nll is not None:
         c = c.filter_fluency(max_nll=max_nll, model=fluency_model)
