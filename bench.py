@@ -940,7 +940,10 @@ def main() -> int:
         sent_df = line_dedup(
             docs_sent, id_col="doc_id", text_col="text", key_by=ld_key_by
         )
-        runs = _timed_runs(lambda: _force(sent_df), 3)
+        # 6 runs, NOISY_QUERIES-style: a ~1s query doubles on a single
+        # host stall, and with only 3 samples one outlier trips the
+        # spread gate (seen: [1.06, 1.21, 1.69] flagged the hash row).
+        runs = _timed_runs(lambda: _force(sent_df), 6)
         before = _stages_snapshot(spark)
         _force(sent_df)
         key_shuffle[ld_name] = _shuffle_delta(before, _stages_snapshot(spark))
