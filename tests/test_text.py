@@ -451,6 +451,19 @@ def test_null_text_portable_across_size_semantics(spark, ansi, legacy):
         "classifier_score": lambda d: text_ops.classifier_score(
             d, id_col="doc_id", text_col="text", weights={"fox": 1.0}
         ),
+        # guarded sites outside text.py (same sweep): URL counts, PII
+        # counts, decontamination gram counts
+        "url_signals": lambda d: __import__(
+            "timefence_spark.operators.web", fromlist=["web"]
+        ).url_signals(d, id_col="doc_id", text_col="text"),
+        "pii_signals": lambda d: __import__(
+            "timefence_spark.operators.pii", fromlist=["pii"]
+        ).pii_signals(d, id_col="doc_id", text_col="text"),
+        "decontaminate_report": lambda d: __import__(
+            "timefence_spark.operators.dedup", fromlist=["dedup"]
+        ).decontaminate(
+            d, d.where("doc_id = 2"), id_col="doc_id", text_col="text", n=2
+        ),
     }
     saved = {
         "spark.sql.ansi.enabled": spark.conf.get("spark.sql.ansi.enabled"),

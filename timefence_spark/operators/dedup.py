@@ -519,7 +519,9 @@ def ngram_jaccard_pairs(
     could overcount one intersection; pass ``hash_index=False`` for the
     literal string index."""
     base = _staged_shingles(df, id_col=id_col, text_col=text_col, k=n).withColumn(
-        "__n", F.size("__grams")
+        # NULL-text guard (text._nsize convention): legacy sizeOfNull
+        # would poison the jaccard denominator with -1
+        "__n", F.when(F.col("__grams").isNotNull(), F.size("__grams"))
     )
     gram_keys = (
         F.transform("__grams", lambda g: F.xxhash64(g))
@@ -615,7 +617,12 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("matched_grams"))
     )
     return (
-        base.select(F.col(id_col), F.size("__grams").alias("n_grams"))
+        base.select(
+            F.col(id_col),
+            F.when(
+                F.col("__grams").isNotNull(), F.size("__grams")
+            ).alias("n_grams"),
+        )
         .join(matched, id_col, "left")
         .select(
             id_col,

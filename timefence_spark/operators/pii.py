@@ -70,9 +70,15 @@ EXTENDED_PII_RULES: list[tuple[str, str, str]] = [
 
 def _count(text: Column, pattern: str) -> Column:
     # NULL text means zero matches, not NULL counts: a caller filtering
-    # with ~has_pii must not silently drop NULL-text documents.
+    # with ~has_pii must not silently drop NULL-text documents. The
+    # isNotNull guard (not just coalesce) keeps that true under the
+    # legacy sizeOfNull=-1 config too, where coalesce alone would pass
+    # -1 through as a "count".
     return F.coalesce(
-        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))),
+        F.when(
+            text.isNotNull(),
+            F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))),
+        ),
         F.lit(0),
     )
 

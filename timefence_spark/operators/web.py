@@ -62,11 +62,15 @@ def url_signals(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     url_chars = F.aggregate(
         F.col("__urls"), F.lit(0).cast("long"), lambda acc, u: acc + F.length(u)
     )
+    u = F.col("__urls")
     return staged.select(
         id_col,
-        F.size("__urls").alias("n_urls"),
-        F.size(
-            F.array_distinct(F.transform(F.col("__urls"), _domain_of))
+        # guarded like text._nsize: NULL text yields NULL counts on every
+        # session config (legacy sizeOfNull would say -1)
+        F.when(u.isNotNull(), F.size(u)).alias("n_urls"),
+        F.when(
+            u.isNotNull(),
+            F.size(F.array_distinct(F.transform(u, _domain_of))),
         ).alias("n_domains"),
         F.round(
             url_chars.cast("double") / F.greatest(F.col("__chars"), F.lit(1)), 6
