@@ -2671,6 +2671,120 @@ ORACLE_BIGRAM_NLL = r"""
 """
 
 
+def q_fit_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes classifier training: fit (word, weight) log-odds from
+    the documents table labeled by lang='en' — the train half of the
+    label -> fit -> classifier_score quality loop. One word-keyed
+    shuffle with conditional partial sums; class totals attach as a
+    one-row broadcast."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.fit_classifier(
+        docs.withColumn("__is_en", F.col("lang") == "en"),
+        id_col="doc_id", text_col="text", label_col="__is_en",
+        smoothing=1.0, min_count=1,
+    )
+
+
+ORACLE_FIT_CLASSIFIER = r"""
+    WITH tok AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents WHERE lang IS NOT NULL
+    ), wc AS (
+        SELECT word,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        FROM tok WHERE word <> '' GROUP BY 1
+    ), vocab AS (
+        SELECT * FROM wc WHERE n_pos + n_neg >= 1
+    ), tot AS (
+        SELECT CAST(SUM(n_pos) AS DOUBLE) AS t_pos,
+               CAST(SUM(n_neg) AS DOUBLE) AS t_neg,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM vocab
+    )
+    SELECT word,
+           ROUND(ln((n_pos + 1.0) / (t_pos + 1.0 * v))
+                 - ln((n_neg + 1.0) / (t_neg + 1.0 * v)), 6) AS weight,
+           n_pos, n_neg
+    FROM vocab CROSS JOIN tot
+    ORDER BY weight DESC, word ASC
+"""
+
+
+_BM25_QUERY = "spark window join table"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword relevance of every document to a 4-term query
+    — corpus subset-pull by topic. Per-term counts are literal
+    filter-size expressions in one scan-side projection (zero shuffle);
+    corpus stats (N, avgdl, per-term df) reduce to one broadcast row.
+    Ordered by doc_id for a deterministic replay."""
+    return text.bm25_score(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text",
+        query=_BM25_QUERY, k1=_BM25_K1, b=_BM25_B,
+    ).orderBy("doc_id")
+
+
+def _bm25_oracle() -> str:
+    """Build the BM25 oracle for _BM25_QUERY term-by-term in the same
+    sorted order the operator folds, so the double summation matches
+    bit-for-bit before the 6-place round."""
+    terms = sorted({t for t in _BM25_QUERY.lower().split() if t})
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n               ".join(
+        "COALESCE(len(list_filter(toks, x -> x = '%s')), 0) AS tf%d"
+        % (t, i)
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n               ".join(
+        "CAST(SUM(CASE WHEN tf%d > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df%d"
+        % (i, i)
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        "(CASE WHEN tf%d > 0 THEN 1 ELSE 0 END)" % i
+        for i in range(len(terms))
+    )
+    score = "\n             + ".join(
+        "(CASE WHEN tf%d > 0 THEN"
+        " ln(1.0 + (n - df%d + 0.5) / (df%d + 0.5)) * tf%d * %r"
+        " / (tf%d + %r * (%r + %r * dl / avgdl)) ELSE 0.0 END)"
+        % (i, i, i, i, k1 + 1.0, i, k1, 1.0 - b, b)
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           tok -> tok <> '') AS toks
+        FROM documents
+    ), tf AS (
+        SELECT doc_id,
+               COALESCE(len(toks), 0) AS dl,
+               {tf_cols}
+        FROM t
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(dl) AS avgdl,
+               {df_cols}
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST({matched} AS INTEGER) AS n_terms_matched,
+           ROUND({score}, 6) AS bm25
+    FROM tf CROSS JOIN stats
+    WHERE {matched} > 0
+    ORDER BY doc_id
+"""
+
+
+ORACLE_BM25_RANK = _bm25_oracle()
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the operators composed the way a real
     pretraining pipeline chains them, under ONE oracle: exact dedup (keep
@@ -3617,6 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg_420": q_media_decode_jpeg_420,  # new in round 8
         "strip_html": q_strip_html,  # new in round 8
         "warc_ingest": q_warc_ingest,  # new in round 8
+        "fit_classifier": q_fit_classifier,  # new in round 8
+        "bm25_rank": q_bm25_rank,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3737,6 +3853,8 @@ def oracle_sql() -> dict[str, str]:
         "word_freq": ORACLE_WORD_FREQ,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "bigram_nll": ORACLE_BIGRAM_NLL,
+        "fit_classifier": ORACLE_FIT_CLASSIFIER,
+        "bm25_rank": ORACLE_BM25_RANK,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

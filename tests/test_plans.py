@@ -129,10 +129,14 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
     # knn_cosine: exact kNN scores every query x corpus pair by design.
-    # unigram_nll / bigram_nll: the LM's two scalars (N, V) attach via a
+    # unigram_nll / bigram_nll / fit_classifier / bm25_rank: corpus-level
+    # scalars (N, V / class totals / N, avgdl, per-term df) attach via a
     # broadcast cross join of a ONE-row aggregate — the designed way to
     # keep the call lazy; a nested-loop against one broadcast row is free.
-    allowed_bnlj = {"knn_cosine", "unigram_nll", "bigram_nll"}
+    allowed_bnlj = {
+        "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
+        "bm25_rank",
+    }
     offenders = {}
     for name, q in entry_mod.queries().items():
         if name.startswith("streaming"):

@@ -606,3 +606,163 @@ def test_filter_fluency_bigram_model(spark):
     assert kept == {1, 2, 4}
     with pytest.raises(ValueError, match="model"):
         Corpus(docs).filter_fluency(max_nll=1.0, model="trigram")
+
+
+def test_fit_classifier_known_answers(spark):
+    """NB log-odds against hand-computed values; NULL label rows drop,
+    NULL text contributes nothing, min_count cuts the vocabulary (and
+    the totals/V are recomputed after the cut)."""
+    import math
+
+    rows = [
+        (1, "good good nice", True),
+        (2, "bad bad awful", False),
+        (3, "good bad", True),
+        (4, None, True),
+        (5, "ignored words", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    got = {
+        r["word"]: r
+        for r in text_ops.fit_classifier(
+            docs, id_col="doc_id", text_col="text", label_col="lab"
+        ).collect()
+    }
+    # counts: good (3, 0), nice (1, 0), bad (1, 2), awful (0, 1)
+    # T_pos = 5, T_neg = 3, V = 4, a = 1
+    assert set(got) == {"good", "nice", "bad", "awful"}
+    assert (got["good"]["n_pos"], got["good"]["n_neg"]) == (3, 0)
+    assert (got["bad"]["n_pos"], got["bad"]["n_neg"]) == (1, 2)
+
+    def w(c_pos, c_neg, t_pos=5, t_neg=3, v=4):
+        return round(
+            math.log((c_pos + 1) / (t_pos + v)) - math.log((c_neg + 1) / (t_neg + v)),
+            6,
+        )
+
+    assert got["good"]["weight"] == w(3, 0)
+    assert got["nice"]["weight"] == w(1, 0)
+    assert got["bad"]["weight"] == w(1, 2)
+    assert got["awful"]["weight"] == w(0, 1)
+    assert got["good"]["weight"] > 0 > got["awful"]["weight"]
+
+    # min_count=2 drops nice/awful; totals shrink to the surviving vocab.
+    cut = {
+        r["word"]: r["weight"]
+        for r in text_ops.fit_classifier(
+            docs, id_col="doc_id", text_col="text", label_col="lab", min_count=2
+        ).collect()
+    }
+    assert set(cut) == {"good", "bad"}
+    assert cut["good"] == w(3, 0, t_pos=4, t_neg=2, v=2)
+
+    with pytest.raises(ValueError, match="smoothing"):
+        text_ops.fit_classifier(
+            docs, id_col="doc_id", text_col="text", label_col="lab", smoothing=0.0
+        )
+
+
+def test_fit_classifier_feeds_classifier_score(spark):
+    """The train -> score loop closes: weights fitted on a labeled seed
+    separate the classes when fed to classifier_score(weights_df=...),
+    and Corpus.train_classifier returns the same table."""
+    from timefence_spark import Corpus
+
+    rows = [
+        (1, "alpha alpha beta common", True),
+        (2, "alpha common beta", True),
+        (3, "zed zed common junk", False),
+        (4, "junk zed common", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    weights = text_ops.fit_classifier(
+        docs, id_col="doc_id", text_col="text", label_col="lab"
+    ).select("word", "weight")
+    scores = {
+        r["doc_id"]: r["clf_score"]
+        for r in text_ops.classifier_score(
+            docs, id_col="doc_id", text_col="text", weights_df=weights
+        ).collect()
+    }
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4])
+    via_corpus = Corpus(docs).train_classifier(label_col="lab")
+    assert sorted(via_corpus.columns) == ["n_neg", "n_pos", "weight", "word"]
+    assert {
+        (r["word"], r["weight"]) for r in via_corpus.collect()
+    } == {
+        (r["word"], r["weight"])
+        for r in text_ops.fit_classifier(
+            docs, id_col="doc_id", text_col="text", label_col="lab"
+        ).collect()
+    }
+
+
+def test_bm25_known_answers(spark):
+    """BM25 against a hand-computed mirror; unmatched and NULL-text docs
+    emit no row; parameter validation."""
+    import math
+
+    rows = [
+        (1, "apple apple pie"),
+        (2, "banana split"),
+        (3, "cherry tart"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.bm25_score(
+            docs, id_col="doc_id", text_col="text", query="apple banana"
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+
+    n, avgdl, k1, b = 4, 7 / 4, 1.2, 0.75
+
+    def bm25(tf, dl, df):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+        )
+
+    assert got[1]["bm25"] == bm25(2, 3, 1)
+    assert got[2]["bm25"] == bm25(1, 2, 1)
+    assert got[1]["n_terms_matched"] == 1
+    # A doc matching BOTH terms outscores single-term matches of like length.
+    both = {
+        r["doc_id"]: r
+        for r in text_ops.bm25_score(
+            docs.union(
+                spark.createDataFrame(
+                    [(5, "apple banana pie")], "doc_id long, text string"
+                )
+            ),
+            id_col="doc_id", text_col="text", query="apple banana",
+        ).collect()
+    }
+    assert both[5]["n_terms_matched"] == 2
+    assert both[5]["bm25"] > max(both[1]["bm25"], both[2]["bm25"])
+
+    with pytest.raises(ValueError, match="token"):
+        text_ops.bm25_score(
+            docs, id_col="doc_id", text_col="text", query="   "
+        )
+    with pytest.raises(ValueError, match="k1"):
+        text_ops.bm25_score(
+            docs, id_col="doc_id", text_col="text", query="apple", b=1.5
+        )
+
+
+def test_corpus_rank_bm25(spark):
+    """Corpus.rank_bm25 returns the scored frame; semi-join back
+    materializes the keyword subset."""
+    from timefence_spark import Corpus
+
+    rows = [(1, "spark joins tables"), (2, "pie recipe"), (3, "spark spark")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Corpus(docs)
+    ranked = c.rank_bm25("spark")
+    ids = {r["doc_id"] for r in ranked.collect()}
+    assert ids == {1, 3}
+    subset = c.df.join(ranked.select("doc_id"), "doc_id", "left_semi")
+    assert {r["doc_id"] for r in subset.collect()} == {1, 3}

@@ -292,6 +292,30 @@ class Corpus:
         )
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def train_classifier(
+        self, *, label_col: str, smoothing: float = 1.0, min_count: int = 1
+    ) -> DataFrame:
+        """Fit a Naive-Bayes (word, weight) table from a label column on
+        this corpus (see text.fit_classifier) — feed the result into
+        ``filter_classifier(weights_df=...)`` to close the
+        label -> train -> score loop. Returns the weights DataFrame, not
+        a Corpus (the schema changes)."""
+        return text.fit_classifier(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            label_col=label_col, smoothing=smoothing, min_count=min_count,
+        )
+
+    def rank_bm25(self, query: str, **kwargs) -> DataFrame:
+        """Score every matching document against ``query`` with Okapi
+        BM25 (see text.bm25_score) — keyword-targeted subset pulls.
+        Returns the scored (id, n_terms_matched, bm25) DataFrame, not a
+        Corpus; sort/limit downstream and semi-join back on the id to
+        materialize the subset."""
+        return text.bm25_score(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            query=query, **kwargs,
+        )
+
     def filter_substring_dup(
         self, *, max_dup_fraction: float, k: int = 8, scope: str = "corpus"
     ) -> "Corpus":

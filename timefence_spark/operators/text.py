@@ -588,6 +588,184 @@ def classifier_score(
     )
 
 
+def fit_classifier(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    smoothing: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Closed-form Naive-Bayes trainer for :func:`classifier_score` —
+    turns a labeled document sample into a (word, weight) table, the
+    train half of the quality-classifier loop public LLM pipelines run
+    (label a seed set "looks like reference text" / "doesn't", fit, then
+    score the whole corpus). Reference scope: the reference ships
+    scoring only; the trainer is this engine's pipeline extension.
+
+    ``weight(w) = ln((c_pos(w)+a)/(T_pos+a*V)) - ln((c_neg(w)+a)/(T_neg+a*V))``
+    — the multinomial NB log-likelihood ratio with add-``a`` smoothing
+    (``a = smoothing``), where ``c_pos/c_neg`` count occurrences of ``w``
+    in positive/negative documents, ``T_pos/T_neg`` the class token
+    totals over the vocabulary, and ``V`` the vocabulary size. The
+    vocabulary is every token (lowercased whitespace split, empty
+    artifacts dropped) with total count >= ``min_count``; totals and
+    ``V`` are computed AFTER that cut so the model is self-consistent.
+    ``label_col`` is cast to boolean; rows with a NULL label or NULL
+    text contribute nothing. Weights are rounded to 6 places (libm log
+    ulp) — the same contract the logprob family uses.
+
+    Returns (word, weight, n_pos, n_neg) ordered weight desc, word asc.
+    Feed straight into ``classifier_score(weights_df=...)``; for a prior
+    bias use ``ln(n_pos_docs / n_neg_docs)`` from your label counts.
+
+    100 TB shape: one scan-side explode -> one word-keyed shuffle with
+    conditional partial sums (map-side combine collapses each word per
+    partition); class totals and V reduce the vocabulary-sized table to
+    ONE row that attaches via a broadcast cross join (same sanctioned
+    shape as bigram_logprob's totals). Nothing document-sized crosses
+    the wire after the first aggregation."""
+    if smoothing <= 0.0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    lab = F.col("__lab")
+    counts = (
+        df.select(
+            F.col(label_col).cast("boolean").alias("__lab"),
+            F.explode(_tokens(F.col(text_col))).alias("word"),
+        )
+        .where(lab.isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("n_neg"),
+        )
+        .where(F.col("n_pos") + F.col("n_neg") >= int(min_count))
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.coalesce(F.sum("n_pos"), F.lit(0).cast("long")).alias("__t_pos"),
+            F.coalesce(F.sum("n_neg"), F.lit(0).cast("long")).alias("__t_neg"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+    )
+    a = F.lit(float(smoothing))
+    av = a * F.col("__v").cast("double")
+    weight = F.log(
+        (F.col("n_pos").cast("double") + a)
+        / (F.col("__t_pos").cast("double") + av)
+    ) - F.log(
+        (F.col("n_neg").cast("double") + a)
+        / (F.col("__t_neg").cast("double") + av)
+    )
+    return (
+        counts.crossJoin(totals)
+        .select(
+            "word",
+            F.round(weight, 6).alias("weight"),
+            "n_pos",
+            "n_neg",
+        )
+        .orderBy(F.desc("weight"), F.asc("word"))
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a literal query string —
+    the standard keyword-retrieval scorer (Robertson & Zaragoza 2009),
+    used in data curation to pull topic-targeted subsets out of a corpus
+    ("find me the docs about X" without an embedding index). Reference
+    scope: pipeline extension beyond the reference's operator set.
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with the Lucene-style non-negative ``idf(t) = ln(1 + (N - df + 0.5)
+    / (df + 0.5))``, ``dl`` the document's token count (lowercased
+    whitespace split, empty artifacts dropped; NULL text counts 0),
+    ``N`` ALL documents and ``avgdl`` the mean ``dl`` over them. Query
+    terms are the distinct tokens of ``query`` under the same split.
+    Only documents matching at least one term are returned:
+    (id, n_terms_matched, out_col), score rounded to 6 places,
+    unordered — sort downstream.
+
+    100 TB shape: per-term counts are literal filter-size expressions in
+    ONE scan-side projection (zero explode, zero shuffle — the
+    classifier_score literal path); corpus statistics (N, avgdl, every
+    df(t)) reduce to ONE row in a single aggregate that attaches via a
+    broadcast cross join. The corpus is scanned twice (once for the
+    stats row, once for scoring) — both scans are shuffle-free and
+    column-pruned, which beats shuffling per-term postings at scale.
+    For large OR-of-many-terms queries (hundreds+), prefer the posting
+    shape: explode + join a term table (see classifier_score's
+    weights_df path)."""
+    qterms = sorted({t for t in query.lower().split() if t})
+    if not qterms:
+        raise ValueError("query must contain at least one token")
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    toks_raw = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(toks_raw, lambda t: t != F.lit("")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    def _tf(w: str, i: int) -> Column:
+        # One-arg lambda per term (a two-arg lambda would be read as
+        # F.filter's (element, index) form and clobber the captured term).
+        return F.coalesce(
+            _nsize(F.filter(toks, lambda t: t == F.lit(w)), guard=toks),
+            F.lit(0),
+        ).alias(f"__tf_{i}")
+
+    tf_cols = [_tf(w, i) for i, w in enumerate(qterms)]
+    per_doc = staged.select(
+        F.col(id_col),
+        F.coalesce(_nsize(toks), F.lit(0)).alias("__dl"),
+        *tf_cols,
+    )
+    stats = F.broadcast(
+        per_doc.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+            *[
+                F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+                for i in range(len(qterms))
+            ],
+        )
+    )
+    joined = per_doc.crossJoin(stats)
+    n = F.col("__n").cast("double")
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for i in range(len(qterms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        norm = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("__dl").cast("double") / F.col("__avgdl")
+        )
+        score = score + F.when(
+            tf > 0, idf * tf * F.lit(float(k1) + 1.0) / norm
+        ).otherwise(F.lit(0.0))
+        matched = matched + (F.col(f"__tf_{i}") > 0).cast("int")
+    return joined.select(
+        F.col(id_col),
+        matched.alias("n_terms_matched"),
+        F.round(score, 6).alias(out_col),
+    ).where(F.col("n_terms_matched") > 0)
+
+
 def word_frequencies(
     df: DataFrame,
     *,
