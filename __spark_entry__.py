@@ -1496,6 +1496,30 @@ ORACLE_HASH_SAMPLE = f"""
 """
 
 
+def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (portable md5 mode): row order
+    = ascending salted id hash, a pure function of (id, salt), kept as
+    an auditable `shuffle_key` column. Physically one range exchange +
+    local sorts — the global-ORDER-BY plan, never a single-partition
+    window."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.deterministic_shuffle(
+        docs.select("doc_id", "lang"),
+        id_col="doc_id", salt="epoch0", hash_fn="md5",
+        key_col="shuffle_key",
+    )
+
+
+ORACLE_SHUFFLE_ROWS = f"""
+    SELECT doc_id, lang,
+           {_duck_md5_hash("doc_id", "epoch0")} AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-(lang, source) quota sample: 5 docs per stratum,
     ranked by salted hash with id tie-break — one shuffle on the strata
@@ -3733,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,  # new in round 8
         "fit_classifier": q_fit_classifier,  # new in round 8
         "bm25_rank": q_bm25_rank,  # new in round 8
+        "shuffle_rows": q_shuffle_rows,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3855,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_nll": ORACLE_BIGRAM_NLL,
         "fit_classifier": ORACLE_FIT_CLASSIFIER,
         "bm25_rank": ORACLE_BM25_RANK,
+        "shuffle_rows": ORACLE_SHUFFLE_ROWS,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

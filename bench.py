@@ -113,6 +113,12 @@ BENCH_QUERIES = [
     # the whole-corpus cost of the crawl-ingest step).
     "bigram_nll",
     "strip_html",
+    # Round-8: NB classifier training (one word shuffle + one-row
+    # broadcast totals) and BM25 keyword ranking (two shuffle-free
+    # scans; per-term literal filter-counts — the row should show ~zero
+    # shuffle bytes).
+    "fit_classifier",
+    "bm25_rank",
 ]
 
 

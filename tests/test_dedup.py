@@ -237,6 +237,45 @@ def test_minhash_components_groups_planted_dups(spark, docs_with_dups):
 # ---------------------------------------------------------------------------
 
 
+def test_deterministic_shuffle(spark):
+    """Same salt => identical global order regardless of input
+    partitioning; different salt => different permutation of the SAME
+    rows; key_col is kept only on request; the plan is a range exchange,
+    never a single-partition window."""
+    from timefence_spark.operators import sampling
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = sampling.deterministic_shuffle(df, id_col="doc_id", salt="e0")
+    a_ids = [r.doc_id for r in a.collect()]
+    again = [
+        r.doc_id
+        for r in sampling.deterministic_shuffle(
+            df.repartition(7), id_col="doc_id", salt="e0"
+        ).collect()
+    ]
+    assert a_ids == again
+    b_ids = [
+        r.doc_id
+        for r in sampling.deterministic_shuffle(
+            df, id_col="doc_id", salt="e1"
+        ).collect()
+    ]
+    assert sorted(a_ids) == sorted(b_ids) == list(range(500))
+    assert a_ids != b_ids
+    assert a_ids != list(range(500))
+    assert a.columns == ["doc_id"]
+    keyed = sampling.deterministic_shuffle(
+        df, id_col="doc_id", salt="e0", key_col="k", partitions=4
+    )
+    rows = keyed.collect()
+    assert keyed.columns == ["doc_id", "k"]
+    assert [r.doc_id for r in rows] == a_ids
+    assert [(r.k, r.doc_id) for r in rows] == sorted((r.k, r.doc_id) for r in rows)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
+
+
 def test_hash_sample_determinism_and_nesting(spark):
     from timefence_spark.operators import sampling
 

@@ -472,6 +472,17 @@ class Corpus:
             )
         )
 
+    def shuffle(self, *, salt: str = "", **kwargs) -> "Corpus":
+        """Reproducible global shuffle (see
+        sampling.deterministic_shuffle) — order the corpus by salted id
+        hash before packing/writing; different salts give independent
+        epochs."""
+        return self._wrap(
+            sampling.deterministic_shuffle(
+                self.df, id_col=self.id_col, salt=salt, **kwargs
+            )
+        )
+
     # ---- profiling -------------------------------------------------------
 
     def _report_frame(self):

@@ -128,6 +128,45 @@ def split_by_hash(
     return df.withColumn("split", expr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    partitions: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Globally shuffle the corpus into a reproducible random order — the
+    "shuffle the training data before packing/writing" step. Row order is
+    ascending salted id hash (id as tie-break): a pure function of
+    (id, salt), so reruns, resumes, and other engines produce the SAME
+    permutation, and different salts give independent epochs.
+
+    ``key_col`` (optional) keeps the sort key as a named column — write
+    it alongside the data to make the order auditable downstream (and
+    externally replayable with ``hash_fn='md5'``; see module docstring).
+
+    100 TB shape: ``repartitionByRange`` on the hash samples range bounds
+    and gives every output partition an even, unordered-in/ordered-out
+    slice (hashes are uniform — no skew by construction), then
+    ``sortWithinPartitions`` finishes locally: one exchange + local
+    sorts, the same physical plan as a global ORDER BY but with the
+    partition count under caller control (``partitions``; default
+    session parallelism). Never a single-partition window."""
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    key = key_col or "__shuffle_key"
+    keyed = df.withColumn(key, h)
+    order = [F.col(key).asc(), F.col(id_col).asc()]
+    ranged = (
+        keyed.repartitionByRange(partitions, *order)
+        if partitions
+        else keyed.repartitionByRange(*order)
+    )
+    out = ranged.sortWithinPartitions(*order)
+    return out if key_col else out.drop(key)
+
+
 def mixture_sample(
     df: DataFrame,
     *,
