@@ -2473,6 +2473,31 @@ ORACLE_UNIGRAM_NLL = r"""
 """
 
 
+def q_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partition into head/middle/tail perplexity
+    terciles: unigram mean-NLL per doc (deterministic sorted fold), then
+    exact interpolated tercile thresholds broadcast back over the scored
+    table as a one-row aggregate."""
+    return text.fluency_buckets(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", deterministic=True,
+    )
+
+
+ORACLE_FLUENCY_BUCKETS = f"""
+    WITH scored AS ({ORACLE_UNIGRAM_NLL}), cuts AS (
+        SELECT ROUND(quantile_cont(mean_nll, 1.0/3.0), 6) AS t_lo,
+               ROUND(quantile_cont(mean_nll, 2.0/3.0), 6) AS t_hi
+        FROM scored
+    )
+    SELECT doc_id, mean_nll,
+           CASE WHEN mean_nll <= t_lo THEN 'head'
+                WHEN mean_nll <= t_hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts
+"""
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate extraction: each document's text is wrapped in a
     deterministic HTML template (head/style/script noise, comments,
@@ -3758,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_classifier": q_fit_classifier,  # new in round 8
         "bm25_rank": q_bm25_rank,  # new in round 8
         "shuffle_rows": q_shuffle_rows,  # new in round 8
+        "fluency_buckets": q_fluency_buckets,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3881,6 +3907,7 @@ def oracle_sql() -> dict[str, str]:
         "fit_classifier": ORACLE_FIT_CLASSIFIER,
         "bm25_rank": ORACLE_BM25_RANK,
         "shuffle_rows": ORACLE_SHUFFLE_ROWS,
+        "fluency_buckets": ORACLE_FLUENCY_BUCKETS,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

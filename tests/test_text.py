@@ -766,3 +766,42 @@ def test_corpus_rank_bm25(spark):
     assert ids == {1, 3}
     subset = c.df.join(ranked.select("doc_id"), "doc_id", "left_semi")
     assert {r["doc_id"] for r in subset.collect()} == {1, 3}
+
+
+def test_fluency_buckets(spark):
+    """Tercile partition: thresholds split the scored docs ~evenly, the
+    head holds the lowest NLLs, unscored (token-less) docs emit no row,
+    and the approx path labels with the same vocabulary of buckets."""
+    from timefence_spark import Corpus
+
+    rows = [(i, "the common words " + ("the " * (i % 7))) for i in range(1, 13)]
+    rows += [(13, "zyx qwv jkh unseen rare gibberish"), (14, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert 14 not in out  # NULL text: no tokens, no row
+    assert set(r["bucket"] for r in out.values()) == {"head", "middle", "tail"}
+    assert out[13]["bucket"] == "tail"  # rare words = least fluent
+    by_bucket = {}
+    for r in out.values():
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_nll"])
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # thresholds are percentiles: each bucket holds >= 1/4 of the docs here
+    assert min(len(v) for v in by_bucket.values()) >= len(out) // 4
+
+    approx = Corpus(docs).fluency_buckets(exact=False)
+    assert {r["bucket"] for r in approx.collect()} <= {"head", "middle", "tail"}
+
+    with pytest.raises(ValueError, match="bounds"):
+        text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text", bounds=(0.8, 0.2)
+        )
+    with pytest.raises(ValueError, match="model"):
+        text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text", model="trigram"
+        )

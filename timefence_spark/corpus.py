@@ -266,6 +266,15 @@ class Corpus:
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def fluency_buckets(self, **kwargs) -> DataFrame:
+        """Label every scored document head/middle/tail by LM-fluency
+        percentile (see text.fluency_buckets — the CCNet tercile
+        partition). Returns the (id, mean_nll, bucket) DataFrame; join
+        back on the id to carve the corpus."""
+        return text.fluency_buckets(
+            self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+        )
+
     def filter_classifier(
         self, *, min_score: float, weights=None, weights_df=None,
         bias: float = 0.0,

@@ -1064,6 +1064,75 @@ def bigram_logprob(
     )
 
 
+def fluency_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bounds: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    model: str = "unigram",
+    exact: bool = True,
+    lm: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partition of the corpus by LM
+    fluency (Wenzek et al. 2020 split CommonCrawl into perplexity
+    terciles and trained preferentially on the "head"): score every
+    document's ``mean_nll`` (:func:`unigram_logprob` or
+    :func:`bigram_logprob` per ``model``; extra kwargs pass through),
+    take the ``bounds`` percentiles of the score distribution as
+    thresholds, and label each scored document ``head`` (most fluent —
+    lowest NLL), ``middle``, or ``tail``. Returns (id, mean_nll,
+    bucket); documents the scorer skips (no tokens / no transitions)
+    produce no row, mirroring ``Corpus.filter_fluency``.
+
+    Thresholds are rounded to 6 places (like every score in the logprob
+    family), so bucket assignment is reproducible across engines; the
+    percentile itself is the exact linear-interpolated quantile
+    (``percentile_cont`` semantics) when ``exact=True`` — the
+    oracle-replayable path.
+
+    100 TB shape: the thresholds are a ONE-row aggregate broadcast back
+    over the scored table (same sanctioned cross-join shape as the LM
+    totals). ``exact=True`` gathers every score into the single
+    percentile task — fine up to hundreds of millions of documents
+    (doubles), the honest limit of exact quantiles; pass ``exact=False``
+    for Spark's approx_percentile sketch (bounded memory, engine-
+    specific tie-breaking — not oracle-replayable). The scored subtree
+    feeds both the threshold aggregate and the final projection; persist
+    it first if the LM scoring dominates and the optimizer cannot reuse
+    the exchange."""
+    lo, hi = bounds
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"bounds must be ascending in (0, 1), got {bounds}")
+    if model == "unigram":
+        scored = unigram_logprob(
+            df, id_col=id_col, text_col=text_col, lm=lm, **kwargs
+        )
+    elif model == "bigram":
+        scored = bigram_logprob(
+            df, id_col=id_col, text_col=text_col, lm=lm, **kwargs
+        )
+    else:
+        raise ValueError(f"model must be 'unigram' or 'bigram', got {model!r}")
+    scored = scored.select(F.col(id_col), "mean_nll")
+    perc = F.percentile if exact else F.percentile_approx
+    cuts = F.broadcast(
+        scored.agg(
+            F.round(perc(F.col("mean_nll"), F.lit(float(lo))), 6).alias("__t_lo"),
+            F.round(perc(F.col("mean_nll"), F.lit(float(hi))), 6).alias("__t_hi"),
+        )
+    )
+    bucket = (
+        F.when(F.col("mean_nll") <= F.col("__t_lo"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("__t_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.crossJoin(cuts).select(
+        F.col(id_col), "mean_nll", bucket.alias("bucket")
+    )
+
+
 def normalize_text(
     df: DataFrame,
     *,
