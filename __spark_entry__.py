@@ -2498,6 +2498,36 @@ ORACLE_FLUENCY_BUCKETS = f"""
 """
 
 
+def q_fluency_buckets_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CCNet terciles: thresholds computed within each lang
+    stratum (a fluent-but-rare language must not sink into a global
+    tail), attached with a broadcast equi-join on the strata-sized cut
+    table."""
+    return text.fluency_buckets(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", strata_col="lang",
+        deterministic=True,
+    )
+
+
+ORACLE_FLUENCY_BUCKETS_LANG = f"""
+    WITH scored AS ({ORACLE_UNIGRAM_NLL}), lab AS (
+        SELECT s.doc_id, d.lang, s.mean_nll
+        FROM scored s JOIN documents d USING (doc_id)
+    ), cuts AS (
+        SELECT lang,
+               ROUND(quantile_cont(mean_nll, 1.0/3.0), 6) AS t_lo,
+               ROUND(quantile_cont(mean_nll, 2.0/3.0), 6) AS t_hi
+        FROM lab GROUP BY 1
+    )
+    SELECT doc_id, lang, mean_nll,
+           CASE WHEN mean_nll <= t_lo THEN 'head'
+                WHEN mean_nll <= t_hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lab JOIN cuts USING (lang)
+"""
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate extraction: each document's text is wrapped in a
     deterministic HTML template (head/style/script noise, comments,
@@ -3784,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,  # new in round 8
         "shuffle_rows": q_shuffle_rows,  # new in round 8
         "fluency_buckets": q_fluency_buckets,  # new in round 8
+        "fluency_buckets_lang": q_fluency_buckets_lang,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3908,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": ORACLE_BM25_RANK,
         "shuffle_rows": ORACLE_SHUFFLE_ROWS,
         "fluency_buckets": ORACLE_FLUENCY_BUCKETS,
+        "fluency_buckets_lang": ORACLE_FLUENCY_BUCKETS_LANG,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

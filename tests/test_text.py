@@ -805,3 +805,35 @@ def test_fluency_buckets(spark):
         text_ops.fluency_buckets(
             docs, id_col="doc_id", text_col="text", model="trigram"
         )
+
+
+def test_fluency_buckets_per_stratum(spark):
+    """strata_col computes thresholds within each stratum: a stratum
+    whose scores all exceed the other's still gets its own head/middle/
+    tail split instead of sinking wholly into the global tail."""
+    rows = [(i, "the common words " + ("the " * (i % 5)), "big") for i in range(1, 10)]
+    rows += [
+        (20, "rare gibberish zyx qwv", "small"),
+        (21, "rare gibberish zyx jkh", "small"),
+        (22, "rare gibberish qwv jkh unseen", "small"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text", strata_col="lang"
+        ).collect()
+    }
+    assert out[20]["lang"] == "small"
+    small_buckets = {out[i]["bucket"] for i in (20, 21, 22)}
+    assert "head" in small_buckets  # per-stratum: small lang has a head
+    big_buckets = {out[i]["bucket"] for i in range(1, 10)}
+    assert big_buckets == {"head", "middle", "tail"}
+    # global thresholds, by contrast, drown the rare stratum in the tail
+    glob = {
+        r["doc_id"]: r["bucket"]
+        for r in text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert {glob[i] for i in (20, 21, 22)} == {"tail"}

@@ -1073,6 +1073,7 @@ def fluency_buckets(
     model: str = "unigram",
     exact: bool = True,
     lm: DataFrame | None = None,
+    strata_col: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """CCNet-style head/middle/tail partition of the corpus by LM
@@ -1085,6 +1086,13 @@ def fluency_buckets(
     lowest NLL), ``middle``, or ``tail``. Returns (id, mean_nll,
     bucket); documents the scorer skips (no tokens / no transitions)
     produce no row, mirroring ``Corpus.filter_fluency``.
+
+    ``strata_col`` computes thresholds PER STRATUM (CCNet buckets per
+    language — a fluent-but-rare language must not land wholly in the
+    tail of a global distribution); the column is carried into the
+    output. The threshold table grows to one row per stratum and
+    attaches with a broadcast equi-join instead of the one-row cross
+    join; pair it with a per-language ``lm`` for full CCNet semantics.
 
     Thresholds are rounded to 6 places (like every score in the logprob
     family), so bucket assignment is reproducible across engines; the
@@ -1117,20 +1125,25 @@ def fluency_buckets(
         raise ValueError(f"model must be 'unigram' or 'bigram', got {model!r}")
     scored = scored.select(F.col(id_col), "mean_nll")
     perc = F.percentile if exact else F.percentile_approx
-    cuts = F.broadcast(
-        scored.agg(
-            F.round(perc(F.col("mean_nll"), F.lit(float(lo))), 6).alias("__t_lo"),
-            F.round(perc(F.col("mean_nll"), F.lit(float(hi))), 6).alias("__t_hi"),
-        )
-    )
+    cut_aggs = [
+        F.round(perc(F.col("mean_nll"), F.lit(float(lo))), 6).alias("__t_lo"),
+        F.round(perc(F.col("mean_nll"), F.lit(float(hi))), 6).alias("__t_hi"),
+    ]
     bucket = (
         F.when(F.col("mean_nll") <= F.col("__t_lo"), F.lit("head"))
         .when(F.col("mean_nll") <= F.col("__t_hi"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return scored.crossJoin(cuts).select(
-        F.col(id_col), "mean_nll", bucket.alias("bucket")
-    )
+    if strata_col is None:
+        labeled = scored.crossJoin(F.broadcast(scored.agg(*cut_aggs)))
+        keep = [F.col(id_col)]
+    else:
+        strata = df.select(F.col(id_col), F.col(strata_col))
+        per_stratum = scored.join(strata, id_col)
+        cuts = F.broadcast(per_stratum.groupBy(strata_col).agg(*cut_aggs))
+        labeled = per_stratum.join(cuts, strata_col)
+        keep = [F.col(id_col), F.col(strata_col)]
+    return labeled.select(*keep, "mean_nll", bucket.alias("bucket"))
 
 
 def normalize_text(
