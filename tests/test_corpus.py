@@ -365,3 +365,48 @@ def test_decontaminate_semantic_drops_planted_contamination(spark):
     }
     # doc 9 exists only in the stale side table; it must not affect docs
     assert kept == {2, 3}
+
+
+def test_corpus_write_jsonl_round_trip(spark, tmp_path):
+    """Corpus.write('jsonl') round-trips through read_jsonl with a
+    pinned schema; shuffle_salt writes the epoch order into the files;
+    partition_by lays out hive dirs; bad format rejects."""
+    import pytest
+
+    from timefence_spark import Corpus
+    from timefence_spark.operators import sampling
+    from timefence_spark.sources.readers import read_jsonl
+
+    rows = [(i, f"doc {i} text", "en" if i % 2 else "de") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    c = Corpus(docs)
+
+    out = str(tmp_path / "corpus_jsonl")
+    c.write(out, format="jsonl", shuffle_salt="e0")
+    back = read_jsonl(
+        spark, out, schema="doc_id long, text string, lang string",
+        text_col="text",
+    )
+    assert {(r.doc_id, r.text, r.lang) for r in back.collect()} == set(rows)
+    # epoch order survives: part files sorted by name replay the shuffle
+    import glob
+    import json
+
+    ordered = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        with open(f) as fh:
+            ordered += [json.loads(line)["doc_id"] for line in fh]
+    expect = [
+        r.doc_id
+        for r in sampling.deterministic_shuffle(
+            docs, id_col="doc_id", salt="e0"
+        ).collect()
+    ]
+    assert ordered == expect
+
+    pq = str(tmp_path / "corpus_pq")
+    c.split({"train": 0.8, "val": 0.2}).write(pq, partition_by="split")
+    assert spark.read.parquet(pq).where("split = 'train'").count() > 0
+
+    with pytest.raises(ValueError, match="format"):
+        c.write(str(tmp_path / "x"), format="csvish")

@@ -642,3 +642,40 @@ class Corpus:
             self.df, id_col=self.id_col, token_col=token_col, budget=budget,
             **kwargs,
         )
+
+    def write(
+        self,
+        path: str,
+        *,
+        format: str = "parquet",
+        mode: str = "error",
+        partition_by: str | list[str] | None = None,
+        compression: str | None = None,
+        shuffle_salt: str | None = None,
+    ) -> None:
+        """Terminal stage: materialize the corpus. ``format='parquet'``
+        (columnar, the pipeline-internal default) or ``'jsonl'``
+        (newline-delimited JSON, the interchange format corpora ship in
+        — round-trips through ``sources.readers.read_jsonl``).
+        ``shuffle_salt`` applies :meth:`shuffle` first, so the files
+        come out in that epoch's reproducible order (order holds within
+        each part file and across the lexicographic part-file sequence —
+        range partition i precedes i+1). ``partition_by`` writes
+        hive-style directories (e.g. the 'split' column from
+        :meth:`split`); don't combine it with ``shuffle_salt`` if global
+        order matters — partition dirs split the ordered stream."""
+        c = self.shuffle(salt=shuffle_salt) if shuffle_salt is not None else self
+        writer = c.df.write.mode(mode)
+        if partition_by is not None:
+            cols = [partition_by] if isinstance(partition_by, str) else partition_by
+            writer = writer.partitionBy(*cols)
+        if compression is not None:
+            writer = writer.option("compression", compression)
+        if format == "parquet":
+            writer.parquet(path)
+        elif format == "jsonl":
+            writer.json(path)
+        else:
+            raise ValueError(
+                f"format must be 'parquet' or 'jsonl', got {format!r}"
+            )
