@@ -464,3 +464,81 @@ def test_corpus_clean_semantic_decontamination(tmp_path, spark):
     )
     assert bad.exit_code != 0
     assert "requires --semantic-embeddings" in bad.output
+
+
+def test_corpus_train_classifier_and_clean_round8_flags(tmp_path, spark):
+    """Round-8 CLI surface: train NB weights from a labeled parquet,
+    gate a corpus with the weights table, keep fluency buckets, and
+    write shuffled JSONL output."""
+    rows = [
+        (1, "alpha alpha beta common good words here", True),
+        (2, "alpha common beta nice words again here", True),
+        (3, "zed zed junk common spam words here", False),
+        (4, "junk zed common spam again words here", False),
+    ]
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, is_good boolean"
+    )
+    inp = str(tmp_path / "labeled.parquet")
+    wout = str(tmp_path / "weights.parquet")
+    labeled.write.parquet(inp)
+
+    r = _run(
+        ["corpus-train-classifier", "--input", inp, "--output", wout,
+         "--label-col", "is_good", "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["vocab_size"] > 0
+    wdf = spark.read.parquet(wout)
+    assert {"word", "weight"} <= set(wdf.columns)
+
+    out = str(tmp_path / "clean_out")
+    r = _run(
+        ["corpus-clean", "--input", inp, "--output", out,
+         "--dedup", "none",
+         "--clf-weights-table", wout, "--min-clf-score", "0.5",
+         "--shuffle-salt", "e0", "--output-format", "jsonl", "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["format"] == "jsonl"
+    assert summary["rows_out"] == 2  # NB separates: junk docs gated
+    assert any("classifier" in s for s in summary["stages"])
+    assert any("shuffle" in s for s in summary["stages"])
+    kept = spark.read.json(out)
+    assert {r_.doc_id for r_ in kept.collect()} == {1, 2}
+
+    # fluency buckets: keep head+middle drops the least fluent tercile
+    out2 = str(tmp_path / "clean_fluency")
+    r = _run(
+        ["corpus-clean", "--input", inp, "--output", out2,
+         "--dedup", "none",
+         "--keep-fluency-buckets", "head,middle", "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert 0 < summary["rows_out"] < 4
+
+    # error paths: both weight sources / neither; bad bucket name
+    r = _run(
+        ["corpus-clean", "--input", inp, "--output", out,
+         "--min-clf-score", "0.5"],
+        tmp_path,
+    )
+    assert r.exit_code != 0
+    r = _run(
+        ["corpus-clean", "--input", inp, "--output", out,
+         "--keep-fluency-buckets", "torso"],
+        tmp_path,
+    )
+    assert r.exit_code != 0
+    r = _run(
+        ["corpus-train-classifier", "--input", inp, "--output", wout,
+         "--label-col", "nope"],
+        tmp_path,
+    )
+    assert r.exit_code != 0

@@ -864,8 +864,23 @@ def quickstart(target_dir) -> None:
     help="LM for --max-nll: unigram, or interpolated bigram.",
 )
 @click.option(
+    "--keep-fluency-buckets", default=None,
+    help="Comma list of CCNet fluency buckets to keep (head,middle,tail) "
+    "— e.g. 'head' trains on the most fluent tercile.",
+)
+@click.option(
+    "--fluency-strata", default=None,
+    help="Column to stratify --keep-fluency-buckets thresholds by "
+    "(CCNet buckets per language).",
+)
+@click.option(
     "--clf-weights", default=None,
     help="JSON file of {word: weight} for the linear quality classifier.",
+)
+@click.option(
+    "--clf-weights-table", default=None,
+    help="Parquet (word, weight) table for the classifier — e.g. the "
+    "output of corpus-train-classifier (production-vocabulary path).",
 )
 @click.option("--clf-bias", type=float, default=0.0, show_default=True)
 @click.option(
@@ -879,6 +894,17 @@ def quickstart(target_dir) -> None:
 @click.option("--sample", "sample_fraction", type=float, default=None, help="Deterministic hash-sample fraction.")
 @click.option("--split", "split_spec", default=None, help="Split weights, e.g. train=0.9,val=0.1.")
 @click.option("--salt", default="", help="Salt for sampling/split hashes.")
+@click.option(
+    "--shuffle-salt", default=None,
+    help="Write in a reproducible epoch order (deterministic global "
+    "shuffle keyed on this salt).",
+)
+@click.option(
+    "--output-format", type=click.Choice(["parquet", "jsonl"]),
+    default="parquet", show_default=True,
+    help="parquet (pipeline-internal) or newline-delimited JSON "
+    "(interchange).",
+)
 @click.option("--json", "json_out", is_flag=True, help="Machine-readable summary.")
 def corpus_clean(
     input_path, output_path, id_col, text_col, strip_html_flag,
@@ -886,9 +912,11 @@ def corpus_clean(
     min_quality, languages, max_substring_dup, remove_substring_dups,
     semantic_embeddings, semantic_threshold, semantic_clusters,
     semantic_bench_embeddings,
-    max_nll, fluency_model, clf_weights,
+    max_nll, fluency_model, keep_fluency_buckets, fluency_strata,
+    clf_weights, clf_weights_table,
     clf_bias, min_clf_score, benchmark, ngram, redact_pii, blocklist,
-    sample_fraction, split_spec, salt, json_out,
+    sample_fraction, split_spec, salt, shuffle_salt, output_format,
+    json_out,
 ) -> None:
     """Run a training-data cleaning pipeline over a document corpus.
 
@@ -964,22 +992,53 @@ def corpus_clean(
     if max_nll is not None:
         c = c.filter_fluency(max_nll=max_nll, model=fluency_model)
         stages.append(f"fluency[{fluency_model}] nll<={max_nll}")
-    if min_clf_score is not None:
-        if not clf_weights:
-            raise click.ClickException("--min-clf-score requires --clf-weights")
+    if keep_fluency_buckets:
+        buckets = [
+            x.strip() for x in keep_fluency_buckets.split(",") if x.strip()
+        ]
         try:
-            weights = json.loads(Path(clf_weights).read_text())
-        except (OSError, json.JSONDecodeError) as exc:
-            raise click.ClickException(
-                f"Cannot read --clf-weights {clf_weights!r}: {exc}"
-            ) from exc
-        if not isinstance(weights, dict) or not weights:
-            raise click.ClickException(
-                "--clf-weights must be a non-empty JSON object of word: weight"
+            c = c.filter_fluency_buckets(
+                tuple(buckets), strata_col=fluency_strata, model=fluency_model
             )
-        c = c.filter_classifier(
-            min_score=min_clf_score, weights=weights, bias=clf_bias
+        except ValueError as exc:
+            raise click.ClickException(str(exc)) from exc
+        strata_note = f" per {fluency_strata}" if fluency_strata else ""
+        stages.append(
+            f"fluency_buckets[{fluency_model}] keep={buckets}{strata_note}"
         )
+    if min_clf_score is not None:
+        if bool(clf_weights) == bool(clf_weights_table):
+            raise click.ClickException(
+                "--min-clf-score requires exactly one of --clf-weights / "
+                "--clf-weights-table"
+            )
+        if clf_weights_table:
+            wdf = read_parquet(spark, clf_weights_table)
+            if not {"word", "weight"} <= set(wdf.columns):
+                raise click.ClickException(
+                    f"--clf-weights-table needs (word, weight) columns; "
+                    f"got {wdf.columns}"
+                )
+            c = c.filter_classifier(
+                min_score=min_clf_score,
+                weights_df=wdf.select("word", "weight"),
+                bias=clf_bias,
+            )
+        else:
+            try:
+                weights = json.loads(Path(clf_weights).read_text())
+            except (OSError, json.JSONDecodeError) as exc:
+                raise click.ClickException(
+                    f"Cannot read --clf-weights {clf_weights!r}: {exc}"
+                ) from exc
+            if not isinstance(weights, dict) or not weights:
+                raise click.ClickException(
+                    "--clf-weights must be a non-empty JSON object of "
+                    "word: weight"
+                )
+            c = c.filter_classifier(
+                min_score=min_clf_score, weights=weights, bias=clf_bias
+            )
         stages.append(f"classifier>={min_clf_score}")
     if benchmark:
         bench_df = read_parquet(spark, benchmark)
@@ -1020,11 +1079,22 @@ def corpus_clean(
             ) from exc
         stages.append(f"split({split_spec})")
 
-    c.df.write.mode("overwrite").parquet(output_path)
-    n_out = spark.read.parquet(output_path).count()
+    c.write(
+        output_path, format=output_format, mode="overwrite",
+        shuffle_salt=shuffle_salt,
+    )
+    if shuffle_salt is not None:
+        stages.append(f"shuffle(salt={shuffle_salt!r})")
+    out_df = (
+        spark.read.parquet(output_path)
+        if output_format == "parquet"
+        else spark.read.json(output_path)
+    )
+    n_out = out_df.count()
     summary = {
         "input": input_path,
         "output": output_path,
+        "format": output_format,
         "stages": stages,
         "rows_in": n_in,
         "rows_out": n_out,
@@ -1037,6 +1107,66 @@ def corpus_clean(
         for s in stages:
             click.echo(f"  - {s}")
         click.echo(f"Wrote {output_path}")
+
+
+@cli.command("corpus-train-classifier")
+@click.option("--input", "input_path", required=True,
+              help="Labeled documents parquet.")
+@click.option("--output", "output_path", required=True,
+              help="Output (word, weight, n_pos, n_neg) parquet — feed to "
+              "corpus-clean --clf-weights-table.")
+@click.option("--label-col", required=True,
+              help="Boolean-castable label column (true = positive class).")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--smoothing", type=float, default=1.0, show_default=True,
+              help="Additive smoothing for the NB log-odds.")
+@click.option("--min-count", type=int, default=1, show_default=True,
+              help="Vocabulary floor: total occurrences required.")
+@click.option("--json", "json_out", is_flag=True,
+              help="Machine-readable summary.")
+def corpus_train_classifier(
+    input_path, output_path, label_col, id_col, text_col, smoothing,
+    min_count, json_out,
+) -> None:
+    """Fit Naive-Bayes classifier weights from a labeled document sample.
+
+    The train half of the quality-classifier loop: label a seed set,
+    fit here, then gate the full corpus with
+    `corpus-clean --clf-weights-table <output> --min-clf-score ...`."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.engine import get_spark
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    df = read_parquet(spark, input_path)
+    if label_col not in df.columns:
+        raise click.ClickException(
+            f"--label-col {label_col!r} not in {df.columns}"
+        )
+    try:
+        weights = Corpus(df, id_col=id_col, text_col=text_col).train_classifier(
+            label_col=label_col, smoothing=smoothing, min_count=min_count
+        )
+    except ValueError as exc:
+        raise click.ClickException(str(exc)) from exc
+    weights.write.mode("overwrite").parquet(output_path)
+    out = spark.read.parquet(output_path)
+    summary = {
+        "input": input_path,
+        "output": output_path,
+        "vocab_size": out.count(),
+        "label_col": label_col,
+        "smoothing": smoothing,
+        "min_count": min_count,
+    }
+    if json_out:
+        click.echo(json.dumps(summary))
+    else:
+        click.echo(
+            f"corpus-train-classifier: {summary['vocab_size']} words -> "
+            f"{output_path}"
+        )
 
 
 @cli.command("corpus-inspect")

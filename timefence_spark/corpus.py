@@ -275,6 +275,34 @@ class Corpus:
             self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
         )
 
+    def filter_fluency_buckets(
+        self,
+        keep: tuple[str, ...] | list[str] = ("head",),
+        *,
+        strata_col: str | None = None,
+        **kwargs,
+    ) -> "Corpus":
+        """Keep only documents in the given CCNet fluency bucket(s) —
+        ``keep=('head',)`` trains on the most fluent tercile,
+        ``('head', 'middle')`` drops only the tail. Unscored (token-less)
+        documents are KEPT, mirroring ``filter_fluency``'s keep-unscored
+        policy: implemented as an anti-join on the scored-and-excluded
+        ids."""
+        bad = set(keep) - {"head", "middle", "tail"}
+        if bad or not keep:
+            raise ValueError(
+                f"keep must name buckets from head/middle/tail, got {keep!r}"
+            )
+        drop = (
+            text.fluency_buckets(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                strata_col=strata_col, **kwargs,
+            )
+            .where(~F.col("bucket").isin(list(keep)))
+            .select(self.id_col)
+        )
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
+
     def filter_classifier(
         self, *, min_score: float, weights=None, weights_df=None,
         bias: float = 0.0,
