@@ -2428,6 +2428,47 @@ ORACLE_MIXTURE_SAMPLE = f"""
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style token-budget mixing: keep each language's hash-order
+    document prefix within a per-language token quota (n_chars as the
+    weight column; en 20K, de 8K, other languages unlimited). The
+    running sum is the two-phase bucketed decomposition — the oracle
+    replays it as ONE window over the identical (bucket, hash, id) total
+    order, pinning the decomposition's exactness."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.token_budget_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        id_col="doc_id", token_col="n_chars", strata_col="lang",
+        budgets={"en": 20_000, "de": 8_000}, default_budget=None,
+        salt="mix", hash_fn="md5", n_buckets=8,
+    )  # n_buckets tunes parallelism only; the oracle is bucket-free
+
+
+ORACLE_TOKEN_BUDGET = f"""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               {_duck_md5_hash("doc_id", "mix")} AS h
+        FROM documents
+    ), o AS (
+        SELECT doc_id, lang, source, n_chars,
+               SUM(COALESCE(n_chars, 0)) OVER (
+                   PARTITION BY lang
+                   ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, source, n_chars FROM o
+    WHERE CASE lang
+              WHEN 'en' THEN cum <= 20000
+              WHEN 'de' THEN cum <= 8000
+              ELSE TRUE
+          END
+"""
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram fluency score: mean -ln p(word) per document
     under the corpus's own add-1-smoothed unigram LM. deterministic=True
@@ -3815,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rows": q_shuffle_rows,  # new in round 8
         "fluency_buckets": q_fluency_buckets,  # new in round 8
         "fluency_buckets_lang": q_fluency_buckets_lang,  # new in round 8
+        "token_budget": q_token_budget,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3940,6 +3982,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rows": ORACLE_SHUFFLE_ROWS,
         "fluency_buckets": ORACLE_FLUENCY_BUCKETS,
         "fluency_buckets_lang": ORACLE_FLUENCY_BUCKETS_LANG,
+        "token_budget": ORACLE_TOKEN_BUDGET,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

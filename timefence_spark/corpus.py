@@ -501,6 +501,26 @@ class Corpus:
             )
         )
 
+    def mixture_tokens(
+        self,
+        budgets: dict[str, int],
+        *,
+        token_col: str,
+        strata_col: str = "source",
+        **kwargs,
+    ) -> "Corpus":
+        """Token-budget mixture (see sampling.token_budget_sample):
+        per-stratum TOKEN quotas instead of document fractions — each
+        stratum keeps its hash-order prefix within budget. ``token_col``
+        must already hold per-document token counts (token_stats /
+        token_count_exact)."""
+        return self._wrap(
+            sampling.token_budget_sample(
+                self.df, id_col=self.id_col, token_col=token_col,
+                strata_col=strata_col, budgets=budgets, **kwargs,
+            )
+        )
+
     def split(self, weights: dict[str, float], **kwargs) -> "Corpus":
         """Add a deterministic 'split' assignment column."""
         return self._wrap(

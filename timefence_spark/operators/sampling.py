@@ -128,6 +128,98 @@ def split_by_hash(
     return df.withColumn("split", expr)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget corpus mixing — "take N tokens from each source", the
+    Pile/Dolma-style mixture step where quotas are TOKENS, not document
+    fractions (:func:`mixture_sample` is the fraction version). Each
+    stratum keeps the prefix of its documents, in salted-hash order,
+    whose running token total stays within the stratum's budget; the
+    first document that would overflow is dropped and (cumulative sums
+    being monotone) so is everything after it. Deterministic: the order
+    is a pure function of (id, salt), so reruns pick the same documents
+    and same-salt budgets nest (10M-token sample ⊂ 100M-token sample).
+    Strata missing from ``budgets`` keep everything when
+    ``default_budget`` is None, else apply ``default_budget``. NULL
+    token counts weigh 0.
+
+    100 TB shape: a naive ``SUM() OVER (PARTITION BY stratum ORDER BY
+    hash)`` puts an ENTIRE stratum in one window task — a crawl source
+    with billions of documents serializes. Instead the running sum is
+    two-phase: documents land in ``n_buckets`` CONTIGUOUS hash ranges
+    (the bucket is a monotone function of the hash, so bucket-major
+    order IS hash order and ``n_buckets`` tunes parallelism without
+    changing which documents are selected), the per-(stratum, bucket)
+    token subtotals (a strata x buckets table — tiny) get exclusive
+    prefix offsets via a window over that tiny table, and the offsets
+    broadcast back so the real window partitions on (stratum, bucket) —
+    each task sorts ~1/n_buckets of a stratum. The decomposed running
+    sum equals the single-window sum exactly (integer arithmetic),
+    which is what the oracle replays as one window ordered by
+    (hash, id)."""
+    if any(b < 0 for b in budgets.values()) or (
+        default_budget is not None and default_budget < 0
+    ):
+        raise ValueError("budgets must be non-negative")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    # Hash domain per mode (see _salted_hash): md5 keeps a 60-bit prefix,
+    # xxhash64 is pmod-folded into [0, 2^62). Ceil-divide so the bucket
+    # index never reaches n_buckets.
+    domain = 2**60 if hash_fn == "md5" else 2**62
+    width = -(-domain // int(n_buckets))
+    staged = df.withColumn("__h", h).withColumn(
+        "__b", F.expr(f"`__h` div {width}")
+    )
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    sub = staged.groupBy(strata_col, "__b").agg(F.sum(toks).alias("__sub"))
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = F.broadcast(
+        sub.select(
+            strata_col,
+            "__b",
+            F.coalesce(F.sum("__sub").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    budget = None
+    for k in sorted(budgets):
+        cond = F.col(strata_col) == k
+        lit = F.lit(int(budgets[k]))
+        budget = F.when(cond, lit) if budget is None else budget.when(cond, lit)
+    if default_budget is None:
+        default = F.lit(None).cast("long")
+    else:
+        default = F.lit(int(default_budget))
+    budget = default if budget is None else budget.otherwise(default)
+    w_run = (
+        Window.partitionBy(strata_col, "__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("__off") + F.sum(toks).over(w_run)
+    return (
+        staged.join(offsets, [strata_col, "__b"])
+        .withColumn("__cum", cum)
+        .where(budget.isNull() | (F.col("__cum") <= budget))
+        .drop("__h", "__b", "__off", "__cum")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     *,
