@@ -542,3 +542,39 @@ def test_corpus_train_classifier_and_clean_round8_flags(tmp_path, spark):
         tmp_path,
     )
     assert r.exit_code != 0
+
+
+def test_corpus_clean_token_budgets(tmp_path, spark):
+    """--token-budgets mixes by token quota (whitespace counts computed
+    on the fly); bad specs and unknown strata columns fail fast."""
+    rows = [
+        (i, ("w " * 20).strip(), "big" if i < 30 else "small")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    inp = str(tmp_path / "tb.parquet")
+    out = str(tmp_path / "tb_out")
+    docs.write.parquet(inp)
+    base = ["corpus-clean", "--input", inp, "--output", out, "--dedup", "none"]
+
+    r = _run(
+        base + ["--token-budgets", "big=100",
+                "--token-budget-strata", "src", "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    # each doc is exactly 20 tokens; budget 100 keeps 5 'big' docs;
+    # 'small' (10 docs) has no quota and keeps everything
+    assert summary["rows_out"] == 15
+    assert any("token_budgets" in s for s in summary["stages"])
+    kept = spark.read.parquet(out)
+    assert kept.where("src = 'big'").count() == 5
+
+    r = _run(base + ["--token-budgets", "big=oops"], tmp_path)
+    assert r.exit_code != 0
+    r = _run(
+        base + ["--token-budgets", "big=1", "--token-budget-strata", "nope"],
+        tmp_path,
+    )
+    assert r.exit_code != 0

@@ -891,6 +891,16 @@ def quickstart(target_dir) -> None:
 @click.option("--ngram", type=int, default=8, show_default=True, help="Decontamination n-gram size.")
 @click.option("--redact-pii/--no-redact-pii", default=False)
 @click.option("--blocklist", default=None, help="Domain blocklist file (one domain per line).")
+@click.option(
+    "--token-budgets", default=None,
+    help="Per-stratum token quotas, e.g. 'src0=100000,src1=50000' — "
+    "Dolma-style mixing by tokens (whitespace counts computed on the "
+    "fly); strata without a quota keep everything.",
+)
+@click.option(
+    "--token-budget-strata", default="source", show_default=True,
+    help="Stratum column for --token-budgets.",
+)
 @click.option("--sample", "sample_fraction", type=float, default=None, help="Deterministic hash-sample fraction.")
 @click.option("--split", "split_spec", default=None, help="Split weights, e.g. train=0.9,val=0.1.")
 @click.option("--salt", default="", help="Salt for sampling/split hashes.")
@@ -915,6 +925,7 @@ def corpus_clean(
     max_nll, fluency_model, keep_fluency_buckets, fluency_strata,
     clf_weights, clf_weights_table,
     clf_bias, min_clf_score, benchmark, ngram, redact_pii, blocklist,
+    token_budgets, token_budget_strata,
     sample_fraction, split_spec, salt, shuffle_salt, output_format,
     json_out,
 ) -> None:
@@ -1061,6 +1072,43 @@ def corpus_clean(
         ]
         c = c.filter_blocked_domains(domains)
         stages.append(f"blocklist({len(domains)} domains)")
+    if token_budgets:
+        try:
+            quotas = {
+                k.strip(): int(v)
+                for k, v in (part.split("=") for part in token_budgets.split(","))
+            }
+        except ValueError as exc:
+            raise click.ClickException(
+                f"Bad --token-budgets {token_budgets!r} "
+                f"(want src0=100000,src1=50000): {exc}"
+            ) from exc
+        if token_budget_strata not in c.df.columns:
+            raise click.ClickException(
+                f"--token-budget-strata {token_budget_strata!r} not in "
+                f"{c.df.columns}"
+            )
+        from timefence_spark.operators import text as text_ops
+
+        counts = text_ops.token_stats(
+            c.df, id_col=id_col, text_col=text_col
+        ).select(id_col, "n_tokens")
+        with_counts = Corpus(
+            c.df.join(counts, id_col), id_col=id_col, text_col=text_col
+        )
+        try:
+            c = Corpus(
+                with_counts.mixture_tokens(
+                    quotas, token_col="n_tokens",
+                    strata_col=token_budget_strata, salt=salt,
+                ).df.drop("n_tokens"),
+                id_col=id_col, text_col=text_col,
+            )
+        except ValueError as exc:
+            raise click.ClickException(str(exc)) from exc
+        stages.append(
+            f"token_budgets({token_budgets} per {token_budget_strata})"
+        )
     if sample_fraction is not None:
         c = c.sample(sample_fraction, salt=salt)
         stages.append(f"sample({sample_fraction})")
