@@ -3115,6 +3115,92 @@ def _oracle_knn_ivf_sql(
     """
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (the PQ half of FAISS-style IVF-PQ): train
+    per-subspace codebooks by portable hash sample, quantize the corpus
+    to m=8 4-bit codes, score queries by asymmetric distance over the
+    CODES (the compressed representation 100 TB embeddings scan as),
+    exact top-5. The oracle replays the whole pipeline — sample, argmin
+    encode, LUT scoring — in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    book = similarity.pq_train(
+        emb, corpus_id="vec_id", m=8, nbits=4, hash_fn="md5",
+    )
+    codes = similarity.pq_encode(emb, corpus_id="vec_id", codebook=book)
+    return similarity.pq_topk(
+        emb.where(F.col("vec_id") < 20), codes, book,
+        query_id="vec_id", encoded_id="vec_id", k=5,
+    )
+
+
+def _oracle_knn_pq_sql(
+    k: int = 5, m: int = 8, nbits: int = 4, seed: int = 42, dim: int = 64,
+) -> str:
+    dsub = dim // m
+    ksub = 2**nbits
+    cents = []
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        cents.append(f"""h{s} AS (
+        SELECT vec_id, v[{a}:{b}] AS sv,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':{seed + s}')), 1, 15))
+                    AS BIGINT) AS hh
+        FROM e
+    ), c{s} AS (
+        SELECT {s} AS sub, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS code,
+               sv AS cv
+        FROM (SELECT * FROM h{s} ORDER BY hh LIMIT {ksub})
+    )""")
+    cb_union = " UNION ALL ".join(f"SELECT * FROM c{s}" for s in range(m))
+    sl = f"list_slice(v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
+    slq = f"list_slice(q.v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), {", ".join(cents)}, cb AS (
+        {cb_union}
+    ), enc AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+                       0.5 * list_dot_product(cb.cv, cb.cv)
+                       - list_dot_product({sl}, cb.cv) ASC,
+                       cb.code ASC) AS rn
+            FROM e CROSS JOIN cb
+        ) WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id,
+               SQRT(list_dot_product(q.v, q.v)) AS qn,
+               cb.sub, cb.code,
+               list_dot_product({slq}, cb.cv) AS d,
+               list_dot_product(cb.cv, cb.cv) AS n2
+        FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cb
+    ), contrib AS (
+        SELECT l.query_id, l.qn, enc.vec_id AS neighbor_id, l.sub, l.d, l.n2
+        FROM enc JOIN lut l USING (sub, code)
+        WHERE enc.vec_id != l.query_id
+    ), scored AS (
+        -- no-init list_reduce over sub-ascending lists == the Spark
+        -- left-assoc literal chains (0.0 + x == x).
+        SELECT query_id, neighbor_id,
+               ROUND(list_reduce(list_transform(
+                         list(struct_pack(s := sub, x := d) ORDER BY sub),
+                         t -> t.x), (a, b) -> a + b)
+                     / (qn * SQRT(list_reduce(list_transform(
+                         list(struct_pack(s := sub, x := n2) ORDER BY sub),
+                         t -> t.x), (a, b) -> a + b))), 6) AS cosine
+        FROM contrib
+        GROUP BY query_id, neighbor_id, qn
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: deterministic hash-sampled
     centroids (portable md5 mode), shuffle-free literal-centroid
@@ -3857,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fluency_buckets": q_fluency_buckets,  # new in round 8
         "fluency_buckets_lang": q_fluency_buckets_lang,  # new in round 8
         "token_budget": q_token_budget,  # new in round 8
+        "knn_pq": q_knn_pq,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -3983,6 +4070,7 @@ def oracle_sql() -> dict[str, str]:
         "fluency_buckets": ORACLE_FLUENCY_BUCKETS,
         "fluency_buckets_lang": ORACLE_FLUENCY_BUCKETS_LANG,
         "token_budget": ORACLE_TOKEN_BUDGET,
+        "knn_pq": _oracle_knn_pq_sql(),
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

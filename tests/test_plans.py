@@ -133,9 +133,11 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # scalars (N, V / class totals / N, avgdl, per-term df) attach via a
     # broadcast cross join of a ONE-row aggregate — the designed way to
     # keep the call lazy; a nested-loop against one broadcast row is free.
+    # knn_pq scores every query x code-row pair by design (ADC brute
+    # force over the COMPRESSED corpus — the query side broadcasts).
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
-        "bm25_rank",
+        "bm25_rank", "knn_pq",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

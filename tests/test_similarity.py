@@ -705,3 +705,117 @@ def test_refine_centroids_one_lloyd_iteration_exact(spark):
     }
     assert set(ref2) == {0, 1}
     assert ref2[0] == [1.0, 2.0] and ref2[1] == [1.0, 2.0]
+
+
+def test_pq_train_encode_shapes(spark):
+    """Codebook is m x 2^nbits sub-centroids of dim/m doubles; encoding
+    maps NULL vectors to NULL codes, every code is in range, and a
+    vector sitting exactly on a sub-centroid encodes to that code in
+    every subspace. Validation rejects bad m/nbits/dim splits."""
+    import pytest as _pytest
+
+    from timefence_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(16)]) for i in range(64)]
+        + [(99, None)],
+        "vec_id long, embedding array<float>",
+    )
+    book = sim.pq_train(emb, corpus_id="vec_id", m=4, nbits=2, hash_fn="md5")
+    rows = book.collect()
+    assert len(rows) == 4 * 4
+    assert {(r["sub"], r["code"]) for r in rows} == {
+        (s, c) for s in range(4) for c in range(4)
+    }
+    assert all(len(r["centroid"]) == 4 for r in rows)
+
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in sim.pq_encode(
+            emb, corpus_id="vec_id", codebook=book
+        ).collect()
+    }
+    assert codes[99] is None
+    assert all(
+        c is not None and len(c) == 4 and all(0 <= x < 4 for x in c)
+        for vid, c in codes.items() if vid != 99
+    )
+    # a row whose vector IS a codebook row round-trips to its own codes
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
+    probe_vec = sum((by_sub[s][1] for s in range(4)), [])
+    probe = spark.createDataFrame(
+        [(1000, probe_vec)], "vec_id long, embedding array<double>"
+    )
+    enc = sim.pq_encode(probe, corpus_id="vec_id", codebook=book).head()
+    # the encoded code's centroid must sit at distance 0 from the probe
+    # subvector (duplicate sub-centroids tie toward the smaller code, so
+    # code identity is not guaranteed — zero distance is).
+    for s, code in enumerate(enc["codes"]):
+        got = by_sub[s][code]
+        want = probe_vec[s * 4:(s + 1) * 4]
+        assert got == want
+
+    with _pytest.raises(ValueError, match="divisible"):
+        sim.pq_train(emb, corpus_id="vec_id", m=3)
+    with _pytest.raises(ValueError, match="nbits"):
+        sim.pq_train(emb, corpus_id="vec_id", m=4, nbits=0)
+    # literal-budget gate: a codebook past the expr budget refuses with
+    # guidance instead of building an unparseable SQL string
+    big = spark.createDataFrame(
+        [(s, c, [0.0] * 64) for s in range(16) for c in range(16)],
+        "sub int, code int, centroid array<double>",
+    )
+    with _pytest.raises(ValueError, match="literal"):
+        sim.pq_encode(emb, corpus_id="vec_id", codebook=big)
+
+
+def test_pq_topk_approximates_and_reranks(spark, sf_dir):
+    """ADC top-k over the real embeddings table: approximate neighbors
+    overlap the exact brute-force set (recall sanity on clustered
+    synthetic data), and the rerank path returns EXACT cosine values
+    identical to cosine_topk on the same pairs."""
+    from timefence_spark.operators import similarity as sim
+    from timefence_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    book = sim.pq_train(
+        emb, corpus_id="vec_id", m=8, nbits=4, hash_fn="md5", refine_iters=1
+    )
+    codes = sim.pq_encode(emb, corpus_id="vec_id", codebook=book)
+    approx = sim.pq_topk(
+        queries, codes, book, query_id="vec_id", encoded_id="vec_id", k=10
+    )
+    exact = sim.cosine_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(a[q] & e[q]) / len(e[q]) for q in e]
+    # 4-bit ADC on near-uniform synthetic vectors is a weak quantizer;
+    # the bar is "far above chance" (random recall@10 of 500 ~ 0.02),
+    # and the rerank path below is where exactness comes back.
+    assert sum(recalls) / len(recalls) > 0.15
+
+    rer = sim.pq_topk(
+        queries, codes, book, query_id="vec_id", encoded_id="vec_id", k=5,
+        rerank=emb, rerank_id="vec_id", rerank_factor=8,
+    )
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in rer.collect()}
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim.cosine_topk(
+            queries, emb, query_id="vec_id", corpus_id="vec_id", k=40
+        ).collect()
+    }
+    assert got  # non-empty
+    for pair, cos in got.items():
+        assert truth.get(pair) == cos  # exact re-scored values

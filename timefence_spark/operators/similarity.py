@@ -1744,3 +1744,302 @@ def semantic_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half): compress vectors to m small codes
+# so 100 TB of embeddings fit the memory/shuffle budget ANN needs.
+# ---------------------------------------------------------------------------
+
+
+def _pq_probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Dimension of the first non-null vector — ONE bounded single-row
+    job (the same class of driver probe ivf_search's centroid collect
+    performs)."""
+    row = df.where(F.col(vec_col).isNotNull()).select(F.col(vec_col)).head()
+    if row is None:
+        raise ValueError(f"no non-null vectors in column {vec_col!r}")
+    return len(row[0])
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    refine_iters: int = 0,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Train a product-quantization codebook (Jégou et al. 2011, the PQ
+    half of FAISS-style IVF-PQ): split every vector into ``m``
+    contiguous subvectors and learn ``2**nbits`` sub-centroids per
+    subspace. Returns (sub, code, centroid) with ``m * 2**nbits`` rows —
+    the whole model is KBs regardless of corpus size.
+
+    Deterministic like the IVF centroids it reuses: each subspace's
+    codes are a salted hash-sample of the corpus's subvectors (seed
+    offset by subspace), optionally polished with ``refine_iters``
+    Lloyd iterations whose sorted folds stay oracle-replayable
+    (:func:`_refine_centroids`). ``train_fraction`` hash-samples the
+    training rows first — PQ codebooks converge on a sample; training
+    on all of 100 TB buys nothing.
+
+    100 TB shape: m independent (sample [+ Lloyd]) passes over sliced
+    vectors; each Lloyd iteration shuffles (id, pos, value) doubles
+    only. Vector dim must divide evenly by ``m`` (the standard PQ
+    layout)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8], got {nbits}")
+    if train_fraction is not None:
+        from timefence_spark.operators.sampling import hash_sample
+
+        corpus = hash_sample(
+            corpus, id_col=corpus_id, fraction=train_fraction,
+            salt=f"pqtrain:{seed}", hash_fn=hash_fn,
+        )
+    dim = _pq_probe_dim(corpus, corpus_vec)
+    if dim % m:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    dsub = dim // m
+    ksub = 2**nbits
+    books = []
+    for sub in range(m):
+        sliced = corpus.select(
+            F.col(corpus_id),
+            F.slice(F.col(corpus_vec), sub * dsub + 1, dsub).alias("__sv"),
+        )
+        cb = _ivf_centroids(
+            sliced, corpus_id=corpus_id, corpus_vec="__sv", nlist=ksub,
+            seed=seed + sub, hash_fn=hash_fn, refine_iters=refine_iters,
+        )
+        books.append(
+            cb.select(
+                F.lit(sub).alias("sub"),
+                F.col("centroid_id").alias("code"),
+                F.col("centroid").cast("array<double>").alias("centroid"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _pq_check_literal_budget(books: dict) -> None:
+    """The PQ kernels embed the codebook as SQL literals (the model is
+    KBs at sane settings: m=8, nbits=4, dim<=128 -> <=2^4*128 = 2048
+    doubles). Past the expr budget the generated SQL stops being
+    parseable in reasonable time — refuse with guidance instead of
+    building it (the same gate the IVF assignment kernels apply)."""
+    total = sum(
+        len(v) for entries in books.values() for _, v, _ in entries
+        if v is not None
+    )
+    if total > _ASSIGN_EXPR_MAX_LITERALS:
+        raise ValueError(
+            f"PQ codebook embeds {total} literal doubles — past the expr "
+            f"budget ({_ASSIGN_EXPR_MAX_LITERALS}). Reduce m/nbits (the "
+            "codebook is m * 2**nbits * dim/m doubles = dim * 2**nbits), "
+            "or train on a lower-dimensional projection."
+        )
+
+
+def _pq_collect_codebook(codebook: DataFrame):
+    """codebook -> {sub: [(code, vec, half_sqnorm), ...] sorted by code}.
+    One driver collect of m * ksub rows — the model is KBs."""
+    by_sub: dict[int, list] = {}
+    for r in codebook.collect():
+        vec = list(r["centroid"]) if r["centroid"] is not None else None
+        half = None
+        if vec is not None:
+            # Same sequential fold order as the encode expression's dot:
+            # acc = 0.0; acc += x*x left-to-right (bit-reproducible).
+            acc = 0.0
+            for x in vec:
+                acc += float(x) * float(x)
+            half = 0.5 * acc
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), vec, half)
+        )
+    for sub in by_sub:
+        by_sub[sub].sort(key=lambda t: t[0])
+    return dict(sorted(by_sub.items()))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    codebook: DataFrame,
+) -> DataFrame:
+    """Quantize every vector to its ``m`` nearest sub-centroid codes:
+    (id, codes array<int>). Rows with a NULL vector get NULL codes.
+
+    The nearest code minimizes L2 distance; the ranking key is the
+    dot-based half-norm form ``0.5*|c|^2 - <x_sub, c>`` (equal ordering,
+    one fold per (row, code) instead of three), ties to the smaller
+    code. One scan-side projection — codebook sub-centroids are SQL
+    literals (the model is m * ksub * dsub doubles — KBs; far under the
+    expr budget the IVF kernels gate on), so encoding shuffles nothing
+    and runs at scan speed. The output is the compressed corpus: m
+    small ints per vector instead of dim floats — the representation
+    ANN scans at 100 TB."""
+    books = _pq_collect_codebook(codebook)
+    if not books:
+        raise ValueError("empty codebook")
+    _pq_check_literal_budget(books)
+    m = len(books)
+    dsub = next(
+        len(v) for entries in books.values() for _, v, _ in entries if v is not None
+    )
+    subs_sql = []
+    for sub, entries in books.items():
+        elems = []
+        for code, vec, half in entries:
+            if vec is None:
+                key = "CAST(NULL AS DOUBLE)"
+            else:
+                arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+                dot = (
+                    f"aggregate(zip_with(slice(`__v`, {sub * dsub + 1}, {dsub}),"
+                    f" {arr}, (x, y) -> CAST(x AS DOUBLE) * y), 0D,"
+                    " (acc, v) -> acc + v)"
+                )
+                key = f"{_sql_double(half)} - {dot}"
+            elems.append(f"named_struct('k', {key}, 'i', {code})")
+        # array_min: struct comparison orders by k then i — L2 argmin with
+        # the smaller code winning ties.
+        subs_sql.append(f"array_min(array({','.join(elems)})).i")
+    codes_sql = "array(" + ",".join(subs_sql) + ")"
+    staged = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__v"))
+    return staged.select(
+        F.col(corpus_id),
+        F.when(F.col("__v").isNotNull(), F.expr(codes_sql)).alias("codes"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str = "embedding",
+    encoded_id: str = "vec_id",
+    k: int = 10,
+    round_to: int | None = 6,
+    rerank: DataFrame | None = None,
+    rerank_id: str | None = None,
+    rerank_vec: str = "embedding",
+    rerank_factor: int = 4,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance: queries stay exact,
+    corpus rows are their ``codes``, and the score is the reconstructed
+    cosine ``sum_sub <q_sub, c[sub][code]> / (|q| * |reconstruction|)``.
+    Returns (query_id, neighbor_id, cosine, rank) like the other kNN
+    operators; with ``rerank`` (the original vector table) the top
+    ``k * rerank_factor`` approximate candidates re-score exactly and
+    the final top-k is exact-cosine-ranked — the standard ADC + refine
+    pipeline.
+
+    100 TB shape: the scan side is the ENCODED corpus — m small ints
+    per row, dim/m * 8/4-ish compression — so the brute-force pass that
+    sizes the memory/shuffle budget runs over codes, not vectors. Each
+    query row computes its m x ksub dot-product LUT once in a staged
+    projection (literal sub-centroids, scan-side); candidates score by
+    LUT lookup, never touching a float vector. The reconstruction norm
+    is a pure literal lookup. Queries broadcast (size-gated like
+    cosine_topk); only the optional re-rank join touches true vectors,
+    for k * rerank_factor rows per query."""
+    books = _pq_collect_codebook(codebook)
+    if not books:
+        raise ValueError("empty codebook")
+    _pq_check_literal_budget(books)
+    m = len(books)
+    dsub = next(
+        len(v) for entries in books.values() for _, v, _ in entries if v is not None
+    )
+    lut_subs = []
+    n2_subs = []
+    for sub, entries in books.items():
+        dots = []
+        n2 = []
+        for code, vec, half in entries:
+            if vec is None:
+                dots.append("CAST(NULL AS DOUBLE)")
+                n2.append("CAST(NULL AS DOUBLE)")
+            else:
+                arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+                dots.append(
+                    f"aggregate(zip_with(slice(`__qv`, {sub * dsub + 1}, {dsub}),"
+                    f" {arr}, (x, y) -> CAST(x AS DOUBLE) * y), 0D,"
+                    " (acc, v) -> acc + v)"
+                )
+                n2.append(_sql_double(2.0 * half))
+        lut_subs.append("array(" + ",".join(dots) + ")")
+        n2_subs.append("array(" + ",".join(n2) + ")")
+    lut_sql = "array(" + ",".join(lut_subs) + ")"
+    n2_sql = "array(" + ",".join(n2_subs) + ")"
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    q = q.select(
+        "query_id",
+        l2_norm(F.col("__qv")).alias("__qn"),
+        F.expr(lut_sql).alias("__lut"),
+    )
+    q = _gate_broadcast(q, broadcast_queries)
+
+    # Left-assoc literal chains in ascending-sub order: the oracle replays
+    # the same order with a no-init list_reduce (0.0 + x == x).
+    dot_chain = " + ".join(
+        f"element_at(element_at(`__lut`, {s + 1}), element_at(`codes`, {s + 1}) + 1)"
+        for s in range(m)
+    )
+    n2_chain = " + ".join(
+        f"element_at(element_at(`__n2`, {s + 1}), element_at(`codes`, {s + 1}) + 1)"
+        for s in range(m)
+    )
+    cand = encoded.select(
+        F.col(encoded_id).alias("neighbor_id"), F.col("codes")
+    ).where(F.col("codes").isNotNull()).crossJoin(q).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    score = F.expr(
+        f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))"
+    )
+    scored = cand.withColumn("__n2", F.expr(n2_sql)).select(
+        "query_id",
+        "neighbor_id",
+        (F.round(score, round_to) if round_to is not None else score).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return approx.where(F.col("rank") <= k)
+    if rerank_id is None:
+        raise ValueError("rerank requires rerank_id")
+    short = approx.where(F.col("rank") <= k * rerank_factor).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    cv = rerank.select(
+        F.col(rerank_id).alias("neighbor_id"), F.col(rerank_vec).alias("__cv")
+    )
+    exact = short.join(qv, "query_id").join(cv, "neighbor_id")
+    return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
