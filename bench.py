@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     # shuffle bytes).
     "fit_classifier",
     "bm25_rank",
+    # Round-8: product-quantized ANN — train + encode + ADC scan over
+    # the compressed codes (the 100 TB embedding memory lever).
+    "knn_pq",
 ]
 
 
