@@ -135,9 +135,11 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # keep the call lazy; a nested-loop against one broadcast row is free.
     # knn_pq scores every query x code-row pair by design (ADC brute
     # force over the COMPRESSED corpus — the query side broadcasts).
+    # fluency_buckets embeds unigram_logprob's one-row LM-totals cross
+    # join (the unigram_nll shape) plus its own one-row threshold join.
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
-        "bm25_rank", "knn_pq",
+        "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():
