@@ -761,14 +761,16 @@ def test_pq_train_encode_shapes(spark):
         sim.pq_train(emb, corpus_id="vec_id", m=3)
     with _pytest.raises(ValueError, match="nbits"):
         sim.pq_train(emb, corpus_id="vec_id", m=4, nbits=0)
-    # literal-budget gate: a codebook past the expr budget refuses with
-    # guidance instead of building an unparseable SQL string
+    # literal-budget gate: a codebook past the expr budget falls back to
+    # the join kernel with a warning instead of building an unparseable
+    # SQL string (bit-identical output — test_pq_join_kernel_is_bit_
+    # identical covers the equivalence and the warning text).
     big = spark.createDataFrame(
         [(s, c, [0.0] * 64) for s in range(16) for c in range(16)],
         "sub int, code int, centroid array<double>",
     )
-    with _pytest.raises(ValueError, match="literal"):
-        sim.pq_encode(emb, corpus_id="vec_id", codebook=big)
+    with _pytest.warns(UserWarning, match="literal"):
+        sim.pq_encode(emb.limit(0), corpus_id="vec_id", codebook=big)
 
 
 def test_pq_topk_approximates_and_reranks(spark, sf_dir):
@@ -819,3 +821,66 @@ def test_pq_topk_approximates_and_reranks(spark, sf_dir):
     assert got  # non-empty
     for pair, cos in got.items():
         assert truth.get(pair) == cos  # exact re-scored values
+
+
+def test_pq_join_kernel_is_bit_identical(spark, sf_dir):
+    """compute='join' (one-row broadcast codebook, no literal budget)
+    must produce EXACTLY the expr kernel's codes and scores — same
+    sequential folds, same tie-breaks; and the expr kernel falls back to
+    it (with a warning) past the literal budget instead of refusing."""
+    import warnings as _warnings
+
+    from timefence_spark.operators import similarity as sim
+    from timefence_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    book = sim.pq_train(emb, corpus_id="vec_id", m=8, nbits=4, hash_fn="md5")
+    enc_expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in sim.pq_encode(
+            emb, corpus_id="vec_id", codebook=book, compute="expr"
+        ).collect()
+    }
+    enc_join = {
+        r["vec_id"]: list(r["codes"])
+        for r in sim.pq_encode(
+            emb, corpus_id="vec_id", codebook=book, compute="join"
+        ).collect()
+    }
+    assert enc_expr == enc_join
+
+    codes = sim.pq_encode(emb, corpus_id="vec_id", codebook=book)
+    q = emb.where(F.col("vec_id") < 5)
+    t_expr = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in sim.pq_topk(
+            q, codes, book, query_id="vec_id", encoded_id="vec_id", k=5,
+            round_to=None, compute="expr",
+        ).collect()
+    }
+    t_join = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in sim.pq_topk(
+            q, codes, book, query_id="vec_id", encoded_id="vec_id", k=5,
+            round_to=None, compute="join",
+        ).collect()
+    }
+    assert t_expr == t_join  # unrounded doubles: bit-identical
+
+    # past the budget, expr warns and falls back instead of refusing
+    big = spark.createDataFrame(
+        [(s, c, [float(s + c)] * 64) for s in range(16) for c in range(16)],
+        "sub int, code int, centroid array<double>",
+    )
+    wide = spark.createDataFrame(
+        [(1, [1.0] * 1024)], "vec_id long, embedding array<double>"
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = sim.pq_encode(
+            wide, corpus_id="vec_id", codebook=big, compute="expr"
+        ).collect()
+    assert any("join" in str(x.message) for x in w)
+    assert len(out) == 1 and len(out[0]["codes"]) == 16

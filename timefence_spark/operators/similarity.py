@@ -1832,11 +1832,12 @@ def pq_train(
 
 
 def _pq_check_literal_budget(books: dict) -> None:
-    """The PQ kernels embed the codebook as SQL literals (the model is
-    KBs at sane settings: m=8, nbits=4, dim<=128 -> <=2^4*128 = 2048
+    """The expr PQ kernels embed the codebook as SQL literals (the model
+    is KBs at sane settings: m=8, nbits=4, dim<=128 -> <=2^4*128 = 2048
     doubles). Past the expr budget the generated SQL stops being
-    parseable in reasonable time — refuse with guidance instead of
-    building it (the same gate the IVF assignment kernels apply)."""
+    parseable in reasonable time — raise so the callers fall back to the
+    bit-identical 'join' kernel (the same gating idea as the IVF
+    assignment kernels, with a stronger fallback: no ulp caveat)."""
     total = sum(
         len(v) for entries in books.values() for _, v, _ in entries
         if v is not None
@@ -1872,12 +1873,44 @@ def _pq_collect_codebook(codebook: DataFrame):
     return dict(sorted(by_sub.items()))
 
 
+def _pq_book_row(codebook: DataFrame) -> DataFrame:
+    """The codebook as ONE nested-array row, ordered (sub asc, code asc):
+    ``book: array<struct<sub, entries: array<struct<code, centroid>>>>``.
+    Broadcast-cross-joined onto the corpus it is the collect-free,
+    unbounded alternative to embedding the codebook as SQL literals."""
+    per_sub = codebook.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("code").cast("int").alias("code"),
+                    F.col("centroid").cast("array<double>").alias("centroid"),
+                )
+            )
+        ).alias("entries")
+    )
+    return per_sub.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sub").cast("int").alias("sub"), "entries"))
+        ).alias("__book")
+    )
+
+
+# SQL fragments shared by both PQ kernels: the same sequential folds the
+# oracle replays (zip_with product fold, 0D-init accumulation).
+def _pq_dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     *,
     corpus_id: str,
     corpus_vec: str = "embedding",
     codebook: DataFrame,
+    compute: str = "expr",
 ) -> DataFrame:
     """Quantize every vector to its ``m`` nearest sub-centroid codes:
     (id, codes array<int>). Rows with a NULL vector get NULL codes.
@@ -1885,17 +1918,50 @@ def pq_encode(
     The nearest code minimizes L2 distance; the ranking key is the
     dot-based half-norm form ``0.5*|c|^2 - <x_sub, c>`` (equal ordering,
     one fold per (row, code) instead of three), ties to the smaller
-    code. One scan-side projection — codebook sub-centroids are SQL
-    literals (the model is m * ksub * dsub doubles — KBs; far under the
-    expr budget the IVF kernels gate on), so encoding shuffles nothing
-    and runs at scan speed. The output is the compressed corpus: m
-    small ints per vector instead of dim floats — the representation
-    ANN scans at 100 TB."""
-    books = _pq_collect_codebook(codebook)
-    if not books:
-        raise ValueError("empty codebook")
-    _pq_check_literal_budget(books)
-    m = len(books)
+    code. Encoding shuffles nothing and runs at scan speed in BOTH
+    kernels; the output is the compressed corpus — m small ints per
+    vector instead of dim floats, the representation ANN scans at
+    100 TB.
+
+    * ``compute='expr'`` — codebook sub-centroids become SQL literals
+      (one driver collect of the KB-sized model); budget-gated like the
+      IVF kernels, falling back to ``'join'`` with a warning past
+      dim * 2**nbits literal doubles.
+    * ``compute='join'`` — the codebook aggregates to ONE nested-array
+      row that broadcast-cross-joins onto the corpus (sanctioned one-row
+      shape); no collect, no literal budget. BIT-IDENTICAL to the expr
+      kernel: same sequential folds, same tie-breaks — unlike the
+      IVF arrow fallback there is no last-ulp caveat."""
+    if compute not in ("expr", "join"):
+        raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
+    staged = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__v"))
+    if compute == "expr":
+        books = _pq_collect_codebook(codebook)
+        if not books:
+            raise ValueError("empty codebook")
+        try:
+            _pq_check_literal_budget(books)
+        except ValueError as exc:
+            warnings.warn(
+                f"{exc} Falling back to compute='join' (bit-identical).",
+                stacklevel=2,
+            )
+            compute = "join"
+    if compute == "join":
+        argmin = (
+            "array_min(transform(s.entries, e -> named_struct("
+            "'k', 0.5D * " + _pq_dot_sql("e.centroid", "e.centroid") + " - "
+            + _pq_dot_sql(
+                "slice(`__v`, s.sub * size(e.centroid) + 1, size(e.centroid))",
+                "e.centroid",
+            )
+            + ", 'i', e.code))).i"
+        )
+        codes_sql = f"transform(`__book`, s -> {argmin})"
+        return staged.crossJoin(F.broadcast(_pq_book_row(codebook))).select(
+            F.col(corpus_id),
+            F.when(F.col("__v").isNotNull(), F.expr(codes_sql)).alias("codes"),
+        )
     dsub = next(
         len(v) for entries in books.values() for _, v, _ in entries if v is not None
     )
@@ -1907,18 +1973,13 @@ def pq_encode(
                 key = "CAST(NULL AS DOUBLE)"
             else:
                 arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
-                dot = (
-                    f"aggregate(zip_with(slice(`__v`, {sub * dsub + 1}, {dsub}),"
-                    f" {arr}, (x, y) -> CAST(x AS DOUBLE) * y), 0D,"
-                    " (acc, v) -> acc + v)"
-                )
+                dot = _pq_dot_sql(f"slice(`__v`, {sub * dsub + 1}, {dsub})", arr)
                 key = f"{_sql_double(half)} - {dot}"
             elems.append(f"named_struct('k', {key}, 'i', {code})")
         # array_min: struct comparison orders by k then i — L2 argmin with
         # the smaller code winning ties.
         subs_sql.append(f"array_min(array({','.join(elems)})).i")
     codes_sql = "array(" + ",".join(subs_sql) + ")"
-    staged = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__v"))
     return staged.select(
         F.col(corpus_id),
         F.when(F.col("__v").isNotNull(), F.expr(codes_sql)).alias("codes"),
@@ -1940,6 +2001,7 @@ def pq_topk(
     rerank_vec: str = "embedding",
     rerank_factor: int = 4,
     broadcast_queries: bool | None = None,
+    compute: str = "expr",
 ) -> DataFrame:
     """Approximate top-k by asymmetric PQ distance: queries stay exact,
     corpus rows are their ``codes``, and the score is the reconstructed
@@ -1954,70 +2016,119 @@ def pq_topk(
     per row, dim/m * 8/4-ish compression — so the brute-force pass that
     sizes the memory/shuffle budget runs over codes, not vectors. Each
     query row computes its m x ksub dot-product LUT once in a staged
-    projection (literal sub-centroids, scan-side); candidates score by
-    LUT lookup, never touching a float vector. The reconstruction norm
-    is a pure literal lookup. Queries broadcast (size-gated like
-    cosine_topk); only the optional re-rank join touches true vectors,
-    for k * rerank_factor rows per query."""
-    books = _pq_collect_codebook(codebook)
-    if not books:
-        raise ValueError("empty codebook")
-    _pq_check_literal_budget(books)
-    m = len(books)
-    dsub = next(
-        len(v) for entries in books.values() for _, v, _ in entries if v is not None
-    )
-    lut_subs = []
-    n2_subs = []
-    for sub, entries in books.items():
-        dots = []
-        n2 = []
-        for code, vec, half in entries:
-            if vec is None:
-                dots.append("CAST(NULL AS DOUBLE)")
-                n2.append("CAST(NULL AS DOUBLE)")
-            else:
-                arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
-                dots.append(
-                    f"aggregate(zip_with(slice(`__qv`, {sub * dsub + 1}, {dsub}),"
-                    f" {arr}, (x, y) -> CAST(x AS DOUBLE) * y), 0D,"
-                    " (acc, v) -> acc + v)"
-                )
-                n2.append(_sql_double(2.0 * half))
-        lut_subs.append("array(" + ",".join(dots) + ")")
-        n2_subs.append("array(" + ",".join(n2) + ")")
-    lut_sql = "array(" + ",".join(lut_subs) + ")"
-    n2_sql = "array(" + ",".join(n2_subs) + ")"
+    projection; candidates score by LUT lookup, never touching a float
+    vector. Queries broadcast (size-gated like cosine_topk); only the
+    optional re-rank join touches true vectors, for k * rerank_factor
+    rows per query.
 
-    q = queries.select(
+    ``compute='expr'`` embeds the codebook as SQL literals (budget-gated,
+    falls back to ``'join'`` with a warning); ``compute='join'``
+    broadcast-cross-joins the one-row nested codebook — no collect, no
+    literal budget, BIT-IDENTICAL scores (same folds, same order)."""
+    if compute not in ("expr", "join"):
+        raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
+    q_base = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    q = q.select(
-        "query_id",
-        l2_norm(F.col("__qv")).alias("__qn"),
-        F.expr(lut_sql).alias("__lut"),
-    )
+    if compute == "expr":
+        books = _pq_collect_codebook(codebook)
+        if not books:
+            raise ValueError("empty codebook")
+        try:
+            _pq_check_literal_budget(books)
+        except ValueError as exc:
+            warnings.warn(
+                f"{exc} Falling back to compute='join' (bit-identical).",
+                stacklevel=2,
+            )
+            compute = "join"
+    if compute == "join":
+        lut_sql = (
+            "transform(`__book`, s -> transform(s.entries, e -> "
+            + _pq_dot_sql(
+                "slice(`__qv`, s.sub * size(e.centroid) + 1, size(e.centroid))",
+                "e.centroid",
+            )
+            + "))"
+        )
+        n2_sql = (
+            "transform(`__book`, s -> transform(s.entries, e -> "
+            + _pq_dot_sql("e.centroid", "e.centroid")
+            + "))"
+        )
+        q = q_base.crossJoin(F.broadcast(_pq_book_row(codebook))).select(
+            "query_id",
+            l2_norm(F.col("__qv")).alias("__qn"),
+            F.expr(lut_sql).alias("__lut"),
+            F.expr(n2_sql).alias("__n2"),
+        )
+        # 0D-init folds in sub order == the expr kernel's left-assoc
+        # literal chains (0.0 + x == x).
+        num = (
+            "aggregate(zip_with(`__lut`, `codes`,"
+            " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+        )
+        den = (
+            "aggregate(zip_with(`__n2`, `codes`,"
+            " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+        )
+        score = F.expr(f"try_divide({num}, `__qn` * sqrt({den}))")
+        post_cols = []
+    else:
+        m = len(books)
+        dsub = next(
+            len(v)
+            for entries in books.values()
+            for _, v, _ in entries
+            if v is not None
+        )
+        lut_subs = []
+        n2_subs = []
+        for sub, entries in books.items():
+            dots = []
+            n2 = []
+            for code, vec, half in entries:
+                if vec is None:
+                    dots.append("CAST(NULL AS DOUBLE)")
+                    n2.append("CAST(NULL AS DOUBLE)")
+                else:
+                    arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+                    dots.append(
+                        _pq_dot_sql(f"slice(`__qv`, {sub * dsub + 1}, {dsub})", arr)
+                    )
+                    n2.append(_sql_double(2.0 * half))
+            lut_subs.append("array(" + ",".join(dots) + ")")
+            n2_subs.append("array(" + ",".join(n2) + ")")
+        lut_sql = "array(" + ",".join(lut_subs) + ")"
+        n2_sql = "array(" + ",".join(n2_subs) + ")"
+        q = q_base.select(
+            "query_id",
+            l2_norm(F.col("__qv")).alias("__qn"),
+            F.expr(lut_sql).alias("__lut"),
+        )
+        # Left-assoc literal chains in ascending-sub order: the oracle
+        # replays the same order with a no-init list_reduce (0.0+x == x).
+        dot_chain = " + ".join(
+            f"element_at(element_at(`__lut`, {s + 1}),"
+            f" element_at(`codes`, {s + 1}) + 1)"
+            for s in range(m)
+        )
+        n2_chain = " + ".join(
+            f"element_at(element_at(`__n2`, {s + 1}),"
+            f" element_at(`codes`, {s + 1}) + 1)"
+            for s in range(m)
+        )
+        score = F.expr(f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))")
+        post_cols = [F.expr(n2_sql).alias("__n2")]
     q = _gate_broadcast(q, broadcast_queries)
-
-    # Left-assoc literal chains in ascending-sub order: the oracle replays
-    # the same order with a no-init list_reduce (0.0 + x == x).
-    dot_chain = " + ".join(
-        f"element_at(element_at(`__lut`, {s + 1}), element_at(`codes`, {s + 1}) + 1)"
-        for s in range(m)
-    )
-    n2_chain = " + ".join(
-        f"element_at(element_at(`__n2`, {s + 1}), element_at(`codes`, {s + 1}) + 1)"
-        for s in range(m)
-    )
     cand = encoded.select(
         F.col(encoded_id).alias("neighbor_id"), F.col("codes")
     ).where(F.col("codes").isNotNull()).crossJoin(q).where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    score = F.expr(
-        f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))"
-    )
-    scored = cand.withColumn("__n2", F.expr(n2_sql)).select(
+    if post_cols:
+        cand = cand.withColumn("__n2", post_cols[0])
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         (F.round(score, round_to) if round_to is not None else score).alias(
