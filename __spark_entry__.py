@@ -3201,6 +3201,122 @@ def _oracle_knn_pq_sql(
     """
 
 
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-style IVF-PQ: coarse quantizer prunes candidates to
+    nprobe/nlist inverted lists, PQ scores the survivors by asymmetric
+    distance over 8 4-bit codes. Pure ADC (no re-rank) so the composed
+    pipeline — coarse sample, list assignment, subspace codebooks,
+    argmin encode, LUT scoring — is replayed end-to-end by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ivf_pq_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        query_id="vec_id", corpus_id="vec_id", k=5, nlist=16, nprobe=4,
+        m=8, nbits=4, hash_fn="md5",
+    )
+
+
+def _oracle_ivf_pq_sql(
+    k: int = 5, nlist: int = 16, nprobe: int = 4, m: int = 8,
+    nbits: int = 4, seed: int = 42, dim: int = 64,
+) -> str:
+    dsub = dim // m
+    ksub = 2**nbits
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
+    )
+    pq_cents = []
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        pq_cents.append(f"""ph{s} AS (
+        SELECT vec_id, v[{a}:{b}] AS sv,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':{seed + 101 + s}')),
+                           1, 15)) AS BIGINT) AS hh
+        FROM e
+    ), pc{s} AS (
+        SELECT {s} AS sub, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS code,
+               sv AS cv
+        FROM (SELECT * FROM ph{s} ORDER BY hh LIMIT {ksub})
+    )""")
+    cb_union = " UNION ALL ".join(f"SELECT * FROM pc{s}" for s in range(m))
+    sl = f"list_slice(v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
+    slq = f"list_slice(q.v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hashed AS (
+        SELECT vec_id, v,
+               CAST(concat('0x',
+                    substr(md5(concat(vec_id::VARCHAR, ':{seed}')), 1, 15))
+                    AS BIGINT) AS hh
+        FROM e
+    ), cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY hh) - 1 AS centroid_id, v AS cv
+        FROM (SELECT * FROM hashed ORDER BY hh LIMIT {nlist})
+    ), assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {cos.format(a="e.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT q.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       {cos.format(a="q.v", b="c.cv")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cent c
+        ) WHERE rn <= {nprobe}
+    ), {", ".join(pq_cents)}, cb AS (
+        {cb_union}
+    ), enc AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+                       0.5 * list_dot_product(cb.cv, cb.cv)
+                       - list_dot_product({sl}, cb.cv) ASC,
+                       cb.code ASC) AS rn
+            FROM e CROSS JOIN cb
+        ) WHERE rn = 1
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a USING (centroid_id)
+        WHERE a.vec_id != p.query_id
+    ), lut AS (
+        SELECT q.vec_id AS query_id,
+               SQRT(list_dot_product(q.v, q.v)) AS qn,
+               cb.sub, cb.code,
+               list_dot_product({slq}, cb.cv) AS d,
+               list_dot_product(cb.cv, cb.cv) AS n2
+        FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cb
+    ), contrib AS (
+        SELECT c.query_id, l.qn, c.neighbor_id, l.sub, l.d, l.n2
+        FROM cand c
+        JOIN enc ON enc.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.sub = enc.sub AND l.code = enc.code
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_reduce(list_transform(
+                         list(struct_pack(s := sub, x := d) ORDER BY sub),
+                         t -> t.x), (a, b) -> a + b)
+                     / (qn * SQRT(list_reduce(list_transform(
+                         list(struct_pack(s := sub, x := n2) ORDER BY sub),
+                         t -> t.x), (a, b) -> a + b))), 6) AS cosine
+        FROM contrib
+        GROUP BY query_id, neighbor_id, qn
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: deterministic hash-sampled
     centroids (portable md5 mode), shuffle-free literal-centroid
@@ -3944,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fluency_buckets_lang": q_fluency_buckets_lang,  # new in round 8
         "token_budget": q_token_budget,  # new in round 8
         "knn_pq": q_knn_pq,  # new in round 8
+        "knn_ivf_pq": q_knn_ivf_pq,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -4071,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
         "fluency_buckets_lang": ORACLE_FLUENCY_BUCKETS_LANG,
         "token_budget": ORACLE_TOKEN_BUDGET,
         "knn_pq": _oracle_knn_pq_sql(),
+        "knn_ivf_pq": _oracle_ivf_pq_sql(),
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

@@ -2154,3 +2154,225 @@ def pq_topk(
     )
     exact = short.join(qv, "query_id").join(cv, "neighbor_id")
     return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    compute: str = "expr",
+    refine_iters: int = 0,
+    round_to: int | None = 6,
+    rerank: bool = False,
+    rerank_factor: int = 4,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """FAISS-style IVF-PQ: the coarse quantizer prunes WHICH rows are
+    candidates (each query probes its ``nprobe`` nearest of ``nlist``
+    inverted lists), and product quantization compresses WHAT those
+    candidates cost to scan (m codes instead of dim floats, scored by
+    asymmetric distance). Composition of :func:`ivf_topk`'s probe plan
+    and :func:`pq_topk`'s ADC scoring — both halves keep their
+    deterministic sampling/fold contracts, so the full pipeline stays
+    oracle-replayable.
+
+    ``rerank=True`` re-scores the top ``k * rerank_factor`` ADC
+    candidates against the true vectors (the standard refine step);
+    PQ sub-codebooks train at ``seed + 101 + sub`` so the coarse sample
+    (at ``seed``) and the subspace samples never share a hash stream.
+    Pass ``codebook`` to reuse a pre-trained PQ model.
+
+    100 TB shape: candidate volume is nprobe/nlist of the corpus and
+    each candidate row carries (id, centroid_id, m small ints) — the
+    probe prunes rows, PQ prunes bytes. Assignment and encoding are both
+    scan-side projections; the only exchange is the candidate equi-join
+    on centroid_id. For repeated query batches, persist the assigned
+    codes partitioned by centroid_id (the :func:`ivf_build_index` layout
+    with codes instead of vectors) and filter-prune instead of
+    recomputing."""
+    cents = _ivf_centroids(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
+        seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
+    )
+    assign = _ivf_assign_factory(cents, compute="expr", nlist=nlist)
+    if codebook is None:
+        codebook = pq_train(
+            corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, m=m,
+            nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
+            refine_iters=refine_iters,
+        )
+    # One corpus pass feeds both: nearest coarse list + PQ codes.
+    assigned = assign(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+        ),
+        "neighbor_id", "__cv", 1,
+    )
+    codes = pq_encode(
+        assigned.select(F.col("neighbor_id"), F.col("__cv")),
+        corpus_id="neighbor_id", corpus_vec="__cv", codebook=codebook,
+        compute=compute,
+    )
+    listed = assigned.select("neighbor_id", "centroid_id").join(
+        codes, "neighbor_id"
+    )
+    probes = assign(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        ),
+        "query_id", "__qv", nprobe,
+    ).select("query_id", "centroid_id")
+    cand_ids = probes.join(listed, "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", "codes").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    # ADC-score the pruned candidate set: reuse pq_topk's scoring by
+    # treating the candidate list as the encoded corpus per query. The
+    # LUT/staging mirrors pq_topk but joins on query_id instead of a
+    # cross join (candidates are already per-query).
+    approx = _pq_adc_rank(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        ),
+        cand_ids, codebook, k=k if not rerank else k * rerank_factor,
+        round_to=round_to, compute=compute,
+    )
+    if not rerank:
+        return approx.where(F.col("rank") <= k)
+    short = approx.select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    exact = short.join(qv, "query_id").join(cv, "neighbor_id")
+    return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
+
+
+def _pq_adc_rank(
+    q_base: DataFrame,
+    cand: DataFrame,
+    codebook: DataFrame,
+    *,
+    k: int,
+    round_to: int | None,
+    compute: str,
+) -> DataFrame:
+    """Rank per-query PQ candidates (query_id, neighbor_id, codes) by
+    asymmetric cosine — pq_topk's scoring stage for a candidate set that
+    is already per-query (equi-join on query_id instead of the
+    brute-force cross join)."""
+    if compute == "expr":
+        books = _pq_collect_codebook(codebook)
+        if not books:
+            raise ValueError("empty codebook")
+        try:
+            _pq_check_literal_budget(books)
+        except ValueError as exc:
+            warnings.warn(
+                f"{exc} Falling back to compute='join' (bit-identical).",
+                stacklevel=2,
+            )
+            compute = "join"
+    if compute == "join":
+        lut_sql = (
+            "transform(`__book`, s -> transform(s.entries, e -> "
+            + _pq_dot_sql(
+                "slice(`__qv`, s.sub * size(e.centroid) + 1, size(e.centroid))",
+                "e.centroid",
+            )
+            + "))"
+        )
+        n2_sql = (
+            "transform(`__book`, s -> transform(s.entries, e -> "
+            + _pq_dot_sql("e.centroid", "e.centroid")
+            + "))"
+        )
+        q = q_base.crossJoin(F.broadcast(_pq_book_row(codebook))).select(
+            "query_id",
+            l2_norm(F.col("__qv")).alias("__qn"),
+            F.expr(lut_sql).alias("__lut"),
+            F.expr(n2_sql).alias("__n2"),
+        )
+        num = (
+            "aggregate(zip_with(`__lut`, `codes`,"
+            " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+        )
+        den = (
+            "aggregate(zip_with(`__n2`, `codes`,"
+            " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+        )
+        score = F.expr(f"try_divide({num}, `__qn` * sqrt({den}))")
+        extra = None
+    else:
+        m = len(books)
+        dsub = next(
+            len(v)
+            for entries in books.values()
+            for _, v, _ in entries
+            if v is not None
+        )
+        lut_subs, n2_subs = [], []
+        for sub, entries in books.items():
+            dots, n2 = [], []
+            for code, vec, half in entries:
+                if vec is None:
+                    dots.append("CAST(NULL AS DOUBLE)")
+                    n2.append("CAST(NULL AS DOUBLE)")
+                else:
+                    arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+                    dots.append(
+                        _pq_dot_sql(f"slice(`__qv`, {sub * dsub + 1}, {dsub})", arr)
+                    )
+                    n2.append(_sql_double(2.0 * half))
+            lut_subs.append("array(" + ",".join(dots) + ")")
+            n2_subs.append("array(" + ",".join(n2) + ")")
+        q = q_base.select(
+            "query_id",
+            l2_norm(F.col("__qv")).alias("__qn"),
+            F.expr("array(" + ",".join(lut_subs) + ")").alias("__lut"),
+        )
+        dot_chain = " + ".join(
+            f"element_at(element_at(`__lut`, {s + 1}),"
+            f" element_at(`codes`, {s + 1}) + 1)"
+            for s in range(m)
+        )
+        n2_chain = " + ".join(
+            f"element_at(element_at(`__n2`, {s + 1}),"
+            f" element_at(`codes`, {s + 1}) + 1)"
+            for s in range(m)
+        )
+        score = F.expr(f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))")
+        extra = F.expr("array(" + ",".join(n2_subs) + ")").alias("__n2")
+    joined = cand.where(F.col("codes").isNotNull()).join(
+        F.broadcast(q), "query_id"
+    )
+    if extra is not None:
+        joined = joined.withColumn("__n2", extra)
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(score, round_to) if round_to is not None else score).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
