@@ -120,8 +120,10 @@ BENCH_QUERIES = [
     "fit_classifier",
     "bm25_rank",
     # Round-8: product-quantized ANN — train + encode + ADC scan over
-    # the compressed codes (the 100 TB embedding memory lever).
+    # the compressed codes (the 100 TB embedding memory lever) — and the
+    # full IVF-PQ composition (probe-pruned rows x compressed bytes).
     "knn_pq",
+    "knn_ivf_pq",
 ]
 
 
