@@ -1806,6 +1806,13 @@ def pq_train(
     dim = _pq_probe_dim(corpus, corpus_vec)
     if dim % m:
         raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    # Codebooks train on VALID vectors only: a NULL/off-width row sampled
+    # as a sub-centroid would poison every argmin with a NULL distance
+    # key (the IVF sampler keeps NULLs for cross-join parity; a PQ model
+    # has no use for them).
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull() & (F.size(corpus_vec) == dim)
+    )
     dsub = dim // m
     ksub = 2**nbits
     books = []
