@@ -942,3 +942,54 @@ def test_ivf_pq_recall_and_rerank(spark, sf_dir):
     assert rows
     for r in rows:
         assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ivf_pq_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index returns exactly what the inline
+    ivf_pq_topk computes for the same parameters, the scan it performs
+    reads only the probed centroid partitions, and the stored rows are
+    codes (no vector column)."""
+    from timefence_spark.operators import similarity as sim
+    from timefence_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq_idx")
+    sim.ivf_pq_build_index(
+        emb, corpus_id="vec_id", nlist=8, m=8, nbits=4, hash_fn="md5",
+        path=path,
+    )
+    via_index = sim.ivf_pq_search(
+        spark, path, q, query_id="vec_id", k=5, nprobe=3,
+    )
+    inline = sim.ivf_pq_topk(
+        q, emb, query_id="vec_id", corpus_id="vec_id", k=5,
+        nlist=8, nprobe=3, m=8, nbits=4, hash_fn="md5",
+    )
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # stored index carries codes only — no float vectors on disk
+    stored = spark.read.parquet(f"{path}/codes")
+    assert set(stored.columns) == {"neighbor_id", "codes", "centroid_id"}
+    # partition pruning: the searched plan's codes scan carries a
+    # centroid_id partition filter (pushed to the directory listing),
+    # same assertion the IVF-flat index test pins
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan and "PartitionFilters: [" in plan
+
+    # rerank through the index returns exact cosines
+    rer = sim.ivf_pq_search(
+        spark, path, q, query_id="vec_id", k=3, nprobe=8,
+        rerank=emb, rerank_id="vec_id", rerank_factor=8,
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim.cosine_topk(
+            q, emb, query_id="vec_id", corpus_id="vec_id", k=499
+        ).collect()
+    }
+    for r in rer.collect():
+        assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]

@@ -2383,3 +2383,120 @@ def _pq_adc_rank(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_build_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    compute: str = "expr",
+    refine_iters: int = 0,
+    path: str,
+) -> None:
+    """Materialize an IVF-PQ index to ``path`` for repeated searches:
+
+    * ``<path>/centroids`` — the coarse quantizer (nlist vectors).
+    * ``<path>/codebook`` — the PQ model (m * 2**nbits sub-centroids).
+    * ``<path>/codes`` — every corpus row's PQ codes with its inverted
+      list, written ``partitionBy('centroid_id')``.
+
+    The :func:`ivf_build_index` layout with CODES instead of vectors —
+    the stored index is m small ints per row, so at 100 TB the index is
+    dim*4/m-ish smaller than IVF-flat AND searches still prune to
+    nprobe/nlist of the files. Rebuild when the corpus changes
+    (everything is a pure function of (corpus, nlist, m, nbits, seed,
+    hash_fn))."""
+    cents = _ivf_centroids(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
+        seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    book = pq_train(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, m=m,
+        nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
+        refine_iters=refine_iters,
+    )
+    book.write.mode("overwrite").parquet(f"{path}/codebook")
+    assign = _ivf_assign_factory(cents, compute="expr", nlist=nlist)
+    assigned = assign(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+        ),
+        "neighbor_id", "__cv", 1,
+    )
+    codes = pq_encode(
+        assigned.select("neighbor_id", "__cv"),
+        corpus_id="neighbor_id", corpus_vec="__cv", codebook=book,
+        compute=compute,
+    )
+    assigned.select("neighbor_id", "centroid_id").join(codes, "neighbor_id")\
+        .write.mode("overwrite").partitionBy("centroid_id")\
+        .parquet(f"{path}/codes")
+
+
+def ivf_pq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int | None = 6,
+    compute: str = "expr",
+    rerank: DataFrame | None = None,
+    rerank_id: str | None = None,
+    rerank_vec: str = "embedding",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Top-k search against a persisted :func:`ivf_pq_build_index`
+    index: queries probe their ``nprobe`` nearest coarse centroids, the
+    probed list ids become a static IN-filter on the partitioned codes
+    table (file-level partition pruning — nprobe/nlist of the index is
+    read, and what is read is CODES, not vectors), and candidates score
+    by asymmetric PQ distance. Matches :func:`ivf_pq_topk` for the same
+    parameters; ``rerank`` (the original vector table) re-scores the
+    top ``k * rerank_factor`` exactly."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    book = spark.read.parquet(f"{path}/codebook")
+    assign = _ivf_assign_factory(centroids, compute="expr", nlist=None)
+    q_all = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    query_probes = pin(assign(q_all, "query_id", "__qv", nprobe))
+    probed = [
+        int(r["centroid_id"])
+        for r in query_probes.select("centroid_id").distinct().collect()
+    ]
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("centroid_id").isin(probed or [-1])
+    )
+    cand = (
+        query_probes.select("query_id", "centroid_id")
+        .join(codes, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "codes")
+    )
+    approx = _pq_adc_rank(
+        q_all, cand, book,
+        k=k if rerank is None else k * rerank_factor,
+        round_to=round_to, compute=compute,
+    )
+    if rerank is None:
+        return approx.where(F.col("rank") <= k)
+    if rerank_id is None:
+        raise ValueError("rerank requires rerank_id")
+    short = approx.select("query_id", "neighbor_id")
+    cv = rerank.select(
+        F.col(rerank_id).alias("neighbor_id"), F.col(rerank_vec).alias("__cv")
+    )
+    exact = short.join(q_all, "query_id").join(cv, "neighbor_id")
+    return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
