@@ -2032,136 +2032,49 @@ def pq_topk(
     falls back to ``'join'`` with a warning); ``compute='join'``
     broadcast-cross-joins the one-row nested codebook — no collect, no
     literal budget, BIT-IDENTICAL scores (same folds, same order)."""
-    if compute not in ("expr", "join"):
-        raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
-    q_base = queries.select(
+    q_all = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    if compute == "expr":
-        books = _pq_collect_codebook(codebook)
-        if not books:
-            raise ValueError("empty codebook")
-        try:
-            _pq_check_literal_budget(books)
-        except ValueError as exc:
-            warnings.warn(
-                f"{exc} Falling back to compute='join' (bit-identical).",
-                stacklevel=2,
-            )
-            compute = "join"
-    if compute == "join":
-        lut_sql = (
-            "transform(`__book`, s -> transform(s.entries, e -> "
-            + _pq_dot_sql(
-                "slice(`__qv`, s.sub * size(e.centroid) + 1, size(e.centroid))",
-                "e.centroid",
-            )
-            + "))"
+    cand = (
+        encoded.select(F.col(encoded_id).alias("neighbor_id"), F.col("codes"))
+        .crossJoin(
+            _gate_broadcast(q_all.select("query_id"), broadcast_queries)
         )
-        n2_sql = (
-            "transform(`__book`, s -> transform(s.entries, e -> "
-            + _pq_dot_sql("e.centroid", "e.centroid")
-            + "))"
-        )
-        q = q_base.crossJoin(F.broadcast(_pq_book_row(codebook))).select(
-            "query_id",
-            l2_norm(F.col("__qv")).alias("__qn"),
-            F.expr(lut_sql).alias("__lut"),
-            F.expr(n2_sql).alias("__n2"),
-        )
-        # 0D-init folds in sub order == the expr kernel's left-assoc
-        # literal chains (0.0 + x == x).
-        num = (
-            "aggregate(zip_with(`__lut`, `codes`,"
-            " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
-        )
-        den = (
-            "aggregate(zip_with(`__n2`, `codes`,"
-            " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
-        )
-        score = F.expr(f"try_divide({num}, `__qn` * sqrt({den}))")
-        post_cols = []
-    else:
-        m = len(books)
-        dsub = next(
-            len(v)
-            for entries in books.values()
-            for _, v, _ in entries
-            if v is not None
-        )
-        lut_subs = []
-        n2_subs = []
-        for sub, entries in books.items():
-            dots = []
-            n2 = []
-            for code, vec, half in entries:
-                if vec is None:
-                    dots.append("CAST(NULL AS DOUBLE)")
-                    n2.append("CAST(NULL AS DOUBLE)")
-                else:
-                    arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
-                    dots.append(
-                        _pq_dot_sql(f"slice(`__qv`, {sub * dsub + 1}, {dsub})", arr)
-                    )
-                    n2.append(_sql_double(2.0 * half))
-            lut_subs.append("array(" + ",".join(dots) + ")")
-            n2_subs.append("array(" + ",".join(n2) + ")")
-        lut_sql = "array(" + ",".join(lut_subs) + ")"
-        n2_sql = "array(" + ",".join(n2_subs) + ")"
-        q = q_base.select(
-            "query_id",
-            l2_norm(F.col("__qv")).alias("__qn"),
-            F.expr(lut_sql).alias("__lut"),
-        )
-        # Left-assoc literal chains in ascending-sub order: the oracle
-        # replays the same order with a no-init list_reduce (0.0+x == x).
-        dot_chain = " + ".join(
-            f"element_at(element_at(`__lut`, {s + 1}),"
-            f" element_at(`codes`, {s + 1}) + 1)"
-            for s in range(m)
-        )
-        n2_chain = " + ".join(
-            f"element_at(element_at(`__n2`, {s + 1}),"
-            f" element_at(`codes`, {s + 1}) + 1)"
-            for s in range(m)
-        )
-        score = F.expr(f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))")
-        post_cols = [F.expr(n2_sql).alias("__n2")]
-    q = _gate_broadcast(q, broadcast_queries)
-    cand = encoded.select(
-        F.col(encoded_id).alias("neighbor_id"), F.col("codes")
-    ).where(F.col("codes").isNotNull()).crossJoin(q).where(
-        F.col("neighbor_id") != F.col("query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    if post_cols:
-        cand = cand.withColumn("__n2", post_cols[0])
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (F.round(score, round_to) if round_to is not None else score).alias(
-            "cosine"
-        ),
+    approx = _pq_adc_rank(
+        q_all, cand, codebook,
+        k=k if rerank is None else k * rerank_factor,
+        round_to=round_to, compute=compute,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    approx = scored.withColumn("rank", F.row_number().over(w))
     if rerank is None:
-        return approx.where(F.col("rank") <= k)
+        return approx
+    return _pq_rerank(
+        approx, q_all, rerank, rerank_id=rerank_id, rerank_vec=rerank_vec,
+        round_to=round_to, k=k,
+    )
+
+
+def _pq_rerank(
+    approx: DataFrame,
+    q_all: DataFrame,
+    rerank: DataFrame,
+    *,
+    rerank_id: str | None,
+    rerank_vec: str,
+    round_to: int | None,
+    k: int,
+) -> DataFrame:
+    """Exact re-score of the ADC shortlist against true vectors — the
+    refine step shared by pq_topk / ivf_pq_topk / ivf_pq_search."""
     if rerank_id is None:
         raise ValueError("rerank requires rerank_id")
-    short = approx.where(F.col("rank") <= k * rerank_factor).select(
-        "query_id", "neighbor_id"
-    )
-    qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    )
+    short = approx.select("query_id", "neighbor_id")
     cv = rerank.select(
         F.col(rerank_id).alias("neighbor_id"), F.col(rerank_vec).alias("__cv")
     )
-    exact = short.join(qv, "query_id").join(cv, "neighbor_id")
+    exact = short.join(q_all, "query_id").join(cv, "neighbor_id")
     return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
-
 
 def ivf_pq_topk(
     queries: DataFrame,
@@ -2259,15 +2172,13 @@ def ivf_pq_topk(
     )
     if not rerank:
         return approx.where(F.col("rank") <= k)
-    short = approx.select("query_id", "neighbor_id")
-    qv = queries.select(
+    q_all = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    cv = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    return _pq_rerank(
+        approx, q_all, corpus, rerank_id=corpus_id, rerank_vec=corpus_vec,
+        round_to=round_to, k=k,
     )
-    exact = short.join(qv, "query_id").join(cv, "neighbor_id")
-    return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
 
 
 def _pq_adc_rank(
@@ -2492,11 +2403,7 @@ def ivf_pq_search(
     )
     if rerank is None:
         return approx.where(F.col("rank") <= k)
-    if rerank_id is None:
-        raise ValueError("rerank requires rerank_id")
-    short = approx.select("query_id", "neighbor_id")
-    cv = rerank.select(
-        F.col(rerank_id).alias("neighbor_id"), F.col(rerank_vec).alias("__cv")
+    return _pq_rerank(
+        approx, q_all, rerank, rerank_id=rerank_id, rerank_vec=rerank_vec,
+        round_to=round_to, k=k,
     )
-    exact = short.join(q_all, "query_id").join(cv, "neighbor_id")
-    return _ivf_rank(exact, compute="expr", round_to=round_to, k=k)
