@@ -8,6 +8,10 @@
 * ivf_topk           — inverted-file index: deterministic sampled centroids,
                        assign corpus to nearest centroid, probe the query's
                        closest ``nprobe`` lists.
+* pq_train/encode/topk — product quantization: vectors compress to m small
+                       codes, queries score by asymmetric distance over the
+                       codes; ivf_pq_topk / ivf_pq_build_index compose the
+                       probe and compression levers (FAISS-style IVF-PQ).
 
 Vector math comes in two interchangeable kernels:
 
