@@ -2561,11 +2561,12 @@ ORACLE_FLUENCY_BUCKETS_LANG = f"""
                ROUND(quantile_cont(mean_nll, 2.0/3.0), 6) AS t_hi
         FROM lab GROUP BY 1
     )
-    SELECT doc_id, lang, mean_nll,
+    SELECT lab.doc_id, lab.lang, lab.mean_nll,
            CASE WHEN mean_nll <= t_lo THEN 'head'
                 WHEN mean_nll <= t_hi THEN 'middle'
                 ELSE 'tail' END AS bucket
-    FROM lab JOIN cuts USING (lang)
+    -- NULL-safe like the Spark side: a NULL stratum is a real group
+    FROM lab JOIN cuts ON lab.lang IS NOT DISTINCT FROM cuts.lang
 """
 
 
@@ -3146,7 +3147,7 @@ def _oracle_knn_pq_sql(
                CAST(concat('0x',
                     substr(md5(concat(vec_id::VARCHAR, ':{seed + s}')), 1, 15))
                     AS BIGINT) AS hh
-        FROM e
+        FROM ve
     ), c{s} AS (
         SELECT {s} AS sub, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS code,
                sv AS cv
@@ -3158,16 +3159,22 @@ def _oracle_knn_pq_sql(
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), ve AS (
+        -- valid vectors only, mirroring pq_train's filter and
+        -- pq_encode's NULL-codes guard (width + no NULL elements)
+        SELECT * FROM e
+        WHERE v IS NOT NULL AND len(v) = {dim}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
     ), {", ".join(cents)}, cb AS (
         {cb_union}
     ), enc AS (
         SELECT vec_id, sub, code FROM (
-            SELECT e.vec_id, cb.sub, cb.code,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+            SELECT ve.vec_id, cb.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY ve.vec_id, cb.sub ORDER BY
                        0.5 * list_dot_product(cb.cv, cb.cv)
                        - list_dot_product({sl}, cb.cv) ASC,
                        cb.code ASC) AS rn
-            FROM e CROSS JOIN cb
+            FROM ve CROSS JOIN cb
         ) WHERE rn = 1
     ), lut AS (
         SELECT q.vec_id AS query_id,
@@ -3233,7 +3240,7 @@ def _oracle_ivf_pq_sql(
                CAST(concat('0x',
                     substr(md5(concat(vec_id::VARCHAR, ':{seed + 101 + s}')),
                            1, 15)) AS BIGINT) AS hh
-        FROM e
+        FROM ve
     ), pc{s} AS (
         SELECT {s} AS sub, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS code,
                sv AS cv
@@ -3245,6 +3252,12 @@ def _oracle_ivf_pq_sql(
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), ve AS (
+        -- valid vectors only, mirroring pq_train's filter and
+        -- pq_encode's NULL-codes guard (width + no NULL elements)
+        SELECT * FROM e
+        WHERE v IS NOT NULL AND len(v) = {dim}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
     ), hashed AS (
         SELECT vec_id, v,
                CAST(concat('0x',
@@ -3274,12 +3287,12 @@ def _oracle_ivf_pq_sql(
         {cb_union}
     ), enc AS (
         SELECT vec_id, sub, code FROM (
-            SELECT e.vec_id, cb.sub, cb.code,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+            SELECT ve.vec_id, cb.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY ve.vec_id, cb.sub ORDER BY
                        0.5 * list_dot_product(cb.cv, cb.cv)
                        - list_dot_product({sl}, cb.cv) ASC,
                        cb.code ASC) AS rn
-            FROM e CROSS JOIN cb
+            FROM ve CROSS JOIN cb
         ) WHERE rn = 1
     ), cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id

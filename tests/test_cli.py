@@ -578,3 +578,26 @@ def test_corpus_clean_token_budgets(tmp_path, spark):
         tmp_path,
     )
     assert r.exit_code != 0
+
+
+def test_corpus_clean_token_budgets_with_existing_n_tokens(tmp_path, spark):
+    """A corpus that already carries an n_tokens column must not trip an
+    ambiguous-column error in --token-budgets (code-review r8 finding)."""
+    rows = [(i, ("w " * 10).strip(), "s0", 999) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, src string, n_tokens long"
+    )
+    inp = str(tmp_path / "tb2.parquet")
+    out = str(tmp_path / "tb2_out")
+    docs.write.parquet(inp)
+    r = _run(
+        ["corpus-clean", "--input", inp, "--output", out, "--dedup", "none",
+         "--token-budgets", "s0=50", "--token-budget-strata", "src",
+         "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert summary["rows_out"] == 5  # 50-token quota / 10-token docs
+    kept = spark.read.parquet(out)
+    assert "n_tokens" in kept.columns  # the user's column survives

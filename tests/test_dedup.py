@@ -766,3 +766,24 @@ def test_token_budget_sample(spark):
         run({"a": -1})
     with _pytest.raises(ValueError, match="n_buckets"):
         run({"a": 1}, buckets=0)
+
+
+def test_token_budget_sample_null_strata(spark):
+    """A NULL stratum is a real group: rows keep/cut per default_budget
+    instead of silently vanishing in the offsets join (code-review r8
+    finding: the plain equi-join dropped every NULL-stratum row)."""
+    from timefence_spark.operators import sampling
+
+    rows = [(i, "a" if i < 10 else None, 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    kept = sampling.token_budget_sample(
+        df, id_col="doc_id", token_col="n_tok", strata_col="lang",
+        budgets={"a": 50}, default_budget=None, salt="s",
+    ).collect()
+    assert len([r for r in kept if r.lang is None]) == 10  # all kept
+    assert len([r for r in kept if r.lang == "a"]) == 5    # 50/10 tokens
+    capped = sampling.token_budget_sample(
+        df, id_col="doc_id", token_col="n_tok", strata_col="lang",
+        budgets={"a": 50}, default_budget=30, salt="s",
+    ).collect()
+    assert len([r for r in capped if r.lang is None]) == 3  # 30/10 tokens

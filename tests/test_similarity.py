@@ -993,3 +993,47 @@ def test_ivf_pq_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     }
     for r in rer.collect():
         assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_pq_encode_rejects_corrupt_vectors(spark):
+    """Element-level NULLs and wrong widths get NULL codes in BOTH
+    kernels (code-review r8 finding: they used to argmin to code 0 and
+    surface as fake top-k neighbors), and compute is validated."""
+    import pytest as _pytest
+
+    from timefence_spark.operators import similarity as sim
+
+    clean = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    book = sim.pq_train(clean, corpus_id="vec_id", m=2, nbits=2, hash_fn="md5")
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+            (2, [1.0, None, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),  # NULL element
+            (3, [1.0, 2.0]),                                  # wrong width
+            (4, None),                                        # NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for mode in ("expr", "join"):
+        got = {
+            r["vec_id"]: r["codes"]
+            for r in sim.pq_encode(
+                dirty, corpus_id="vec_id", codebook=book, compute=mode
+            ).collect()
+        }
+        assert got[1] is not None
+        assert got[2] is None, mode
+        assert got[3] is None, mode
+        assert got[4] is None, mode
+    with _pytest.raises(ValueError, match="compute"):
+        sim.pq_topk(
+            clean.limit(1),
+            sim.pq_encode(clean, corpus_id="vec_id", codebook=book),
+            book, query_id="vec_id", encoded_id="vec_id", compute="arrow",
+        )
+    empty = spark.createDataFrame([], "sub int, code int, centroid array<double>")
+    with _pytest.raises(ValueError, match="empty codebook"):
+        sim.pq_encode(dirty, corpus_id="vec_id", codebook=empty, compute="join")

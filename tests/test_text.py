@@ -837,3 +837,22 @@ def test_fluency_buckets_per_stratum(spark):
         ).collect()
     }
     assert {glob[i] for i in (20, 21, 22)} == {"tail"}
+
+
+def test_fluency_buckets_null_stratum_kept(spark):
+    """Documents with a NULL stratum form their own threshold group and
+    stay in the labeled output (code-review r8 finding: the plain
+    equi-join silently dropped them)."""
+    rows = [(i, "the common words " + ("the " * (i % 5)), "en") for i in range(1, 8)]
+    rows += [(20, "the common words", None), (21, "rare zyx qwv", None),
+             (22, "the the the common", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text", strata_col="lang"
+        ).collect()
+    }
+    assert {20, 21, 22} <= set(out)
+    assert out[20]["lang"] is None
+    assert out[21]["bucket"] == "tail"  # rare words: least fluent of its group

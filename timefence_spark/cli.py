@@ -1088,20 +1088,24 @@ def corpus_clean(
                 f"--token-budget-strata {token_budget_strata!r} not in "
                 f"{c.df.columns}"
             )
+        from pyspark.sql import functions as F
+
         from timefence_spark.operators import text as text_ops
 
+        # Private count column: the corpus may legitimately carry its own
+        # n_tokens (token_stats output), which a bare name would clash with.
         counts = text_ops.token_stats(
             c.df, id_col=id_col, text_col=text_col
-        ).select(id_col, "n_tokens")
+        ).select(id_col, F.col("n_tokens").alias("__tb_n_tokens"))
         with_counts = Corpus(
             c.df.join(counts, id_col), id_col=id_col, text_col=text_col
         )
         try:
             c = Corpus(
                 with_counts.mixture_tokens(
-                    quotas, token_col="n_tokens",
+                    quotas, token_col="__tb_n_tokens",
                     strata_col=token_budget_strata, salt=salt,
-                ).df.drop("n_tokens"),
+                ).df.drop("__tb_n_tokens"),
                 id_col=id_col, text_col=text_col,
             )
         except ValueError as exc:

@@ -189,10 +189,14 @@ def token_budget_sample(
         .orderBy(F.col("__b").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL strata are a real group (kept per the budgets/default contract,
+    # like mixture_sample's CASE fallthrough), so the offsets attach with
+    # a NULL-SAFE equi-join — a plain join key would silently drop every
+    # NULL-stratum row.
     offsets = F.broadcast(
         sub.select(
-            strata_col,
-            "__b",
+            F.col(strata_col).alias("__s_off"),
+            F.col("__b").alias("__b_off"),
             F.coalesce(F.sum("__sub").over(w_off), F.lit(0)).alias("__off"),
         )
     )
@@ -213,10 +217,14 @@ def token_budget_sample(
     )
     cum = F.col("__off") + F.sum(toks).over(w_run)
     return (
-        staged.join(offsets, [strata_col, "__b"])
+        staged.join(
+            offsets,
+            F.col(strata_col).eqNullSafe(F.col("__s_off"))
+            & (F.col("__b") == F.col("__b_off")),
+        )
         .withColumn("__cum", cum)
         .where(budget.isNull() | (F.col("__cum") <= budget))
-        .drop("__h", "__b", "__off", "__cum")
+        .drop("__h", "__b", "__off", "__cum", "__s_off", "__b_off")
     )
 
 

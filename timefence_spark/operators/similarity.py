@@ -1756,14 +1756,21 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _pq_probe_dim(df: DataFrame, vec_col: str) -> int:
-    """Dimension of the first non-null vector — ONE bounded single-row
-    job (the same class of driver probe ivf_search's centroid collect
-    performs)."""
-    row = df.where(F.col(vec_col).isNotNull()).select(F.col(vec_col)).head()
-    if row is None:
+def _pq_probe_dim(df: DataFrame, vec_col: str, id_col: str) -> int:
+    """Dimension of the MIN-id non-null vector — ONE bounded aggregate
+    (the same class of driver probe ivf_search's centroid collect
+    performs). Keyed on the smallest id rather than "whichever row the
+    first partition yields": on a mixed-width corpus an arbitrary-row
+    probe would make the trained codebook partition-order-dependent,
+    breaking the module's determinism contract."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .agg(F.min_by(F.size(vec_col), F.col(id_col)).alias("d"))
+        .head()
+    )
+    if row is None or row["d"] is None:
         raise ValueError(f"no non-null vectors in column {vec_col!r}")
-    return len(row[0])
+    return int(row["d"])
 
 
 def pq_train(
@@ -1807,7 +1814,7 @@ def pq_train(
             corpus, id_col=corpus_id, fraction=train_fraction,
             salt=f"pqtrain:{seed}", hash_fn=hash_fn,
         )
-    dim = _pq_probe_dim(corpus, corpus_vec)
+    dim = _pq_probe_dim(corpus, corpus_vec, corpus_id)
     if dim % m:
         raise ValueError(f"vector dim {dim} is not divisible by m={m}")
     # Codebooks train on VALID vectors only: a NULL/off-width row sampled
@@ -1924,7 +1931,11 @@ def pq_encode(
     compute: str = "expr",
 ) -> DataFrame:
     """Quantize every vector to its ``m`` nearest sub-centroid codes:
-    (id, codes array<int>). Rows with a NULL vector get NULL codes.
+    (id, codes array<int>). Degenerate rows — NULL vector, wrong width,
+    or any NULL element — get NULL codes (downstream ADC filters them,
+    matching brute-force cosine's NULL-rank-last treatment; without the
+    guard a corrupt row would argmin to code 0 everywhere and surface as
+    a high-scoring fake neighbor).
 
     The nearest code minimizes L2 distance; the ranking key is the
     dot-based half-norm form ``0.5*|c|^2 - <x_sub, c>`` (equal ordering,
@@ -1959,6 +1970,8 @@ def pq_encode(
             )
             compute = "join"
     if compute == "join":
+        if codebook.isEmpty():
+            raise ValueError("empty codebook")
         argmin = (
             "array_min(transform(s.entries, e -> named_struct("
             "'k', 0.5D * " + _pq_dot_sql("e.centroid", "e.centroid") + " - "
@@ -1969,9 +1982,15 @@ def pq_encode(
             + ", 'i', e.code))).i"
         )
         codes_sql = f"transform(`__book`, s -> {argmin})"
+        # Expected width derived in-plan from the codebook itself.
+        valid = F.expr(
+            "`__v` IS NOT NULL AND NOT exists(`__v`, x -> x IS NULL)"
+            " AND size(`__v`) = aggregate(`__book`, 0,"
+            " (acc, s) -> acc + size(element_at(s.entries, 1).centroid))"
+        )
         return staged.crossJoin(F.broadcast(_pq_book_row(codebook))).select(
             F.col(corpus_id),
-            F.when(F.col("__v").isNotNull(), F.expr(codes_sql)).alias("codes"),
+            F.when(valid, F.expr(codes_sql)).alias("codes"),
         )
     dsub = next(
         len(v) for entries in books.values() for _, v, _ in entries if v is not None
@@ -1991,9 +2010,13 @@ def pq_encode(
         # the smaller code winning ties.
         subs_sql.append(f"array_min(array({','.join(elems)})).i")
     codes_sql = "array(" + ",".join(subs_sql) + ")"
+    valid = F.expr(
+        "`__v` IS NOT NULL AND NOT exists(`__v`, x -> x IS NULL)"
+        f" AND size(`__v`) = {len(books) * dsub}"
+    )
     return staged.select(
         F.col(corpus_id),
-        F.when(F.col("__v").isNotNull(), F.expr(codes_sql)).alias("codes"),
+        F.when(valid, F.expr(codes_sql)).alias("codes"),
     )
 
 
@@ -2050,6 +2073,7 @@ def pq_topk(
         q_all, cand, codebook,
         k=k if rerank is None else k * rerank_factor,
         round_to=round_to, compute=compute,
+        broadcast_queries=broadcast_queries,
     )
     if rerank is None:
         return approx
@@ -2193,11 +2217,17 @@ def _pq_adc_rank(
     k: int,
     round_to: int | None,
     compute: str,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Rank per-query PQ candidates (query_id, neighbor_id, codes) by
     asymmetric cosine — pq_topk's scoring stage for a candidate set that
     is already per-query (equi-join on query_id instead of the
-    brute-force cross join)."""
+    brute-force cross join). The per-query LUT table joins through the
+    same size gate as cosine_topk's query side (``broadcast_queries``):
+    the LUT rows carry m x 2**nbits doubles each, so an unconditional
+    broadcast would OOM on an unbounded query set."""
+    if compute not in ("expr", "join"):
+        raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
     if compute == "expr":
         books = _pq_collect_codebook(codebook)
         if not books:
@@ -2211,6 +2241,8 @@ def _pq_adc_rank(
             )
             compute = "join"
     if compute == "join":
+        if codebook.isEmpty():
+            raise ValueError("empty codebook")
         lut_sql = (
             "transform(`__book`, s -> transform(s.entries, e -> "
             + _pq_dot_sql(
@@ -2281,7 +2313,7 @@ def _pq_adc_rank(
         score = F.expr(f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))")
         extra = F.expr("array(" + ",".join(n2_subs) + ")").alias("__n2")
     joined = cand.where(F.col("codes").isNotNull()).join(
-        F.broadcast(q), "query_id"
+        _gate_broadcast(q, broadcast_queries), "query_id"
     )
     if extra is not None:
         joined = joined.withColumn("__n2", extra)

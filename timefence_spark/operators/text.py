@@ -1140,8 +1140,17 @@ def fluency_buckets(
     else:
         strata = df.select(F.col(id_col), F.col(strata_col))
         per_stratum = scored.join(strata, id_col)
-        cuts = F.broadcast(per_stratum.groupBy(strata_col).agg(*cut_aggs))
-        labeled = per_stratum.join(cuts, strata_col)
+        # A NULL stratum is a real group: the threshold row attaches with
+        # a NULL-SAFE join (a plain key would silently drop every
+        # NULL-stratum document from the labeled output).
+        cuts = F.broadcast(
+            per_stratum.groupBy(strata_col)
+            .agg(*cut_aggs)
+            .withColumnRenamed(strata_col, "__s_cut")
+        )
+        labeled = per_stratum.join(
+            cuts, F.col(strata_col).eqNullSafe(F.col("__s_cut"))
+        )
         keep = [F.col(id_col), F.col(strata_col)]
     return labeled.select(*keep, "mean_nll", bucket.alias("bucket"))
 
