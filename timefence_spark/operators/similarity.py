@@ -1794,14 +1794,18 @@ def pq_train(
     Deterministic like the IVF centroids it reuses: each subspace's
     codes are a salted hash-sample of the corpus's subvectors (seed
     offset by subspace), optionally polished with ``refine_iters``
-    Lloyd iterations whose sorted folds stay oracle-replayable
-    (:func:`_refine_centroids`). ``train_fraction`` hash-samples the
-    training rows first — PQ codebooks converge on a sample; training
-    on all of 100 TB buys nothing.
+    Lloyd iterations under the ENCODING metric — L2 argmin with
+    smaller-code ties, exactly :func:`pq_encode`'s key, so training
+    optimizes what search actually measures — with the same sorted-fold
+    means contract as :func:`_refine_centroids`. ``train_fraction``
+    hash-samples the training rows first — PQ codebooks converge on a
+    sample; training on all of 100 TB buys nothing.
 
-    100 TB shape: m independent (sample [+ Lloyd]) passes over sliced
-    vectors; each Lloyd iteration shuffles (id, pos, value) doubles
-    only. Vector dim must divide evenly by ``m`` (the standard PQ
+    100 TB shape: sampling is m TakeOrdered jobs (per-partition top-k +
+    driver merge; id + one slice read each); each Lloyd iteration is
+    ONE corpus pass — a shuffle-free join-kernel encode feeding one
+    (sub, code, pos)-keyed shuffle of doubles — not m per-subspace
+    passes. Vector dim must divide evenly by ``m`` (the standard PQ
     layout)."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
@@ -1834,7 +1838,7 @@ def pq_train(
         )
         cb = _ivf_centroids(
             sliced, corpus_id=corpus_id, corpus_vec="__sv", nlist=ksub,
-            seed=seed + sub, hash_fn=hash_fn, refine_iters=refine_iters,
+            seed=seed + sub, hash_fn=hash_fn,
         )
         books.append(
             cb.select(
@@ -1846,7 +1850,91 @@ def pq_train(
     out = books[0]
     for b in books[1:]:
         out = out.unionByName(b)
+    if refine_iters:
+        # pin() per iteration: iteration i+1's encode collects/broadcasts
+        # the refined book, which would otherwise re-execute every prior
+        # iteration's corpus-wide aggregation chain (O(iters^2)).
+        out = pin(out)
+        for _ in range(int(refine_iters)):
+            out = pin(
+                _pq_refine(
+                    out, corpus, corpus_id=corpus_id, corpus_vec=corpus_vec,
+                    dsub=dsub,
+                )
+            )
     return out
+
+
+def _pq_refine(
+    book: DataFrame,
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    dsub: int,
+) -> DataFrame:
+    """One PQ Lloyd iteration, all subspaces in ONE corpus pass: encode
+    every vector with the current codebook (the join kernel — L2 argmin,
+    smaller-code ties, exactly what search will measure; the IVF
+    refiner's cosine assignment is the wrong metric for subvectors),
+    then move each (sub, code) to its members' elementwise mean via the
+    same SORTED sequential fold as :func:`_refine_centroids` (0.0-init,
+    member-id order — bit-reproducible by an external SQL engine).
+    Codes with no members keep their previous centroid (the standard
+    deterministic k-means convention)."""
+    encoded = pq_encode(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, codebook=book,
+        compute="join",
+    )
+    vecs = corpus.select(
+        F.col(corpus_id).alias("__rid"),
+        F.col(corpus_vec).cast("array<double>").alias("__rv"),
+    )
+    members = (
+        encoded.where(F.col("codes").isNotNull())
+        .select(F.col(corpus_id).alias("__rid"), "codes")
+        .join(vecs, "__rid")
+        .select("__rid", "__rv", F.posexplode("codes").alias("sub", "code"))
+        .select(
+            "__rid", "sub", "code",
+            F.posexplode(
+                F.expr(f"slice(`__rv`, sub * {dsub} + 1, {dsub})")
+            ).alias("__p", "__x"),
+        )
+    )
+    sums = members.groupBy("sub", "code", "__p").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__rid").alias("r"),
+                        F.col("__x").cast("double").alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    means = (
+        sums.select(
+            "sub", "code",
+            F.struct(F.col("__p"), (F.col("__s") / F.col("__c")).alias("m")).alias(
+                "__pm"
+            ),
+        )
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list("__pm")).alias("__pms"))
+        .select(
+            "sub", "code",
+            F.transform("__pms", lambda s: s["m"]).alias("__new"),
+        )
+    )
+    return book.join(means, ["sub", "code"], "left").select(
+        "sub", "code",
+        F.coalesce("__new", F.col("centroid")).alias("centroid"),
+    )
 
 
 def _pq_check_literal_budget(books: dict) -> None:
