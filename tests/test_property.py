@@ -635,3 +635,124 @@ def test_bigram_logprob_matches_python_reference(spark, docs, lam):
             out[i]["mean_nll"], abs=1e-5
         )
         assert out[i]["oov_frac"] == 0.0  # self-LM: every pair is known
+
+
+# ---------------------------------------------------------------------------
+# Bucket-boundary sweep for the skew-hardened union plan (VERDICT r8 item
+# 8): the carry join must be invisible — for ANY bucket width vs event
+# spacing (including bucket_s smaller than every event gap, so each event
+# sits alone and every match crosses buckets via the carry table; and
+# bucket_s wider than the whole range, collapsing to the plain window) and
+# for sort times landing EXACTLY on bucket boundaries, bucketed output ==
+# the per-row brute-force spec, in both strict and inclusive modes, with
+# embargo shifting label sort times onto/around feature times. Second-
+# granularity integer grid so equal-timestamp and exact-boundary ties are
+# the common case, not the rare one. The plain union plan is pinned to the
+# same brute force above (test_asof_invariant_and_oracle), so this is
+# transitively bucketed == unbucketed at 200+ examples.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def bucket_scenario(draw):
+    n_entities = draw(st.integers(min_value=1, max_value=3))
+    # (offset_s, value): offsets NON-unique so duplicate (key, ts) feature
+    # rows exercise the max-payload tie-break across the carry path too.
+    feats = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=120),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    labels = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=150), min_size=1, max_size=15
+        )
+    )
+    embargo_s = draw(st.sampled_from([0, 1, 5, 7]))
+    lookback_s = draw(st.sampled_from([3, 10, 50, 1000]))
+    strict = draw(st.booleans())
+    # 1s: every event its own bucket, all matches ride the carry join.
+    # 2..17: boundaries frequently coincide with event times (integer
+    # grid), covering label-on-boundary and feature-on-boundary ties.
+    # 1000: wider than the whole range — degenerates to one bucket.
+    bucket_s = draw(st.sampled_from([1, 2, 3, 5, 7, 16, 17, 1000]))
+    return n_entities, feats, labels, embargo_s, lookback_s, strict, bucket_s
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=int(os.environ.get("TF_BUCKET_EXAMPLES", "200")),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(s=bucket_scenario())
+def test_skew_bucket_boundary_sweep_matches_brute_force(spark, s):
+    n_entities, feats, labels, embargo_s, lookback_s, strict, bucket_s = s
+
+    feat_rows = [
+        (i % n_entities, BASE + dt.timedelta(seconds=off), float(v))
+        for i, (off, v) in enumerate(feats)
+    ]
+    label_rows = [
+        (li, li % n_entities, BASE + dt.timedelta(seconds=off))
+        for li, off in enumerate(labels)
+    ]
+    feat_df = spark.createDataFrame(
+        feat_rows or [(0, BASE, 0.0)],
+        "entity int, ts timestamp_ntz, val double",
+    )
+    if not feat_rows:
+        feat_df = feat_df.limit(0)
+    label_df = spark.createDataFrame(
+        label_rows, "label_id int, entity int, lt timestamp_ntz"
+    )
+
+    # Per-label spec: latest in-window feature, ties by max value.
+    expected = {}
+    for li, ent, lt in label_rows:
+        upper = lt - dt.timedelta(seconds=embargo_s)
+        lower = lt - dt.timedelta(seconds=lookback_s)
+        candidates = [
+            (ft, v)
+            for (fent, ft, v) in feat_rows
+            if fent == ent
+            and (ft < upper if strict else ft <= upper)
+            and ft >= lower
+        ]
+        expected[li] = max(candidates) if candidates else None
+
+    out = asof_join(
+        label_df,
+        feat_df,
+        on=["entity"],
+        left_time="lt",
+        right_time="ts",
+        value_cols=["val"],
+        prefix="f",
+        embargo=embargo_s,
+        lookback=lookback_s,
+        strict=strict,
+        strategy="union",
+        skew_bucket=bucket_s,
+    ).collect()
+
+    assert len(out) == len(label_rows)
+    for row in out:
+        exp = expected[row.label_id]
+        got = (
+            None
+            if row.f__feature_time is None
+            else (row.f__feature_time, row.f__val)
+        )
+        assert got == exp, (
+            f"label {row.label_id} bucket_s={bucket_s} embargo={embargo_s} "
+            f"lookback={lookback_s} strict={strict}: expected {exp}, got {got}"
+        )

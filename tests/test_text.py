@@ -288,6 +288,47 @@ def test_vendored_bpe_deterministic_and_greedy():
     assert bpe.token_count("  ") == 0
 
 
+def test_train_bpe_spark_matches_python_trainer(spark):
+    """Distributed BPE training (round 9) must be merge-for-merge
+    identical to the sequential Python trainer on the same text — same
+    pair counts, same (-freq, pair) tie-break, same stop rule — and the
+    learned merges must plug into token_count_exact via
+    make_token_counter."""
+    from timefence_spark.operators import bpe, text as t_ops
+
+    rows = [
+        (1, "low lower lowest low low newer newest new"),
+        (2, "wider wide widest new newer lower"),
+        (3, "the cat sat on the mat the cat ran"),
+        (4, ""),  # empty doc contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = bpe.train_bpe(
+        " ".join(t for _, t in rows), n_merges=30
+    )
+    got = bpe.train_bpe_spark(
+        df, text_col="text", n_merges=30, checkpoint_every=5
+    )
+    assert got == ref and len(got) > 5
+
+    # the learned table drives exact counting end-to-end
+    counter = bpe.make_token_counter(got)
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in t_ops.token_count_exact(
+            df, id_col="doc_id", text_col="text", tokenizer_fn=counter
+        ).collect()
+    }
+    ranks = {p: i for i, p in enumerate(got)}
+    for doc_id, txt in rows:
+        expect = sum(len(bpe.encode(w, ranks)) for w in txt.split() if w)
+        assert counts[doc_id] == expect
+
+    # early stop: a corpus where no pair repeats learns nothing
+    single = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    assert bpe.train_bpe_spark(single, text_col="text", n_merges=10) == []
+
+
 def test_classifier_score_paths_agree_and_gate_filters(spark):
     """The literal-expression path and the explode+broadcast-join path
     must score identically (up to the documented last-ulp round), and

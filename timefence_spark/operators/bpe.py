@@ -140,3 +140,119 @@ def token_count(text: str | None) -> int:
     if not text:
         return 0
     return sum(_vendored_word_len(w) for w in text.split() if w)
+
+
+def make_token_counter(merges: list[tuple[str, str]]):
+    """``tokenizer_fn`` for :func:`text.token_count_exact` under a CUSTOM
+    merge table (e.g. one learned by :func:`train_bpe_spark`), with the
+    same per-word memoization as the vendored counter."""
+    ranks = {pair: rank for rank, pair in enumerate(merges)}
+    # Plain-dict memo rather than lru_cache: the closure must survive
+    # cloudpickle into the mapInPandas worker, and a decorated local
+    # function does not. Unbounded is fine — it holds word TYPES, and
+    # each Python worker's copy dies with the stage.
+    memo: dict[str, int] = {}
+
+    def count(text: str | None) -> int:
+        if not text:
+            return 0
+        n = 0
+        for w in text.split():
+            if not w:
+                continue
+            c = memo.get(w)
+            if c is None:
+                c = memo[w] = len(encode(w, ranks))
+            n += c
+        return n
+
+    return count
+
+
+def train_bpe_spark(
+    df,
+    *,
+    text_col: str = "text",
+    n_merges: int = 100,
+    checkpoint_every: int = 10,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training (VERDICT r8 item 5): the :func:`train_bpe`
+    loop re-expressed as Spark aggregations, bit-identical to the Python
+    trainer on the same text by construction.
+
+    Shape per iteration (Sennrich et al. 2016's vocabulary optimization —
+    state is the WORD-TYPE table, not the corpus):
+
+    * pair counts — one ``transform``+``explode`` over each word's symbol
+      array weighted by the word's corpus frequency, then a single
+      ``groupBy(l, r)`` shuffle of (two short strings, long) rows;
+    * best pair — ``ORDER BY cnt DESC, l, r LIMIT 1`` collected to the
+      driver (ONE row per iteration; the bounded-collect pattern the
+      IVF centroid gate documents). Lexicographic tie-break matches the
+      Python trainer's ``min(..., key=(-freq, pair))`` exactly;
+    * merge application — a pure-JVM ``aggregate`` fold over each symbol
+      array: append, or replace the accumulator tail when (tail, next) is
+      the chosen pair. A merged token ``l+r`` can never equal ``l`` (r is
+      non-empty), so the fold cannot re-merge its own output — the
+      sequential skip-after-merge semantics fall out without a flag.
+
+    100 TB shape: the state table is |vocabulary| rows (millions, not
+    trillions) built by ONE corpus-wide word-count shuffle; every
+    iteration after that touches only the vocab table. Lineage is
+    truncated every ``checkpoint_every`` iterations (localCheckpoint —
+    swap for a reliable checkpoint dir on a real cluster) so the chained
+    fold projections don't accumulate into an unanalyzable plan. Stops
+    early when the best pair's count drops below 2, like the Python
+    trainer. The whole loop is replayed by the DuckDB oracle as ONE
+    recursive CTE (__spark_entry__.q_train_bpe): LATERAL pair-count +
+    arg-best over the carried vocab list, ``list_reduce`` for the fold.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    )
+    vocab = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    # Adjacent pairs: transform-with-index over the first size-1 symbols;
+    # single-symbol words slice to empty and emit nothing.
+    pair_expr = (
+        "explode(transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS l, syms[i + 1] AS r)))"
+    )
+    for rank in range(n_merges):
+        best = (
+            vocab.select(F.expr(pair_expr).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        lc, rc, mc = F.lit(left), F.lit(right), F.lit(left + right)
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lc)
+                    & (x == rc),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "freq",
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
