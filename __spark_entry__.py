@@ -1036,6 +1036,188 @@ ORACLE_TRAIN_BPE = rf"""
     """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents tokenized to integer id sequences under the vendored
+    BPE (new in round 9): bpe.encode_documents — one bounded vocab
+    collect + one Arrow-batched mapInPandas, no token-level shuffle.
+    Ids emitted as a CSV string for cross-engine value hashing. The
+    oracle re-derives vocabulary (corpus chars + merge products,
+    lexicographic dense ids), re-encodes every word type with the
+    recursive-CTE greedy merge loop, and reassembles documents in word
+    order."""
+    from timefence_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    enc = bpe.encode_documents(docs, id_col="doc_id", text_col="text")
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
+def _bpe_enc_ctes() -> str:
+    """Shared WITH-clause body: word-type BPE encoding under the
+    vendored merges (recursive CTE), corpus-derived vocabulary, and
+    per-document token-id lists — the SQL mirror of
+    bpe.encode_documents. Yields CTEs: words, enc, term, vocab, vmap,
+    doc_ids (doc_id, toks, ids)."""
+    from timefence_spark.operators import bpe
+
+    keys = ", ".join(
+        "'" + (a + " " + b).replace("'", "''") + "'"
+        for a, b in bpe.VENDORED_MERGES
+    )
+    vals = ", ".join(str(i) for i in range(len(bpe.VENDORED_MERGES)))
+    merge_map = f"MAP([{keys}], [{vals}])"
+    products = ", ".join(
+        "'" + (a + b).replace("'", "''") + "'" for a, b in bpe.VENDORED_MERGES
+    )
+    big = bpe.MAX_RANK_SENTINEL
+    rs = (
+        f"list_transform(range(1, len(toks)), i -> "
+        f"coalesce(list_extract(map_extract({merge_map}, "
+        f"toks[i] || ' ' || toks[i+1]), 1), {big}))"
+    )
+    return rf"""
+    words AS (
+        SELECT DISTINCT w AS word FROM (
+            SELECT unnest(string_split_regex(coalesce(text,''), '\s+')) AS w
+            FROM documents) WHERE len(w) > 0
+    ),
+    enc AS (
+        SELECT word, string_split(word, '') AS toks FROM words
+        UNION ALL
+        SELECT word,
+               list_slice(toks, 1, j - 1)
+                 || [toks[j] || toks[j + 1]]
+                 || list_slice(toks, j + 2, len(toks)) AS toks
+        FROM (
+            SELECT word, toks, list_min(rs) AS best,
+                   list_position(rs, list_min(rs)) AS j
+            FROM (SELECT word, toks, {rs} AS rs FROM enc WHERE len(toks) > 1)
+        ) WHERE best < {big}
+    ),
+    term AS (
+        SELECT word, toks
+        FROM (SELECT word, toks,
+                     CASE WHEN len(toks) > 1 THEN list_min({rs})
+                          ELSE {big} END AS best
+              FROM enc)
+        WHERE best = {big}
+    ),
+    vocab AS (
+        SELECT t AS token, ROW_NUMBER() OVER (ORDER BY t) - 1 AS tid
+        FROM (
+            SELECT DISTINCT unnest(string_split_regex(
+                regexp_replace(coalesce(text,''), '\s+', '', 'g'), '')) AS t
+            FROM documents
+            UNION
+            SELECT DISTINCT unnest([{products}]) AS t
+        ) WHERE t <> ''
+    ),
+    vmap AS (
+        SELECT map(list(token ORDER BY tid), list(tid ORDER BY tid)) AS mm
+        FROM vocab
+    ),
+    doc_words AS (
+        SELECT doc_id, j, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(coalesce(text,''), '\s+')) AS w,
+                   generate_subscripts(
+                       string_split_regex(coalesce(text,''), '\s+'), 1) AS j
+            FROM documents)
+        WHERE len(w) > 0
+    ),
+    doc_toks AS (
+        SELECT d.doc_id, flatten(list(t.toks ORDER BY d.j)) AS toks
+        FROM doc_words d JOIN term t ON d.w = t.word
+        GROUP BY d.doc_id
+    ),
+    doc_ids AS (
+        SELECT doc.doc_id,
+               coalesce(
+                   list_transform(dt.toks, t -> map_extract(vmap.mm, t)[1]),
+                   []::BIGINT[]) AS ids
+        FROM documents doc
+        LEFT JOIN doc_toks dt ON doc.doc_id = dt.doc_id, vmap
+    )"""
+
+
+def _oracle_bpe_encode_sql() -> str:
+    return f"""
+    WITH RECURSIVE{_bpe_enc_ctes()}
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           array_to_string(ids, ',') AS ids_csv
+    FROM doc_ids
+    """
+
+
+_SEQ_LEN = 128
+_SEQ_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training sequences (new in round 9): documents →
+    token ids (encode_documents) → per-shard concatenate-then-cut at
+    seq_len=128 with pad_id=0 on each shard's tail
+    (packing.pack_sequences). Portable md5 shard hash so the oracle
+    replays the exact shard streams; ids emitted as CSV."""
+    from timefence_spark.operators import bpe, packing
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    enc = bpe.encode_documents(docs, id_col="doc_id", text_col="text")
+    seqs = packing.pack_sequences(
+        enc, id_col="doc_id", ids_col="token_ids", seq_len=_SEQ_LEN,
+        num_shards=_SEQ_SHARDS, salt="pack", hash_fn="md5", pad_id=0,
+    )
+    return seqs.select(
+        "shard",
+        "seq",
+        "n_tokens",
+        F.array_join(
+            F.transform("input_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
+def _oracle_pack_sequences_sql() -> str:
+    h = _duck_md5_hash("doc_id", "pack")
+    return f"""
+    WITH RECURSIVE{_bpe_enc_ctes()},
+    packed AS (
+        SELECT shard, ids, endo - len(ids) AS start FROM (
+            SELECT ids,
+                   CAST(h % {_SEQ_SHARDS} AS INT) AS shard,
+                   SUM(len(ids)) OVER (
+                       PARTITION BY h % {_SEQ_SHARDS}
+                       ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS endo
+            FROM (SELECT doc_id, ids, {h} AS h FROM doc_ids))
+    ),
+    tokens AS (
+        SELECT shard, start + j - 1 AS gpos, ids[j] AS tid
+        FROM packed, LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j)
+    ),
+    seqs AS (
+        SELECT shard, gpos // {_SEQ_LEN} AS seq,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               list(tid ORDER BY gpos) AS ids
+        FROM tokens GROUP BY 1, 2
+    )
+    SELECT shard, CAST(seq AS BIGINT) AS seq, n_tokens,
+           array_to_string(
+               ids || list_transform(
+                   range(1, {_SEQ_LEN} - len(ids) + 1), x -> 0),
+               ',') AS ids_csv
+    FROM seqs
+    """
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k document fingerprint sketch (portable md5 hashes), emitted as a
     comma-joined string for scalar value hashing."""
@@ -4126,6 +4308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # but keep the discipline: the driver's run is independent evidence.
     return {
         "train_bpe": q_train_bpe,  # new in round 9
+        "bpe_encode": q_bpe_encode,  # new in round 9
+        "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
         "media_frames": q_media_frames,
@@ -4222,6 +4406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "train_bpe": ORACLE_TRAIN_BPE,
+        "bpe_encode": _oracle_bpe_encode_sql(),
+        "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),
         "pit_inclusive": _pit_orders_oracle(op="<=", embargo_d=30),

@@ -601,3 +601,38 @@ def test_corpus_clean_token_budgets_with_existing_n_tokens(tmp_path, spark):
     assert summary["rows_out"] == 5  # 50-token quota / 10-token docs
     kept = spark.read.parquet(out)
     assert "n_tokens" in kept.columns  # the user's column survives
+
+
+def test_corpus_train_bpe_cli(tmp_path, spark):
+    """Round-9 CLI surface: learn a BPE merge table from a corpus
+    parquet; the written merges match the sequential Python trainer on
+    the same text and plug back into token counting."""
+    from timefence_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest low low newer newest new"),
+        (2, "wider wide widest new newer lower the the the"),
+    ]
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "merges.parquet")
+    r = _run(
+        ["corpus-train-bpe", "--input", inp, "--output", out,
+         "--n-merges", "20", "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output.strip().splitlines()[-1])
+    assert 0 < summary["n_merges_learned"] <= 20
+
+    got = [
+        (row["lhs"], row["rhs"])
+        for row in spark.read.parquet(out).orderBy("merge_rank").collect()
+    ]
+    ref = bpe.train_bpe(" ".join(t for _, t in rows), n_merges=20)
+    assert got == ref
+
+    counter = bpe.make_token_counter(got)
+    assert counter("low lower") == len(bpe.encode("low", dict(
+        (p, i) for i, p in enumerate(got)
+    ))) + len(bpe.encode("lower", dict((p, i) for i, p in enumerate(got))))

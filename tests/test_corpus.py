@@ -410,3 +410,29 @@ def test_corpus_write_jsonl_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="format"):
         c.write(str(tmp_path / "x"), format="csvish")
+
+
+def test_corpus_to_sequences_end_to_end(spark):
+    """Round-9 terminal: train a corpus-fitted BPE, tokenize, and pack
+    into fixed-length training rows — the full corpus -> trainer-input
+    loop through the facade."""
+    from timefence_spark import Corpus
+    from timefence_spark.operators import bpe
+
+    rows = [(i, "the scan reads the table " * (i % 3 + 1)) for i in range(20)]
+    c = Corpus(spark.createDataFrame(rows, "doc_id long, text string"))
+    merges = c.train_bpe(n_merges=15)
+    assert merges == bpe.train_bpe(
+        " ".join(t for _, t in rows), n_merges=15
+    )
+    seqs = c.to_sequences(
+        seq_len=16, merges=merges, num_shards=2, hash_fn="md5", pad_id=0
+    ).collect()
+    assert seqs
+    total = sum(r["n_tokens"] for r in seqs)
+    expect_total = sum(
+        len(bpe.encode(w, {p: i for i, p in enumerate(merges)}))
+        for _, t in rows for w in t.split()
+    )
+    assert total == expect_total  # pad mode loses no tokens
+    assert all(len(r["input_ids"]) == 16 for r in seqs)

@@ -367,3 +367,87 @@ def test_strip_html_edge_cases(spark):
         for r in Corpus(df.where("doc_id = 3")).strip_html().df.collect()
     }
     assert kept[3] == "one\ntwo"
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """pack_sequences (round 9) must equal the sequential reference:
+    per shard, docs ordered by (salted md5 hash, id), ids concatenated
+    and cut every seq_len — padded tail when pad_id is set, dropped
+    otherwise; every emitted row is exactly seq_len wide in pad mode
+    and only full rows survive drop mode."""
+    import hashlib
+
+    from timefence_spark.operators.packing import pack_sequences
+
+    rows = [
+        (i, list(range(i * 10, i * 10 + (i % 7) + 1))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+
+    def md5h(doc_id, salt="s"):
+        return int(
+            hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    n_shards, seq_len = 3, 8
+    streams = {s: [] for s in range(n_shards)}
+    for doc_id, ids in sorted(rows, key=lambda r: (md5h(r[0]), r[0])):
+        streams[md5h(doc_id) % n_shards].extend(ids)
+
+    for pad_id in (0, None):
+        out = pack_sequences(
+            df, id_col="doc_id", ids_col="token_ids", seq_len=seq_len,
+            num_shards=n_shards, salt="s", hash_fn="md5", pad_id=pad_id,
+        ).collect()
+        got = {(r["shard"], r["seq"]): r for r in out}
+        expected = {}
+        for s, stream in streams.items():
+            for q in range(0, (len(stream) + seq_len - 1) // seq_len):
+                chunk = stream[q * seq_len: (q + 1) * seq_len]
+                if pad_id is None and len(chunk) < seq_len:
+                    continue
+                n = len(chunk)
+                if pad_id is not None:
+                    chunk = chunk + [pad_id] * (seq_len - n)
+                expected[(s, q)] = (n, chunk)
+        assert set(got) == set(expected)
+        for key, (n, chunk) in expected.items():
+            assert got[key]["n_tokens"] == n
+            assert got[key]["input_ids"] == chunk
+            assert len(got[key]["input_ids"]) == seq_len
+
+    # NULL id arrays count as empty; bad seq_len rejected
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, id_col="doc_id", seq_len=0)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [1, 2, 3])], "doc_id long, token_ids array<int>"
+    )
+    out = pack_sequences(
+        nulls, id_col="doc_id", seq_len=2, num_shards=1, hash_fn="md5",
+    ).collect()
+    assert sum(r["n_tokens"] for r in out) == 2  # one full seq survives
+
+
+def test_encode_documents_roundtrip_and_vocab(spark):
+    """encode_documents ids decode back to the exact token strings via
+    the vocab list, n_tokens matches token_count, and the vocabulary is
+    closed (chars + merge products, lexicographic)."""
+    from timefence_spark.operators import bpe
+
+    rows = [(1, "the scan reads the table"), (2, ""), (3, None), (4, "zq!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = bpe.bpe_vocab(df, text_col="text")
+    assert vocab == sorted(set(vocab))  # lexicographic dense ids
+    out = {
+        r["doc_id"]: r
+        for r in bpe.encode_documents(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    for doc_id, txt in rows:
+        toks = [
+            t for w in (txt or "").split() if w for t in bpe.encode(w)
+        ]
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert [vocab[i] for i in out[doc_id]["token_ids"]] == toks
+    assert out[2]["token_ids"] == [] and out[3]["token_ids"] == []

@@ -167,3 +167,27 @@ def test_line_dedup_has_no_window(spark):
     )
     out = line_dedup(docs, id_col="doc_id", text_col="text")
     assert physical_summary(out).windows == 0
+
+
+def test_pack_sequences_single_exchange(spark):
+    """pack_sequences (round 9) moves documents across the wire exactly
+    ONCE: the shard hash-partitioning feeds the per-shard window, the
+    token-level posexplode, AND the (shard, seq) aggregation — Catalyst
+    must recognize hashpartitioning(shard) satisfies the (shard, seq)
+    clustering so token-level rows never shuffle. A second Exchange here
+    means the token stream is crossing the wire: a 100 TB regression."""
+    from timefence_spark.operators.packing import pack_sequences
+    from timefence_spark.plans import physical_summary
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 5 + 1))) for i in range(50)],
+        "doc_id long, token_ids array<int>",
+    )
+    for pad_id in (0, None):
+        out = pack_sequences(
+            df, id_col="doc_id", seq_len=4, num_shards=4, hash_fn="md5",
+            pad_id=pad_id,
+        )
+        s = physical_summary(out)
+        assert s.exchanges == 1, f"token-level shuffle crept in: {s}"
+        assert s.windows == 1

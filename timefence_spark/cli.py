@@ -1221,6 +1221,52 @@ def corpus_train_classifier(
         )
 
 
+@cli.command("corpus-train-bpe")
+@click.option("--input", "input_path", required=True,
+              help="Documents parquet to learn merges from.")
+@click.option("--output", "output_path", required=True,
+              help="Output (merge_rank, lhs, rhs) parquet.")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--n-merges", type=int, default=100, show_default=True,
+              help="Maximum merges to learn (stops early when no pair "
+              "repeats).")
+@click.option("--json", "json_out", is_flag=True,
+              help="Machine-readable summary.")
+def corpus_train_bpe(
+    input_path, output_path, id_col, text_col, n_merges, json_out,
+) -> None:
+    """Learn a BPE merge table from a document corpus (distributed
+    Sennrich trainer — one pair-count shuffle over the word-type table
+    per merge). The merge parquet feeds exact token counting:
+    bpe.make_token_counter(merges) -> Corpus.with_token_counts."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.engine import get_spark
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    df = read_parquet(spark, input_path)
+    merges = Corpus(df, id_col=id_col, text_col=text_col).train_bpe(
+        n_merges=n_merges
+    )
+    spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    ).coalesce(1).write.mode("overwrite").parquet(output_path)
+    summary = {
+        "input": input_path,
+        "output": output_path,
+        "n_merges_learned": len(merges),
+        "n_merges_requested": n_merges,
+    }
+    if json_out:
+        click.echo(json.dumps(summary))
+    else:
+        click.echo(
+            f"corpus-train-bpe: {len(merges)} merges -> {output_path}"
+        )
+
+
 @cli.command("corpus-inspect")
 @click.option("--input", "input_path", required=True, help="Documents parquet.")
 @click.option("--id-col", default="doc_id", show_default=True)

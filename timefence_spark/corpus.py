@@ -342,6 +342,22 @@ class Corpus:
             label_col=label_col, smoothing=smoothing, min_count=min_count,
         )
 
+    def train_bpe(
+        self, *, n_merges: int = 100, checkpoint_every: int = 10
+    ) -> list[tuple[str, str]]:
+        """Learn a BPE merge table FROM this corpus (distributed
+        Sennrich trainer, see bpe.train_bpe_spark) — feed it into
+        ``with_token_counts(tokenizer_fn=bpe.make_token_counter(m))``
+        to close the train -> tokenize loop with a corpus-fitted
+        tokenizer instead of the vendored demo merges. Returns the
+        merge list (driver-side, vocabulary-bounded), not a Corpus."""
+        from timefence_spark.operators import bpe
+
+        return bpe.train_bpe_spark(
+            self.df, text_col=self.text_col, n_merges=n_merges,
+            checkpoint_every=checkpoint_every,
+        )
+
     def rank_bm25(self, query: str, **kwargs) -> DataFrame:
         """Score every matching document against ``query`` with Okapi
         BM25 (see text.bm25_score) — keyword-targeted subset pulls.
@@ -676,6 +692,36 @@ class Corpus:
         return text.chunk_documents(
             self.df, id_col=self.id_col, text_col=self.text_col,
             chunk_tokens=chunk_tokens, overlap=overlap, **kwargs,
+        )
+
+    def to_sequences(
+        self,
+        *,
+        seq_len: int,
+        merges: list[tuple[str, str]] | None = None,
+        num_shards: int = 64,
+        salt: str = "",
+        hash_fn: str = "xxhash64",
+        pad_id: int | None = None,
+    ) -> DataFrame:
+        """Terminal stage: tokenize every document to integer ids
+        (:func:`bpe.encode_documents` — vendored merges by default, pass
+        :meth:`train_bpe`'s output for a corpus-fitted tokenizer) and cut
+        the per-shard concatenated id stream into fixed ``seq_len``
+        training rows (:func:`packing.pack_sequences`). Returns
+        (shard, seq, n_tokens, input_ids) — the ready-to-train form; one
+        mapInPandas stage plus a single document-level shuffle."""
+        from timefence_spark.operators import bpe as bpe_ops
+        from timefence_spark.operators.packing import pack_sequences
+
+        encoded = bpe_ops.encode_documents(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            merges=merges,
+        )
+        return pack_sequences(
+            encoded, id_col=self.id_col, ids_col="token_ids",
+            seq_len=seq_len, num_shards=num_shards, salt=salt,
+            hash_fn=hash_fn, pad_id=pad_id,
         )
 
     def pack(

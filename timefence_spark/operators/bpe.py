@@ -256,3 +256,95 @@ def train_bpe_spark(
         if (rank + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_vocab(df, *, text_col: str = "text", merges=None) -> list[str]:
+    """Deterministic token vocabulary for :func:`encode_documents`:
+    every distinct non-whitespace character in the corpus plus every
+    merge product, sorted lexicographically (dense ids = list index).
+    Bounded BY CONSTRUCTION — |alphabet| + n_merges entries — so the
+    driver collect is safe at any corpus size; the character scan is
+    one explode→distinct aggregation whose shuffle carries single-char
+    rows. Every terminal token :func:`encode` can emit is either a base
+    character or a merge product, so the vocabulary is closed over the
+    corpus with no OOV."""
+    from pyspark.sql import functions as F
+
+    if merges is None:
+        merges = VENDORED_MERGES
+    chars = [
+        r["c"]
+        for r in (
+            df.select(
+                F.explode(
+                    F.split(F.regexp_replace(F.col(text_col), r"\s+", ""), "")
+                ).alias("c")
+            )
+            .where(F.col("c") != "")
+            .distinct()
+            .collect()
+        )
+    ]
+    return sorted(set(chars) | {a + b for a, b in merges})
+
+
+def encode_documents(
+    df,
+    *,
+    id_col: str,
+    text_col: str,
+    merges=None,
+    vocab: list[str] | None = None,
+    out_col: str = "token_ids",
+) -> "DataFrame":
+    """Tokenize documents to integer id sequences — the
+    corpus-to-training-stream step :func:`text.token_count_exact` only
+    counts. Words (whitespace split) encode independently under the
+    merge table (vendored by default; pass :func:`train_bpe_spark`'s
+    output for a corpus-fitted tokenizer) and concatenate in document
+    order; ids come from ``vocab`` (default: :func:`bpe_vocab` over this
+    df). Returns (id, n_tokens, out_col: array<int>).
+
+    100 TB shape: one bounded driver collect for the vocabulary, then a
+    single Arrow-batched mapInPandas stage with the ranks + vocab dict
+    in the closure — no token-level shuffle, partitioning preserved.
+    Per-word memoization amortizes the greedy encode across the corpus's
+    token/type ratio, exactly like make_token_counter."""
+    import pandas as pd
+
+    if merges is None:
+        merges = VENDORED_MERGES
+    if vocab is None:
+        vocab = bpe_vocab(df, text_col=text_col, merges=merges)
+    ranks = {pair: rank for rank, pair in enumerate(merges)}
+    tok_id = {t: i for i, t in enumerate(vocab)}
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        memo: dict[str, list[int]] = {}
+        for pdf in it:
+            ids_col, n_col = [], []
+            for text in pdf[text_col]:
+                ids: list[int] = []
+                for w in (text or "").split():
+                    if not w:
+                        continue
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = [
+                            tok_id[t] for t in encode(w, ranks)
+                        ]
+                    ids.extend(enc)
+                ids_col.append(ids)
+                n_col.append(len(ids))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_tokens": n_col,
+                    out_col: ids_col,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {id_type}, n_tokens long, {out_col} array<int>"
+    )

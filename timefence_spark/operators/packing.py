@@ -209,3 +209,98 @@ def assemble_chunks(
             F.transform(ordered, lambda s: s[text_col]), sep
         ).alias("text"),
     )
+
+
+def pack_sequences(
+    encoded: DataFrame,
+    *,
+    id_col: str,
+    ids_col: str = "token_ids",
+    seq_len: int,
+    num_shards: int = 64,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Materialize fixed-length training sequences from tokenized
+    documents (:func:`operators.bpe.encode_documents` output) — the
+    id-level counterpart of :func:`pack_stream`'s document-level
+    assignment: documents lay end-to-end per shard in the same
+    deterministic (salted hash, id) order, the concatenated id stream is
+    cut every ``seq_len`` tokens, and each cut materializes as an
+    ``input_ids`` row ready for a trainer. Documents straddle sequence
+    boundaries by design (GPT-style concatenate-then-cut).
+
+    One row per (shard, seq): (shard, seq, n_tokens, input_ids).
+    ``pad_id`` pads each shard's final partial sequence up to
+    ``seq_len``; ``pad_id=None`` drops partial tails instead (the usual
+    pretraining choice).
+
+    100 TB shape: ONE document-level exchange total. Docs hash-shuffle
+    once on the shard key; the per-shard window prefix-sum (num_shards
+    independent streams, no global sort), the posexplode to token rows,
+    AND the (shard, seq) aggregation all run on that same partitioning —
+    Catalyst sees hashpartitioning(shard) satisfies the (shard, seq)
+    clustering, so token-level rows NEVER cross the wire (plan-pinned in
+    tests/test_plans.py). Per-group memory is bounded by seq_len structs,
+    never by document or corpus size; parallelism is num_shards — size it
+    to the cluster (default 64). Token-level rows are inherent to
+    materializing training data — this operator is the boundary where the
+    pipeline stops being document-shaped; everything upstream (dedup,
+    filtering, counting) stays at document granularity."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    sharded = _with_shard(encoded, id_col, num_shards, salt, hash_fn)
+    h = _salted_hash(F.col(id_col), salt, hash_fn)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ids = F.coalesce(F.col(ids_col), F.expr("cast(array() as array<int>)"))
+    n_tok = F.size(ids).cast("long")
+    start = (F.sum(n_tok).over(w) - n_tok).alias("__start")
+    tokens = (
+        sharded.select("shard", ids.alias("__ids"), start)
+        .select(
+            "shard",
+            F.posexplode("__ids").alias("__p", "__tid"),
+            F.col("__start"),
+        )
+        .select(
+            "shard",
+            F.col("__tid"),
+            (F.col("__start") + F.col("__p")).alias("__gpos"),
+        )
+    )
+    seqs = (
+        tokens.groupBy(
+            "shard", F.floor(F.col("__gpos") / seq_len).alias("seq")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__gpos"), F.col("__tid")))
+                ),
+                lambda s: s["__tid"],
+            ).alias("input_ids")
+        )
+        .select(
+            "shard",
+            F.col("seq").cast("long").alias("seq"),
+            F.size("input_ids").cast("long").alias("n_tokens"),
+            "input_ids",
+        )
+    )
+    if pad_id is None:
+        return seqs.where(F.col("n_tokens") == seq_len)
+    return seqs.withColumn(
+        "input_ids",
+        F.concat(
+            F.col("input_ids"),
+            F.array_repeat(
+                F.lit(pad_id).cast("int"),
+                (F.lit(seq_len) - F.col("n_tokens")).cast("int"),
+            ),
+        ),
+    )
