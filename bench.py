@@ -151,6 +151,15 @@ BENCH_QUERIES = [
     # full IVF-PQ composition (probe-pruned rows x compressed bytes).
     "knn_pq",
     "knn_ivf_pq",
+    # Round-9: the corpus-to-trainer tail — BPE training (size-gated
+    # auto path: one word-count + bounded collect at this vocab scale;
+    # the distributed loop's ~0.17 s/merge driver round-trip is
+    # documented in bpe.train_bpe_spark), tokenize-to-ids (bounded vocab
+    # collect + one mapInPandas), and fixed-length sequence packing
+    # (single doc-level exchange; token rows never shuffle).
+    "train_bpe",
+    "bpe_encode",
+    "pack_sequences",
 ]
 
 

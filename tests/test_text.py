@@ -306,10 +306,22 @@ def test_train_bpe_spark_matches_python_trainer(spark):
     ref = bpe.train_bpe(
         " ".join(t for _, t in rows), n_merges=30
     )
+    # Distributed loop AND the size-gated local path (auto at this size)
+    # must both reproduce the sequential trainer exactly.
     got = bpe.train_bpe_spark(
-        df, text_col="text", n_merges=30, checkpoint_every=5
+        df, text_col="text", n_merges=30, checkpoint_every=5,
+        mode="distributed",
     )
     assert got == ref and len(got) > 5
+    assert bpe.train_bpe_spark(df, text_col="text", n_merges=30) == ref
+    # the gate overflows to distributed when types exceed the threshold
+    assert bpe.train_bpe_spark(
+        df, text_col="text", n_merges=30, local_threshold=3
+    ) == ref
+    with pytest.raises(ValueError, match="word types"):
+        bpe.train_bpe_spark(
+            df, text_col="text", n_merges=5, mode="local", local_threshold=3
+        )
 
     # the learned table drives exact counting end-to-end
     counter = bpe.make_token_counter(got)

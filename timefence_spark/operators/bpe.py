@@ -66,9 +66,17 @@ def train_bpe(text: str, n_merges: int) -> list[tuple[str, str]]:
     lexicographically smallest (left, right) pair. Stops early when no
     adjacent pair occurs twice (merging singletons would just memorize
     the training set)."""
-    vocab: Counter = Counter(
-        tuple(w) for w in text.split() if w
+    return _train_bpe_from_vocab(
+        Counter(tuple(w) for w in text.split() if w), n_merges
     )
+
+
+def _train_bpe_from_vocab(
+    vocab: Counter, n_merges: int
+) -> list[tuple[str, str]]:
+    """Sequential merge loop over a word-type Counter (symbol tuple ->
+    corpus frequency) — shared by :func:`train_bpe` and the size-gated
+    local path of :func:`train_bpe_spark`."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -175,6 +183,8 @@ def train_bpe_spark(
     text_col: str = "text",
     n_merges: int = 100,
     checkpoint_every: int = 10,
+    mode: str = "auto",
+    local_threshold: int = 100_000,
 ) -> list[tuple[str, str]]:
     """Distributed BPE training (VERDICT r8 item 5): the :func:`train_bpe`
     loop re-expressed as Spark aggregations, bit-identical to the Python
@@ -198,24 +208,52 @@ def train_bpe_spark(
 
     100 TB shape: the state table is |vocabulary| rows (millions, not
     trillions) built by ONE corpus-wide word-count shuffle; every
-    iteration after that touches only the vocab table. Lineage is
-    truncated every ``checkpoint_every`` iterations (localCheckpoint —
-    swap for a reliable checkpoint dir on a real cluster) so the chained
-    fold projections don't accumulate into an unanalyzable plan. Stops
-    early when the best pair's count drops below 2, like the Python
-    trainer. The whole loop is replayed by the DuckDB oracle as ONE
-    recursive CTE (__spark_entry__.q_train_bpe): LATERAL pair-count +
-    arg-best over the carried vocab list, ``list_reduce`` for the fold.
+    iteration after that touches only the vocab table. ``mode='auto'``
+    is size-gated like connected_components' local path: when the type
+    table is at most ``local_threshold`` rows it is collected ONCE
+    (bounded by the gate) and the remaining iterations run driver-side —
+    identical merges (shared loop with :func:`train_bpe`), zero
+    per-iteration Spark jobs; past the gate the loop stays distributed
+    (``mode='distributed'`` forces it, e.g. for tests). In the
+    distributed loop, lineage is truncated every ``checkpoint_every``
+    iterations (localCheckpoint — swap for a reliable checkpoint dir on
+    a real cluster) so the chained fold projections don't accumulate
+    into an unanalyzable plan. Stops early when the best pair's count
+    drops below 2, like the Python trainer. The whole loop is replayed
+    by the DuckDB oracle as ONE recursive CTE
+    (__spark_entry__.q_train_bpe): LATERAL pair-count + arg-best over
+    the carried vocab list, ``list_reduce`` for the fold. Measured at
+    sf0.1/local[32]: the distributed loop costs ~0.17 s per merge
+    (driver round-trip per iteration — inherent to the algorithm's
+    sequential dependency), the auto/local path ~0.3 s total.
     """
     from pyspark.sql import functions as F
 
-    words = (
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"mode must be auto|local|distributed, got {mode!r}")
+    word_counts = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
     )
+    if mode in ("auto", "local"):
+        # One gated action: pull at most threshold+1 type rows; a full
+        # set within the gate IS the local training input, an overflow
+        # falls through to the distributed loop (auto) or errors (local).
+        head = word_counts.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            return _train_bpe_from_vocab(
+                Counter({tuple(r["w"]): r["freq"] for r in head}), n_merges
+            )
+        if mode == "local":
+            raise ValueError(
+                f"mode='local' but the corpus has more than "
+                f"{local_threshold} word types; raise local_threshold or "
+                "use mode='auto'/'distributed'"
+            )
+
+    words = word_counts.select(F.split("w", "").alias("syms"), "freq")
     vocab = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     # Adjacent pairs: transform-with-index over the first size-1 symbols;
