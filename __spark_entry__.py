@@ -1058,23 +1058,35 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_enc_ctes() -> str:
-    """Shared WITH-clause body: word-type BPE encoding under the
-    vendored merges (recursive CTE), corpus-derived vocabulary, and
-    per-document token-id lists — the SQL mirror of
-    bpe.encode_documents. Yields CTEs: words, enc, term, vocab, vmap,
-    doc_ids (doc_id, toks, ids)."""
+def _bpe_enc_ctes(
+    merge_map: str | None = None,
+    products_select: str | None = None,
+    enc_src: str = "enc",
+) -> str:
+    """Shared WITH-clause body: word-type BPE encoding (recursive CTE),
+    corpus-derived vocabulary, and per-document token-id lists — the SQL
+    mirror of bpe.encode_documents. Yields CTEs: words, enc, term,
+    vocab, vmap, doc_ids (doc_id, toks, ids). Defaults encode under the
+    VENDORED merges embedded as map/list literals; pass ``merge_map``
+    (SQL expr: 'l r' -> 0-based rank map) and ``products_select`` (a
+    SELECT yielding one column ``t`` of merge-product strings) to encode
+    under a merge table the surrounding query computes — e.g. the
+    recursive trainer's own output (bpe_encode_trained)."""
     from timefence_spark.operators import bpe
 
-    keys = ", ".join(
-        "'" + (a + " " + b).replace("'", "''") + "'"
-        for a, b in bpe.VENDORED_MERGES
-    )
-    vals = ", ".join(str(i) for i in range(len(bpe.VENDORED_MERGES)))
-    merge_map = f"MAP([{keys}], [{vals}])"
-    products = ", ".join(
-        "'" + (a + b).replace("'", "''") + "'" for a, b in bpe.VENDORED_MERGES
-    )
+    if merge_map is None:
+        keys = ", ".join(
+            "'" + (a + " " + b).replace("'", "''") + "'"
+            for a, b in bpe.VENDORED_MERGES
+        )
+        vals = ", ".join(str(i) for i in range(len(bpe.VENDORED_MERGES)))
+        merge_map = f"MAP([{keys}], [{vals}])"
+    if products_select is None:
+        products = ", ".join(
+            "'" + (a + b).replace("'", "''") + "'"
+            for a, b in bpe.VENDORED_MERGES
+        )
+        products_select = f"SELECT DISTINCT unnest([{products}]) AS t"
     big = bpe.MAX_RANK_SENTINEL
     rs = (
         f"list_transform(range(1, len(toks)), i -> "
@@ -1097,7 +1109,7 @@ def _bpe_enc_ctes() -> str:
         FROM (
             SELECT word, toks, list_min(rs) AS best,
                    list_position(rs, list_min(rs)) AS j
-            FROM (SELECT word, toks, {rs} AS rs FROM enc WHERE len(toks) > 1)
+            FROM (SELECT word, toks, {rs} AS rs FROM {enc_src} WHERE len(toks) > 1)
         ) WHERE best < {big}
     ),
     term AS (
@@ -1105,7 +1117,7 @@ def _bpe_enc_ctes() -> str:
         FROM (SELECT word, toks,
                      CASE WHEN len(toks) > 1 THEN list_min({rs})
                           ELSE {big} END AS best
-              FROM enc)
+              FROM {enc_src})
         WHERE best = {big}
     ),
     vocab AS (
@@ -1115,7 +1127,7 @@ def _bpe_enc_ctes() -> str:
                 regexp_replace(coalesce(text,''), '\s+', '', 'g'), '')) AS t
             FROM documents
             UNION
-            SELECT DISTINCT unnest([{products}]) AS t
+            {products_select}
         ) WHERE t <> ''
     ),
     vmap AS (
@@ -1149,6 +1161,74 @@ def _bpe_enc_ctes() -> str:
 def _oracle_bpe_encode_sql() -> str:
     return f"""
     WITH RECURSIVE{_bpe_enc_ctes()}
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           array_to_string(ids, ',') AS ids_csv
+    FROM doc_ids
+    """
+
+
+def q_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-fitted loop in one entry (new in round 9): learn
+    the merge table FROM this corpus (train_bpe_spark) and tokenize the
+    corpus under it (encode_documents). The oracle replays BOTH halves
+    in ONE DuckDB query — the recursive trainer's merge list feeds the
+    recursive word encoder's rank map and the vocabulary's product set —
+    so training and tokenization are differentially verified end-to-end
+    with no Python-side constants."""
+    from timefence_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    merges = bpe.train_bpe_spark(
+        docs, text_col="text", n_merges=TRAIN_BPE_MERGES
+    )
+    enc = bpe.encode_documents(
+        docs, id_col="doc_id", text_col="text", merges=merges
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
+def _oracle_bpe_encode_trained_sql() -> str:
+    # The trainer's CTE chain, t-prefixed so it can precede the encoder
+    # CTEs (which reuse the names words/enc/...) in one WITH RECURSIVE.
+    trainer = (
+        ORACLE_TRAIN_BPE.strip()
+        .removeprefix("WITH RECURSIVE")
+        .replace("words AS (", "twords AS (", 1)
+        .replace("FROM words", "FROM twords")
+        .replace("init AS (", "tinit AS (", 1)
+        .replace("FROM init", "FROM tinit")
+        .replace("state(iter, vocab, merges) AS (", "tstate(iter, vocab, merges) AS (", 1)
+        .replace("FROM state,", "FROM tstate,")
+        .replace("FROM state ", "FROM tstate ")
+    )
+    # Split the trainer's final SELECT off into a tmerges CTE.
+    ctes, final_select = trainer.rsplit("SELECT i - 1 AS merge_rank", 1)
+    trainer_ctes = (
+        ctes.rstrip().rstrip(")")
+        + """),
+    tmerges AS (
+        SELECT i - 1 AS merge_rank""" + final_select + """
+    ),
+    tmap AS (
+        SELECT map(list(lhs || ' ' || rhs ORDER BY merge_rank),
+                   list(merge_rank ORDER BY merge_rank)) AS mm
+        FROM tmerges
+    ),"""
+    )
+    return f"""
+    WITH RECURSIVE
+    {trainer_ctes}{_bpe_enc_ctes(
+        merge_map="mm",
+        products_select="SELECT DISTINCT lhs || rhs AS t FROM tmerges",
+        enc_src="enc, tmap",
+    )}
     SELECT doc_id,
            CAST(len(ids) AS BIGINT) AS n_tokens,
            array_to_string(ids, ',') AS ids_csv
@@ -4309,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
+        "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4407,6 +4488,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "train_bpe": ORACLE_TRAIN_BPE,
         "bpe_encode": _oracle_bpe_encode_sql(),
+        "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

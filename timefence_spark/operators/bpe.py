@@ -341,7 +341,10 @@ def encode_documents(
     merge table (vendored by default; pass :func:`train_bpe_spark`'s
     output for a corpus-fitted tokenizer) and concatenate in document
     order; ids come from ``vocab`` (default: :func:`bpe_vocab` over this
-    df). Returns (id, n_tokens, out_col: array<int>).
+    df). Returns (id, n_tokens, out_col: array<int>). Like any
+    marker-free BPE, the id stream does not preserve word boundaries
+    (no ``</w>``/``Ġ`` convention) — production tokenizers carrying
+    their own markers slot in through the same mapInPandas shape.
 
     100 TB shape: one bounded driver collect for the vocabulary, then a
     single Arrow-batched mapInPandas stage with the ranks + vocab dict
