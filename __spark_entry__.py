@@ -2782,6 +2782,35 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # n_buckets tunes parallelism only; the oracle is bucket-free
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source weights (new in round 9, the
+    Pile/Gopher mixing rule weight ∝ n^(1/T) at T=2 over per-source
+    token totals): one stratum aggregation + a one-row broadcast
+    normalizing total — no global window, no collect. Feed
+    temperature_budgets(total_tokens=...) -> token_budget_sample for the
+    full temperature -> budgets -> prefix-selection chain
+    (Corpus.mixture_temperature)."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return sampling.temperature_weights(
+        docs, strata_col="source", token_col="n_chars", temperature=2.0,
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+    WITH g AS (
+        SELECT source AS stratum,
+               CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    )
+    SELECT stratum, n,
+           ROUND(POW(n::DOUBLE, 0.5) / SUM(POW(n::DOUBLE, 0.5)) OVER (), 6)
+               AS weight
+    FROM g
+    """
+
+
 ORACLE_TOKEN_BUDGET = f"""
     WITH t AS (
         SELECT doc_id, lang, source, n_chars,
@@ -4390,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
+        "temperature_mix": q_temperature_mix,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4489,6 +4519,7 @@ def oracle_sql() -> dict[str, str]:
         "train_bpe": ORACLE_TRAIN_BPE,
         "bpe_encode": _oracle_bpe_encode_sql(),
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),
+        "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

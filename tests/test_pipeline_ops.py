@@ -451,3 +451,64 @@ def test_encode_documents_roundtrip_and_vocab(spark):
         assert out[doc_id]["n_tokens"] == len(toks)
         assert [vocab[i] for i in out[doc_id]["token_ids"]] == toks
     assert out[2]["token_ids"] == [] and out[3]["token_ids"] == []
+
+
+def test_temperature_weights_and_budgets(spark):
+    """Temperature weighting: T=1 is proportional, T→∞ flattens toward
+    uniform, budgets floor(weight * total) feed token_budget_sample, and
+    the composed Corpus.mixture_temperature respects every budget."""
+    import math
+
+    from timefence_spark import Corpus
+    from timefence_spark.operators import sampling
+
+    rows = [
+        (i, "web" if i < 60 else ("books" if i < 80 else "code"), 100)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    w1 = {
+        r["stratum"]: r["weight"]
+        for r in sampling.temperature_weights(
+            df, strata_col="source", token_col="n_tok", temperature=1.0
+        ).collect()
+    }
+    assert w1 == {"web": 0.6, "books": 0.2, "code": 0.2}
+    w9 = {
+        r["stratum"]: r["weight"]
+        for r in sampling.temperature_weights(
+            df, strata_col="source", token_col="n_tok", temperature=100.0
+        ).collect()
+    }
+    assert all(abs(v - 1 / 3) < 0.01 for v in w9.values())  # ~uniform
+    # monotone flattening: web's share shrinks as T grows
+    w2 = {
+        r["stratum"]: r["weight"]
+        for r in sampling.temperature_weights(
+            df, strata_col="source", token_col="n_tok", temperature=2.0
+        ).collect()
+    }
+    assert w9["web"] < w2["web"] < w1["web"]
+    exp = 6000 ** 0.5 / (6000 ** 0.5 + 2 * 2000 ** 0.5)
+    assert math.isclose(w2["web"], exp, abs_tol=1e-6)
+
+    budgets = sampling.temperature_budgets(
+        df, strata_col="source", token_col="n_tok", total_tokens=5000,
+        temperature=2.0,
+    )
+    assert budgets["web"] == int(exp * 5000)
+    mixed = Corpus(df, text_col="source").mixture_temperature(
+        total_tokens=5000, token_col="n_tok", temperature=2.0,
+        hash_fn="md5",
+    ).df
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(
+            F.sum("n_tok").alias("n")
+        ).collect()
+    }
+    for s, b in budgets.items():
+        assert got.get(s, 0) <= b
+
+    with pytest.raises(ValueError, match="temperature"):
+        sampling.temperature_weights(df, strata_col="source", temperature=0)

@@ -537,6 +537,28 @@ class Corpus:
             )
         )
 
+    def mixture_temperature(
+        self,
+        *,
+        total_tokens: int,
+        token_col: str,
+        strata_col: str = "source",
+        temperature: float = 1.0,
+        **kwargs,
+    ) -> "Corpus":
+        """Temperature-weighted token mixture (Pile/Gopher rule): split
+        ``total_tokens`` across strata ∝ n_s^(1/T)
+        (sampling.temperature_budgets — one bounded strata collect),
+        then keep each stratum's hash-order prefix within its budget
+        (sampling.token_budget_sample)."""
+        budgets = sampling.temperature_budgets(
+            self.df, strata_col=strata_col, token_col=token_col,
+            total_tokens=total_tokens, temperature=temperature,
+        )
+        return self.mixture_tokens(
+            budgets, token_col=token_col, strata_col=strata_col, **kwargs
+        )
+
     def split(self, weights: dict[str, float], **kwargs) -> "Corpus":
         """Add a deterministic 'split' assignment column."""
         return self._wrap(

@@ -304,3 +304,71 @@ def mixture_sample(
     )
     h = F.pmod(_salted_hash(F.col(id_col), salt, hash_fn), F.lit(_BUCKETS))
     return df.where(h < bound)
+
+
+def temperature_weights(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    token_col: str | None = None,
+    temperature: float = 1.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Temperature-scaled source weights — the Pile/Gopher mixing rule
+    ``weight_s ∝ n_s^(1/T)``: T=1 is proportional (natural) sampling,
+    T→∞ approaches uniform across sources, T<1 sharpens toward the
+    biggest sources. ``n_s`` is the stratum's row count, or its token
+    total when ``token_col`` is given (NULL counts weigh 0). Returns
+    (stratum, n, weight), weights summing to ~1.
+
+    Feed the result to :func:`temperature_budgets` to turn a global
+    token budget into per-source budgets for
+    :func:`token_budget_sample` — the temperature → budgets → prefix
+    selection chain is then deterministic end to end.
+
+    100 TB shape: one stratum aggregation (map-side combined), and the
+    normalizing total rides a ONE-ROW broadcast cross join (the
+    fit_classifier totals pattern) — no global window, no collect."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    n = (
+        F.sum(F.coalesce(F.col(token_col), F.lit(0)))
+        if token_col is not None
+        else F.count(F.lit(1))
+    )
+    grouped = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        n.cast("long").alias("n")
+    )
+    powed = grouped.select(
+        "stratum", "n",
+        F.pow(F.col("n").cast("double"), F.lit(1.0 / temperature)).alias("__p"),
+    )
+    total = powed.agg(F.sum("__p").alias("__tot"))
+    w = F.col("__p") / F.col("__tot")
+    if round_to is not None:
+        w = F.round(w, round_to)
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select("stratum", "n", w.alias("weight"))
+    )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    token_col: str,
+    total_tokens: int,
+    temperature: float = 1.0,
+) -> dict[str, int]:
+    """Per-stratum token budgets from a global budget under temperature
+    weighting: ``budget_s = floor(weight_s * total_tokens)``. One
+    bounded driver collect (strata-count rows); plug straight into
+    :func:`token_budget_sample(budgets=...)`."""
+    rows = temperature_weights(
+        df, strata_col=strata_col, token_col=token_col,
+        temperature=temperature, round_to=None,
+    ).collect()
+    return {
+        r["stratum"]: int(r["weight"] * total_tokens) for r in rows
+    }
