@@ -137,9 +137,12 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # force over the COMPRESSED corpus — the query side broadcasts).
     # fluency_buckets embeds unigram_logprob's one-row LM-totals cross
     # join (the unigram_nll shape) plus its own one-row threshold join.
+    # temperature_mix: the normalizing total is the same ONE-row
+    # aggregate broadcast cross join (sampling.temperature_weights).
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
+        "temperature_mix",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():
