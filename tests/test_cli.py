@@ -636,3 +636,16 @@ def test_corpus_train_bpe_cli(tmp_path, spark):
     assert counter("low lower") == len(bpe.encode("low", dict(
         (p, i) for i, p in enumerate(got)
     ))) + len(bpe.encode("lower", dict((p, i) for i, p in enumerate(got))))
+
+    # --save-tokenizer writes the frozen train-once artifact
+    tok = str(tmp_path / "tok.json")
+    r = _run(
+        ["corpus-train-bpe", "--input", inp, "--output", out,
+         "--n-merges", "20", "--save-tokenizer", tok, "--json"],
+        tmp_path,
+    )
+    assert r.exit_code == 0, r.output
+    merges2, vocab2 = bpe.load_tokenizer(tok)
+    assert merges2 == got
+    assert vocab2 == sorted(set(vocab2))  # lexicographic id space
+    assert all(a + b in vocab2 for a, b in merges2)

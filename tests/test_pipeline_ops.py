@@ -452,6 +452,20 @@ def test_encode_documents_roundtrip_and_vocab(spark):
         assert [vocab[i] for i in out[doc_id]["token_ids"]] == toks
     assert out[2]["token_ids"] == [] and out[3]["token_ids"] == []
 
+    # Frozen-vocab OOV contract: a vocab from another snapshot raises a
+    # descriptive error by default, substitutes with oov_id on request.
+    other = spark.createDataFrame([(9, "zq! new\u00e9char")],
+                                  "doc_id long, text string")
+    with pytest.raises(Exception, match="not in the .*vocabulary"):
+        bpe.encode_documents(
+            other, id_col="doc_id", text_col="text", vocab=vocab
+        ).collect()
+    sub = bpe.encode_documents(
+        other, id_col="doc_id", text_col="text", vocab=vocab, oov_id=0
+    ).collect()[0]
+    assert sub["n_tokens"] == len(sub["token_ids"]) > 0
+    assert 0 in sub["token_ids"]
+
 
 def test_temperature_weights_and_budgets(spark):
     """Temperature weighting: T=1 is proportional, T→∞ flattens toward
@@ -512,3 +526,32 @@ def test_temperature_weights_and_budgets(spark):
 
     with pytest.raises(ValueError, match="temperature"):
         sampling.temperature_weights(df, strata_col="source", temperature=0)
+
+    # NULL strata are excluded (SQL equality could never budget them) and
+    # an all-zero corpus yields 0.0 weights, not a division by zero.
+    with_null = spark.createDataFrame(
+        [(1, None, 50), (2, "web", 100), (3, "code", 100)],
+        "doc_id long, source string, n_tok long",
+    )
+    wn = {
+        r["stratum"]: r["weight"]
+        for r in sampling.temperature_weights(
+            with_null, strata_col="source", token_col="n_tok"
+        ).collect()
+    }
+    assert set(wn) == {"web", "code"} and wn["web"] == 0.5
+    bn = sampling.temperature_budgets(
+        with_null, strata_col="source", token_col="n_tok", total_tokens=100
+    )
+    assert bn == {"web": 50, "code": 50}  # sortable, NULL-free
+    zeros = spark.createDataFrame(
+        [(1, "web", None), (2, "code", 0)],
+        "doc_id long, source string, n_tok long",
+    )
+    wz = {
+        r["stratum"]: r["weight"]
+        for r in sampling.temperature_weights(
+            zeros, strata_col="source", token_col="n_tok"
+        ).collect()
+    }
+    assert wz == {"web": 0.0, "code": 0.0}

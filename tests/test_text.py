@@ -322,6 +322,16 @@ def test_train_bpe_spark_matches_python_trainer(spark):
         bpe.train_bpe_spark(
             df, text_col="text", n_merges=5, mode="local", local_threshold=3
         )
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe.train_bpe_spark(df, text_col="text", checkpoint_every=0)
+    # ASCII-whitespace contract: NBSP is NOT a word boundary on either
+    # side, so trainer and counter agree on Unicode-whitespace text.
+    nb = spark.createDataFrame(
+        [(1, "a\u00a0b a\u00a0b c c")], "doc_id long, text string"
+    )
+    got_nb = bpe.train_bpe_spark(nb, text_col="text", n_merges=5)
+    assert got_nb == bpe.train_bpe("a\u00a0b a\u00a0b c c", 5)
+    assert ("a", "\u00a0") in got_nb  # NBSP lives INSIDE the word
 
     # the learned table drives exact counting end-to-end
     counter = bpe.make_token_counter(got)

@@ -215,3 +215,22 @@ def test_from_dbt_stub_raises():
 
     with pytest.raises(NotImplementedError, match="dbt"):
         tf.from_dbt()
+
+
+def test_bpe_tokenizer_save_load_roundtrip(tmp_path):
+    """Frozen-tokenizer artifact: merges (+ optional vocab) round-trip
+    through JSON; foreign files are rejected."""
+    import pytest as _pytest
+
+    from timefence_spark.operators import bpe
+
+    m = [("a", "b"), ("ab", "c")]
+    v = ["a", "ab", "abc", "b", "c"]
+    p = tmp_path / "tok" / "bpe.json"
+    bpe.save_tokenizer(p, merges=m, vocab=v)
+    assert bpe.load_tokenizer(p) == (m, v)
+    bpe.save_tokenizer(p, merges=m)
+    assert bpe.load_tokenizer(p) == (m, None)
+    p.write_text('{"format": "other"}')
+    with _pytest.raises(ValueError, match="not a timefence-spark BPE"):
+        bpe.load_tokenizer(p)

@@ -1231,10 +1231,15 @@ def corpus_train_classifier(
 @click.option("--n-merges", type=int, default=100, show_default=True,
               help="Maximum merges to learn (stops early when no pair "
               "repeats).")
+@click.option("--save-tokenizer", "tokenizer_path", default=None,
+              help="Also write a frozen tokenizer JSON (merges + corpus "
+              "vocabulary) for train-once/encode-many pipelines "
+              "(bpe.load_tokenizer).")
 @click.option("--json", "json_out", is_flag=True,
               help="Machine-readable summary.")
 def corpus_train_bpe(
-    input_path, output_path, id_col, text_col, n_merges, json_out,
+    input_path, output_path, id_col, text_col, n_merges, tokenizer_path,
+    json_out,
 ) -> None:
     """Learn a BPE merge table from a document corpus (distributed
     Sennrich trainer — one pair-count shuffle over the word-type table
@@ -1253,11 +1258,17 @@ def corpus_train_bpe(
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string",
     ).coalesce(1).write.mode("overwrite").parquet(output_path)
+    if tokenizer_path:
+        from timefence_spark.operators import bpe
+
+        vocab = bpe.bpe_vocab(df, text_col=text_col, merges=merges)
+        bpe.save_tokenizer(tokenizer_path, merges=merges, vocab=vocab)
     summary = {
         "input": input_path,
         "output": output_path,
         "n_merges_learned": len(merges),
         "n_merges_requested": n_merges,
+        "tokenizer": tokenizer_path,
     }
     if json_out:
         click.echo(json.dumps(summary))

@@ -721,6 +721,8 @@ class Corpus:
         *,
         seq_len: int,
         merges: list[tuple[str, str]] | None = None,
+        vocab: list[str] | None = None,
+        oov_id: int | None = None,
         num_shards: int = 64,
         salt: str = "",
         hash_fn: str = "xxhash64",
@@ -732,13 +734,17 @@ class Corpus:
         the per-shard concatenated id stream into fixed ``seq_len``
         training rows (:func:`packing.pack_sequences`). Returns
         (shard, seq, n_tokens, input_ids) — the ready-to-train form; one
-        mapInPandas stage plus a single document-level shuffle."""
+        mapInPandas stage plus a single document-level shuffle. Pass the
+        ``vocab`` from a :func:`bpe.load_tokenizer` artifact to encode
+        under a FROZEN id space (required when shards from different
+        corpus snapshots must share ids; ``oov_id`` handles characters
+        the frozen vocab has never seen)."""
         from timefence_spark.operators import bpe as bpe_ops
         from timefence_spark.operators.packing import pack_sequences
 
         encoded = bpe_ops.encode_documents(
             self.df, id_col=self.id_col, text_col=self.text_col,
-            merges=merges,
+            merges=merges, vocab=vocab, oov_id=oov_id,
         )
         return pack_sequences(
             encoded, id_col=self.id_col, ids_col="token_ids",

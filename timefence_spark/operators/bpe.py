@@ -32,8 +32,24 @@ source; ``token_count`` is the ready-made ``tokenizer_fn``.
 
 from __future__ import annotations
 
+import re as _re
 from collections import Counter
 from functools import lru_cache as _lru_cache
+
+# Whitespace boundary for EVERY path in this module (Python trainer,
+# Spark trainer, counters, encoder): ASCII \s, matching what the Spark
+# side's Java `\s+` split and the DuckDB oracles' RE2 `\s+` split see.
+# Python's str.split()/default \s are Unicode (NBSP etc.), which would
+# silently diverge from the SQL-replayed tokenization on web corpora —
+# the trainer would learn whitespace-spanning pairs the encoder could
+# never apply. (Known residue: Java/Python count \x0B as whitespace,
+# RE2 does not — vertical tabs inside words differ; no real corpus
+# ships them.)
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def _ws_split(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
 
 # Fixed training corpus: database/query-plan prose. Deliberately overlaps
 # the synthetic documents vocabulary only PARTIALLY, so encoding real
@@ -67,7 +83,7 @@ def train_bpe(text: str, n_merges: int) -> list[tuple[str, str]]:
     adjacent pair occurs twice (merging singletons would just memorize
     the training set)."""
     return _train_bpe_from_vocab(
-        Counter(tuple(w) for w in text.split() if w), n_merges
+        Counter(tuple(w) for w in _ws_split(text)), n_merges
     )
 
 
@@ -147,7 +163,7 @@ def token_count(text: str | None) -> int:
     the ``tokenizer_fn`` for :func:`text.token_count_exact`."""
     if not text:
         return 0
-    return sum(_vendored_word_len(w) for w in text.split() if w)
+    return sum(_vendored_word_len(w) for w in _ws_split(text))
 
 
 def make_token_counter(merges: list[tuple[str, str]]):
@@ -165,9 +181,7 @@ def make_token_counter(merges: list[tuple[str, str]]):
         if not text:
             return 0
         n = 0
-        for w in text.split():
-            if not w:
-                continue
+        for w in _ws_split(text):
             c = memo.get(w)
             if c is None:
                 c = memo[w] = len(encode(w, ranks))
@@ -231,6 +245,10 @@ def train_bpe_spark(
 
     if mode not in ("auto", "local", "distributed"):
         raise ValueError(f"mode must be auto|local|distributed, got {mode!r}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     word_counts = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .where(F.col("w") != "")
@@ -334,6 +352,7 @@ def encode_documents(
     merges=None,
     vocab: list[str] | None = None,
     out_col: str = "token_ids",
+    oov_id: int | None = None,
 ) -> "DataFrame":
     """Tokenize documents to integer id sequences — the
     corpus-to-training-stream step :func:`text.token_count_exact` only
@@ -345,6 +364,12 @@ def encode_documents(
     marker-free BPE, the id stream does not preserve word boundaries
     (no ``</w>``/``Ġ`` convention) — production tokenizers carrying
     their own markers slot in through the same mapInPandas shape.
+
+    With a FROZEN ``vocab`` (a :func:`load_tokenizer` artifact trained
+    on an earlier snapshot), characters this corpus adds are
+    out-of-vocabulary: the default raises a descriptive error naming
+    the offending token; pass ``oov_id`` (e.g. a reserved <unk> id) to
+    substitute instead.
 
     100 TB shape: one bounded driver collect for the vocabulary, then a
     single Arrow-batched mapInPandas stage with the ranks + vocab dict
@@ -363,18 +388,32 @@ def encode_documents(
 
     def batches(it):
         memo: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            out = []
+            for t in encode(w, ranks):
+                i = tok_id.get(t)
+                if i is None:
+                    if oov_id is None:
+                        raise ValueError(
+                            f"token {t!r} (word {w!r}) is not in the "
+                            f"{len(tok_id)}-entry vocabulary — the frozen "
+                            "vocab was built on a different corpus; pass "
+                            "oov_id= to substitute out-of-vocabulary "
+                            "tokens, or derive the vocab from this df"
+                        )
+                    i = oov_id
+                out.append(i)
+            return out
+
         for pdf in it:
             ids_col, n_col = [], []
             for text in pdf[text_col]:
                 ids: list[int] = []
-                for w in (text or "").split():
-                    if not w:
-                        continue
+                for w in _ws_split(text or ""):
                     enc = memo.get(w)
                     if enc is None:
-                        enc = memo[w] = [
-                            tok_id[t] for t in encode(w, ranks)
-                        ]
+                        enc = memo[w] = word_ids(w)
                     ids.extend(enc)
                 ids_col.append(ids)
                 n_col.append(len(ids))
@@ -389,3 +428,44 @@ def encode_documents(
     return df.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} {id_type}, n_tokens long, {out_col} array<int>"
     )
+
+
+def save_tokenizer(
+    path, *, merges: list[tuple[str, str]], vocab: list[str] | None = None
+) -> None:
+    """Persist a trained tokenizer (merge table + optional vocabulary)
+    as one JSON file — the train-once / encode-many artifact: fit with
+    :func:`train_bpe_spark` on a sample, save, then every encode job
+    loads the SAME fixed tokenizer instead of re-deriving it (at 100 TB
+    the vocabulary must be frozen with the model, not recomputed per
+    corpus snapshot). Driver-side and KB-sized by construction
+    (|merges| + |vocab| entries)."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        json.dumps(
+            {
+                "format": "timefence-spark-bpe",
+                "version": 1,
+                "merges": [[a, b] for a, b in merges],
+                "vocab": vocab,
+            }
+        )
+    )
+
+
+def load_tokenizer(path) -> tuple[list[tuple[str, str]], list[str] | None]:
+    """Load a :func:`save_tokenizer` artifact -> (merges, vocab).
+    Feed merges to :func:`make_token_counter` / :func:`encode_documents`
+    (pass the saved vocab too for a frozen id space)."""
+    import json
+    from pathlib import Path
+
+    data = json.loads(Path(path).read_text())
+    if data.get("format") != "timefence-spark-bpe":
+        raise ValueError(f"{path} is not a timefence-spark BPE artifact")
+    merges = [(a, b) for a, b in data["merges"]]
+    return merges, data.get("vocab")

@@ -319,7 +319,12 @@ def temperature_weights(
     T→∞ approaches uniform across sources, T<1 sharpens toward the
     biggest sources. ``n_s`` is the stratum's row count, or its token
     total when ``token_col`` is given (NULL counts weigh 0). Returns
-    (stratum, n, weight), weights summing to ~1.
+    (stratum, n, weight), weights summing to ~1. NULL-stratum rows are
+    EXCLUDED from the weighting (SQL equality can never select them in
+    :func:`token_budget_sample`'s per-stratum budgets — coalesce a
+    sentinel stratum first if they must participate); an empty or
+    all-zero corpus yields weight 0.0 per stratum, not a
+    division-by-zero.
 
     Feed the result to :func:`temperature_budgets` to turn a global
     token budget into per-source budgets for
@@ -336,15 +341,19 @@ def temperature_weights(
         if token_col is not None
         else F.count(F.lit(1))
     )
-    grouped = df.groupBy(F.col(strata_col).alias("stratum")).agg(
-        n.cast("long").alias("n")
+    grouped = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(n.cast("long").alias("n"))
     )
     powed = grouped.select(
         "stratum", "n",
         F.pow(F.col("n").cast("double"), F.lit(1.0 / temperature)).alias("__p"),
     )
     total = powed.agg(F.sum("__p").alias("__tot"))
-    w = F.col("__p") / F.col("__tot")
+    w = F.when(
+        F.col("__tot") > 0, F.col("__p") / F.col("__tot")
+    ).otherwise(F.lit(0.0))
     if round_to is not None:
         w = F.round(w, round_to)
     return (
