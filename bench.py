@@ -387,9 +387,12 @@ def _run_audit_scenario(spark) -> dict:
 # ---------------------------------------------------------------------------
 # Pipeline scale bench (round 9): the extension operators at 1M documents
 # in fresh JVMs — the judge-facing evidence that the corpus/tokenizer
-# shapes hold past sf0.1. Synthetic corpus: 12-word docs from a 16-word
-# vocabulary (deterministic arithmetic hash, no RANDOM() so the corpus is
-# byte-stable across runs), 5% planted exact duplicates, 3 sources /
+# shapes hold past sf0.1. Synthetic corpus: 12-word docs drawn from a
+# 16-word vocabulary via DuckDB's deterministic hash() (no RANDOM(), so
+# the corpus is stable across runs; a plain arithmetic pattern mod 16
+# only depends on i mod 16 and collapsed the corpus to ~16 distinct
+# texts, letting exact dedup combine everything map-side — 0 shuffle
+# bytes and no evidence), 5% planted exact duplicates, 3 sources /
 # 3 languages. ~65 MB parquet, cached under /tmp.
 # ---------------------------------------------------------------------------
 
@@ -400,7 +403,7 @@ def _gen_pipeline_docs() -> str:
     import duckdb
 
     n = PIPELINE_N_DOCS
-    root = f"/tmp/tf_pipe_{n}"
+    root = f"/tmp/tf_pipe_v2_{n}"
     path = f"{root}/docs.parquet"
     if os.path.exists(path):
         return path
@@ -418,7 +421,8 @@ def _gen_pipeline_docs() -> str:
                        'the quick brown fox jumps over the lazy dog again'
                    ELSE
                        array_to_string(list_transform(range(1, 13),
-                           j -> {words}[1 + (i * 7 + j * 13) % 16]), ' ')
+                           j -> {words}[1 + CAST(hash(i * 16 + j) % 16 AS INT)]),
+                           ' ')
                    END AS text,
                    ['en','de','fr'][1 + i % 3] AS lang,
                    ['web','books','code'][1 + (i // 3) % 3] AS source
