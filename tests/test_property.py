@@ -756,3 +756,80 @@ def test_skew_bucket_boundary_sweep_matches_brute_force(spark, s):
             f"label {row.label_id} bucket_s={bucket_s} embargo={embargo_s} "
             f"lookback={lookback_s} strict={strict}: expected {exp}, got {got}"
         )
+
+
+@st.composite
+def pack_scenario(draw):
+    docs = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),  # doc_id
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.integers(min_value=0, max_value=99),
+                        max_size=12,
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=25,
+            unique_by=lambda t: t[0],
+        )
+    )
+    seq_len = draw(st.integers(min_value=1, max_value=10))
+    n_shards = draw(st.integers(min_value=1, max_value=4))
+    pad = draw(st.sampled_from([None, 0, -1]))
+    return docs, seq_len, n_shards, pad
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=int(os.environ.get("TF_PACK_EXAMPLES", "40")),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(s=pack_scenario())
+def test_pack_sequences_property_matches_reference(spark, s):
+    """For ANY document set (variable lengths, NULL id arrays, empty
+    docs), shard count, seq_len and pad mode, pack_sequences equals the
+    sequential per-shard concatenate-then-cut reference under the same
+    salted-md5 order."""
+    import hashlib
+
+    from timefence_spark.operators.packing import pack_sequences
+
+    docs, seq_len, n_shards, pad = s
+    df = spark.createDataFrame(docs, "doc_id long, token_ids array<int>")
+
+    def md5h(doc_id, salt="p"):
+        return int(
+            hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    streams = {sh: [] for sh in range(n_shards)}
+    for doc_id, ids in sorted(docs, key=lambda t: (md5h(t[0]), t[0])):
+        streams[md5h(doc_id) % n_shards].extend(ids or [])
+
+    expected = {}
+    for sh, stream in streams.items():
+        for q in range(0, (len(stream) + seq_len - 1) // seq_len):
+            chunk = stream[q * seq_len: (q + 1) * seq_len]
+            if pad is None and len(chunk) < seq_len:
+                continue
+            n = len(chunk)
+            if pad is not None:
+                chunk = chunk + [pad] * (seq_len - n)
+            expected[(sh, q)] = (n, chunk)
+
+    got = {
+        (r["shard"], r["seq"]): (r["n_tokens"], r["input_ids"])
+        for r in pack_sequences(
+            df, id_col="doc_id", seq_len=seq_len, num_shards=n_shards,
+            salt="p", hash_fn="md5", pad_id=pad,
+        ).collect()
+    }
+    assert got == expected
