@@ -467,6 +467,60 @@ ORACLE_STREAMING_DEDUP = """
 """
 
 
+def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH NEAR-dedup (new in round 9): the
+    documents table replayed as two micro-batches (even ids then odd)
+    through the band-registry kernel (streaming.near_dedup_batch,
+    portable md5 hashes) — a doc survives iff no LSH band collides with
+    the registry or with a smaller-id doc in its own batch; ALL seen
+    bands then join the registry. The oracle replays both batches
+    declaratively over the same SQL band table the batch minhash oracle
+    uses."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timefence_spark.streaming import near_dedup_batch
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "text"
+    )
+    state = f"{tempfile.gettempdir()}/tf_ndreg_{uuid.uuid4().hex[:8]}"
+    try:
+        parts = []
+        for parity in (0, 1):
+            surv = near_dedup_batch(
+                docs.where(F.col("doc_id") % 2 == parity),
+                id_col="doc_id", text_col="text", state_path=state,
+                hash_fn="md5",
+            )
+            parts.append(surv.select("doc_id"))
+        # near_dedup_batch is eager (localCheckpoint), so the registry
+        # dir can be removed before returning the lazy union.
+        return parts[0].unionByName(parts[1])
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def _oracle_streaming_near_dedup_sql() -> str:
+    return f"""
+    WITH {_minhash_pairs_cte()},
+    b0 AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 2 = 1)
+    SELECT d.doc_id FROM documents d
+    WHERE (d.doc_id % 2 = 0 AND NOT EXISTS (
+               SELECT 1 FROM b0 x JOIN b0 y ON x.band_key = y.band_key
+               WHERE x.doc_id = d.doc_id AND y.doc_id < d.doc_id))
+       OR (d.doc_id % 2 = 1
+           AND NOT EXISTS (
+               SELECT 1 FROM b1 x JOIN b0 y ON x.band_key = y.band_key
+               WHERE x.doc_id = d.doc_id)
+           AND NOT EXISTS (
+               SELECT 1 FROM b1 x JOIN b1 y ON x.band_key = y.band_key
+               WHERE x.doc_id = d.doc_id AND y.doc_id < d.doc_id))
+    """
+
+
 def q_pit_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two features recombined on the spine (J5): as-of prev_total plus an
     as-of 30d rolling DECIMAL spend (sql-mode-style derived feature)."""
@@ -4420,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
         "temperature_mix": q_temperature_mix,  # new in round 9
+        "streaming_near_dedup": q_streaming_near_dedup,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4520,6 +4575,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _oracle_bpe_encode_sql(),
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
+        "streaming_near_dedup": _oracle_streaming_near_dedup_sql(),
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

@@ -564,3 +564,120 @@ def test_stateless_text_operators_compose_with_streams(spark, tmp_path):
     got = _run_stream(spark, tmp_path, chain(stream))
     want = chain(spark.read.parquet(str(src / "*")))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_near_dedup_batch_registry_semantics(spark, tmp_path):
+    """The batch kernel of streaming near-dedup: within-batch greedy
+    keep-smallest-id, cross-batch registry drops, and agreement with a
+    Python replay of the SAME band tables (the MinHash math itself is
+    oracle-verified elsewhere; this pins the registry logic)."""
+    from timefence_spark.operators.dedup import (
+        _band_buckets,
+        _shingle_df,
+        _signature_df,
+    )
+    from timefence_spark.streaming import near_dedup_batch
+
+    base = "the quick brown fox jumps over the lazy dog on a warm day"
+    near = base.replace("warm", "cold")          # near-dup of base
+    other = "completely different content about database query planners"
+    other2 = "yet another unrelated document discussing parquet readers"
+    batches = [
+        [(5, base), (2, base), (9, other)],       # 2 wins base; 5 near-drop
+        [(11, near), (12, other2)],               # near collides registry
+        [(13, other), (14, "short boilerplate words entirely novel here")],
+    ]
+    kw = dict(num_perm=32, bands=16, shingle_k=3, seed=7)
+
+    # Python replay over the Spark-computed band tables
+    registry: set = set()
+    expected: list[int] = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = _shingle_df(df, id_col="doc_id", text_col="text", shingle_k=3)
+        sig = _signature_df(sh, id_col="doc_id", num_perm=32, seed=7,
+                            hash_fn="xxhash64")
+        b = [
+            (r["doc_id"], str(r["band_hash"]))
+            for r in _band_buckets(sig, id_col="doc_id", num_perm=32,
+                                   bands=16, hash_fn="xxhash64").collect()
+        ]
+        bands_of: dict[int, set] = {}
+        for i, h in b:
+            bands_of.setdefault(i, set()).add(h)
+        band_min: dict[str, int] = {}
+        for i, h in b:
+            band_min[h] = min(band_min.get(h, i), i)
+        for i in sorted(bands_of):
+            hits_state = bands_of[i] & registry
+            loses_batch = any(band_min[h] < i for h in bands_of[i])
+            if not hits_state and not loses_batch:
+                expected.append(i)
+        for _, h in b:
+            registry.add(h)
+
+    state = str(tmp_path / "band_registry")
+    got: list[int] = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = near_dedup_batch(
+            df, id_col="doc_id", text_col="text", state_path=state, **kw
+        )
+        got.extend(r["doc_id"] for r in surv.collect())
+
+    assert sorted(got) == sorted(expected)
+    # sanity on the scenario itself: base's smaller id won, its twin and
+    # the cross-batch near-dup lost, unrelated docs all survived, and
+    # the batch-3 repeat of "other" lost to the registry
+    assert 2 in got and 5 not in got and 11 not in got
+    assert {9, 12, 14} <= set(got) and 13 not in got
+
+
+def test_streaming_near_dedup_replay_matches_batch_kernel(spark, tmp_path):
+    """foreachBatch replay: the streamed survivors equal running the
+    batch kernel over the same micro-batches with a fresh registry."""
+    from timefence_spark.streaming import near_dedup_batch, streaming_near_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog on a warm day",
+        "an entirely different piece of text about spark physical plans",
+        "the quick brown fox jumps over the lazy dog on a cold day",
+        "more unrelated prose concerning shuffle partitions and skew",
+    ]
+    d = tmp_path / "nd_in"
+    spark.createDataFrame(
+        [(1, texts[0]), (2, texts[1])], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "b0"))
+    spark.createDataFrame(
+        [(3, texts[2]), (4, texts[3])], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "b1"))
+
+    kw = dict(num_perm=32, bands=16, shingle_k=3, seed=7)
+    ref_state = str(tmp_path / "ref_registry")
+    ref: list[int] = []
+    for b in ("b0", "b1"):
+        surv = near_dedup_batch(
+            spark.read.parquet(str(d / b)),
+            id_col="doc_id", text_col="text", state_path=ref_state, **kw,
+        )
+        ref.extend(r["doc_id"] for r in surv.collect())
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    q = streaming_near_dedup(
+        stream, id_col="doc_id", text_col="text",
+        state_path=str(tmp_path / "stream_registry"),
+        output_path=str(tmp_path / "nd_out"),
+        checkpoint=str(tmp_path / "nd_ckpt"),
+        **kw,
+    )
+    q.awaitTermination(300)
+    got = [
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "nd_out")).collect()
+    ]
+    assert sorted(got) == sorted(ref)
+    assert 3 not in got  # the cross-batch near-dup was dropped

@@ -262,6 +262,27 @@ def _cap_buckets(
     )
 
 
+def _band_buckets(
+    sigs: DataFrame, *, id_col: str, num_perm: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(id, band_hash) LSH bucket membership from a signature table —
+    shared by :func:`minhash_lsh_pairs` and the streaming near-dedup
+    registry. band_hash is a long in xxhash64 mode, or the raw
+    "band:sig,sig,.." string in portable mode so an external SQL oracle
+    reproduces identical buckets."""
+    rows_per_band = num_perm // bands
+    band_str = lambda b: F.concat_ws(  # noqa: E731
+        ",", F.slice("signature", b * rows_per_band + 1, rows_per_band)
+    )
+    if hash_fn == "xxhash64":
+        band_keys = F.array(*[F.xxhash64(F.lit(b), band_str(b)) for b in range(bands)])
+    else:
+        band_keys = F.array(
+            *[F.concat_ws(":", F.lit(str(b)), band_str(b)) for b in range(bands)]
+        )
+    return sigs.select(F.col(id_col), F.explode(band_keys).alias("band_hash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -295,7 +316,6 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
 
     # Signatures and shingle sets as SEPARATE dataframes: bands derive from
     # signatures only; the shingle table is touched only by the per-pair
@@ -305,18 +325,9 @@ def minhash_lsh_pairs(
         shingle_tbl, id_col=id_col, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
 
-    band_str = lambda b: F.concat_ws(  # noqa: E731
-        ",", F.slice("signature", b * rows_per_band + 1, rows_per_band)
+    buckets = _band_buckets(
+        sigs, id_col=id_col, num_perm=num_perm, bands=bands, hash_fn=hash_fn
     )
-    if hash_fn == "xxhash64":
-        band_keys = F.array(*[F.xxhash64(F.lit(b), band_str(b)) for b in range(bands)])
-    else:
-        # Portable mode: keep the raw "band:sig,sig,.." string as the join
-        # key so an external SQL oracle reproduces identical buckets.
-        band_keys = F.array(
-            *[F.concat_ws(":", F.lit(str(b)), band_str(b)) for b in range(bands)]
-        )
-    buckets = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_hash"))
     buckets = _cap_buckets(buckets, "band_hash", max_bucket_size)
 
     left = buckets.select("band_hash", F.col(id_col).alias("id_a"))

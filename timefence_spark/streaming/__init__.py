@@ -12,6 +12,10 @@ Streaming:
 * :func:`flag_leaks` / :func:`leak_counts` — streaming temporal audit.
 * :func:`streaming_exact_dedup` — first-arrival content dedup across
   micro-batches (state per distinct hash, optionally watermark-bounded).
+* :func:`near_dedup_batch` / :func:`streaming_near_dedup` — incremental
+  MinHash-LSH NEAR-dedup via a band-registry state table + foreachBatch
+  (doc-level ANY over band-keyed state is not expressible as one
+  stateful operator; see streaming/near_dedup.py).
 """
 
 from timefence_spark.streaming.asof import (
@@ -20,6 +24,10 @@ from timefence_spark.streaming.asof import (
 )
 from timefence_spark.streaming.audit import flag_leaks, leak_counts
 from timefence_spark.streaming.dedup import streaming_exact_dedup
+from timefence_spark.streaming.near_dedup import (
+    near_dedup_batch,
+    streaming_near_dedup,
+)
 
 __all__ = [
     "streaming_asof_join",
@@ -27,4 +35,6 @@ __all__ = [
     "flag_leaks",
     "leak_counts",
     "streaming_exact_dedup",
+    "near_dedup_batch",
+    "streaming_near_dedup",
 ]
