@@ -1352,6 +1352,76 @@ def _oracle_pack_sequences_sql() -> str:
     """
 
 
+def q_knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (new in round 9): per-dimension 8-bit affine
+    codes (similarity.sq_train/sq_encode — one exact min/max pass, then
+    a scan-side projection), brute-force reconstructed-cosine top-k over
+    the compressed corpus (sq_topk). The oracle replays bounds, integer
+    codes (floor(x+0.5), clamped) and the sequential reconstruction
+    folds exactly."""
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
+    bounds = similarity.sq_train(emb, corpus_id="vec_id")
+    enc = similarity.sq_encode(emb, corpus_id="vec_id", bounds=bounds)
+    return similarity.sq_topk(
+        emb.where(F.col("vec_id") < 20), enc, bounds,
+        query_id="vec_id", k=5,
+    )
+
+
+def _oracle_knn_sq_sql(k: int = 5, dim: int = 64, maxc: int = 255) -> str:
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), ve AS (
+        SELECT * FROM e
+        WHERE v IS NOT NULL AND len(v) = {dim}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
+    ), b AS (
+        SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM (
+            SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM ve)
+        GROUP BY pos
+    ), arr AS (
+        SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        FROM b
+    ), enc AS (
+        SELECT vec_id,
+               list_transform({rng}, i ->
+                   CASE WHEN his[i] = los[i] THEN 0
+                        ELSE GREATEST(0, LEAST({maxc},
+                            CAST(FLOOR((v[i] - los[i]) / (his[i] - los[i])
+                                       * {maxc} + 0.5) AS INT)))
+                   END) AS codes
+        FROM ve, arr
+    ), rec AS (
+        SELECT vec_id,
+               list_transform({rng}, i ->
+                   los[i] + codes[i]::DOUBLE * ((his[i] - los[i]) / {maxc}))
+                   AS rv
+        FROM enc, arr
+    ), rn AS (
+        SELECT vec_id, rv,
+               SQRT(list_reduce(list_transform(rv, x -> x * x),
+                                (a, b) -> a + b)) AS rnorm
+        FROM rec
+    ), scored AS (
+        SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+               ROUND(list_reduce(
+                         list_transform({rng}, i -> q.v[i] * r.rv[i]),
+                         (a, b) -> a + b)
+                     / (SQRT(list_dot_product(q.v, q.v)) * r.rnorm),
+                     6) AS cosine
+        FROM (SELECT * FROM e WHERE vec_id < 20) q
+        JOIN rn r ON r.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k document fingerprint sketch (portable md5 hashes), emitted as a
     comma-joined string for scalar value hashing."""
@@ -4475,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
         "temperature_mix": q_temperature_mix,  # new in round 9
         "streaming_near_dedup": q_streaming_near_dedup,  # new in round 9
+        "knn_sq": q_knn_sq,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4576,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "streaming_near_dedup": _oracle_streaming_near_dedup_sql(),
+        "knn_sq": _oracle_knn_sq_sql(),
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

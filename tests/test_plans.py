@@ -139,10 +139,13 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # join (the unigram_nll shape) plus its own one-row threshold join.
     # temperature_mix: the normalizing total is the same ONE-row
     # aggregate broadcast cross join (sampling.temperature_weights).
+    # knn_sq scores every query x code-row pair by design (brute force
+    # over the COMPRESSED corpus, queries + one-row bounds broadcast),
+    # exactly like knn_pq.
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
-        "temperature_mix",
+        "temperature_mix", "knn_sq",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

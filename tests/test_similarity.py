@@ -1141,4 +1141,56 @@ def test_ann_recall_at_10_on_clustered_vectors(spark, seed):
         exact,
     )
     assert lsh_recall >= 0.9, f"rp_lsh recall {lsh_recall}"
+
+    # SQ8: 256 levels per dimension is near-lossless — the highest bar.
+    sq_bounds = similarity.sq_train(corpus, corpus_id="vec_id")
+    sq_enc = similarity.sq_encode(
+        corpus, corpus_id="vec_id", bounds=sq_bounds
+    )
+    sq_recall = _recall_at_k(
+        similarity.sq_topk(
+            queries, sq_enc, sq_bounds, query_id="vec_id", k=10
+        ),
+        exact,
+    )
+    assert sq_recall >= 0.95, f"sq recall {sq_recall}"
     corpus.unpersist()
+
+
+def test_sq_encode_guards_and_rerank(spark):
+    """SQ: corrupt vectors get NULL codes/rnorm (mirroring pq_encode);
+    constant dimensions quantize to code 0 without dividing by zero;
+    rerank returns exact cosines."""
+    import pytest as _pytest
+
+    rows = [
+        (1, [0.0, 1.0, 5.0]),
+        (2, [1.0, 1.0, 0.0]),
+        (3, None),
+        (4, [0.5, None, 2.0]),
+        (5, [0.5, 1.0]),  # wrong width
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clean = df.where("vec_id <= 2")
+    bounds = similarity.sq_train(df, corpus_id="vec_id")
+    b = {r["pos"]: (r["lo"], r["hi"]) for r in bounds.collect()}
+    assert b[1] == (1.0, 1.0)  # constant dim 2 (0-based pos; valid rows)
+    enc = {r["vec_id"]: r for r in similarity.sq_encode(
+        df, corpus_id="vec_id", bounds=bounds
+    ).collect()}
+    assert enc[3]["codes"] is None and enc[4]["codes"] is None
+    assert enc[5]["codes"] is None and enc[5]["rnorm"] is None
+    assert enc[1]["codes"] == [0, 0, 255] and enc[2]["codes"] == [255, 0, 0]
+    with _pytest.raises(ValueError, match="nbits"):
+        similarity.sq_encode(df, corpus_id="vec_id", bounds=bounds, nbits=0)
+
+    q = clean.where("vec_id = 1")
+    rer = similarity.sq_topk(
+        q, similarity.sq_encode(clean, corpus_id="vec_id", bounds=bounds),
+        bounds, query_id="vec_id", k=1,
+        rerank=clean, rerank_id="vec_id",
+    ).collect()
+    exact = similarity.cosine_topk(
+        q, clean, query_id="vec_id", corpus_id="vec_id", k=1
+    ).collect()
+    assert [tuple(r) for r in rer] == [tuple(r) for r in exact]

@@ -2531,3 +2531,188 @@ def ivf_pq_search(
         approx, q_all, rerank, rerank_id=rerank_id, rerank_vec=rerank_vec,
         round_to=round_to, k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the simple rung of the compression ladder
+# (float vectors -> SQ int codes -> PQ sub-codebooks). Per-dimension
+# affine quantization: code_i = floor((x_i - lo_i) / (hi_i - lo_i) *
+# (2^nbits - 1) + 0.5), reconstruction x̂_i = lo_i + code_i * step_i.
+# 4x memory at nbits=8 with near-exact recall (each dimension keeps 256
+# levels), no codebook training — bounds are one exact min/max pass.
+# ---------------------------------------------------------------------------
+
+
+def sq_train(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Per-dimension (pos, lo, hi) bounds over the VALID corpus vectors
+    (width/NULL-element filter mirroring pq_train). One posexplode to
+    (pos, value) pairs + a map-side-combining min/max aggregation whose
+    shuffle is dim x partitions rows — exact at any corpus size, no
+    sampling needed (min/max are mergeable)."""
+    dim = _pq_probe_dim(corpus, corpus_vec, corpus_id)
+    # element-level double cast: FLOAT[] inputs must quantize in double
+    # arithmetic or bounds/recon drift a float-ulp off the SQL oracle
+    v = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+    valid = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & (F.size(v) == dim)
+        & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
+    )
+    return (
+        valid.select(F.posexplode(v).alias("pos", "__x"))
+        .groupBy("pos")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+    )
+
+
+def _sq_bounds_row(bounds: DataFrame) -> DataFrame:
+    """Bounds aggregated to ONE row of position-ordered arrays — the
+    same no-collect broadcast-attach shape as the PQ 'join' kernel."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("lo"), F.col("hi")))
+    )
+    return bounds.agg(
+        F.transform(ordered, lambda s: s["lo"]).alias("__los"),
+        F.transform(ordered, lambda s: s["hi"]).alias("__his"),
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    bounds: DataFrame,
+    nbits: int = 8,
+) -> DataFrame:
+    """(id, codes array<int>, rnorm double): per-dimension affine codes
+    plus the reconstruction's L2 norm (precomputed once here so the ADC
+    scan never rebuilds it). Corrupt vectors (wrong width, NULL
+    elements) get NULL codes/rnorm, like pq_encode. Codes clamp to
+    [0, 2^nbits - 1] so encoding data OUTSIDE the training bounds stays
+    in range; floor(x + 0.5) rather than round() so the oracle's integer
+    codes are bit-identical (no half-even/half-up ambiguity).
+
+    100 TB shape: a scan-side projection — the one-row bounds attach is
+    a broadcast cross join; nothing shuffles."""
+    if nbits < 1 or nbits > 16:
+        raise ValueError(f"nbits must be in [1, 16], got {nbits}")
+    maxc = (1 << nbits) - 1
+    v = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+    row = F.broadcast(_sq_bounds_row(bounds))
+    dim = F.size(F.col("__los"))
+    ok = (
+        F.col(corpus_vec).isNotNull()
+        & (F.size(v) == dim)
+        & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
+    )
+    idx = F.sequence(F.lit(0), dim - 1)
+    lo = lambda i: F.element_at("__los", i + 1)  # noqa: E731
+    hi = lambda i: F.element_at("__his", i + 1)  # noqa: E731
+    code = lambda i: F.when(hi(i) == lo(i), F.lit(0)).otherwise(  # noqa: E731
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(maxc),
+                F.floor(
+                    (F.element_at(v, i + 1) - lo(i))
+                    / (hi(i) - lo(i))
+                    * maxc
+                    + 0.5
+                ).cast("int"),
+            ),
+        )
+    )
+    recon = lambda i: lo(i) + code(i).cast("double") * (  # noqa: E731
+        (hi(i) - lo(i)) / maxc
+    )
+    codes = F.transform(idx, code)
+    rnorm = F.sqrt(
+        F.aggregate(
+            F.transform(idx, lambda i: recon(i) * recon(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return corpus.crossJoin(row).select(
+        F.col(corpus_id),
+        F.when(ok, codes).alias("codes"),
+        F.when(ok, rnorm).alias("rnorm"),
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    bounds: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str = "embedding",
+    encoded_id: str = "vec_id",
+    k: int = 10,
+    nbits: int = 8,
+    round_to: int | None = 6,
+    broadcast_queries: bool | None = None,
+    rerank: DataFrame | None = None,
+    rerank_id: str | None = None,
+    rerank_vec: str = "embedding",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k by reconstructed cosine over SQ codes: queries
+    stay exact, each candidate scores as
+    ``<q, x̂> / (|q| |x̂|)`` with ``x̂`` decoded inline from its codes
+    (|x̂| was precomputed at encode time). Brute force over the
+    COMPRESSED corpus by definition, like pq_topk — the scan side is
+    int codes at dim bytes/row instead of dim*8; queries broadcast
+    (size-gated). ``rerank`` re-scores the top k*rerank_factor exactly.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    maxc = (1 << nbits) - 1
+    q_all = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.transform(F.col(query_vec), lambda x: x.cast("double")).alias(
+            "__qv"
+        ),
+    )
+    row = F.broadcast(_sq_bounds_row(bounds))
+    cand = (
+        encoded.where(F.col("codes").isNotNull())
+        .select(
+            F.col(encoded_id).alias("neighbor_id"), "codes", "rnorm"
+        )
+        .crossJoin(_gate_broadcast(q_all, broadcast_queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .crossJoin(row)
+    )
+    dim = F.size(F.col("__los"))
+    idx = F.sequence(F.lit(0), dim - 1)
+    lo = lambda i: F.element_at("__los", i + 1)  # noqa: E731
+    hi = lambda i: F.element_at("__his", i + 1)  # noqa: E731
+    recon = lambda i: lo(i) + F.element_at(  # noqa: E731
+        "codes", i + 1
+    ).cast("double") * ((hi(i) - lo(i)) / maxc)
+    dot = F.aggregate(
+        F.transform(idx, lambda i: F.element_at("__qv", i + 1) * recon(i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = dot / (l2_norm(F.col("__qv")) * F.col("rnorm"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cand.select("query_id", "neighbor_id", score.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= (k if rerank is None else k * rerank_factor)
+    )
+    if rerank is None:
+        return approx
+    return _pq_rerank(
+        approx, q_all, rerank, rerank_id=rerank_id, rerank_vec=rerank_vec,
+        round_to=round_to, k=k,
+    )
