@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "train_bpe",
     "bpe_encode",
     "pack_sequences",
+    # Round-9: scalar-quantized ANN — brute force over 8-bit codes
+    # (the knn_pq shape with per-dimension affine reconstruction).
+    "knn_sq",
 ]
 
 
