@@ -1194,3 +1194,49 @@ def test_sq_encode_guards_and_rerank(spark):
         q, clean, query_id="vec_id", corpus_id="vec_id", k=1
     ).collect()
     assert [tuple(r) for r in rer] == [tuple(r) for r in exact]
+
+
+def test_sq_degenerate_inputs_score_null_not_error(spark):
+    """ANSI-mode hardening (code-review r9): zero-norm candidates and
+    queries score NULL (module contract), far-out-of-bounds values clamp
+    instead of overflowing the int cast, malformed query vectors score
+    NULL instead of crashing element_at, and sq_topk validates nbits."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 3.0]), (3, [2.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = similarity.sq_train(corpus, corpus_id="vec_id")
+    enc = similarity.sq_encode(corpus, corpus_id="vec_id", bounds=bounds)
+    # vec 1 reconstructs to the per-dim lows -> rnorm 0: its candidacy
+    # must yield NULL cosine rows, not DIVIDE_BY_ZERO.
+    out = similarity.sq_topk(
+        corpus.where("vec_id = 2"), enc, bounds, query_id="vec_id", k=3
+    ).collect()
+    got = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert got[1] is None and got[3] is not None
+
+    # zero-norm and malformed QUERY vectors -> all-NULL scores, no crash
+    weird_q = spark.createDataFrame(
+        [(90, [0.0, 0.0, 0.0]), (91, [1.0, 2.0]), (92, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.sq_topk(
+        weird_q, enc, bounds, query_id="vec_id", k=3
+    ).collect()
+    assert rows and all(r["cosine"] is None for r in rows)
+
+    # encoding data far outside the training bounds clamps, no overflow
+    far = spark.createDataFrame(
+        [(50, [1e9, -1e9, 3.0])], "vec_id long, embedding array<double>"
+    )
+    codes = similarity.sq_encode(
+        far, corpus_id="vec_id", bounds=bounds
+    ).collect()[0]["codes"]
+    assert codes[0] == 255 and codes[1] == 0
+
+    with _pytest.raises(ValueError, match="nbits"):
+        similarity.sq_topk(
+            corpus, enc, bounds, query_id="vec_id", k=1, nbits=0
+        )

@@ -2614,35 +2614,49 @@ def sq_encode(
     idx = F.sequence(F.lit(0), dim - 1)
     lo = lambda i: F.element_at("__los", i + 1)  # noqa: E731
     hi = lambda i: F.element_at("__his", i + 1)  # noqa: E731
+    # Clamp on the LONG floor result, cast int afterwards: values far
+    # outside the training bounds would otherwise overflow the int cast
+    # and fail the job under ANSI mode instead of clamping.
     code = lambda i: F.when(hi(i) == lo(i), F.lit(0)).otherwise(  # noqa: E731
         F.greatest(
-            F.lit(0),
+            F.lit(0).cast("long"),
             F.least(
-                F.lit(maxc),
+                F.lit(maxc).cast("long"),
                 F.floor(
                     (F.element_at(v, i + 1) - lo(i))
                     / (hi(i) - lo(i))
                     * maxc
                     + 0.5
-                ).cast("int"),
+                ),
             ),
-        )
+        ).cast("int")
     )
-    recon = lambda i: lo(i) + code(i).cast("double") * (  # noqa: E731
-        (hi(i) - lo(i)) / maxc
+    # Staged: codes materialize once, rnorm derives from the codes
+    # column — the quantization CASE chain would otherwise re-evaluate
+    # twice more inside recon^2 (transform lambdas are not CSE'd).
+    staged = corpus.crossJoin(row).select(
+        F.col(corpus_id),
+        F.when(ok, F.transform(idx, code)).alias("codes"),
+        "__los",
+        "__his",
     )
-    codes = F.transform(idx, code)
+    c_recon = lambda i: F.element_at("__los", i + 1) + F.element_at(  # noqa: E731
+        "codes", i + 1
+    ).cast("double") * (
+        (F.element_at("__his", i + 1) - F.element_at("__los", i + 1)) / maxc
+    )
+    c_idx = F.sequence(F.lit(0), F.size("__los") - 1)
     rnorm = F.sqrt(
         F.aggregate(
-            F.transform(idx, lambda i: recon(i) * recon(i)),
+            F.transform(c_idx, lambda i: c_recon(i) * c_recon(i)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return corpus.crossJoin(row).select(
+    return staged.select(
         F.col(corpus_id),
-        F.when(ok, codes).alias("codes"),
-        F.when(ok, rnorm).alias("rnorm"),
+        "codes",
+        F.when(F.col("codes").isNotNull(), rnorm).alias("rnorm"),
     )
 
 
@@ -2669,15 +2683,26 @@ def sq_topk(
     (|x̂| was precomputed at encode time). Brute force over the
     COMPRESSED corpus by definition, like pq_topk — the scan side is
     int codes at dim bytes/row instead of dim*8; queries broadcast
-    (size-gated). ``rerank`` re-scores the top k*rerank_factor exactly.
-    Returns (query_id, neighbor_id, cosine, rank)."""
+    (size-gated). ``nbits`` MUST match the encode-time value (the codes
+    carry no header; a mismatch reconstructs with the wrong step size).
+    ``rerank`` re-scores the top k*rerank_factor exactly. Returns
+    (query_id, neighbor_id, cosine, rank). Degenerate inputs follow the
+    module's NULL-not-error contract: zero-norm queries or zero-
+    reconstruction candidates score NULL (rank last), and a query vector
+    of the wrong width or with NULL elements scores NULL instead of
+    failing the job under ANSI mode."""
+    if nbits < 1 or nbits > 16:
+        raise ValueError(f"nbits must be in [1, 16], got {nbits}")
     maxc = (1 << nbits) - 1
+    # Query norm computed ONCE per query row, before the candidate
+    # cross join — recomputing the dim-element fold per (query,
+    # candidate) pair would multiply the hot-path work by |corpus|.
     q_all = queries.select(
         F.col(query_id).alias("query_id"),
         F.transform(F.col(query_vec), lambda x: x.cast("double")).alias(
             "__qv"
         ),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     row = F.broadcast(_sq_bounds_row(bounds))
     cand = (
         encoded.where(F.col("codes").isNotNull())
@@ -2700,7 +2725,16 @@ def sq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    score = dot / (l2_norm(F.col("__qv")) * F.col("rnorm"))
+    # CASE short-circuits per row, so the dot fold (which indexes __qv
+    # up to the bounds dim) never evaluates for malformed query vectors.
+    q_ok = (
+        F.col("__qv").isNotNull()
+        & (F.size("__qv") == dim)
+        & (F.size(F.filter("__qv", lambda x: x.isNull())) == 0)
+    )
+    score = F.when(
+        q_ok, F.try_divide(dot, F.col("__qn") * F.col("rnorm"))
+    )
     if round_to is not None:
         score = F.round(score, round_to)
     scored = cand.select("query_id", "neighbor_id", score.alias("cosine"))

@@ -52,11 +52,19 @@ _REGISTRY_SCHEMA = "band_hash string"
 
 
 def _registry(spark, state_path: str) -> DataFrame:
-    """The band registry at ``state_path`` (empty before first append)."""
+    """The band registry at ``state_path`` (empty before the first
+    append). ONLY the path-not-found case maps to an empty registry —
+    any other read failure (auth, corrupt footer, permissions) must
+    fail the batch: silently substituting an empty registry would admit
+    near-duplicates of everything already seen."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(_REGISTRY_SCHEMA).parquet(state_path)
-    except Exception:
-        return spark.createDataFrame([], _REGISTRY_SCHEMA)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], _REGISTRY_SCHEMA)
+        raise
 
 
 def near_dedup_batch(
