@@ -1422,6 +1422,66 @@ def _oracle_knn_sq_sql(k: int = 5, dim: int = 64, maxc: int = 255) -> str:
     """
 
 
+def q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (new in round 9): 1-bit sign codes against
+    per-dimension (min+max)/2 thresholds packed 32-per-BIGINT lane
+    (similarity.bq_train/bq_encode), Hamming-distance top-k over the
+    packed lanes (bq_topk) — integer-only XOR+popcount scan, the 32x
+    rung of the compression ladder (full -> SQ8 -> PQ -> binary). The
+    oracle replays thresholds, lane packing and the Hamming fold
+    exactly; (min+max)/2 keeps training merge-order-independent so the
+    bits can't flip across engines."""
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
+    thr = similarity.bq_train(emb, corpus_id="vec_id")
+    enc = similarity.bq_encode(emb, corpus_id="vec_id", thresholds=thr)
+    return similarity.bq_topk(
+        emb.where(F.col("vec_id") < 20), enc, thr,
+        query_id="vec_id", k=5,
+    )
+
+
+def _oracle_knn_binary_sql(k: int = 5, dim: int = 64) -> str:
+    lanes = (dim + 31) // 32
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), ve AS (
+        SELECT * FROM e
+        WHERE v IS NOT NULL AND len(v) = {dim}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
+    ), b AS (
+        SELECT pos, (MIN(x) + MAX(x)) / 2 AS thr FROM (
+            SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM ve)
+        GROUP BY pos
+    ), arr AS (
+        SELECT list(thr ORDER BY pos) AS thrs FROM b
+    ), lanes AS (
+        SELECT vec_id,
+               list_transform(range(0, {lanes}), j ->
+                   list_reduce(
+                       list_transform(range(j*32, LEAST(j*32+32, {dim})),
+                           i -> (CASE WHEN v[i+1] >= thrs[i+1]
+                                      THEN 1::BIGINT ELSE 0::BIGINT END)
+                                * (1::BIGINT << (i % 32))),
+                       (a, b2) -> a + b2)) AS lanes
+        FROM ve, arr
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(
+                   list_transform(range(1, {lanes + 1}), i ->
+                       bit_count(xor(q.lanes[i], c.lanes[i]))::BIGINT),
+                   (a, b2) -> a + b2)::INT AS hamming
+        FROM (SELECT * FROM lanes WHERE vec_id < 20) q
+        JOIN lanes c ON c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k document fingerprint sketch (portable md5 hashes), emitted as a
     comma-joined string for scalar value hashing."""
@@ -4546,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,  # new in round 9
         "streaming_near_dedup": q_streaming_near_dedup,  # new in round 9
         "knn_sq": q_knn_sq,  # new in round 9
+        "knn_binary": q_knn_binary,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4648,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "streaming_near_dedup": _oracle_streaming_near_dedup_sql(),
         "knn_sq": _oracle_knn_sq_sql(),
+        "knn_binary": _oracle_knn_binary_sql(),
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     # Round-9: scalar-quantized ANN — brute force over 8-bit codes
     # (the knn_pq shape with per-dimension affine reconstruction).
     "knn_sq",
+    # Round-9: binary-quantized ANN — the 32x rung of the compression
+    # ladder; integer-only XOR+popcount over packed 32-bit lanes.
+    "knn_binary",
 ]
 
 

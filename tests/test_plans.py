@@ -142,10 +142,13 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # knn_sq scores every query x code-row pair by design (brute force
     # over the COMPRESSED corpus, queries + one-row bounds broadcast),
     # exactly like knn_pq.
+    # knn_binary: same brute-force-over-compressed shape — Hamming
+    # XOR+popcount against every packed-lane row, queries + one-row
+    # thresholds broadcast.
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
-        "temperature_mix", "knn_sq",
+        "temperature_mix", "knn_sq", "knn_binary",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

@@ -1154,6 +1154,29 @@ def test_ann_recall_at_10_on_clustered_vectors(spark, seed):
         exact,
     )
     assert sq_recall >= 0.95, f"sq recall {sq_recall}"
+
+    # BQ: 1 bit/dim (32 bits here). Raw Hamming must recover most of
+    # the cluster (ties at equal distance cost a little); with an exact
+    # rerank over 4x candidates the shortlist misses almost nothing.
+    bq_thr = similarity.bq_train(corpus, corpus_id="vec_id")
+    bq_enc = similarity.bq_encode(
+        corpus, corpus_id="vec_id", thresholds=bq_thr
+    )
+    bq_recall = _recall_at_k(
+        similarity.bq_topk(
+            queries, bq_enc, bq_thr, query_id="vec_id", k=10
+        ),
+        exact,
+    )
+    assert bq_recall >= 0.85, f"bq recall {bq_recall}"
+    bq_rr = _recall_at_k(
+        similarity.bq_topk(
+            queries, bq_enc, bq_thr, query_id="vec_id", k=10,
+            rerank=corpus, rerank_id="vec_id",
+        ),
+        exact,
+    )
+    assert bq_rr >= 0.95, f"bq rerank recall {bq_rr}"
     corpus.unpersist()
 
 
@@ -1240,3 +1263,62 @@ def test_sq_degenerate_inputs_score_null_not_error(spark):
         similarity.sq_topk(
             corpus, enc, bounds, query_id="vec_id", k=1, nbits=0
         )
+
+
+def test_bq_encode_guards_and_rerank(spark):
+    """BQ: corrupt vectors get NULL lanes (the pq/sq contract); the
+    '>= threshold -> 1' tie rule holds on constant dimensions; lane
+    packing puts bit i at lane i//32, position i%32; malformed query
+    vectors score NULL hamming and rank last; rerank returns exact
+    cosines."""
+    rows = [
+        (1, [0.0, 1.0, 5.0]),
+        (2, [1.0, 1.0, 0.0]),
+        (3, None),
+        (4, [0.5, None, 2.0]),
+        (5, [0.5, 1.0]),  # wrong width
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clean = df.where("vec_id <= 2")
+    thr = similarity.bq_train(df, corpus_id="vec_id")
+    t = {r["pos"]: r["thr"] for r in thr.collect()}
+    assert t == {0: 0.5, 1: 1.0, 2: 2.5}
+    enc = {r["vec_id"]: r["lanes"] for r in similarity.bq_encode(
+        df, corpus_id="vec_id", thresholds=thr
+    ).collect()}
+    assert enc[3] is None and enc[4] is None and enc[5] is None
+    # vec 1: bits (0>=0.5, 1>=1.0, 5>=2.5) = (0,1,1) -> 0b110 = 6
+    # vec 2: bits (1>=0.5, 1>=1.0, 0>=2.5) = (1,1,0) -> 0b011 = 3
+    assert enc[1] == [6] and enc[2] == [3]
+
+    # 33-dim vector spills into a second lane: bit 32 -> lane 1, bit 0.
+    wide = spark.createDataFrame(
+        [(1, [1.0] * 33)], "vec_id long, embedding array<double>"
+    )
+    wthr = similarity.bq_train(wide, corpus_id="vec_id")
+    wlanes = similarity.bq_encode(
+        wide, corpus_id="vec_id", thresholds=wthr
+    ).collect()[0]["lanes"]
+    assert wlanes == [(1 << 32) - 1, 1]
+
+    # Malformed query (wrong width) scores NULL hamming, never errors.
+    bad_q = spark.createDataFrame(
+        [(9, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    got = similarity.bq_topk(
+        bad_q,
+        similarity.bq_encode(clean, corpus_id="vec_id", thresholds=thr),
+        thr, query_id="vec_id", k=2,
+    ).collect()
+    assert got and all(r["hamming"] is None for r in got)
+
+    q = clean.where("vec_id = 1")
+    rer = similarity.bq_topk(
+        q, similarity.bq_encode(clean, corpus_id="vec_id", thresholds=thr),
+        thr, query_id="vec_id", k=1,
+        rerank=clean, rerank_id="vec_id",
+    ).collect()
+    exact = similarity.cosine_topk(
+        q, clean, query_id="vec_id", corpus_id="vec_id", k=1
+    ).collect()
+    assert [tuple(r) for r in rer] == [tuple(r) for r in exact]

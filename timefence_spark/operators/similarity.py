@@ -12,6 +12,11 @@
                        codes, queries score by asymmetric distance over the
                        codes; ivf_pq_topk / ivf_pq_build_index compose the
                        probe and compression levers (FAISS-style IVF-PQ).
+* sq_train/encode/topk — scalar quantization: per-dimension 8-bit affine
+                       codes, 4x memory, reconstructed-cosine scan.
+* bq_train/encode/topk — binary quantization: 1 bit/dim sign codes packed
+                       into 32-bit BIGINT lanes, 32x memory; Hamming
+                       (XOR+popcount) search, optional exact rerank.
 
 Vector math comes in two interchangeable kernels:
 
@@ -2749,4 +2754,199 @@ def sq_topk(
     return _pq_rerank(
         approx, q_all, rerank, rerank_id=rerank_id, rerank_vec=rerank_vec,
         round_to=round_to, k=k,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BQ): 1-bit sign codes + Hamming-distance search.
+# The last rung of the compression ladder (full -> SQ8 -> PQ -> binary):
+# each dimension contributes ONE bit (x >= per-dim threshold), so a
+# 768-dim float32 vector compresses 3072 bytes -> 96 bytes (32x), and
+# candidate scoring is XOR + popcount over packed integer lanes — no
+# floating point at all on the scan side. Standard practice pairs the
+# Hamming shortlist with an exact rerank (rerank=...), mirroring pq_topk.
+#
+# Determinism: thresholds are (min+max)/2 per dimension — min/max are
+# exact and merge-order-independent (unlike a distributed mean, whose
+# float summation order could flip a sign bit right at the threshold and
+# break cross-engine replay). Bits pack 32 per BIGINT lane (bit i of the
+# vector -> lane i//32, position i%32), never touching the sign bit, so
+# Spark and ANSI-SQL oracles agree without unsigned-overflow caveats.
+
+
+def bq_train(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Per-dimension (pos, thr) binarization thresholds over the VALID
+    corpus vectors: thr = (min + max) / 2. One posexplode + min/max
+    aggregation (map-side combining; shuffle is dim x partitions rows).
+    Exact at any corpus size — no sampling, no order dependence."""
+    bounds = sq_train(corpus, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    return bounds.select(
+        "pos", ((F.col("lo") + F.col("hi")) / 2).alias("thr")
+    )
+
+
+def _bq_thr_row(thresholds: DataFrame) -> DataFrame:
+    """Thresholds aggregated to ONE row of a position-ordered array —
+    the same no-collect broadcast-attach shape as _sq_bounds_row."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("thr")))
+    )
+    return thresholds.agg(
+        F.transform(ordered, lambda s: s["thr"]).alias("__thrs")
+    )
+
+
+# 2^(i mod 32) as a BIGINT literal array: PySpark's shiftleft() only
+# takes a Python-int shift amount, so the per-bit weight is a lookup
+# instead of a column-valued shift. 32 longs — negligible literal cost.
+_BQ_POW2 = [1 << p for p in range(32)]
+
+
+def _bq_lanes(vec, dim_col: Column) -> Column:
+    """Pack sign bits (vec(i) >= thr[i+1]) into 32-bit lanes of BIGINT:
+    lane j = sum over i in [32j, 32j+31] of bit_i * 2^(i mod 32). The
+    '>= threshold -> 1' tie rule is part of the format contract.
+    ``vec`` is a callable mapping a 0-based bigint index Column to the
+    element value."""
+    pows = F.array(*[F.lit(p).cast("long") for p in _BQ_POW2])
+    n_lanes = F.ceil(dim_col / 32).cast("int")
+    lanes = F.sequence(F.lit(0), n_lanes - 1)
+    bit = lambda i: F.when(  # noqa: E731
+        vec(i) >= F.element_at("__thrs", (i + 1).cast("int")),
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return F.transform(
+        lanes,
+        lambda j: F.aggregate(
+            F.sequence(
+                j.cast("bigint") * 32,
+                F.least(
+                    j.cast("bigint") * 32 + 31, dim_col.cast("bigint") - 1
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + bit(i) * F.element_at(pows, (i % 32 + 1).cast("int")),
+        ),
+    )
+
+
+def bq_encode(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    thresholds: DataFrame,
+) -> DataFrame:
+    """(id, lanes array<bigint>): packed 1-bit sign codes. Corrupt
+    vectors (NULL, wrong width, NULL elements) get NULL lanes, like
+    pq_encode/sq_encode.
+
+    100 TB shape: a scan-side projection — the one-row threshold attach
+    is a broadcast cross join; nothing shuffles."""
+    v = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+    row = F.broadcast(_bq_thr_row(thresholds))
+    dim = F.size(F.col("__thrs"))
+    ok = (
+        F.col(corpus_vec).isNotNull()
+        & (F.size(v) == dim)
+        & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
+    )
+    vec = lambda i: F.element_at(v, i.cast("int") + 1)  # noqa: E731
+    return corpus.crossJoin(row).select(
+        F.col(corpus_id),
+        F.when(ok, _bq_lanes(vec, dim)).alias("lanes"),
+    )
+
+
+def bq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    thresholds: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str = "embedding",
+    encoded_id: str = "vec_id",
+    k: int = 10,
+    broadcast_queries: bool | None = None,
+    rerank: DataFrame | None = None,
+    rerank_id: str | None = None,
+    rerank_vec: str = "embedding",
+    rerank_factor: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k by Hamming distance over packed sign bits:
+    queries binarize inline with the SAME thresholds, each candidate
+    scores sum(bit_count(xor(q_lane, c_lane))) — integer-only scan,
+    brute force over the compressed corpus by definition (like pq_topk/
+    sq_topk; queries broadcast, size-gated). Ascending Hamming, ties
+    break on neighbor_id. Malformed query vectors score NULL (ranked
+    last). ``rerank`` re-scores the top k*rerank_factor exactly and
+    returns (query_id, neighbor_id, cosine, rank); without it the
+    result is (query_id, neighbor_id, hamming, rank)."""
+    v = F.transform(F.col(query_vec), lambda x: x.cast("double"))
+    row = F.broadcast(_bq_thr_row(thresholds))
+    dim = F.size(F.col("__thrs"))
+    ok = (
+        F.col(query_vec).isNotNull()
+        & (F.size(v) == dim)
+        & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
+    )
+    vec = lambda i: F.element_at(v, i.cast("int") + 1)  # noqa: E731
+    # Query lanes (and the exact-vector copy for the rerank path) are
+    # computed ONCE per query row, before the candidate cross join.
+    q_all = (
+        queries.crossJoin(row)
+        .select(
+            F.col(query_id).alias("query_id"),
+            v.alias("__qv"),
+            F.when(ok, _bq_lanes(vec, dim)).alias("__qlanes"),
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+    cand = (
+        encoded.where(F.col("lanes").isNotNull())
+        .select(F.col(encoded_id).alias("neighbor_id"), "lanes")
+        .crossJoin(_gate_broadcast(q_all, broadcast_queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    n_lanes = F.size(F.col("lanes"))
+    ham = F.aggregate(
+        F.sequence(F.lit(1), n_lanes),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.bit_count(
+            F.element_at("lanes", i.cast("int")).bitwiseXOR(
+                F.element_at("__qlanes", i.cast("int"))
+            )
+        ),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__qlanes").isNotNull(), ham)
+        .cast("int")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("hamming"), F.asc("neighbor_id")
+    )
+    approx = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= (k if rerank is None else k * rerank_factor)
+    )
+    if rerank is None:
+        return approx
+    return _pq_rerank(
+        approx,
+        q_all.select("query_id", "__qv", "__qn"),
+        rerank,
+        rerank_id=rerank_id,
+        rerank_vec=rerank_vec,
+        round_to=round_to,
+        k=k,
     )
