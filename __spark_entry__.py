@@ -2412,6 +2412,108 @@ def q_url_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (new in round 9): crawl re-fetch removal. Every
+    3 documents share one page; each sees it under a different dirty
+    spelling (scheme/host case + default port, trailing slash, tracking
+    params, unsorted params + fragment). web.canonicalize_url folds the
+    spellings together and web.url_dedup keeps min(doc_id) per
+    canonical form via one min-agg + semi-join (no window). The oracle
+    replays the full normalization chain."""
+    from timefence_spark.operators import web
+
+    d = F.col("doc_id")
+    g = F.floor(d / 3).cast("string")
+    src = F.col("source")
+    url = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("https://"), src, F.lit(".example.org/p/"), g))
+        .when(d % 6 == 1, F.concat(
+            F.lit("HTTPS://"), F.upper(src), F.lit(".Example.ORG:443/p/"), g))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://"), src, F.lit(".example.org/p/"), g, F.lit("/")))
+        .when(d % 6 == 3, F.concat(
+            F.lit("https://"), src, F.lit(".example.org/p/"), g,
+            F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(d % 6 == 4, F.concat(
+            F.lit("https://"), src, F.lit(".example.org/p/"), g,
+            F.lit("?b=2&a=1#top")))
+        .otherwise(F.concat(
+            F.lit("https://"), src, F.lit(".example.org/p/"), g,
+            F.lit("?a=1&b=2&gclid="), d.cast("string")))
+    )
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", url.alias("url")
+    )
+    return web.url_dedup(docs, id_col="doc_id", url_col="url").select(
+        "doc_id", "canonical_url"
+    )
+
+
+ORACLE_URL_DEDUP = r"""
+    WITH u0 AS (
+        SELECT doc_id,
+               CASE doc_id % 6
+                   WHEN 0 THEN 'https://' || source || '.example.org/p/'
+                               || (doc_id // 3)
+                   WHEN 1 THEN 'HTTPS://' || upper(source)
+                               || '.Example.ORG:443/p/' || (doc_id // 3)
+                   WHEN 2 THEN 'https://' || source || '.example.org/p/'
+                               || (doc_id // 3) || '/'
+                   WHEN 3 THEN 'https://' || source || '.example.org/p/'
+                               || (doc_id // 3)
+                               || '?utm_source=feed&utm_medium=rss'
+                   WHEN 4 THEN 'https://' || source || '.example.org/p/'
+                               || (doc_id // 3) || '?b=2&a=1#top'
+                   ELSE 'https://' || source || '.example.org/p/'
+                        || (doc_id // 3) || '?a=1&b=2&gclid=' || doc_id
+               END AS url
+        FROM documents
+    ), t AS (
+        SELECT doc_id, trim(url) AS u,
+               regexp_replace(trim(url), '#.*$', '') AS nofrag
+        FROM u0
+    ), parts AS (
+        SELECT doc_id, u,
+               lower(regexp_extract(nofrag,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(nofrag,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+               regexp_replace(regexp_extract(nofrag,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                   '/+$', '') AS path,
+               regexp_extract(nofrag, '\?([^#]*)', 1) AS rawq
+        FROM t
+    ), normed AS (
+        SELECT doc_id, u, scheme, path, rawq,
+               CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+                    THEN substr(auth0, 1, length(auth0) - 3)
+                    WHEN scheme = 'https' AND auth0 LIKE '%:443'
+                    THEN substr(auth0, 1, length(auth0) - 4)
+                    ELSE auth0 END AS auth,
+               list_sort(list_filter(string_split(rawq, '&'),
+                   p -> p <> ''
+                        AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                        AND split_part(p, '=', 1) NOT IN
+                            ('gclid', 'fbclid', 'msclkid', 'mc_eid',
+                             'igshid'))) AS kept
+        FROM parts
+    ), canon AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                    THEN scheme || '://' || auth || path ||
+                         CASE WHEN len(kept) > 0
+                              THEN '?' || array_to_string(kept, '&')
+                              ELSE '' END
+                    ELSE u END AS canonical_url
+        FROM normed
+    )
+    SELECT doc_id, canonical_url FROM canon
+    WHERE doc_id = (SELECT MIN(c2.doc_id) FROM canon c2
+                    WHERE c2.canonical_url = canon.canonical_url)
+"""
+
+
 def _sql_str(pattern: str) -> str:
     """Embed a regex in a single-quoted SQL literal (escape ')."""
     return pattern.replace("'", "''")
@@ -4607,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dedup": q_streaming_near_dedup,  # new in round 9
         "knn_sq": q_knn_sq,  # new in round 9
         "knn_binary": q_knn_binary,  # new in round 9
+        "url_dedup": q_url_dedup,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4710,6 +4813,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_near_dedup": _oracle_streaming_near_dedup_sql(),
         "knn_sq": _oracle_knn_sq_sql(),
         "knn_binary": _oracle_knn_binary_sql(),
+        "url_dedup": ORACLE_URL_DEDUP,
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

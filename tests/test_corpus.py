@@ -436,3 +436,25 @@ def test_corpus_to_sequences_end_to_end(spark):
     )
     assert total == expect_total  # pad mode loses no tokens
     assert all(len(r["input_ids"]) == 16 for r in seqs)
+
+
+def test_dedup_urls_keeps_min_id_and_null_urls(spark, docs):
+    from pyspark.sql import functions as F
+
+    with_urls = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") < 40,
+            F.concat(
+                F.lit("https://Example.org/p/"),
+                F.floor(F.col("doc_id") / 2).cast("string"),
+                F.when(F.col("doc_id") % 2 == 1, F.lit("/?utm_source=x"))
+                .otherwise(F.lit("")),
+            ),
+        ),
+    )
+    got = _ids(Corpus(with_urls).dedup_urls())
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # pairs (2g, 2g+1) collapse to min = even ids; NULL-url docs all kept
+    want = {i for i in all_ids if i >= 40 or i % 2 == 0}
+    assert got == want

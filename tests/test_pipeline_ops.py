@@ -555,3 +555,54 @@ def test_temperature_weights_and_budgets(spark):
         ).collect()
     }
     assert wz == {"web": 0.0, "code": 0.0}
+
+
+def test_canonicalize_url_and_url_dedup(spark):
+    """The normalization contract, edge by edge: fragment drop, scheme/
+    host case, default ports (scheme-matched only), trailing slashes,
+    tracking-param removal, byte-wise param sort, non-URL passthrough,
+    NULL passthrough; url_dedup keeps min(id) per canonical form and
+    keeps every NULL-url row."""
+    from timefence_spark.operators import web
+
+    rows = [
+        (1, "HTTPS://Example.ORG:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.org/a/b?a=1&b=2"),
+        (3, "http://EXAMPLE.org:80/"),
+        (4, "http://example.org"),
+        (5, "https://example.org:80/x"),    # port doesn't match scheme: kept
+        (6, "  not a url at all  "),
+        (7, None),
+        (8, "https://example.org/a/b?b=2&a=1&fbclid=123"),
+        (9, "ftp://Files.Example.com/Dir/"),  # path case preserved
+        (10, "https://www.example.org/w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in web.canonicalize_urls(df, url_col="url").collect()
+    }
+    assert got[1] == "https://example.org/a/b?a=1&b=2"
+    assert got[2] == "https://example.org/a/b?a=1&b=2"
+    assert got[3] == "http://example.org"
+    assert got[4] == "http://example.org"
+    assert got[5] == "https://example.org:80/x"
+    assert got[6] == "not a url at all"
+    assert got[7] is None
+    assert got[8] == "https://example.org/a/b?a=1&b=2"
+    assert got[9] == "ftp://files.example.com/Dir"
+    assert got[10] == "https://www.example.org/w"
+    www = {
+        r["doc_id"]: r["canonical_url"]
+        for r in web.canonicalize_urls(
+            df, url_col="url", strip_www=True
+        ).collect()
+    }
+    assert www[10] == "https://example.org/w"
+
+    kept = sorted(
+        r["doc_id"]
+        for r in web.url_dedup(df, id_col="doc_id", url_col="url").collect()
+    )
+    # canonical groups: {1,2,8} -> 1, {3,4} -> 3; 5,6,9,10 unique; 7 NULL kept
+    assert kept == [1, 3, 5, 6, 7, 9, 10]

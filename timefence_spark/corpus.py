@@ -97,6 +97,22 @@ class Corpus:
         )
         return self._keep_ids(ids)
 
+    def dedup_urls(
+        self, *, url_col: str = "url", strip_www: bool = False
+    ) -> "Corpus":
+        """Keep one document (min id) per CANONICAL URL — the cheap
+        crawl re-fetch filter that runs before content-level dedup
+        (web.canonicalize_url folds scheme/host case, default ports,
+        tracking params, param order, fragments and trailing slashes).
+        Documents with a NULL ``url_col`` are all kept."""
+        from timefence_spark.operators import web
+
+        ids = web.url_dedup(
+            self.df, id_col=self.id_col, url_col=url_col,
+            strip_www=strip_www,
+        ).select(self.id_col)
+        return self._keep_ids(ids)
+
     def dedup_near(self, *, keep: str = "min_id", **minhash_kwargs) -> "Corpus":
         """Transitive MinHash-LSH near-dup removal. ``keep='min_id'``
         keeps the smallest id per component; ``keep='best'`` keeps the

@@ -199,3 +199,129 @@ def strip_html(
     t = F.regexp_replace(t, r"[ \t\r]+", " ")
     t = F.regexp_replace(t, r"^\s+|\s+$", "")
     return df.withColumn(out_col or text_col, t)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup. A crawl sees the same page under
+# many spellings — scheme/host case, default ports, tracking params in
+# varying order, fragments, trailing slashes. Canonicalizing before
+# content-level dedup removes the cheap bulk (exact re-fetches) so the
+# expensive MinHash/embedding passes run on fewer rows.
+# ---------------------------------------------------------------------------
+
+# Query parameters that never change page content: analytics/attribution
+# tags. Matched against the parameter NAME (the part before '='):
+# prefixes for the utm_* family, exact names for the rest.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAM_NAMES = ("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def canonicalize_url(url: Column, *, strip_www: bool = False) -> Column:
+    """RFC-3986-style normalization as ONE scan-speed expression chain
+    (every regex is Java/RE2-identical, so SQL oracles replay it):
+
+    1. trim; non-URLs (no ``scheme://``) pass through trimmed;
+    2. drop the fragment (``#...``);
+    3. lower-case scheme and authority; drop default ports
+       (``http...:80``, ``https...:443``); optionally drop a leading
+       ``www.`` (``strip_www=True``);
+    4. strip trailing slashes from the path (``/a/b/`` == ``/a/b``;
+       the root path collapses to none);
+    5. drop tracking parameters (``utm_*``, gclid, fbclid, msclkid,
+       mc_eid, igshid), sort the survivors byte-wise, re-join — and
+       drop the ``?`` entirely when none survive.
+
+    Deterministic and total: NULL stays NULL, nothing errors."""
+    u = F.trim(url)
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(nofrag, _AUTHORITY_RE, 1))
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+    if strip_www:
+        auth = F.when(
+            auth.startswith("www."), F.substring(auth, 5, F.length(auth))
+        ).otherwise(auth)
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, _PATH_RE, 1), r"/+$", ""
+    )
+    rawq = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    name = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
+    is_tracking = lambda p: F.lit(False)  # noqa: E731
+    for pref in TRACKING_PARAM_PREFIXES:
+        prev = is_tracking
+        is_tracking = (
+            lambda p, _prev=prev, _pref=pref:
+            _prev(p) | name(p).startswith(_pref)
+        )
+    for nm in TRACKING_PARAM_NAMES:
+        prev = is_tracking
+        is_tracking = (
+            lambda p, _prev=prev, _nm=nm: _prev(p) | (name(p) == _nm)
+        )
+    kept = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "") & ~is_tracking(p),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), auth, path, query)
+    return F.when(u.rlike(_SCHEME_RE), canon).otherwise(u)
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    *,
+    url_col: str,
+    out_col: str = "canonical_url",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Attach the canonical form of ``url_col`` as ``out_col`` — a pure
+    projection, zero shuffle at any scale."""
+    return df.withColumn(
+        out_col, canonicalize_url(F.col(url_col), strip_www=strip_www)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    url_col: str,
+    strip_www: bool = False,
+) -> DataFrame:
+    """First-occurrence dedup on the CANONICAL URL: keeps the row with
+    the minimum ``id_col`` per canonical form (deterministic at any
+    partitioning), with the canonical form attached as
+    ``canonical_url``. Rows with NULL urls are all kept (a missing URL
+    identifies nothing).
+
+    100 TB shape: canonicalization is scan-speed; the keep decision is
+    ONE min-struct aggregation on the canonical key (map-side combining
+    — no window, no row_number shuffle-and-sort of full rows), then the
+    kept ids re-attach through an AQE-splittable equi-join that carries
+    ids only. The same no-window shape as dedup.line_dedup."""
+    canon = canonicalize_urls(
+        df, url_col=url_col, strip_www=strip_www
+    )
+    winners = (
+        canon.where(F.col(url_col).isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min(F.col(id_col)).alias("__keep_id"))
+        .select(F.col("__keep_id").alias(id_col))
+    )
+    kept = canon.join(winners, on=id_col, how="leftsemi")
+    nulls = canon.where(F.col(url_col).isNull())
+    return kept.unionByName(nulls)
