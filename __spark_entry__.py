@@ -2470,8 +2470,13 @@ ORACLE_URL_DEDUP = r"""
                END AS url
         FROM documents
     ), t AS (
-        SELECT doc_id, trim(url) AS u,
-               regexp_replace(trim(url), '#.*$', '') AS nofrag
+        SELECT doc_id,
+               regexp_replace(url, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g')
+                   AS u,
+               regexp_replace(
+                   regexp_replace(url, '^[ \t\r\n]+|[ \t\r\n]+$', '',
+                                  'g'),
+                   '#.*$', '') AS nofrag
         FROM u0
     ), parts AS (
         SELECT doc_id, u,

@@ -833,3 +833,123 @@ def test_pack_sequences_property_matches_reference(spark, s):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties (round 9): for ANY url built from clean
+# components and ANY pile of non-semantic dirt on top (scheme/host case,
+# scheme-matched default port, trailing slashes, tracking params spliced
+# anywhere, param shuffle, fragment, surrounding whitespace),
+# canonicalize_url(dirty) must equal the canonical form assembled directly
+# from the components — and must be idempotent on the dirty input.
+# ---------------------------------------------------------------------------
+
+_SAFE = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+@st.composite
+def url_scenario(draw):
+    scheme = draw(st.sampled_from(["http", "https"]))
+    host_labels = draw(
+        st.lists(
+            st.text(alphabet=_SAFE, min_size=1, max_size=8),
+            min_size=1, max_size=3,
+        )
+    )
+    host = ".".join(host_labels)
+    segs = draw(
+        st.lists(
+            st.text(alphabet=_SAFE + "._-", min_size=1, max_size=6),
+            min_size=0, max_size=3,
+        )
+    )
+    path = "".join("/" + s for s in segs)
+    params = draw(
+        st.lists(
+            st.tuples(
+                st.text(alphabet=_SAFE, min_size=1, max_size=6).filter(
+                    lambda n: not n.startswith("utm_")
+                    and n not in ("gclid", "fbclid", "msclkid",
+                                  "mc_eid", "igshid")
+                ),
+                st.text(alphabet=_SAFE + ".-", min_size=0, max_size=6),
+            ),
+            min_size=0, max_size=4,
+        )
+    )
+    # dirt knobs
+    up_scheme = draw(st.booleans())
+    up_host = draw(st.booleans())
+    add_port = draw(st.booleans())
+    n_trailing = draw(st.integers(min_value=0, max_value=2))
+    tracking = draw(
+        st.lists(
+            st.sampled_from(
+                ["utm_source=a", "utm_medium=x", "gclid=123",
+                 "fbclid=zz", "igshid=q"]
+            ),
+            min_size=0, max_size=3,
+        )
+    )
+    shuffle_seed = draw(st.integers(min_value=0, max_value=999))
+    fragment = draw(st.one_of(
+        st.none(), st.text(alphabet=_SAFE + "/?&=", max_size=8)
+    ))
+    pad = draw(st.sampled_from(["", " ", "  \t"]))
+    return (scheme, host, path, params, up_scheme, up_host, add_port,
+            n_trailing, tracking, shuffle_seed, fragment, pad)
+
+
+def _assemble(s):
+    """(canonical, dirty) pair from a url_scenario tuple."""
+    import random
+
+    (scheme, host, path, params, up_scheme, up_host, add_port,
+     n_trailing, tracking, shuffle_seed, fragment, pad) = s
+    pstrs = [f"{n}={v}" for n, v in params]
+    canon_q = "?" + "&".join(sorted(pstrs)) if pstrs else ""
+    canonical = f"{scheme}://{host}{path}{canon_q}"
+
+    d_scheme = scheme.upper() if up_scheme else scheme
+    d_host = host.upper() if up_host else host
+    if add_port:
+        d_host += ":80" if scheme == "http" else ":443"
+    d_path = path + "/" * n_trailing
+    all_params = pstrs + list(tracking)
+    random.Random(shuffle_seed).shuffle(all_params)
+    d_q = "?" + "&".join(all_params) if all_params else ""
+    d_frag = "" if fragment is None else "#" + fragment
+    dirty = f"{pad}{d_scheme}://{d_host}{d_path}{d_q}{d_frag}{pad}"
+    return canonical, dirty
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(scenarios=st.lists(url_scenario(), min_size=1, max_size=25))
+def test_url_canonicalization_absorbs_dirt_and_is_idempotent(
+    spark, scenarios
+):
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators.web import canonicalize_url
+
+    pairs = [_assemble(s) for s in scenarios]
+    df = spark.createDataFrame(
+        [(i, dirty) for i, (_, dirty) in enumerate(pairs)],
+        "i long, url string",
+    )
+    out = df.select(
+        "i",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    got = {r["i"]: (r["c1"], r["c2"]) for r in out}
+    for i, (canonical, dirty) in enumerate(pairs):
+        c1, c2 = got[i]
+        assert c1 == canonical, (dirty, c1, canonical)
+        assert c2 == c1, (dirty, c1, c2)

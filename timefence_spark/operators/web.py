@@ -236,7 +236,9 @@ def canonicalize_url(url: Column, *, strip_www: bool = False) -> Column:
        drop the ``?`` entirely when none survive.
 
     Deterministic and total: NULL stays NULL, nothing errors."""
-    u = F.trim(url)
+    # NOT F.trim: SQL trim strips only ' ', and crawl cells carry tabs/
+    # newlines around URLs. ASCII whitespace classes are Java/RE2-equal.
+    u = F.regexp_replace(url, r"^[ \t\r\n]+|[ \t\r\n]+$", "")
     nofrag = F.regexp_replace(u, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(nofrag, _AUTHORITY_RE, 1))
