@@ -2519,6 +2519,41 @@ ORACLE_URL_DEDUP = r"""
 """
 
 
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate mining (new in round 9): top recurring word
+    3-grams with total and document frequency (text.ngram_frequencies —
+    per-doc pre-agg before the one gram shuffle, no count-distinct
+    expand). The table head is what line/span blocklists get curated
+    from."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.ngram_frequencies(
+        docs, id_col="doc_id", text_col="text", n=3, top_k=100, min_docs=2
+    )
+
+
+def _oracle_ngram_freq_sql(n: int = 3, top_k: int = 100,
+                           min_docs: int = 2) -> str:
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents WHERE text IS NOT NULL
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - {n} + 2),
+                      i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS ngram
+        FROM t WHERE len(tk) >= {n}
+    ), pd AS (
+        SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY doc_id, ngram
+    )
+    SELECT ngram, SUM(c)::BIGINT AS n_occurrences,
+           COUNT(*)::BIGINT AS n_docs
+    FROM pd GROUP BY ngram HAVING COUNT(*) >= {min_docs}
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT {top_k}
+    """
+
+
 def _sql_str(pattern: str) -> str:
     """Embed a regex in a single-quoted SQL literal (escape ')."""
     return pattern.replace("'", "''")
@@ -4715,6 +4750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq": q_knn_sq,  # new in round 9
         "knn_binary": q_knn_binary,  # new in round 9
         "url_dedup": q_url_dedup,  # new in round 9
+        "ngram_freq": q_ngram_freq,  # new in round 9
         "pack_sequences": q_pack_sequences,  # new in round 9
         "knn_ivf_arrow": q_knn_ivf_arrow,
         "media_dedup": q_media_dedup,
@@ -4819,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_sq": _oracle_knn_sq_sql(),
         "knn_binary": _oracle_knn_binary_sql(),
         "url_dedup": ORACLE_URL_DEDUP,
+        "ngram_freq": _oracle_ngram_freq_sql(),
         "pack_sequences": _oracle_pack_sequences_sql(),
         "pit_strict": _pit_orders_oracle(),
         "pit_embargo": _pit_orders_oracle(embargo_d=7),

@@ -919,3 +919,48 @@ def test_fluency_buckets_null_stratum_kept(spark):
     assert {20, 21, 22} <= set(out)
     assert out[20]["lang"] is None
     assert out[21]["bucket"] == "tail"  # rare words: least fluent of its group
+
+
+def test_ngram_frequencies_full_grams_only_and_min_docs(spark):
+    from timefence_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie policy accepted here"),
+            (2, "read our cookie policy accepted now"),
+            (3, "cookie policy"),          # < n tokens: contributes nothing
+            (4, None),                     # NULL text: contributes nothing
+            (5, "  cookie   policy accepted  "),  # whitespace runs collapse
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["ngram"]: (r["n_occurrences"], r["n_docs"])
+        for r in t.ngram_frequencies(
+            df, id_col="doc_id", text_col="text", n=3
+        ).collect()
+    }
+    assert out["cookie policy accepted"] == (3, 3)
+    assert "cookie policy" not in out  # no short tails
+    mined = t.ngram_frequencies(
+        df, id_col="doc_id", text_col="text", n=3, min_docs=3
+    ).collect()
+    assert [(r["ngram"], r["n_occurrences"], r["n_docs"]) for r in mined] == [
+        ("cookie policy accepted", 3, 3)
+    ]
+    # n=1 degenerates to word_frequencies
+    w = {
+        (r["word"], r["n_occurrences"], r["n_docs"])
+        for r in t.word_frequencies(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    g = {
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in t.ngram_frequencies(
+            df, id_col="doc_id", text_col="text", n=1
+        ).collect()
+    }
+    assert w == g
+    with pytest.raises(ValueError, match="n must be"):
+        t.ngram_frequencies(df, id_col="doc_id", text_col="text", n=0)

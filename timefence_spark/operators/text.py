@@ -805,6 +805,59 @@ def word_frequencies(
     return out.limit(top_k) if top_k is not None else out
 
 
+def ngram_frequencies(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    top_k: int | None = None,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level n-gram table: (ngram, n_occurrences, n_docs), ordered
+    by (n_occurrences desc, ngram asc) — the boilerplate miner. Frequent
+    long n-grams that recur across many documents are navigation chrome,
+    cookie banners and license headers; the head of this table is what a
+    line/span blocklist gets curated from. Only FULL n-grams count: a
+    document with fewer than ``n`` tokens contributes nothing (unlike the
+    shingle helpers, which degrade to shorter tails). ``min_docs`` drops
+    grams seen in fewer documents — within-document repetition alone is
+    repetition_signals' job, not boilerplate.
+
+    100 TB shape: the word_frequencies plan one gram-width up — gram
+    construction is scan-local (tokens slice m times per row, no
+    explode-then-window); per-doc occurrence counts pre-aggregate BEFORE
+    the global shuffle, so one row per distinct (doc, gram) crosses the
+    wire and doc frequency is a plain count, never a count-distinct
+    expand. Gram keys are near-uniform; no salting needed."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    sz = _nsize(toks, F.col(text_col).isNotNull())
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    )
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy(id_col, "ngram")
+        .agg(F.count("*").alias("__n"))
+    )
+    out = (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("__n").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
 def unigram_logprob(
     df: DataFrame,
     *,
