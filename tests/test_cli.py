@@ -649,3 +649,32 @@ def test_corpus_train_bpe_cli(tmp_path, spark):
     assert merges2 == got
     assert vocab2 == sorted(set(vocab2))  # lexicographic id space
     assert all(a + b in vocab2 for a, b in merges2)
+
+
+def test_corpus_clean_url_dedup_stage(tmp_path, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "https://a.example.org/p/1"),
+            (2, "epsilon zeta eta theta", "HTTPS://A.Example.ORG:443/p/1?utm_source=x#f"),
+            (3, "iota kappa lambda mu", "https://a.example.org/p/2"),
+            (4, "nu xi omicron pi", None),
+        ],
+        "doc_id long, text string, url string",
+    )
+    inp = str(tmp_path / "docs_url.parquet")
+    out = str(tmp_path / "clean_url.parquet")
+    docs.write.parquet(inp)
+    res = _run(
+        [
+            "corpus-clean", "--input", inp, "--output", out,
+            "--dedup", "none", "--dedup-url-col", "url", "--json",
+        ],
+        tmp_path,
+    )
+    assert res.exit_code == 0, res.output
+    summary = json.loads(res.output.strip().splitlines()[-1])
+    assert summary["rows_in"] == 4
+    assert summary["rows_out"] == 3            # re-fetch of /p/1 dropped
+    assert "dedup_urls(url)" in summary["stages"]
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 4}                   # min id kept; NULL url kept

@@ -822,6 +822,12 @@ def quickstart(target_dir) -> None:
     help="exact = content hash; near = MinHash components keep min id; "
     "best = keep highest quality score per component.",
 )
+@click.option(
+    "--dedup-url-col", default=None,
+    help="URL column: drop crawl re-fetches first (keep min id per "
+    "CANONICAL url — case/ports/tracking params/fragments/slashes "
+    "normalized away) before any content-level dedup.",
+)
 @click.option("--gopher/--no-gopher", default=False, help="Gopher quality rules gate.")
 @click.option("--min-quality", type=float, default=None, help="Composite quality-score floor.")
 @click.option("--languages", default=None, help="Comma-separated language codes to keep.")
@@ -918,7 +924,7 @@ def quickstart(target_dir) -> None:
 @click.option("--json", "json_out", is_flag=True, help="Machine-readable summary.")
 def corpus_clean(
     input_path, output_path, id_col, text_col, strip_html_flag,
-    dedup_mode, gopher,
+    dedup_mode, dedup_url_col, gopher,
     min_quality, languages, max_substring_dup, remove_substring_dups,
     semantic_embeddings, semantic_threshold, semantic_clusters,
     semantic_bench_embeddings,
@@ -948,6 +954,9 @@ def corpus_clean(
     if strip_html_flag:
         c = c.strip_html()
         stages.append("strip_html")
+    if dedup_url_col:
+        c = c.dedup_urls(url_col=dedup_url_col)
+        stages.append(f"dedup_urls({dedup_url_col})")
     if dedup_mode == "exact":
         c = c.dedup_exact()
         stages.append("dedup_exact")
