@@ -200,3 +200,39 @@ def test_pack_sequences_single_exchange(spark):
         s = physical_summary(out)
         assert s.exchanges == 1, f"token-level shuffle crept in: {s}"
         assert s.windows == 1
+
+
+def test_url_dedup_has_no_window(spark):
+    """url_dedup (round 9) is the line_dedup shape on URL keys: the keep
+    decision must be a map-side-combining min-aggregation + semi-join,
+    never a per-canonical-URL Window (one hot canonical URL — a crawl
+    loop refetching a landing page millions of times — would own one
+    sort partition at corpus scale)."""
+    from timefence_spark.operators.web import url_dedup
+    from timefence_spark.plans import physical_summary
+
+    df = spark.createDataFrame(
+        [(i, f"https://example.org/p/{i % 3}") for i in range(30)],
+        "doc_id long, url string",
+    )
+    out = url_dedup(df, id_col="doc_id", url_col="url")
+    assert physical_summary(out).windows == 0
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 2}
+
+
+def test_ngram_frequencies_no_count_distinct_expand(spark):
+    """ngram_frequencies' doc frequency must come from the per-doc
+    pre-aggregation (count rows), never a COUNT(DISTINCT doc_id) —
+    a distinct-aggregate Expand would re-shuffle every raw gram
+    occurrence a second time at corpus scale."""
+    from timefence_spark.operators.text import ngram_frequencies
+
+    df = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = ngram_frequencies(df, id_col="doc_id", text_col="text", n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    rows = {r["ngram"]: (r["n_occurrences"], r["n_docs"]) for r in out.collect()}
+    assert rows["one two three"] == (20, 20)
