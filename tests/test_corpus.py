@@ -458,3 +458,16 @@ def test_dedup_urls_keeps_min_id_and_null_urls(spark, docs):
     # pairs (2g, 2g+1) collapse to min = even ids; NULL-url docs all kept
     want = {i for i in all_ids if i >= 40 or i % 2 == 0}
     assert got == want
+
+
+def test_top_ngrams_matches_operator(spark, docs):
+    from timefence_spark.operators import text as t
+
+    got = [tuple(r) for r in Corpus(docs).top_ngrams(n=2, top_k=5).collect()]
+    want = [
+        tuple(r)
+        for r in t.ngram_frequencies(
+            docs, id_col="doc_id", text_col="text", n=2, top_k=5, min_docs=2
+        ).collect()
+    ]
+    assert got == want and len(got) == 5

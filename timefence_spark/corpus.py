@@ -385,6 +385,19 @@ class Corpus:
             query=query, **kwargs,
         )
 
+    def top_ngrams(
+        self, *, n: int = 3, top_k: int | None = 100, min_docs: int = 2
+    ) -> DataFrame:
+        """Mine recurring word n-grams (boilerplate candidates: nav
+        chrome, cookie banners, license headers) — see
+        text.ngram_frequencies. Returns the (ngram, n_occurrences,
+        n_docs) table head, not a Corpus; curate it into the line/span
+        blocklists the dedup stages consume."""
+        return text.ngram_frequencies(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            n=n, top_k=top_k, min_docs=min_docs,
+        )
+
     def filter_substring_dup(
         self, *, max_dup_fraction: float, k: int = 8, scope: str = "corpus"
     ) -> "Corpus":
