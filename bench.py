@@ -166,6 +166,12 @@ BENCH_QUERIES = [
     # Round-9: binary-quantized ANN — the 32x rung of the compression
     # ladder; integer-only XOR+popcount over packed 32-bit lanes.
     "knn_binary",
+    # Round-9: crawl hygiene — canonical-URL dedup (scan-speed
+    # normalization + one ids-only min-agg/semi-join; the no-window
+    # line_dedup shape on URL keys) and n-gram boilerplate mining
+    # (per-doc pre-agg then one gram shuffle).
+    "url_dedup",
+    "ngram_freq",
 ]
 
 
