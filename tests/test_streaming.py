@@ -681,3 +681,84 @@ def test_streaming_near_dedup_replay_matches_batch_kernel(spark, tmp_path):
     ]
     assert sorted(got) == sorted(ref)
     assert 3 not in got  # the cross-batch near-dup was dropped
+
+
+def test_plan_near_dedup_crash_replay_is_at_least_once(spark, tmp_path):
+    """ADVICE r9 (high): the two-phase API makes crash-replay
+    at-least-once. A micro-batch whose sink write succeeded but whose
+    registry commit did NOT (crash between the two) must recompute the
+    IDENTICAL survivor set on replay — the old registry-first ordering
+    dropped every survivor on replay (at-most-once, data loss)."""
+    from timefence_spark.streaming import plan_near_dedup_batch
+
+    state = str(tmp_path / "registry")
+    kw = dict(id_col="doc_id", text_col="text", state_path=state,
+              num_perm=32, bands=16, shingle_k=3, seed=7)
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog on a warm day"),
+            (2, "an entirely different piece of text about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+
+    surv1, commit1 = plan_near_dedup_batch(batch, **kw)
+    first = sorted(r["doc_id"] for r in surv1.collect())
+    assert first == [1, 2]
+    # CRASH before commit1(): registry untouched. foreachBatch replays.
+    surv2, commit2 = plan_near_dedup_batch(batch, **kw)
+    replay = sorted(r["doc_id"] for r in surv2.collect())
+    assert replay == first  # sink gets duplicates, never loses rows
+    commit2()
+    # Replay AFTER a completed commit drops everything (sink already has
+    # the rows; the registry now contains the batch's own bands).
+    surv3, _ = plan_near_dedup_batch(batch, **kw)
+    assert surv3.count() == 0
+    # The survivors handle pinned before commit still serves its rows.
+    assert sorted(r["doc_id"] for r in surv2.collect()) == first
+
+
+def test_near_dedup_ttl_registry_plateaus_and_expires(spark, tmp_path):
+    """VERDICT r9 item 5: with ttl_batches set, registry state plateaus
+    under a long stream (generation compaction deletes dead rows) and a
+    near-dup arriving after the TTL window is re-admitted."""
+    from timefence_spark.streaming import near_dedup_batch
+    from timefence_spark.streaming.near_dedup import _gen_dirs, _registry
+
+    state = str(tmp_path / "ttl_registry")
+    kw = dict(id_col="doc_id", text_col="text", state_path=state,
+              num_perm=32, bands=16, shingle_k=3, seed=7,
+              ttl_batches=4, compact_every=4)
+    base = "the quick brown fox jumps over the lazy dog on a warm day"
+
+    def filler(seq: int) -> str:
+        return (
+            f"unique filler document number {seq} discussing topic{seq} "
+            f"with token{seq} and marker{seq} spread across many words"
+        )
+
+    counts: dict[int, int] = {}
+    survived: dict[int, list[int]] = {}
+    for seq in range(21):
+        rows = [(1000 + seq, filler(seq))]
+        if seq == 0:
+            rows.append((1, base))
+        if seq == 2:  # near-dup INSIDE the TTL window -> dropped
+            rows.append((2, base.replace("warm", "cold")))
+        if seq == 9:  # near-dup AFTER every base band expired -> admitted
+            rows.append((3, base.replace("warm", "cold")))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = near_dedup_batch(df, batch_seq=seq, **kw)
+        survived[seq] = sorted(r["doc_id"] for r in surv.collect())
+        counts[seq] = _registry(spark, state, ttl=True).count()
+
+    assert 1 in survived[0]
+    assert 2 not in survived[2]          # within TTL: dropped
+    assert 3 in survived[9]              # expired: re-admitted
+    # Plateau: the registry after 21 batches is no bigger than shortly
+    # after the first compaction — dead generations were deleted. Without
+    # TTL it would hold ~16 bands x 24 docs and only ever grow.
+    assert counts[20] <= counts[8]
+    assert counts[20] < 16 * 10
+    # Compaction at seq=20 left exactly one live generation directory.
+    assert len(_gen_dirs(spark, state)) == 1

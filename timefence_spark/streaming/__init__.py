@@ -26,6 +26,7 @@ from timefence_spark.streaming.audit import flag_leaks, leak_counts
 from timefence_spark.streaming.dedup import streaming_exact_dedup
 from timefence_spark.streaming.near_dedup import (
     near_dedup_batch,
+    plan_near_dedup_batch,
     streaming_near_dedup,
 )
 
@@ -36,5 +37,6 @@ __all__ = [
     "leak_counts",
     "streaming_exact_dedup",
     "near_dedup_batch",
+    "plan_near_dedup_batch",
     "streaming_near_dedup",
 ]
