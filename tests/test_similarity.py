@@ -1322,3 +1322,49 @@ def test_bq_encode_guards_and_rerank(spark):
         q, clean, query_id="vec_id", corpus_id="vec_id", k=1
     ).collect()
     assert [tuple(r) for r in rer] == [tuple(r) for r in exact]
+
+
+def test_sq_bq_empty_bounds_yield_null_not_error(spark):
+    """ADVICE r10 (low): an EMPTY bounds/thresholds table (training
+    corpus had zero valid vectors) means dim = 0; encoding/scoring must
+    fold that into the corrupt-vector NULL branch instead of evaluating
+    element_at(v, 0) via the descending sequence [0, -1] — which errors
+    in both ANSI and legacy modes. Covers zero-length vectors too (they
+    pass the size(v) == dim guard when dim == 0)."""
+    # A training corpus with vectors but ZERO valid ones (every row has
+    # a NULL element): _pq_probe_dim succeeds, the valid-filter empties,
+    # and sq_train/bq_train return a ZERO-ROW bounds table.
+    empty = spark.createDataFrame(
+        [(9, [None, 1.0]), (10, [0.5, None])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.5, 1.5]), (2, []), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = similarity.sq_train(empty, corpus_id="vec_id")
+    assert bounds.count() == 0
+    enc = {r["vec_id"]: r for r in similarity.sq_encode(
+        corpus, corpus_id="vec_id", bounds=bounds
+    ).collect()}
+    assert all(enc[i]["codes"] is None and enc[i]["rnorm"] is None
+               for i in (1, 2, 3))
+
+    got = similarity.sq_topk(
+        corpus,
+        similarity.sq_encode(corpus, corpus_id="vec_id", bounds=bounds),
+        bounds, query_id="vec_id", k=2,
+    ).collect()
+    assert got == []  # all codes NULL -> no candidates, no error
+
+    thr = similarity.bq_train(empty, corpus_id="vec_id")
+    benc = {r["vec_id"]: r["lanes"] for r in similarity.bq_encode(
+        corpus, corpus_id="vec_id", thresholds=thr
+    ).collect()}
+    assert all(benc[i] is None for i in (1, 2, 3))
+    bgot = similarity.bq_topk(
+        corpus,
+        similarity.bq_encode(corpus, corpus_id="vec_id", thresholds=thr),
+        thr, query_id="vec_id", k=2,
+    ).collect()
+    assert bgot == []

@@ -234,3 +234,19 @@ def test_bpe_tokenizer_save_load_roundtrip(tmp_path):
     p.write_text('{"format": "other"}')
     with _pytest.raises(ValueError, match="not a timefence-spark BPE"):
         bpe.load_tokenizer(p)
+
+
+def test_bpe_memo_cap_degrades_to_reencoding(monkeypatch):
+    """ADVICE r10 (low): the per-worker word-type memos are capped —
+    pathological type cardinality (unique ids, hashes) must clear the
+    memo and re-encode, never grow it unboundedly, and the cap must not
+    change any count."""
+    from timefence_spark.operators import bpe
+
+    words = [f"tokn{i}xy" for i in range(50)]
+    text = " ".join(words)
+    uncapped = bpe.make_token_counter(bpe.VENDORED_MERGES)(text)
+    monkeypatch.setattr(bpe, "_MEMO_CAP", 8)
+    capped_counter = bpe.make_token_counter(bpe.VENDORED_MERGES)
+    assert capped_counter(text) == uncapped
+    assert capped_counter(text) == uncapped  # second pass over cleared memo

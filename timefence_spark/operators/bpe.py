@@ -123,6 +123,11 @@ def _train_bpe_from_vocab(
 
 VENDORED_MERGES: list[tuple[str, str]] = train_bpe(_TRAINING_TEXT, 1000)
 
+# Per-worker memo ceiling (word types). At ~100 bytes/entry for counts and
+# ~1 KB/entry for id lists this bounds a worker's memo to tens-of-MB worst
+# case; clearing on overflow trades re-encoding for bounded memory.
+_MEMO_CAP = 1 << 18
+
 _RANKS: dict[tuple[str, str], int] = {
     pair: rank for rank, pair in enumerate(VENDORED_MERGES)
 }
@@ -173,8 +178,12 @@ def make_token_counter(merges: list[tuple[str, str]]):
     ranks = {pair: rank for rank, pair in enumerate(merges)}
     # Plain-dict memo rather than lru_cache: the closure must survive
     # cloudpickle into the mapInPandas worker, and a decorated local
-    # function does not. Unbounded is fine — it holds word TYPES, and
-    # each Python worker's copy dies with the stage.
+    # function does not. It holds word TYPES — normally bounded by the
+    # language — but web corpora carry corpus-scale type cardinality
+    # (unique ids, hashes, gclid-style tokens), and long-lived reused
+    # Python workers would grow it without bound, so it is capped:
+    # clear-on-full degrades pathological inputs to re-encoding instead
+    # of OOM (ADVICE r9).
     memo: dict[str, int] = {}
 
     def count(text: str | None) -> int:
@@ -184,6 +193,8 @@ def make_token_counter(merges: list[tuple[str, str]]):
         for w in _ws_split(text):
             c = memo.get(w)
             if c is None:
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
                 c = memo[w] = len(encode(w, ranks))
             n += c
         return n
@@ -413,6 +424,11 @@ def encode_documents(
                 for w in _ws_split(text or ""):
                     enc = memo.get(w)
                     if enc is None:
+                        # Capped like make_token_counter's memo: word-TYPE
+                        # cardinality is corpus-scale on web text, and the
+                        # ids lists are heavier than counts.
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
                         enc = memo[w] = word_ids(w)
                     ids.extend(enc)
                 ids_col.append(ids)

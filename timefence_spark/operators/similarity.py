@@ -2611,8 +2611,14 @@ def sq_encode(
     v = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
     row = F.broadcast(_sq_bounds_row(bounds))
     dim = F.size(F.col("__los"))
+    # dim >= 1 folds the degenerate EMPTY-bounds table (training corpus
+    # had zero valid vectors) into the corrupt-vector NULL branch: with
+    # dim = 0 the sequence below is the descending [0, -1] and the CASE
+    # would evaluate element_at(v, 0), an error in ANSI and legacy alike
+    # (ADVICE r9).
     ok = (
         F.col(corpus_vec).isNotNull()
+        & (dim >= 1)
         & (F.size(v) == dim)
         & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
     )
@@ -2734,6 +2740,7 @@ def sq_topk(
     # up to the bounds dim) never evaluates for malformed query vectors.
     q_ok = (
         F.col("__qv").isNotNull()
+        & (dim >= 1)  # empty bounds: NULL score, not element_at(_, 0)
         & (F.size("__qv") == dim)
         & (F.size(F.filter("__qv", lambda x: x.isNull())) == 0)
     )
@@ -2854,6 +2861,7 @@ def bq_encode(
     dim = F.size(F.col("__thrs"))
     ok = (
         F.col(corpus_vec).isNotNull()
+        & (dim >= 1)  # empty thresholds: NULL lanes, like sq_encode
         & (F.size(v) == dim)
         & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
     )
@@ -2894,6 +2902,7 @@ def bq_topk(
     dim = F.size(F.col("__thrs"))
     ok = (
         F.col(query_vec).isNotNull()
+        & (dim >= 1)  # empty thresholds: NULL hamming, not an error
         & (F.size(v) == dim)
         & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
     )
