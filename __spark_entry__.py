@@ -3900,11 +3900,14 @@ def _oracle_knn_pq_sql(
 
 
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full FAISS-style IVF-PQ: coarse quantizer prunes candidates to
-    nprobe/nlist inverted lists, PQ scores the survivors by asymmetric
-    distance over 8 4-bit codes. Pure ADC (no re-rank) so the composed
-    pipeline — coarse sample, list assignment, subspace codebooks,
-    argmin encode, LUT scoring — is replayed end-to-end by the oracle."""
+    """Full FAISS-style IVF-PQ with RESIDUAL encoding (the default,
+    matching faiss.IndexIVFPQ): coarse quantizer prunes candidates to
+    nprobe/nlist inverted lists, PQ encodes each row's residual against
+    its assigned centroid, ADC scores decompose <q, c_j + r̂> /
+    (|q| |c_j + r̂|). Pure ADC (no re-rank) so the composed pipeline —
+    coarse sample, list assignment, residual subtract, subspace
+    codebooks, argmin encode, LUT + centroid-term scoring — is replayed
+    end-to-end by the oracle."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.ivf_pq_topk(
         emb.where(F.col("vec_id") < 20), emb,
@@ -3913,9 +3916,22 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with raw-vector encoding (residual=False) — the pre-r10
+    geometry, kept oracle-covered because a pre-trained ``codebook=``
+    on raw vectors requires it."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ivf_pq_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        query_id="vec_id", corpus_id="vec_id", k=5, nlist=16, nprobe=4,
+        m=8, nbits=4, hash_fn="md5", residual=False,
+    )
+
+
 def _oracle_ivf_pq_sql(
     k: int = 5, nlist: int = 16, nprobe: int = 4, m: int = 8,
     nbits: int = 4, seed: int = 42, dim: int = 64,
+    residual: bool = True,
 ) -> str:
     dsub = dim // m
     ksub = 2**nbits
@@ -3923,22 +3939,28 @@ def _oracle_ivf_pq_sql(
         "list_dot_product({a}, {b}) / "
         "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
     )
+    # Residual mode trains/encodes on rv = v - cv (the row's assigned
+    # coarse centroid); raw mode on v itself. Same hash-sample ids.
+    enc_tbl = "resid" if residual else "ve"
+    enc_vec = "rv" if residual else "v"
     pq_cents = []
     for s in range(m):
         a, b = s * dsub + 1, (s + 1) * dsub
         pq_cents.append(f"""ph{s} AS (
-        SELECT vec_id, v[{a}:{b}] AS sv,
+        SELECT vec_id, {enc_vec}[{a}:{b}] AS sv,
                CAST(concat('0x',
                     substr(md5(concat(vec_id::VARCHAR, ':{seed + 101 + s}')),
                            1, 15)) AS BIGINT) AS hh
-        FROM ve
+        FROM {enc_tbl}
     ), pc{s} AS (
         SELECT {s} AS sub, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS code,
                sv AS cv
         FROM (SELECT * FROM ph{s} ORDER BY hh LIMIT {ksub})
     )""")
     cb_union = " UNION ALL ".join(f"SELECT * FROM pc{s}" for s in range(m))
-    sl = f"list_slice(v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
+    sl = (
+        f"list_slice({enc_vec}, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
+    )
     slq = f"list_slice(q.v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
     return f"""
     WITH e AS (
@@ -3966,9 +3988,18 @@ def _oracle_ivf_pq_sql(
                    ) AS rn
             FROM e CROSS JOIN cent c
         ) WHERE rn = 1
+    ), resid AS (
+        -- residual against the ASSIGNED coarse centroid, elementwise in
+        -- double (mirrors _RESIDUAL_SQL's zip_with subtract)
+        SELECT ve.vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> ve.v[i] - c.cv[i]) AS rv,
+               a.centroid_id
+        FROM ve JOIN assigned a USING (vec_id) JOIN cent c USING (centroid_id)
     ), probes AS (
-        SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id AS query_id, centroid_id, qc FROM (
             SELECT q.vec_id, c.centroid_id,
+                   list_dot_product(q.v, c.cv) AS qc,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
                        {cos.format(a="q.v", b="c.cv")} DESC, c.centroid_id ASC
                    ) AS rn
@@ -3978,15 +4009,25 @@ def _oracle_ivf_pq_sql(
         {cb_union}
     ), enc AS (
         SELECT vec_id, sub, code FROM (
-            SELECT ve.vec_id, cb.sub, cb.code,
-                   ROW_NUMBER() OVER (PARTITION BY ve.vec_id, cb.sub ORDER BY
+            SELECT {enc_tbl}.vec_id, cb.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY {enc_tbl}.vec_id, cb.sub
+                       ORDER BY
                        0.5 * list_dot_product(cb.cv, cb.cv)
                        - list_dot_product({sl}, cb.cv) ASC,
                        cb.code ASC) AS rn
-            FROM ve CROSS JOIN cb
+            FROM {enc_tbl} CROSS JOIN cb
         ) WHERE rn = 1
+    ), centn AS (
+        SELECT centroid_id, list_dot_product(cv, cv) AS cn2 FROM cent
+    ), cdot AS (
+        -- per (coarse list, sub, code) cross term <c_j_sub, r_cent>
+        SELECT c.centroid_id, cb.sub, cb.code,
+               list_dot_product(
+                   list_slice(c.cv, cb.sub * {dsub} + 1,
+                              (cb.sub + 1) * {dsub}), cb.cv) AS cd
+        FROM cent c CROSS JOIN cb
     ), cand AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id
+        SELECT p.query_id, p.qc, a.vec_id AS neighbor_id, a.centroid_id
         FROM probes p JOIN assigned a USING (centroid_id)
         WHERE a.vec_id != p.query_id
     ), lut AS (
@@ -3997,21 +4038,28 @@ def _oracle_ivf_pq_sql(
                list_dot_product(cb.cv, cb.cv) AS n2
         FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cb
     ), contrib AS (
-        SELECT c.query_id, l.qn, c.neighbor_id, l.sub, l.d, l.n2
+        SELECT c.query_id, c.qc, l.qn, c.neighbor_id, c.centroid_id,
+               l.sub, l.d, l.n2, cd.cd
         FROM cand c
         JOIN enc ON enc.vec_id = c.neighbor_id
         JOIN lut l ON l.query_id = c.query_id
                   AND l.sub = enc.sub AND l.code = enc.code
+        JOIN cdot cd ON cd.centroid_id = c.centroid_id
+                    AND cd.sub = enc.sub AND cd.code = enc.code
     ), scored AS (
         SELECT query_id, neighbor_id,
-               ROUND(list_reduce(list_transform(
+               ROUND(({"qc + " if residual else ""}list_reduce(list_transform(
                          list(struct_pack(s := sub, x := d) ORDER BY sub),
-                         t -> t.x), (a, b) -> a + b)
-                     / (qn * SQRT(list_reduce(list_transform(
+                         t -> t.x), (a, b) -> a + b))
+                     / (qn * SQRT({"cn.cn2 + 2.0 * "
+                         "list_reduce(list_transform("
+                         "list(struct_pack(s := sub, x := cd) ORDER BY sub),"
+                         " t -> t.x), (a, b) -> a + b) + " if residual
+                         else ""}list_reduce(list_transform(
                          list(struct_pack(s := sub, x := n2) ORDER BY sub),
                          t -> t.x), (a, b) -> a + b))), 6) AS cosine
-        FROM contrib
-        GROUP BY query_id, neighbor_id, qn
+        FROM contrib JOIN centn cn USING (centroid_id)
+        GROUP BY query_id, neighbor_id, qn, qc, cn.cn2
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
@@ -4742,6 +4790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replays EVERY entry against its DuckDB oracle on each pytest run —
     # but keep the discipline: the driver's run is independent evidence.
     return {
+        "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
+        "knn_ivf_pq_raw": q_knn_ivf_pq_raw,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
@@ -4774,7 +4824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fluency_buckets_lang": q_fluency_buckets_lang,  # new in round 8
         "token_budget": q_token_budget,  # new in round 8
         "knn_pq": q_knn_pq,  # new in round 8
-        "knn_ivf_pq": q_knn_ivf_pq,  # new in round 8
         "semantic_dedup": q_semantic_dedup,  # new in round 7
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
@@ -4913,6 +4962,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": ORACLE_TOKEN_BUDGET,
         "knn_pq": _oracle_knn_pq_sql(),
         "knn_ivf_pq": _oracle_ivf_pq_sql(),
+        "knn_ivf_pq_raw": _oracle_ivf_pq_sql(residual=False),
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

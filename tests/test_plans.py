@@ -145,10 +145,14 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # knn_binary: same brute-force-over-compressed shape — Hamming
     # XOR+popcount against every packed-lane row, queries + one-row
     # thresholds broadcast.
+    # knn_ivf_pq (residual mode): the per-centroid cross-term table is
+    # nlist rows crossed with the ONE-row nested codebook (then itself
+    # broadcast) — the sanctioned one-row-aggregate shape; candidates
+    # still arrive via the centroid_id equi-join.
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
-        "temperature_mix", "knn_sq", "knn_binary",
+        "temperature_mix", "knn_sq", "knn_binary", "knn_ivf_pq",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

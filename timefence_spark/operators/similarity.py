@@ -2015,6 +2015,17 @@ def _pq_dot_sql(a: str, b: str) -> str:
     )
 
 
+# Residual of a row against its assigned coarse centroid (`__cv` minus
+# `__centv`), element-wise in double arithmetic. zip_with's NULL padding
+# preserves the degenerate-input contract: NULL vectors, width mismatches
+# against the centroid, and NULL elements all surface as NULL elements
+# that pq_encode's validity guard turns into NULL codes.
+_RESIDUAL_SQL = (
+    "zip_with(`__cv`, `__centv`,"
+    " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+)
+
+
 def pq_encode(
     corpus: DataFrame,
     *,
@@ -2218,6 +2229,7 @@ def ivf_pq_topk(
     rerank: bool = False,
     rerank_factor: int = 4,
     codebook: DataFrame | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """FAISS-style IVF-PQ: the coarse quantizer prunes WHICH rows are
     candidates (each query probes its ``nprobe`` nearest of ``nlist``
@@ -2228,6 +2240,19 @@ def ivf_pq_topk(
     deterministic sampling/fold contracts, so the full pipeline stays
     oracle-replayable.
 
+    ``residual=True`` (default, matching Faiss ``IndexIVFPQ``) PQ-encodes
+    the RESIDUAL ``x - c_j`` of each row against its assigned coarse
+    centroid instead of the raw vector: residuals concentrate near the
+    origin so the 2**nbits sub-centroids spend their precision on the
+    within-list variation rather than re-describing the coarse structure
+    — this is where IVF-PQ's recall at small nbits comes from. Scoring
+    decomposes exactly (see :func:`_pq_adc_rank`): the per-query LUT is
+    unchanged, each candidate adds its probed list's <q, c_j> and the
+    reconstruction norm gains per-centroid constants attached by one
+    nlist-row broadcast. ``residual=False`` keeps the raw-vector
+    encoding (and is what a ``codebook=`` trained on raw vectors
+    requires — a pre-trained codebook must match this flag's geometry).
+
     ``rerank=True`` re-scores the top ``k * rerank_factor`` ADC
     candidates against the true vectors (the standard refine step);
     PQ sub-codebooks train at ``seed + 101 + sub`` so the coarse sample
@@ -2237,8 +2262,10 @@ def ivf_pq_topk(
     100 TB shape: candidate volume is nprobe/nlist of the corpus and
     each candidate row carries (id, centroid_id, m small ints) — the
     probe prunes rows, PQ prunes bytes. Assignment and encoding are both
-    scan-side projections; the only exchange is the candidate equi-join
-    on centroid_id. For repeated query batches, persist the assigned
+    scan-side projections (the residual subtract rides the same scan);
+    the only exchange is the candidate equi-join on centroid_id. The
+    residual extras are nlist-bounded broadcasts, never per-candidate
+    recomputation. For repeated query batches, persist the assigned
     codes partitioned by centroid_id (the :func:`ivf_build_index` layout
     with codes instead of vectors) and filter-prune instead of
     recomputing."""
@@ -2246,13 +2273,12 @@ def ivf_pq_topk(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
         seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
     )
+    if residual:
+        # Referenced by 3 extra plans below (residual join, query <q,c>,
+        # per-centroid constants) — pin the nlist rows so each reuse
+        # doesn't re-run the corpus TakeOrdered sample.
+        cents = pin(cents)
     assign = _ivf_assign_factory(cents, compute="expr", nlist=nlist)
-    if codebook is None:
-        codebook = pq_train(
-            corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, m=m,
-            nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
-            refine_iters=refine_iters,
-        )
     # One corpus pass feeds both: nearest coarse list + PQ codes.
     assigned = assign(
         corpus.select(
@@ -2261,10 +2287,26 @@ def ivf_pq_topk(
         ),
         "neighbor_id", "__cv", 1,
     )
+    cvecs = F.broadcast(
+        cents.select("centroid_id", F.col("centroid").alias("__centv"))
+    )
+    if residual:
+        enc_src = (
+            assigned.select("neighbor_id", "__cv", "centroid_id")
+            .join(cvecs, "centroid_id")
+            .select("neighbor_id", F.expr(_RESIDUAL_SQL).alias("__cv"))
+        )
+    else:
+        enc_src = assigned.select("neighbor_id", "__cv")
+    if codebook is None:
+        codebook = pq_train(
+            enc_src, corpus_id="neighbor_id", corpus_vec="__cv", m=m,
+            nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
+            refine_iters=refine_iters,
+        )
     codes = pq_encode(
-        assigned.select(F.col("neighbor_id"), F.col("__cv")),
-        corpus_id="neighbor_id", corpus_vec="__cv", codebook=codebook,
-        compute=compute,
+        enc_src, corpus_id="neighbor_id", corpus_vec="__cv",
+        codebook=codebook, compute=compute,
     )
     listed = assigned.select("neighbor_id", "centroid_id").join(
         codes, "neighbor_id"
@@ -2274,10 +2316,22 @@ def ivf_pq_topk(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
         ),
         "query_id", "__qv", nprobe,
-    ).select("query_id", "centroid_id")
+    )
+    if residual:
+        # <q, c_j> once per (query, probed list) — nprobe rows per
+        # query, not per candidate; same sequential fold as the LUT.
+        probes = probes.join(cvecs, "centroid_id").select(
+            "query_id", "centroid_id",
+            F.expr(_pq_dot_sql("`__qv`", "`__centv`")).alias("__qc"),
+        )
+        cand_cols = ["query_id", "neighbor_id", "codes", "centroid_id",
+                     "__qc"]
+    else:
+        probes = probes.select("query_id", "centroid_id")
+        cand_cols = ["query_id", "neighbor_id", "codes"]
     cand_ids = probes.join(listed, "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", "codes").dropDuplicates(
+    ).select(*cand_cols).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
     # ADC-score the pruned candidate set: reuse pq_topk's scoring by
@@ -2290,6 +2344,7 @@ def ivf_pq_topk(
         ),
         cand_ids, codebook, k=k if not rerank else k * rerank_factor,
         round_to=round_to, compute=compute,
+        cents=cents if residual else None,
     )
     if not rerank:
         return approx.where(F.col("rank") <= k)
@@ -2311,6 +2366,7 @@ def _pq_adc_rank(
     round_to: int | None,
     compute: str,
     broadcast_queries: bool | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Rank per-query PQ candidates (query_id, neighbor_id, codes) by
     asymmetric cosine — pq_topk's scoring stage for a candidate set that
@@ -2318,7 +2374,25 @@ def _pq_adc_rank(
     brute-force cross join). The per-query LUT table joins through the
     same size gate as cosine_topk's query side (``broadcast_queries``):
     the LUT rows carry m x 2**nbits doubles each, so an unconditional
-    broadcast would OOM on an unbounded query set."""
+    broadcast would OOM on an unbounded query set.
+
+    ``cents`` switches on RESIDUAL scoring (Faiss IVF-PQ): the codes are
+    PQ codes of ``x - c_j`` (the row's coarse centroid), so the
+    reconstruction is ``x̂ = c_j + r̂`` and the cosine decomposes as::
+
+        <q, x̂>  = <q, c_j> + sum_sub <q_sub, r_cent[sub][code]>
+        |x̂|^2   = |c_j|^2 + 2 * sum_sub <c_j_sub, r_cent[sub][code]>
+                  + sum_sub |r_cent[sub][code]|^2
+
+    ``cand`` must then carry ``centroid_id`` and ``__qc`` (= <q, c_j>,
+    computed once per (query, probed list) upstream — nprobe rows per
+    query, not per candidate). The per-centroid constants — |c_j|^2 and
+    the (centroid x sub x code) cross-term table — attach via ONE
+    broadcast join of nlist rows built here from ``cents`` x codebook;
+    they are query-independent, so the per-query LUT stays exactly as in
+    raw mode (raw q slices — <q, r̂> never needs q's residual). All new
+    terms use the same sequential dot fold as the LUT, so an external
+    SQL oracle replays scores bit-for-bit."""
     if compute not in ("expr", "join"):
         raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
     if compute == "expr":
@@ -2363,7 +2437,17 @@ def _pq_adc_rank(
             "aggregate(zip_with(`__n2`, `codes`,"
             " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
         )
-        score = F.expr(f"try_divide({num}, `__qn` * sqrt({den}))")
+        if cents is None:
+            score = F.expr(f"try_divide({num}, `__qn` * sqrt({den}))")
+        else:
+            cdot = (
+                "aggregate(zip_with(`__cdot`, `codes`,"
+                " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+            )
+            score = F.expr(
+                f"try_divide(`__qc` + {num},"
+                f" `__qn` * sqrt(`__cn2` + 2D * {cdot} + {den}))"
+            )
         extra = None
     else:
         m = len(books)
@@ -2403,13 +2487,57 @@ def _pq_adc_rank(
             f" element_at(`codes`, {s + 1}) + 1)"
             for s in range(m)
         )
-        score = F.expr(f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))")
+        if cents is None:
+            score = F.expr(
+                f"try_divide({dot_chain}, `__qn` * sqrt({n2_chain}))"
+            )
+        else:
+            # Chains parenthesized so both kernels add the SAME totals in
+            # the SAME order as the join kernel's aggregates: qc + (sum),
+            # (cn2 + 2*(cdot_sum)) + (n2_sum).
+            cdot_chain = " + ".join(
+                f"element_at(element_at(`__cdot`, {s + 1}),"
+                f" element_at(`codes`, {s + 1}) + 1)"
+                for s in range(m)
+            )
+            score = F.expr(
+                f"try_divide(`__qc` + ({dot_chain}),"
+                f" `__qn` * sqrt(`__cn2` + 2D * ({cdot_chain})"
+                f" + ({n2_chain})))"
+            )
         extra = F.expr("array(" + ",".join(n2_subs) + ")").alias("__n2")
     joined = cand.where(F.col("codes").isNotNull()).join(
         _gate_broadcast(q, broadcast_queries), "query_id"
     )
     if extra is not None:
         joined = joined.withColumn("__n2", extra)
+    if cents is not None:
+        # Per-centroid residual constants: |c_j|^2 and the (sub x code)
+        # cross-term table <c_j_sub, r_cent>. nlist rows, KBs each —
+        # ONE broadcast join, query-independent (built once per plan,
+        # not per query). Same sequential dot fold as the LUT so the
+        # oracle replays it.
+        cdot_sql = (
+            "transform(`__book`, s -> transform(s.entries, e -> "
+            + _pq_dot_sql(
+                "slice(`__centv`, s.sub * size(e.centroid) + 1,"
+                " size(e.centroid))",
+                "e.centroid",
+            )
+            + "))"
+        )
+        cterms = (
+            cents.select(
+                F.col("centroid_id"), F.col("centroid").alias("__centv")
+            )
+            .crossJoin(F.broadcast(_pq_book_row(codebook)))
+            .select(
+                "centroid_id",
+                F.expr(cdot_sql).alias("__cdot"),
+                F.expr(_pq_dot_sql("`__centv`", "`__centv`")).alias("__cn2"),
+            )
+        )
+        joined = joined.join(F.broadcast(cterms), "centroid_id")
     scored = joined.select(
         "query_id",
         "neighbor_id",
@@ -2437,6 +2565,7 @@ def ivf_pq_build_index(
     hash_fn: str = "xxhash64",
     compute: str = "expr",
     refine_iters: int = 0,
+    residual: bool = True,
     path: str,
 ) -> None:
     """Materialize an IVF-PQ index to ``path`` for repeated searches:
@@ -2445,24 +2574,28 @@ def ivf_pq_build_index(
     * ``<path>/codebook`` — the PQ model (m * 2**nbits sub-centroids).
     * ``<path>/codes`` — every corpus row's PQ codes with its inverted
       list, written ``partitionBy('centroid_id')``.
+    * ``<path>/meta`` — one row recording ``residual`` (and the build
+      parameters), so :func:`ivf_pq_search` scores with the geometry
+      the codes were written in. An index without a meta table (built
+      before residual encoding existed) reads as raw-encoded.
+
+    ``residual=True`` (default, Faiss ``IndexIVFPQ``) stores PQ codes of
+    ``x - c_j``; the codebook is trained on residuals. See
+    :func:`ivf_pq_topk` for why this lifts recall at small nbits.
 
     The :func:`ivf_build_index` layout with CODES instead of vectors —
     the stored index is m small ints per row, so at 100 TB the index is
     dim*4/m-ish smaller than IVF-flat AND searches still prune to
     nprobe/nlist of the files. Rebuild when the corpus changes
     (everything is a pure function of (corpus, nlist, m, nbits, seed,
-    hash_fn))."""
+    hash_fn, residual))."""
     cents = _ivf_centroids(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
         seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
     )
+    if residual:
+        cents = pin(cents)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    book = pq_train(
-        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, m=m,
-        nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
-        refine_iters=refine_iters,
-    )
-    book.write.mode("overwrite").parquet(f"{path}/codebook")
     assign = _ivf_assign_factory(cents, compute="expr", nlist=nlist)
     assigned = assign(
         corpus.select(
@@ -2471,14 +2604,37 @@ def ivf_pq_build_index(
         ),
         "neighbor_id", "__cv", 1,
     )
+    if residual:
+        cvecs = F.broadcast(
+            cents.select("centroid_id", F.col("centroid").alias("__centv"))
+        )
+        enc_src = (
+            assigned.select("neighbor_id", "__cv", "centroid_id")
+            .join(cvecs, "centroid_id")
+            .select("neighbor_id", F.expr(_RESIDUAL_SQL).alias("__cv"))
+        )
+    else:
+        enc_src = assigned.select("neighbor_id", "__cv")
+    book = pq_train(
+        enc_src, corpus_id="neighbor_id", corpus_vec="__cv", m=m,
+        nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
+        refine_iters=refine_iters,
+    )
+    book.write.mode("overwrite").parquet(f"{path}/codebook")
     codes = pq_encode(
-        assigned.select("neighbor_id", "__cv"),
-        corpus_id="neighbor_id", corpus_vec="__cv", codebook=book,
+        enc_src, corpus_id="neighbor_id", corpus_vec="__cv", codebook=book,
         compute=compute,
     )
     assigned.select("neighbor_id", "centroid_id").join(codes, "neighbor_id")\
         .write.mode("overwrite").partitionBy("centroid_id")\
         .parquet(f"{path}/codes")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(bool(residual), int(nlist), int(m), int(nbits), int(seed),
+          str(hash_fn))],
+        "residual boolean, nlist int, m int, nbits int, seed int,"
+        " hash_fn string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ivf_pq_search(
@@ -2502,11 +2658,27 @@ def ivf_pq_search(
     probed list ids become a static IN-filter on the partitioned codes
     table (file-level partition pruning — nprobe/nlist of the index is
     read, and what is read is CODES, not vectors), and candidates score
-    by asymmetric PQ distance. Matches :func:`ivf_pq_topk` for the same
-    parameters; ``rerank`` (the original vector table) re-scores the
-    top ``k * rerank_factor`` exactly."""
+    by asymmetric PQ distance. Residual-vs-raw geometry is read from the
+    index's ``meta`` table (an index predating meta reads as raw), so
+    search always scores what the codes actually encode. Matches
+    :func:`ivf_pq_topk` for the same parameters; ``rerank`` (the
+    original vector table) re-scores the top ``k * rerank_factor``
+    exactly."""
     centroids = spark.read.parquet(f"{path}/centroids")
     book = spark.read.parquet(f"{path}/codebook")
+    residual = False
+    try:
+        residual = bool(
+            spark.read.parquet(f"{path}/meta").head()["residual"]
+        )
+    except Exception as exc:  # legacy index: no meta table
+        from pyspark.errors import AnalysisException
+
+        if not (
+            isinstance(exc, AnalysisException)
+            and "PATH_NOT_FOUND" in str(exc)
+        ):
+            raise
     assign = _ivf_assign_factory(centroids, compute="expr", nlist=None)
     q_all = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
@@ -2519,16 +2691,34 @@ def ivf_pq_search(
     codes = spark.read.parquet(f"{path}/codes").where(
         F.col("centroid_id").isin(probed or [-1])
     )
-    cand = (
-        query_probes.select("query_id", "centroid_id")
-        .join(codes, "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "codes")
-    )
+    if residual:
+        cvecs = F.broadcast(
+            centroids.select(
+                "centroid_id", F.col("centroid").alias("__centv")
+            )
+        )
+        probes = query_probes.join(cvecs, "centroid_id").select(
+            "query_id", "centroid_id",
+            F.expr(_pq_dot_sql("`__qv`", "`__centv`")).alias("__qc"),
+        )
+        cand = (
+            probes.join(codes, "centroid_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "codes", "centroid_id",
+                    "__qc")
+        )
+    else:
+        cand = (
+            query_probes.select("query_id", "centroid_id")
+            .join(codes, "centroid_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "codes")
+        )
     approx = _pq_adc_rank(
         q_all, cand, book,
         k=k if rerank is None else k * rerank_factor,
         round_to=round_to, compute=compute,
+        cents=centroids if residual else None,
     )
     if rerank is None:
         return approx.where(F.col("rank") <= k)
