@@ -3827,9 +3827,32 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_knn_pq_sql(
     k: int = 5, m: int = 8, nbits: int = 4, seed: int = 42, dim: int = 64,
+    rotation: list[list[float]] | None = None,
 ) -> str:
     dsub = dim // m
     ksub = 2**nbits
+    # OPQ-style rotation: a driver-side constant (like the LSH
+    # hyperplanes) inlined as a literal matrix; vectors rotate BEFORE
+    # the PQ pipeline, mirroring rotate_vectors' validity guard.
+    rot_cte = ""
+    if rotation is not None:
+        mat = "[" + ",".join(
+            "[" + ",".join(repr(float(x)) for x in row) + "]"
+            for row in rotation
+        ) + "]"
+        rot_cte = f"""e0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), """
+        src = f"""(
+        SELECT vec_id,
+               CASE WHEN v IS NOT NULL AND len(v) = {dim}
+                     AND len(list_filter(v, x -> x IS NULL)) = 0
+                    THEN list_transform({mat}, r -> list_dot_product(r, v))
+               END AS v
+        FROM e0
+    )"""
+    else:
+        src = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
     cents = []
     for s in range(m):
         a, b = s * dsub + 1, (s + 1) * dsub
@@ -3848,9 +3871,7 @@ def _oracle_knn_pq_sql(
     sl = f"list_slice(v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
     slq = f"list_slice(q.v, cb.sub * {dsub} + 1, (cb.sub + 1) * {dsub})"
     return f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), ve AS (
+    WITH {rot_cte}e AS {src}, ve AS (
         -- valid vectors only, mirroring pq_train's filter and
         -- pq_encode's NULL-codes guard (width + no NULL elements)
         SELECT * FROM e
@@ -3897,6 +3918,25 @@ def _oracle_knn_pq_sql(
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def q_knn_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style rotated PQ: a seeded orthogonal rotation (driver-side
+    constant, like the LSH hyperplanes) re-mixes coordinates before the
+    PQ subspace split — cosine is rotation-invariant, so only the
+    quantization geometry changes. The oracle inlines the same rotation
+    literals and replays rotate -> train -> encode -> ADC end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot = similarity.opq_train(emb, corpus_id="vec_id", seed=7)
+    remb = similarity.rotate_vectors(emb, vec_col="embedding", rotation=rot)
+    book = similarity.pq_train(
+        remb, corpus_id="vec_id", m=8, nbits=4, hash_fn="md5",
+    )
+    codes = similarity.pq_encode(remb, corpus_id="vec_id", codebook=book)
+    return similarity.pq_topk(
+        remb.where(F.col("vec_id") < 20), codes, book,
+        query_id="vec_id", encoded_id="vec_id", k=5,
+    )
 
 
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4792,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
         "knn_ivf_pq_raw": q_knn_ivf_pq_raw,  # new in round 10
+        "knn_pq_opq": q_knn_pq_opq,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
@@ -4963,6 +5004,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": _oracle_knn_pq_sql(),
         "knn_ivf_pq": _oracle_ivf_pq_sql(),
         "knn_ivf_pq_raw": _oracle_ivf_pq_sql(residual=False),
+        "knn_pq_opq": _oracle_knn_pq_sql(
+            rotation=similarity.opq_rotation(64, 7)
+        ),
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

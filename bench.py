@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     # (per-doc pre-agg then one gram shuffle).
     "url_dedup",
     "ngram_freq",
+    # Round-10: OPQ-style rotated PQ — the seeded-rotation projection
+    # (scan-side dim^2-literal matvec) feeding the unchanged PQ
+    # pipeline; the delta vs knn_pq prices the rotation pass.
+    "knn_pq_opq",
 ]
 
 
@@ -1095,6 +1099,36 @@ def main() -> int:
             spark, p, ivf_queries, query_id="vec_id", k=10, nprobe=4
         ),
     )
+    # Codebook-reuse payoff row (VERDICT r9 item 4): knn_ivf_pq retrains
+    # the PQ codebook (m deterministic-sample jobs + optional Lloyd) on
+    # EVERY run; with codebook= the per-run cost is coarse assignment +
+    # encode + ADC only. Sandwiched between knn_ivf_pq (everything) and
+    # knn_ivf_pq_indexed (search only), this isolates the PQ-training
+    # share of the inline row's time. The codebook comes from an
+    # untimed ivf_pq_build_index at the SAME seed/geometry (residual),
+    # so the timed plan is exactly the inline plan minus pq_train.
+    import uuid as _uuid2
+
+    pre_path = f"/tmp/tf_ivfpq_pre_{_uuid2.uuid4().hex[:8]}"
+    _sim.ivf_pq_build_index(
+        ivf_corpus, corpus_id="vec_id", nlist=16, m=8, nbits=4,
+        path=pre_path,
+    )
+    pre_book = spark.read.parquet(f"{pre_path}/codebook")
+    record(
+        "knn_ivf_pq_pretrained",
+        _timed_runs(
+            lambda: _force(
+                _sim.ivf_pq_topk(
+                    ivf_queries, ivf_corpus, query_id="vec_id",
+                    corpus_id="vec_id", k=10, nlist=16, nprobe=4, m=8,
+                    nbits=4, codebook=pre_book,
+                )
+            ),
+            3,
+        ),
+    )
+    _shutil.rmtree(pre_path, ignore_errors=True)
 
     # Skew-shaped line_dedup row (VERDICT r5 item 3): one boilerplate
     # line planted at the head of HALF the corpus's documents, each text

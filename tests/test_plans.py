@@ -153,6 +153,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
         "temperature_mix", "knn_sq", "knn_binary", "knn_ivf_pq",
+        "knn_pq_opq",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

@@ -2026,6 +2026,130 @@ _RESIDUAL_SQL = (
 )
 
 
+def opq_rotation(dim: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random orthogonal matrix: QR of a seeded Gaussian, with the
+    decomposition made unique by sign-fixing against R's diagonal. A
+    driver-side constant like :func:`_hyperplanes` — both engines of an
+    oracle replay receive the same literals, so replay needs no SQL
+    linear algebra."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    q, r = np.linalg.qr(rng.randn(dim, dim))
+    return (q * np.sign(np.diag(r))).tolist()
+
+
+def opq_train(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """An OPQ-style rotation for the PQ pipeline: (pos, row) with ``row``
+    the pos-th row of an orthogonal matrix sized to the corpus's vector
+    dim. Apply with :func:`rotate_vectors` to corpus AND queries, then
+    run the unchanged pq_train/pq_encode/pq_topk — cosine is invariant
+    under orthogonal maps (<Rq, Rx> = <q, x>, |Rx| = |x|), so rotation
+    changes only HOW the coordinates split into PQ subspaces.
+
+    This is the seeded random-rotation variant (Ge et al. 2013's
+    initialization; faiss ``RandomRotationMatrix``): it balances
+    per-subspace variance, which is most of parametric OPQ's win when a
+    few dimensions carry most of the energy. The data-adaptive
+    alternation (encode / SVD of the correlation / re-rotate) needs a
+    driver-side SVD per iteration that no SQL oracle can replay — this
+    trainer stays data-independent-given-dim so the whole rotated-PQ
+    pipeline keeps the module's replayability contract.
+
+    100 TB shape: the model is dim^2 doubles (KBs); rotation application
+    is a scan-side projection (see :func:`rotate_vectors`)."""
+    dim = _pq_probe_dim(corpus, corpus_vec, corpus_id)
+    rows = [
+        (i, [float(x) for x in row])
+        for i, row in enumerate(opq_rotation(dim, seed))
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "pos int, row array<double>"
+    )
+
+
+def rotate_vectors(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    rotation: DataFrame,
+    out_col: str | None = None,
+    compute: str = "expr",
+) -> DataFrame:
+    """Apply a rotation (``(pos, row)`` as from :func:`opq_train`) to a
+    vector column: ``out[i] = <row_i, x>``. A pure scan-side projection —
+    nothing shuffles; the rotated column replaces ``vec_col`` unless
+    ``out_col`` names a new one. Degenerate rows (NULL vector, width
+    mismatch, NULL elements) rotate to NULL, the module's NULL-not-error
+    contract, so downstream pq_train/pq_encode filters see them exactly
+    as they would the originals.
+
+    ``compute='expr'`` embeds the dim^2 matrix as plan literals
+    (budget-gated like the PQ kernels, falling back with a warning);
+    ``compute='join'`` attaches the matrix as ONE nested-array broadcast
+    row — no collect, no budget, bit-identical (same sequential dot
+    fold)."""
+    if compute not in ("expr", "join"):
+        raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
+    out = out_col or vec_col
+    if compute == "expr":
+        rows = sorted(rotation.collect(), key=lambda r: r["pos"])
+        if not rows:
+            raise ValueError("empty rotation")
+        dim = len(rows[0]["row"])
+        if len(rows) * dim > _ASSIGN_EXPR_MAX_LITERALS:
+            warnings.warn(
+                f"rotation embeds {len(rows) * dim} literal doubles — past "
+                f"the expr budget ({_ASSIGN_EXPR_MAX_LITERALS}). Falling "
+                "back to compute='join' (bit-identical).",
+                stacklevel=2,
+            )
+            compute = "join"
+        else:
+            mat = "array(" + ",".join(
+                "array(" + ",".join(_sql_double(x) for x in r["row"]) + ")"
+                for r in rows
+            ) + ")"
+            rotated = f"transform({mat}, r -> " + _pq_dot_sql(
+                "r", f"`{vec_col}`"
+            ) + ")"
+            ok = (
+                F.col(vec_col).isNotNull()
+                & (F.size(vec_col) == dim)
+                & (F.size(F.filter(vec_col, lambda x: x.isNull())) == 0)
+            )
+            return df.withColumn(out, F.when(ok, F.expr(rotated)))
+    # join kernel: the matrix as ONE position-ordered nested-array row
+    row_df = rotation.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("row")))
+            ),
+            lambda s: s["row"],
+        ).alias("__rot")
+    )
+    dim_expr = F.size(F.element_at("__rot", 1))
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim_expr)
+        & (F.size(F.filter(vec_col, lambda x: x.isNull())) == 0)
+    )
+    rotated = "transform(`__rot`, r -> " + _pq_dot_sql(
+        "r", f"`{vec_col}`"
+    ) + ")"
+    return (
+        df.crossJoin(F.broadcast(row_df))
+        .withColumn(out, F.when(ok, F.expr(rotated)))
+        .drop("__rot")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     *,
