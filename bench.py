@@ -1243,6 +1243,43 @@ def main() -> int:
             f"shuffle {span_name}: {key_shuffle[span_name]}", file=sys.stderr
         )
 
+    # Batched-BPE round-trip payoff (VERDICT r9 item 3): 200 merges on a
+    # corpus of 200 symbol-disjoint word types (so every merges_per_round
+    # setting learns the IDENTICAL table and the delta is pure
+    # orchestration). One run per setting — the row demonstrates the JOB
+    # COUNT collapse (B=1: one count+collect per merge; B=8: per 8),
+    # which is the 32k-vocab scale story, not a 3-run timing.
+    from timefence_spark.operators import bpe as _bpe
+
+    bpe_words = [
+        chr(0x4E00 + 2 * i) + chr(0x4E01 + 2 * i) for i in range(200)
+    ]
+    bpe_df = spark.createDataFrame(
+        [(1, " ".join(w for w in bpe_words for _ in range(2)))],
+        "doc_id long, text string",
+    )
+
+    def _n_jobs() -> int:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        return store.jobsList(sc._jvm.java.util.ArrayList()).size()
+
+    bpe_batching: dict[str, dict] = {}
+    bpe_tables = {}
+    for b in (1, 8):
+        j0, t0 = _n_jobs(), time.monotonic()
+        bpe_tables[b] = _bpe.train_bpe_spark(
+            bpe_df, text_col="text", n_merges=200, mode="distributed",
+            merges_per_round=b,
+        )
+        bpe_batching[f"b{b}"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "jobs": _n_jobs() - j0,
+            "merges": len(bpe_tables[b]),
+        }
+    bpe_batching["identical_tables"] = bpe_tables[1] == bpe_tables[8]
+    print(f"bpe_batching: {bpe_batching}", file=sys.stderr)
+
     # Streaming replays share the parent JVM (light, sf-sized state);
     # scale/skew each get a fresh JVM via subprocess — SPARK_GRAFT_SCALE=0
     # skips them for a quick query-suite-only run.
@@ -1250,7 +1287,8 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
         streaming = _bench_streaming(spark)
     spark.stop()
-    return _finish(timings, all_runs, spreads, abs_gaps, key_shuffle, streaming)
+    return _finish(timings, all_runs, spreads, abs_gaps, key_shuffle,
+                   streaming, bpe_batching)
 
 
 def _finish(
@@ -1260,6 +1298,7 @@ def _finish(
     abs_gaps: dict[str, float],
     key_shuffle: dict[str, dict | None],
     streaming: dict[str, dict],
+    bpe_batching: dict[str, dict] | None = None,
 ) -> int:
     scale: dict[str, dict] = {}
     skew: dict[str, dict] = {}
@@ -1323,6 +1362,7 @@ def _finish(
         "skew": skew,
         "streaming": streaming,
         "key_mode_shuffle": key_shuffle,
+        "bpe_batching": bpe_batching or {},
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1240,6 +1240,10 @@ def corpus_train_classifier(
 @click.option("--n-merges", type=int, default=100, show_default=True,
               help="Maximum merges to learn (stops early when no pair "
               "repeats).")
+@click.option("--merges-per-round", type=int, default=1, show_default=True,
+              help="Driver round-trips amortization: accept up to B "
+              "symbol-disjoint merges per pair-count job (batched-BPE "
+              "approximation; 1 = exact sequential).")
 @click.option("--save-tokenizer", "tokenizer_path", default=None,
               help="Also write a frozen tokenizer JSON (merges + corpus "
               "vocabulary) for train-once/encode-many pipelines "
@@ -1247,8 +1251,8 @@ def corpus_train_classifier(
 @click.option("--json", "json_out", is_flag=True,
               help="Machine-readable summary.")
 def corpus_train_bpe(
-    input_path, output_path, id_col, text_col, n_merges, tokenizer_path,
-    json_out,
+    input_path, output_path, id_col, text_col, n_merges, merges_per_round,
+    tokenizer_path, json_out,
 ) -> None:
     """Learn a BPE merge table from a document corpus (distributed
     Sennrich trainer — one pair-count shuffle over the word-type table
@@ -1261,7 +1265,7 @@ def corpus_train_bpe(
     spark = get_spark()
     df = read_parquet(spark, input_path)
     merges = Corpus(df, id_col=id_col, text_col=text_col).train_bpe(
-        n_merges=n_merges
+        n_merges=n_merges, merges_per_round=merges_per_round
     )
     spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)],

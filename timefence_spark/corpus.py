@@ -359,19 +359,23 @@ class Corpus:
         )
 
     def train_bpe(
-        self, *, n_merges: int = 100, checkpoint_every: int = 10
+        self, *, n_merges: int = 100, checkpoint_every: int = 10,
+        merges_per_round: int = 1,
     ) -> list[tuple[str, str]]:
         """Learn a BPE merge table FROM this corpus (distributed
         Sennrich trainer, see bpe.train_bpe_spark) — feed it into
         ``with_token_counts(tokenizer_fn=bpe.make_token_counter(m))``
         to close the train -> tokenize loop with a corpus-fitted
-        tokenizer instead of the vendored demo merges. Returns the
-        merge list (driver-side, vocabulary-bounded), not a Corpus."""
+        tokenizer instead of the vendored demo merges.
+        ``merges_per_round`` batches driver round-trips for large
+        vocabularies (see bpe.train_bpe_spark). Returns the merge list
+        (driver-side, vocabulary-bounded), not a Corpus."""
         from timefence_spark.operators import bpe
 
         return bpe.train_bpe_spark(
             self.df, text_col=self.text_col, n_merges=n_merges,
             checkpoint_every=checkpoint_every,
+            merges_per_round=merges_per_round,
         )
 
     def rank_bm25(self, query: str, **kwargs) -> DataFrame:

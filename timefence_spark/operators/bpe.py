@@ -210,6 +210,7 @@ def train_bpe_spark(
     checkpoint_every: int = 10,
     mode: str = "auto",
     local_threshold: int = 100_000,
+    merges_per_round: int = 1,
 ) -> list[tuple[str, str]]:
     """Distributed BPE training (VERDICT r8 item 5): the :func:`train_bpe`
     loop re-expressed as Spark aggregations, bit-identical to the Python
@@ -251,6 +252,22 @@ def train_bpe_spark(
     sf0.1/local[32]: the distributed loop costs ~0.17 s per merge
     (driver round-trip per iteration — inherent to the algorithm's
     sequential dependency), the auto/local path ~0.3 s total.
+
+    ``merges_per_round=B`` (VERDICT r9 item 3) amortizes that driver
+    round-trip: each Spark job collects the top-B pairs and greedily
+    accepts, in rank order, those whose symbol sets — left, right, AND
+    the merged token — are disjoint from every pair already accepted
+    this round; the accepted merges apply before the next count. A
+    32k-merge production vocab at B=32 is ~1000 jobs instead of 32k
+    (the ~90-minute wall the r9 verdict measured collapses to minutes).
+    Disjointness makes the accepted pairs' counts invariant under each
+    other's application, so each accepted pair's count is exact — but a
+    merge can CREATE new pairs (x, l+r) that a strictly sequential
+    trainer would have ranked before this round's later picks, so B>1
+    is the standard batched-BPE approximation, not bit-equal to B=1 in
+    general. It IS bit-equal when the top pairs don't interact (the
+    property test constructs that corpus); B=1 (default) keeps the
+    exact sequential semantics the oracle replays.
     """
     from pyspark.sql import functions as F
 
@@ -259,6 +276,10 @@ def train_bpe_spark(
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
         )
     word_counts = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
@@ -291,37 +312,58 @@ def train_bpe_spark(
         "explode(transform(slice(syms, 1, size(syms) - 1), "
         "(s, i) -> struct(s AS l, syms[i + 1] AS r)))"
     )
-    for rank in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        top = (
             vocab.select(F.expr(pair_expr).alias("p"), "freq")
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(want)
             .collect()
         )
-        if not best or best[0]["cnt"] < 2:
+        if not top or top[0]["cnt"] < 2:
             break
-        left, right = best[0]["l"], best[0]["r"]
-        merges.append((left, right))
-        lc, rc, mc = F.lit(left), F.lit(right), F.lit(left + right)
-        vocab = vocab.select(
-            F.aggregate(
-                "syms",
-                F.expr("cast(array() as array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == lc)
-                    & (x == rc),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("syms"),
-            "freq",
-        )
-        if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+        # Greedy rank-order acceptance: a pair joins the round only if
+        # its {left, right, merged} symbols are disjoint from every
+        # already-accepted pair's — the invariant that keeps each
+        # accepted count exact under the others' application. The best
+        # pair always qualifies, so every round makes progress.
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if row["cnt"] < 2:
+                # below-threshold pairs never merge; the WHILE still
+                # recounts next round (an applied merge can create new
+                # countable pairs), and stops on a sub-2 global best.
+                break
+            left, right = row["l"], row["r"]
+            syms = {left, right, left + right}
+            if accepted and (syms & used):
+                continue
+            accepted.append((left, right))
+            used |= syms
+        for left, right in accepted:
+            merges.append((left, right))
+            lc, rc, mc = F.lit(left), F.lit(right), F.lit(left + right)
+            vocab = vocab.select(
+                F.aggregate(
+                    "syms",
+                    F.expr("cast(array() as array<string>)"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == lc)
+                        & (x == rc),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(mc),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("syms"),
+                "freq",
+            )
+            if len(merges) % checkpoint_every == 0:
+                vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 
