@@ -911,3 +911,34 @@ def test_preload_sources_csv_stays_ntz_and_conf_restored(spark, tmp_path):
     assert len(loaded) == 3
     for df in loaded.values():
         assert df.schema["updated_at"].dataType.typeName() == "timestamp_ntz"
+
+
+def test_build_tunes_shuffle_partitions_for_small_inputs(
+    spark, tmp_path, users_feat_labels
+):
+    """VERDICT r9 item 7: a build whose file inputs total a few MB runs
+    its shuffles at a width scaled to input bytes (floor 4) instead of
+    the session's 32 — ~32 near-empty tasks per stage were most of the
+    100k_x1 fixed floor. The session conf is restored afterwards, the
+    transcript records the tuning, and DataFrame-backed inputs (unsized
+    without a job) leave the conf untouched."""
+    users_path, txns_path, labels_path = users_feat_labels
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    res = tf.build(
+        _labels(labels_path), [_country_feature(users_path)], None,
+        spark=spark,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    tuned_lines = [l for l in res.sql.splitlines() if "tuned" in l]
+    assert tuned_lines and f"{before} -> 4" in tuned_lines[0]
+    assert res.stats.row_count == 50
+
+    # DataFrame-backed labels: no sizing possible -> no tuning line
+    ldf = spark.read.parquet(labels_path)
+    res2 = tf.build(
+        tf.Labels(df=ldf, keys="user_id", label_time="label_time",
+                  target="churned"),
+        [_country_feature(users_path)], None, spark=spark,
+    )
+    assert not [l for l in res2.sql.splitlines() if "tuned" in l]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -241,3 +241,41 @@ def test_ngram_frequencies_no_count_distinct_expand(spark):
     assert "Expand" not in plan
     rows = {r["ngram"]: (r["n_occurrences"], r["n_docs"]) for r in out.collect()}
     assert rows["one two three"] == (20, 20)
+
+
+def test_build_selects_zero_join_single_pass_plan(spark, sf_dir):
+    """VERDICT r9 item 8: build() auto-selects the single-pass plan when
+    every feature resolves through the union strategy under ONE shared
+    key mapping (the common case). The built DataFrame's physical plan
+    must contain exactly ONE Window and ZERO joins — the label row rides
+    through the window itself (pit_match_multi carry_left), so no row
+    id, no checkpoint, and no per-feature recombination join exist."""
+    import timefence_spark as tf
+    from timefence_spark.plans import physical_summary
+
+    labels = tf.Labels(
+        path=f"{sf_dir}/orders.parquet", keys="o_custkey",
+        label_time="o_orderdate", target="o_totalprice",
+    )
+    feats = [
+        tf.Feature(
+            tf.Source(
+                f"{sf_dir}/orders.parquet", keys="o_custkey",
+                timestamp="o_orderdate",
+            ),
+            sql=(
+                f"SELECT o_custkey, o_orderdate AS feature_time, "
+                f"MAX(o_totalprice)*{i} AS v{i} FROM {{source}} GROUP BY 1,2"
+            ),
+            name=f"f{i}", embargo=f"{i}d", on_duplicate="keep_any",
+        )
+        for i in (1, 2, 3)
+    ]
+    res = tf.build(labels, feats, None, spark=spark)
+    s = physical_summary(res.dataframe)
+    assert s.windows == 1, f"expected ONE Window, got {s}"
+    assert (
+        s.broadcast_joins == 0
+        and s.sort_merge_joins == 0
+        and s.nested_loop_joins == 0
+    ), f"single-pass build must have zero joins, got {s}"
