@@ -2423,6 +2423,14 @@ def ivf_pq_topk(
     else:
         enc_src = assigned.select("neighbor_id", "__cv")
     if codebook is None:
+        # Training reads the encode source m (+refine) times — one
+        # TakeOrdered sample per subspace — and each pass would
+        # recompute assignment (+ the residual join). Materialize it
+        # ONCE: strictly cheaper than m recomputed corpus scans (write
+        # once, read m+1), and the repeated-search path that must never
+        # pay a full-corpus materialization per query batch is
+        # ivf_pq_build_index/ivf_pq_search, not inline retraining.
+        enc_src = pin(enc_src)
         codebook = pq_train(
             enc_src, corpus_id="neighbor_id", corpus_vec="__cv", m=m,
             nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
@@ -2739,6 +2747,9 @@ def ivf_pq_build_index(
         )
     else:
         enc_src = assigned.select("neighbor_id", "__cv")
+    # Same materialize-once rationale as ivf_pq_topk: training + encode
+    # read this m+2 times.
+    enc_src = pin(enc_src)
     book = pq_train(
         enc_src, corpus_id="neighbor_id", corpus_vec="__cv", m=m,
         nbits=nbits, seed=seed + 101, hash_fn=hash_fn,
