@@ -3108,6 +3108,104 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # n_buckets tunes parallelism only; the oracle is bucket-free
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed 1-2-gram
+    bucket multinomials fitted on the raw corpus and a trusted target
+    slice (doc_id % 7 == 0), per-document log-likelihood ratio. The
+    oracle replays tokenize -> gram -> hash-bucket -> smoothed
+    distributions -> bucket-ordered contribution fold exactly (portable
+    md5 buckets, deterministic fold)."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return sampling.dsir_weights(
+        docs, target, id_col="doc_id", text_col="text", buckets=1000,
+        hash_fn="md5", deterministic=True,
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling: Gumbel top-20 over the importance weights, with
+    the Gumbel noise derived from the salted id hash — fully
+    deterministic, so the oracle replays weighting AND selection."""
+    from timefence_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return sampling.dsir_sample(
+        docs, target, id_col="doc_id", text_col="text", n=20,
+        buckets=1000, hash_fn="md5", deterministic=True,
+    ).select("doc_id", "log_weight", "sample_rank")
+
+
+_DSIR_CORE_SQL = """
+    d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(list_concat(toks,
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+        FROM d
+    ), b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(gram || ':dsir'), 1, 15))
+                    AS BIGINT) % 1000 AS bucket
+        FROM g
+    ), feats AS (
+        SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+    ), rdist AS (
+        SELECT bucket, SUM(cnt) AS rn FROM feats GROUP BY 1
+    ), tdist AS (
+        SELECT bucket, SUM(cnt) AS tn FROM feats
+        WHERE doc_id % 7 = 0 GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT SUM(rn) FROM rdist) AS R,
+               (SELECT COALESCE(SUM(tn), 0) FROM tdist) AS T
+    ), lr AS (
+        -- exact Spark term order: ln(t+k) - ln(r+k) - ln(T+kB) + ln(R+kB)
+        SELECT r.bucket,
+               LN(COALESCE(t.tn, 0) + 1.0) - LN(r.rn + 1.0)
+               - LN(T + 1000.0) + LN(R + 1000.0) AS lr
+        FROM rdist r LEFT JOIN tdist t USING (bucket) CROSS JOIN tot
+    ), scored AS (
+        SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+               ROUND(list_reduce(list_transform(
+                   list(struct_pack(b := f.bucket, x := f.cnt * lr.lr)
+                        ORDER BY f.bucket),
+                   s -> s.x), (a, b) -> a + b), 6) AS log_weight
+        FROM feats f JOIN lr USING (bucket)
+        GROUP BY f.doc_id
+    )
+"""
+
+ORACLE_DSIR_WEIGHTS = f"""
+    WITH {_DSIR_CORE_SQL}
+    SELECT doc_id, n_grams, log_weight FROM scored
+"""
+
+ORACLE_DSIR_SAMPLE = f"""
+    WITH {_DSIR_CORE_SQL}, gum AS (
+        SELECT doc_id, log_weight,
+               ROUND(log_weight - LN(-LN(
+                   ((CAST(concat('0x', substr(md5(doc_id::VARCHAR
+                        || ':dsir|gumbel'), 1, 15)) AS BIGINT) % 1000000)
+                    + 0.5) / 1000000.0)), 6) AS key
+        FROM scored
+    ), ranked AS (
+        SELECT doc_id, log_weight,
+               ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC)
+                   AS sample_rank
+        FROM gum
+    )
+    SELECT doc_id, log_weight, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 20
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source weights (new in round 9, the
     Pile/Gopher mixing rule weight ∝ n^(1/T) at T=2 over per-source
@@ -4833,6 +4931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
         "knn_ivf_pq_raw": q_knn_ivf_pq_raw,  # new in round 10
         "knn_pq_opq": q_knn_pq_opq,  # new in round 10
+        "dsir_weights": q_dsir_weights,  # new in round 10
+        "dsir_sample": q_dsir_sample,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
@@ -5007,6 +5107,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_opq": _oracle_knn_pq_sql(
             rotation=similarity.opq_rotation(64, 7)
         ),
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "dsir_sample": ORACLE_DSIR_SAMPLE,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

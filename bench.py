@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     # (scan-side dim^2-literal matvec) feeding the unchanged PQ
     # pipeline; the delta vs knn_pq prices the rotation pass.
     "knn_pq_opq",
+    # Round-10: DSIR importance weighting + Gumbel top-k resampling —
+    # two bounded-distribution fits + one (id, bucket) pre-agg shuffle +
+    # TakeOrdered selection.
+    "dsir_sample",
 ]
 
 

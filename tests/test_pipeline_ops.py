@@ -606,3 +606,72 @@ def test_canonicalize_url_and_url_dedup(spark):
     )
     # canonical groups: {1,2,8} -> 1, {3,4} -> 3; 5,6,9,10 unique; 7 NULL kept
     assert kept == [1, 3, 5, 6, 7, 9, 10]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR (round 10): documents sharing the target corpus's n-gram
+    distribution must weigh higher than off-distribution ones; the two
+    hash kernels agree on ordering; sampling is deterministic Gumbel
+    top-k (stable across reruns); degenerate inputs validate."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.operators import sampling
+
+    legal = "the party of the first part agrees to the terms herein"
+    recipe = "mix the flour with sugar and bake the cake until golden"
+    rows = (
+        [(i, legal + f" clause {i}") for i in range(20)]          # target-like
+        + [(100 + i, recipe + f" step {i}") for i in range(20)]  # off-target
+    )
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, legal + f" annex {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in sampling.dsir_weights(
+        raw, target, id_col="doc_id", text_col="text", buckets=512
+    ).collect()}
+    legal_mean = sum(w[i] for i in range(20)) / 20
+    recipe_mean = sum(w[100 + i] for i in range(20)) / 20
+    assert legal_mean > recipe_mean
+
+    # md5 kernel ranks the same corpus the same way (values differ only
+    # through bucket collisions; the class separation must survive)
+    w2 = {r["doc_id"]: r["log_weight"] for r in sampling.dsir_weights(
+        raw, target, id_col="doc_id", text_col="text", buckets=512,
+        hash_fn="md5", deterministic=True,
+    ).collect()}
+    assert sum(w2[i] for i in range(20)) > sum(w2[100 + i] for i in range(20))
+
+    # Gumbel top-k: deterministic, mostly target-like, rerun-stable
+    sel = sampling.dsir_sample(
+        raw, target, id_col="doc_id", text_col="text", n=10, buckets=512,
+    )
+    picked = sorted(r["doc_id"] for r in sel.collect())
+    assert picked == sorted(r["doc_id"] for r in sel.collect())
+    assert sum(1 for d in picked if d < 100) >= 7  # weights dominate noise
+    ranks = {r["doc_id"]: r["sample_rank"] for r in sel.collect()}
+    assert sorted(ranks.values()) == list(range(1, 11))
+
+    # facade: select_dsir keeps raw columns only
+    c = Corpus(raw, id_col="doc_id", text_col="text").select_dsir(
+        Corpus(target, id_col="doc_id", text_col="text"), n=10, buckets=512,
+    )
+    assert set(c.df.columns) == {"doc_id", "text"}
+    assert c.df.count() == 10
+
+    with pytest.raises(ValueError, match="buckets"):
+        sampling.hashed_ngram_buckets(
+            raw, id_col="doc_id", text_col="text", buckets=1
+        )
+    with pytest.raises(ValueError, match="n_max"):
+        sampling.hashed_ngram_buckets(
+            raw, id_col="doc_id", text_col="text", n_max=3
+        )
+    with pytest.raises(ValueError, match="smoothing_k"):
+        sampling.dsir_weights(
+            raw, target, id_col="doc_id", text_col="text", smoothing_k=0
+        )
+    with pytest.raises(ValueError, match="n must be"):
+        sampling.dsir_sample(
+            raw, target, id_col="doc_id", text_col="text", n=0
+        )

@@ -149,11 +149,15 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # nlist rows crossed with the ONE-row nested codebook (then itself
     # broadcast) — the sanctioned one-row-aggregate shape; candidates
     # still arrive via the centroid_id equi-join.
+    # dsir_weights / dsir_sample: the two corpus-distribution totals
+    # (R, T) ride the same ONE-row aggregate broadcast cross join as
+    # unigram_nll's LM scalars; per-bucket and per-doc joins are
+    # equi-joins.
     allowed_bnlj = {
         "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
         "temperature_mix", "knn_sq", "knn_binary", "knn_ivf_pq",
-        "knn_pq_opq",
+        "knn_pq_opq", "dsir_weights", "dsir_sample",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

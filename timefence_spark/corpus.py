@@ -592,6 +592,21 @@ class Corpus:
             budgets, token_col=token_col, strata_col=strata_col, **kwargs
         )
 
+    def select_dsir(
+        self, target: "Corpus | DataFrame", *, n: int, **kwargs
+    ) -> "Corpus":
+        """DSIR data selection (Xie et al. 2023): keep the ``n``
+        documents most like ``target`` by hashed-n-gram importance
+        resampling (sampling.dsir_sample — deterministic Gumbel top-k
+        over the log-likelihood-ratio weights). ``target`` is a trusted
+        corpus (or its DataFrame with the same id/text columns)."""
+        tdf = target.df if isinstance(target, Corpus) else target
+        out = sampling.dsir_sample(
+            self.df, tdf.select(self.id_col, self.text_col),
+            id_col=self.id_col, text_col=self.text_col, n=n, **kwargs,
+        )
+        return self._wrap(out.drop("log_weight", "sample_rank"))
+
     def split(self, weights: dict[str, float], **kwargs) -> "Corpus":
         """Add a deterministic 'split' assignment column."""
         return self._wrap(

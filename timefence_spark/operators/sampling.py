@@ -381,3 +381,220 @@ def temperature_budgets(
     return {
         r["stratum"]: int(r["weight"] * total_tokens) for r in rows
     }
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus documents whose hashed-n-gram
+# distribution looks like a trusted TARGET corpus: fit bag-of-hashed-ngram
+# multinomials over both corpora, weight each raw document by the
+# log-likelihood ratio of its features, and resample via deterministic
+# Gumbel top-k. The standard pretraining data-selection method between
+# "keyword filter" and "train a classifier" (cheaper than fit_classifier's
+# labeled setup: the target corpus IS the label).
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    buckets: int = 10_000,
+    n_max: int = 2,
+    salt: str = "dsir",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, bucket, cnt): DSIR's hashed bag-of-ngrams features — word
+    1..``n_max``-grams of the lowercased whitespace tokens, hashed into
+    ``buckets`` by the salted portable hash. The fixed feature width is
+    what makes the method scale-free: distributions over any corpus size
+    are ``buckets``-row tables.
+
+    100 TB shape: grams build scan-side (filter + transform, no
+    token-level shuffle); ONE (id, bucket) pre-aggregation shuffle whose
+    width is bounded by min(doc grams, buckets) per document."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if n_max not in (1, 2):
+        raise ValueError(f"n_max must be 1 or 2, got {n_max}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    grams = F.col("__toks")
+    if n_max == 2:
+        # two-arg transform lambda = (element, index): slice element j
+        # (1-based) pairs with token j+1 = element_at(__toks, i + 2).
+        bigrams = F.transform(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(F.col("__toks"), i + F.lit(2))
+            ),
+        )
+        grams = F.concat(grams, bigrams)
+    return (
+        staged.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .select(
+            F.col(id_col),
+            F.pmod(
+                _salted_hash(F.col("__gram"), salt, hash_fn), F.lit(buckets)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    buckets: int = 10_000,
+    n_max: int = 2,
+    smoothing_k: float = 1.0,
+    salt: str = "dsir",
+    hash_fn: str = "xxhash64",
+    deterministic: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights:
+    ``log w(x) = sum_b c_b(x) * [ln p_target(b) - ln p_raw(b)]`` with
+    add-k smoothed bucket multinomials fitted on each corpus. Returns
+    ``(id, n_grams, log_weight)`` for every raw document with at least
+    one token (token-less documents emit no row, like unigram_logprob).
+    Higher = more target-like.
+
+    Physical shape: both corpus distributions aggregate to
+    ``buckets``-row tables (one explode + pre-agg shuffle each); their
+    totals ride a one-row broadcast cross join; the per-bucket log-ratio
+    table joins the raw documents' features with an AQE-broadcast
+    equi-join; one groupBy(id) finishes. Nothing about the model grows
+    with corpus size. Buckets unseen in BOTH fits (possible when the
+    distributions were fitted on samples) fall back to the smoothed
+    ratio ``ln(R + kB) - ln(T + kB)`` via the left join's coalesce.
+
+    ``deterministic=True`` folds each document's contributions in
+    bucket order (canonical IEEE summation, replayable by an external
+    SQL engine); the default sums in shuffle order — right at scale."""
+    if smoothing_k <= 0:
+        raise ValueError(f"smoothing_k must be > 0, got {smoothing_k}")
+    k = float(smoothing_k)
+    raw_b = hashed_ngram_buckets(
+        raw, id_col=id_col, text_col=text_col, buckets=buckets,
+        n_max=n_max, salt=salt, hash_fn=hash_fn,
+    )
+    tgt_b = hashed_ngram_buckets(
+        target, id_col=id_col, text_col=text_col, buckets=buckets,
+        n_max=n_max, salt=salt, hash_fn=hash_fn,
+    )
+    rdist = raw_b.groupBy("bucket").agg(F.sum("cnt").alias("__rn"))
+    tdist = tgt_b.groupBy("bucket").agg(F.sum("cnt").alias("__tn"))
+    dist = rdist.join(tdist, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("__rn", F.lit(0)).alias("__rn"),
+        F.coalesce("__tn", F.lit(0)).alias("__tn"),
+    )
+    totals = F.broadcast(
+        dist.agg(
+            F.coalesce(F.sum("__rn"), F.lit(0)).alias("__R"),
+            F.coalesce(F.sum("__tn"), F.lit(0)).alias("__T"),
+        )
+    )
+    kb = F.lit(k * buckets)
+    # Exact term order mirrored by the SQL oracle: ln(t+k) - ln(r+k)
+    # - ln(T+kB) + ln(R+kB), left-associative.
+    lr = (
+        F.log(F.col("__tn") + F.lit(k))
+        - F.log(F.col("__rn") + F.lit(k))
+        - F.log(F.col("__T") + kb)
+        + F.log(F.col("__R") + kb)
+    )
+    lr_tbl = dist.crossJoin(totals).select(
+        "bucket", lr.alias("__lr"), "__R", "__T"
+    )
+    joined = raw_b.join(lr_tbl, "bucket", "left").crossJoin(
+        totals.withColumnRenamed("__R", "__R2").withColumnRenamed(
+            "__T", "__T2"
+        )
+    )
+    fallback = -F.log(F.col("__T2") + kb) + F.log(F.col("__R2") + kb)
+    contrib = F.col("cnt") * F.coalesce(F.col("__lr"), fallback)
+    grouped = joined.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        (
+            F.collect_list(F.struct(F.col("bucket"), contrib.alias("c")))
+            if deterministic
+            else F.sum(contrib)
+        ).alias("__w"),
+    )
+    if deterministic:
+        total = F.aggregate(
+            F.array_sort(F.col("__w")), F.lit(0.0), lambda acc, s: acc + s["c"]
+        )
+    else:
+        total = F.col("__w")
+    if round_to is not None:
+        total = F.round(total, round_to)
+    return grouped.select(
+        F.col(id_col), F.col("n_grams"), total.alias("log_weight")
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    buckets: int = 10_000,
+    n_max: int = 2,
+    smoothing_k: float = 1.0,
+    salt: str = "dsir",
+    hash_fn: str = "xxhash64",
+    deterministic: bool = False,
+) -> DataFrame:
+    """DSIR resampling: ``n`` raw documents drawn without replacement
+    with probability proportional to their importance weight, via the
+    deterministic Gumbel top-k trick — ``key = log_w + g(id)`` where the
+    Gumbel noise ``g = -ln(-ln(u))`` derives from the salted id hash
+    (pure function of (id, salt): stable across reruns, partitionings,
+    and engines, like every sampler in this module). Returns the
+    selected raw rows plus ``log_weight`` and ``sample_rank`` (1-based
+    by descending key).
+
+    100 TB shape: weights as in :func:`dsir_weights`; selection is a
+    TakeOrdered top-n (per-partition heads + driver merge, no global
+    sort shuffle); the n-row id set broadcasts back onto the raw scan."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = dsir_weights(
+        raw, target, id_col=id_col, text_col=text_col, buckets=buckets,
+        n_max=n_max, smoothing_k=smoothing_k, salt=salt, hash_fn=hash_fn,
+        deterministic=deterministic,
+    )
+    u = (
+        F.pmod(
+            _salted_hash(F.col(id_col), f"{salt}|gumbel", hash_fn),
+            F.lit(_BUCKETS),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_BUCKETS))
+    keyed = w.select(
+        F.col(id_col), "log_weight",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("__key"),
+    )
+    sel = (
+        keyed.orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(n)
+        .select(
+            F.col(id_col), "log_weight",
+            F.row_number()
+            .over(Window.orderBy(F.desc("__key"), F.asc(id_col)))
+            .alias("sample_rank"),
+        )
+    )
+    return raw.join(F.broadcast(sel), id_col)
