@@ -887,6 +887,79 @@ ORACLE_KNN = """
 """
 
 
+def q_knn_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated exact kNN: vectors prefix-truncate to 16 of
+    64 dims (truncate_embeddings — scan-side slice, every downstream
+    byte 4x smaller), then brute-force cosine top-5. Renormalization is
+    cosine-invariant, so the oracle scores raw truncated prefixes."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tr = similarity.truncate_embeddings(
+        emb, vec_col="embedding", dims=16, renormalize=False
+    )
+    return similarity.cosine_topk(
+        tr.where(F.col("vec_id") < 20), tr,
+        query_id="vec_id", corpus_id="vec_id", k=5, round_to=4,
+        broadcast_queries=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+ORACLE_KNN_MRL = """
+    WITH t AS (
+        SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings
+    ), pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(q.v, c.v) /
+                   (SQRT(list_dot_product(q.v, q.v)) *
+                    SQRT(list_dot_product(c.v, c.v))), 4
+               ) AS cosine
+        FROM t q JOIN t c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_gram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus n-gram duplication rate (Lee et al.
+    2022 memorization-risk signal): fraction of each doc's 5-grams that
+    appear in >= 2 documents. Oracle replays grams -> doc-frequency ->
+    occurrence-weighted fraction."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gram_duplication(
+        docs, id_col="doc_id", text_col="text", n=5, min_docs=2,
+    )
+
+
+ORACLE_GRAM_DUPLICATION = r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 3),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+        FROM d WHERE len(toks) >= 5
+    ), per_doc AS (
+        SELECT doc_id, ngram, count(*) AS n FROM g GROUP BY 1, 2
+    ), gdocs AS (
+        SELECT ngram, count(*) AS n_docs FROM per_doc GROUP BY 1
+    )
+    SELECT p.doc_id, CAST(SUM(p.n) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(CASE WHEN gd.n_docs >= 2 THEN p.n ELSE 0 END)
+                      AS DOUBLE) / SUM(p.n), 6) AS dup_frac
+    FROM per_doc p JOIN gdocs gd USING (ngram)
+    GROUP BY p.doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join (inverted index) — verified
     against a brute-force O(n^2) DuckDB join."""
@@ -4933,6 +5006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_opq": q_knn_pq_opq,  # new in round 10
         "dsir_weights": q_dsir_weights,  # new in round 10
         "dsir_sample": q_dsir_sample,  # new in round 10
+        "knn_mrl": q_knn_mrl,  # new in round 10
+        "gram_duplication": q_gram_duplication,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
@@ -5109,6 +5184,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "dsir_sample": ORACLE_DSIR_SAMPLE,
+        "knn_mrl": ORACLE_KNN_MRL,
+        "gram_duplication": ORACLE_GRAM_DUPLICATION,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

@@ -203,6 +203,10 @@ BENCH_QUERIES = [
     # two bounded-distribution fits + one (id, bucket) pre-agg shuffle +
     # TakeOrdered selection.
     "dsir_sample",
+    # Round-10: Matryoshka-truncated exact kNN — the knn_cosine row at a
+    # 4x-smaller scan (prefix slice is scan-side); the delta vs
+    # knn_cosine prices what truncation buys every downstream ANN rung.
+    "knn_mrl",
 ]
 
 

@@ -158,6 +158,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
         "temperature_mix", "knn_sq", "knn_binary", "knn_ivf_pq",
         "knn_pq_opq", "dsir_weights", "dsir_sample",
+        # knn_mrl: exact kNN over truncated prefixes — the knn_cosine shape.
+        "knn_mrl",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

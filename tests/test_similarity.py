@@ -1553,3 +1553,50 @@ def test_opq_rotation_invariance_and_recall(spark):
         bad, vec_col="embedding", rotation=rot
     ).collect()}
     assert out[1] is None and out[2] is None and out[3] is None
+
+
+def test_truncate_embeddings_mrl(spark):
+    """Matryoshka truncation (round 10): prefix slice + optional L2
+    renorm as a pure projection; degenerate rows (NULL, short, NULL
+    element in the prefix, zero-norm prefix) truncate to NULL; cosine
+    ranking is renormalization-invariant."""
+    rows = [
+        (1, [3.0, 4.0, 9.0, 9.0]),
+        (2, [1.0, 0.0, 5.0, 5.0]),
+        (3, [0.0, 0.0, 7.0, 7.0]),   # zero-norm prefix
+        (4, None),
+        (5, [1.0]),                   # shorter than dims
+        (6, [None, 2.0, 1.0, 1.0]),  # NULL inside the prefix
+        (7, [2.0, 2.0, None, None]),  # NULLs OUTSIDE the prefix are fine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["embedding"] for r in similarity.truncate_embeddings(
+        df, dims=2
+    ).collect()}
+    assert out[1] == [0.6, 0.8]  # 3-4-5 triangle renormalized
+    assert out[2] == [1.0, 0.0]
+    assert out[3] is None and out[4] is None
+    assert out[5] is None and out[6] is None
+    assert out[7] is not None
+    raw = {r["vec_id"]: r["embedding"] for r in similarity.truncate_embeddings(
+        df, dims=2, renormalize=False
+    ).collect()}
+    assert raw[1] == [3.0, 4.0] and raw[3] == [0.0, 0.0]
+
+    # cosine ranking identical with and without renorm
+    clean = df.where("vec_id in (1, 2, 7)")
+    a = similarity.cosine_topk(
+        similarity.truncate_embeddings(clean, dims=2),
+        similarity.truncate_embeddings(clean, dims=2),
+        query_id="vec_id", corpus_id="vec_id", k=2,
+    ).collect()
+    b = similarity.cosine_topk(
+        similarity.truncate_embeddings(clean, dims=2, renormalize=False),
+        similarity.truncate_embeddings(clean, dims=2, renormalize=False),
+        query_id="vec_id", corpus_id="vec_id", k=2,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dims"):
+        similarity.truncate_embeddings(df, dims=0)

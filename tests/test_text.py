@@ -1032,3 +1032,27 @@ def test_train_bpe_batched_rounds(spark):
 
     with pytest.raises(ValueError, match="merges_per_round"):
         bpe.train_bpe_spark(df, text_col="text", merges_per_round=0)
+
+
+def test_gram_duplication_rate(spark):
+    """gram_duplication (round 10): occurrence-weighted fraction of a
+    doc's n-grams shared with >= min_docs docs, hand-checked."""
+    from timefence_spark.operators.text import gram_duplication
+
+    rows = [
+        (1, "a b c d"),      # grams: "a b","b c","c d"
+        (2, "a b x y"),      # grams: "a b","b x","x y"
+        (3, "z z"),          # gram: "z z" (unique)
+        (4, "q"),            # < n tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["dup_frac"]) for r in
+           gram_duplication(df, id_col="doc_id", text_col="text", n=2).collect()}
+    assert got[1] == (3, 0.333333)   # only "a b" shared with doc 2
+    assert got[2] == (3, 0.333333)
+    assert got[3] == (1, 0.0)
+    assert 4 not in got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_docs"):
+        gram_duplication(df, id_col="doc_id", text_col="text", min_docs=1)

@@ -2026,6 +2026,60 @@ _RESIDUAL_SQL = (
 )
 
 
+def truncate_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dims: int,
+    out_col: str | None = None,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style prefix truncation: keep the first ``dims``
+    components of each vector, optionally L2-renormalized — the standard
+    memory/latency lever for MRL-trained embeddings (Kusupati et al.
+    2022), where nested prefixes are themselves valid representations.
+    A pure scan-side projection; at 100 TB it cuts every downstream ANN
+    shuffle/scan by dim_old/dims before any quantization rung applies
+    (and composes with all of them — truncate, then SQ/PQ/BQ).
+
+    Degenerate rows — NULL vector, fewer than ``dims`` components, a
+    NULL element inside the kept prefix, or (under ``renormalize``) a
+    zero-norm prefix — truncate to NULL, the module's NULL-not-error
+    contract. Cosine over truncated vectors is identical with and
+    without renormalization; renormalize matters when downstream
+    consumers read raw dot products or vector bytes."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    out = out_col or vec_col
+    sliced = F.transform(
+        F.slice(F.col(vec_col), 1, dims), lambda x: x.cast("double")
+    )
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) >= dims)
+        & (F.size(F.filter(sliced, lambda x: x.isNull())) == 0)
+    )
+    if not renormalize:
+        return df.withColumn(out, F.when(ok, sliced))
+    # Stage the prefix and its norm in their own projections: an outer
+    # norm referenced inside the transform lambda would re-run the
+    # whole L2 fold PER ELEMENT (HOF lambdas are not CSE'd — the same
+    # trap sq_encode documents); the staged aliases are multi-referenced
+    # non-cheap expressions, which CollapseProject leaves alone.
+    staged = df.withColumn("__mrl_v", F.when(ok, sliced)).withColumn(
+        "__mrl_n", l2_norm(F.col("__mrl_v"))
+    )
+    return staged.withColumn(
+        out,
+        F.when(
+            F.col("__mrl_n") > 0,
+            F.transform(
+                F.col("__mrl_v"), lambda x: x / F.col("__mrl_n")
+            ),
+        ),
+    ).drop("__mrl_v", "__mrl_n")
+
+
 def opq_rotation(dim: int, seed: int = 42) -> list[list[float]]:
     """Seeded random orthogonal matrix: QR of a seeded Gaussian, with the
     decomposition made unique by sign-fixing against R's diagonal. A

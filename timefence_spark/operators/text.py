@@ -858,6 +858,68 @@ def ngram_frequencies(
     return out.limit(top_k) if top_k is not None else out
 
 
+def gram_duplication(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus duplication rate: ``(id, n_grams,
+    dup_frac)`` where ``dup_frac`` is the fraction of the document's
+    word ``n``-grams (occurrence-weighted) that appear in at least
+    ``min_docs`` documents corpus-wide. The memorization-risk signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): documents whose 13-grams are mostly shared are boilerplate
+    or near-copies that near-dup banding may have missed, and are the
+    first candidates for down-weighting. Documents with fewer than ``n``
+    tokens emit no row (no full grams to judge — same contract as
+    :func:`ngram_frequencies`).
+
+    100 TB shape: gram construction is scan-local (the
+    ngram_frequencies plan); one (doc, gram) pre-agg shuffle, one gram
+    doc-frequency aggregation (plain count over the pre-agg — never a
+    count-distinct expand), one gram-keyed equi-join back (AQE-handled;
+    gram keys near-uniform), one groupBy(doc). Nothing driver-side."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    sz = _nsize(toks, F.col(text_col).isNotNull())
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    )
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy(id_col, "ngram")
+        .agg(F.count("*").alias("__n"))
+    )
+    gram_docs = per_doc.groupBy("ngram").agg(
+        F.count("*").alias("__docs")
+    )
+    return (
+        per_doc.join(gram_docs, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__docs") >= min_docs, F.col("__n"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("__n"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     *,
