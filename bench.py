@@ -1268,9 +1268,15 @@ def main() -> int:
     )
 
     def _n_jobs() -> int:
+        # MAX jobId, not list size: the status store evicts old jobs at
+        # spark.ui.retainedJobs, so size deltas go negative mid-suite
+        # (observed -78). Job ids are monotone and never reused.
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
-        return store.jobsList(sc._jvm.java.util.ArrayList()).size()
+        jl = store.jobsList(sc._jvm.java.util.ArrayList())
+        return max(
+            (jl.apply(i).jobId() for i in range(jl.size())), default=-1
+        ) + 1
 
     bpe_batching: dict[str, dict] = {}
     bpe_tables = {}
@@ -1311,13 +1317,19 @@ def _finish(
     scale: dict[str, dict] = {}
     skew: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        # Audit runs FIRST: in r9 and r10 it measured ~11.5s when placed
+        # after the 10m scenarios yet 5.8-7.0s in isolation (even
+        # immediately after a full suite, even with the big /tmp scale
+        # data resident) — whatever host state the 10m subprocesses
+        # leave behind (writeback, cache churn) inflates the NEXT
+        # subprocess. Measure it before the monsters run.
+        scale["audit_rebuild_1m_x10"] = _run_scenario_subprocess(
+            "audit_rebuild_1m_x10"
+        )
         for variant in SKEW_VARIANTS:
             skew[variant] = _run_scenario_subprocess(f"skew:{variant}")
         for label, *_ in SCALE_CONFIGS:
             scale[label] = _run_scenario_subprocess(label)
-        scale["audit_rebuild_1m_x10"] = _run_scenario_subprocess(
-            "audit_rebuild_1m_x10"
-        )
         # Corpus-pipeline scenarios ride the scale section (same slimming
         # + spread gate): the extension operators at 1M docs.
         for which in ("pack_1m", "clean_1m"):

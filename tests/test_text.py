@@ -1017,9 +1017,14 @@ def test_train_bpe_batched_rounds(spark):
 
     # fewer driver round-trips: count Spark jobs around each run
     def n_jobs() -> int:
+        # max jobId, not list size — the store evicts old jobs at
+        # spark.ui.retainedJobs and size deltas can go negative.
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
-        return store.jobsList(sc._jvm.java.util.ArrayList()).size()
+        jl = store.jobsList(sc._jvm.java.util.ArrayList())
+        return max(
+            (jl.apply(i).jobId() for i in range(jl.size())), default=-1
+        ) + 1
 
     j0 = n_jobs()
     bpe.train_bpe_spark(df, text_col="text", n_merges=6,
