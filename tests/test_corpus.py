@@ -471,3 +471,25 @@ def test_top_ngrams_matches_operator(spark, docs):
         ).collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_corpus_filter_gram_duplication(spark):
+    """Facade for the Lee et al. duplication gate: over-threshold docs
+    drop, under-threshold and unscorable (< n tokens) docs stay."""
+    from timefence_spark.corpus import Corpus
+
+    rows = [
+        (1, "a b c d"),   # shares "a b" with doc 2 -> dup_frac 1/3
+        (2, "a b x y"),
+        (3, "z w"),       # unique gram -> 0.0
+        (4, "q"),         # unscorable -> kept
+        (5, "a b a b a b"),  # grams mostly "a b"/"b a" -> high dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Corpus(df, id_col="doc_id", text_col="text")
+    kept = sorted(
+        r["doc_id"]
+        for r in c.filter_gram_duplication(max_frac=0.5, n=2).df.collect()
+    )
+    assert 4 in kept and 3 in kept and 5 not in kept
+    assert kept == [1, 2, 3, 4]

@@ -282,6 +282,25 @@ class Corpus:
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def filter_gram_duplication(
+        self, *, max_frac: float, n: int = 13, **kwargs
+    ) -> "Corpus":
+        """Drop documents whose cross-corpus n-gram duplication rate
+        exceeds ``max_frac`` (text.gram_duplication — the Lee et al.
+        2022 memorization-risk gate; catches boilerplate-heavy docs the
+        near-dup banding admits). Documents with fewer than ``n`` tokens
+        have no full grams to judge and are KEPT, mirroring
+        filter_fluency's keep-unscored policy — implemented as the same
+        anti-join on over-threshold ids."""
+        scored = text.gram_duplication(
+            self.df, id_col=self.id_col, text_col=self.text_col, n=n,
+            **kwargs,
+        )
+        drop = scored.where(F.col("dup_frac") > max_frac).select(
+            self.id_col
+        )
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
+
     def fluency_buckets(self, **kwargs) -> DataFrame:
         """Label every scored document head/middle/tail by LM-fluency
         percentile (see text.fluency_buckets — the CCNet tercile
