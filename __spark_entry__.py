@@ -925,6 +925,39 @@ ORACLE_KNN_MRL = """
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health summary (docs/empties/chars/tokens/exact
+    percentiles) — the before/after log line of every cleaning stage.
+    Exact percentile parity: Spark F.percentile == DuckDB
+    quantile_cont."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.corpus_stats(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_CORPUS_STATS = r"""
+    WITH s AS (
+        SELECT doc_id,
+               text IS NULL AS tnull,
+               COALESCE(LENGTH(text), 0) AS chars,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        t -> t != ''))
+               END AS ntok
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN tnull OR ntok = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ntok), 6) AS mean_tokens,
+           ROUND(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+           ROUND(quantile_cont(ntok, 0.9), 6) AS p90_tokens
+    FROM s
+"""
+
+
 def q_gram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-corpus n-gram duplication rate (Lee et al.
     2022 memorization-risk signal): fraction of each doc's 5-grams that
@@ -5016,6 +5049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,  # new in round 10
         "knn_mrl": q_knn_mrl,  # new in round 10
         "gram_duplication": q_gram_duplication,  # new in round 10
+        "corpus_stats": q_corpus_stats,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
@@ -5194,6 +5228,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "knn_mrl": ORACLE_KNN_MRL,
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
+        "corpus_stats": ORACLE_CORPUS_STATS,
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

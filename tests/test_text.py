@@ -1061,3 +1061,25 @@ def test_gram_duplication_rate(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_docs"):
         gram_duplication(df, id_col="doc_id", text_col="text", min_docs=1)
+
+
+def test_corpus_stats_summary(spark):
+    """corpus_stats (round 10): one-row health summary, hand-checked,
+    NULL/empty docs counted and weighing zero tokens."""
+    from timefence_spark.operators.text import corpus_stats
+
+    rows = [
+        (1, "a b c"),
+        (2, "x y"),
+        (3, None),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus_stats(df, id_col="doc_id", text_col="text").head()
+    assert r["n_docs"] == 4 and r["n_empty"] == 2
+    assert r["n_tokens"] == 5 and r["n_chars"] == 5 + 3 + 0 + 3
+    assert r["mean_tokens"] == 1.25
+    assert r["p50_tokens"] == 1.0 and r["p90_tokens"] == 2.7
+    # sketch mode returns the same shape (values approximate)
+    a = corpus_stats(df, id_col="doc_id", text_col="text", exact=False).head()
+    assert a["n_tokens"] == 5 and a["p50_tokens"] is not None

@@ -282,6 +282,16 @@ class Corpus:
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def stats(self, **kwargs) -> DataFrame:
+        """One-row corpus health summary (text.corpus_stats): docs,
+        empties, chars, tokens, mean/p50/p90 token counts — the log line
+        to emit before and after each cleaning stage. ``exact=False``
+        switches percentiles to the bounded-memory sketch at petabyte
+        scale."""
+        return text.corpus_stats(
+            self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+        )
+
     def filter_gram_duplication(
         self, *, max_frac: float, n: int = 13, **kwargs
     ) -> "Corpus":

@@ -858,6 +858,49 @@ def ngram_frequencies(
     return out.limit(top_k) if top_k is not None else out
 
 
+def corpus_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    exact: bool = True,
+) -> DataFrame:
+    """One-row corpus health summary: ``(n_docs, n_empty, n_chars,
+    n_tokens, mean_tokens, p50_tokens, p90_tokens)`` — the numbers a
+    pipeline run logs before and after each cleaning stage. ``n_empty``
+    counts NULL/whitespace-only documents (they contribute 0 tokens).
+
+    100 TB shape: ONE scan-side projection (token counts per doc) into
+    ONE aggregation — no joins, no window. ``exact=True`` (default)
+    computes exact percentiles (one sort-based aggregate buffer;
+    replayable by quantile_cont); ``exact=False`` switches to the
+    approx_percentile sketch — bounded memory, mergeable partials, the
+    right call at petabyte scale where a last-decimal-exact median is
+    not worth a global sort."""
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("__isnull"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("__chars"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("__ntok"),
+    )
+    perc = F.percentile if exact else F.percentile_approx
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("__isnull") | (F.col("__ntok") == 0), 1)
+            .otherwise(0)
+        ).alias("n_empty"),
+        F.sum("__chars").alias("n_chars"),
+        F.sum("__ntok").alias("n_tokens"),
+        F.round(F.avg("__ntok"), 6).alias("mean_tokens"),
+        F.round(perc(F.col("__ntok"), F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(perc(F.col("__ntok"), F.lit(0.9)), 6).alias("p90_tokens"),
+    )
+
+
 def gram_duplication(
     df: DataFrame,
     *,
