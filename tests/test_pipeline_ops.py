@@ -675,3 +675,26 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         sampling.dsir_sample(
             raw, target, id_col="doc_id", text_col="text", n=0
         )
+
+
+def test_dsir_sample_partitioning_invariant(spark):
+    """deterministic=True makes DSIR selection a pure function of
+    (corpus, target, salt): identical ids and ranks from a 1-partition
+    and a 7-partition layout of the same data."""
+    from timefence_spark.operators import sampling
+
+    rows = [(i, f"document number {i} about topic{i % 5} with words "
+                f"shared across the corpus body text") for i in range(60)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.where("doc_id % 5 = 0")
+
+    def pick(df):
+        return sorted(
+            (r["doc_id"], r["sample_rank"])
+            for r in sampling.dsir_sample(
+                df, target, id_col="doc_id", text_col="text", n=15,
+                buckets=256, deterministic=True,
+            ).collect()
+        )
+
+    assert pick(raw.coalesce(1)) == pick(raw.repartition(7))

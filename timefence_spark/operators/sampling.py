@@ -561,10 +561,17 @@ def dsir_sample(
     with probability proportional to their importance weight, via the
     deterministic Gumbel top-k trick — ``key = log_w + g(id)`` where the
     Gumbel noise ``g = -ln(-ln(u))`` derives from the salted id hash
-    (pure function of (id, salt): stable across reruns, partitionings,
-    and engines, like every sampler in this module). Returns the
-    selected raw rows plus ``log_weight`` and ``sample_rank`` (1-based
-    by descending key).
+    (a pure function of (id, salt)). Returns the selected raw rows plus
+    ``log_weight`` and ``sample_rank`` (1-based by descending key).
+
+    Determinism: the noise is always partition-independent, and
+    ``log_weight`` rounds to 6 decimals before keying — but the default
+    weight SUM runs in shuffle order, so a last-ulp float difference at
+    a rounding boundary could in principle flip a near-tied selection
+    across partitionings. Pass ``deterministic=True`` for the
+    bucket-ordered fold that makes selection a bit-stable pure function
+    of (corpus, target, salt) — the mode the oracle entry replays and
+    the one to use for cache-keyed / resumable pipelines.
 
     100 TB shape: weights as in :func:`dsir_weights`; selection is a
     TakeOrdered top-n (per-partition heads + driver merge, no global
