@@ -925,6 +925,62 @@ ORACLE_KNN_MRL = """
 """
 
 
+def q_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals: indentation structure, {};()=
+    density (length-difference counting — no regex), identifier-token
+    keyword hits, combined score. Fully replayed by the oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.code_signals(docs, id_col="doc_id", text_col="text")
+
+
+def _oracle_code_signals_sql() -> str:
+    from timefence_spark.operators.text import CODE_KEYWORDS
+
+    kw = "[" + ",".join(f"'{k}'" for k in CODE_KEYWORDS) + "]"
+    punct = "0"
+    for ch in "{};()=":
+        lit = f"'{ch}'"
+        punct += f" + (LENGTH(t) - LENGTH(replace(t, {lit}, '')))"
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               text IS NOT NULL AS ok,
+               COALESCE(text, '') AS t,
+               list_filter(string_split(COALESCE(text, ''), chr(10)),
+                           l -> trim(l) != '') AS lines
+        FROM documents
+    ), m AS (
+        SELECT doc_id, ok, len(lines) AS n_lines,
+               CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, l ->
+                       starts_with(l, chr(9)) OR starts_with(l, '    ')))
+                        AS DOUBLE) / len(lines)
+               ELSE 0.0 END AS ind,
+               CASE WHEN len(lines) > 0 THEN
+                   CAST({punct} AS DOUBLE) / len(lines)
+               ELSE 0.0 END AS pd,
+               len(list_intersect(
+                   list_distinct(list_filter(
+                       string_split_regex(lower(t), '[^a-z0-9_]+'),
+                       x -> x != '')), {kw})) AS kw
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN ok THEN n_lines END AS n_lines,
+           CASE WHEN ok THEN ROUND(ind, 6) END AS indent_frac,
+           CASE WHEN ok THEN ROUND(pd, 6) END AS punct_density,
+           CASE WHEN ok THEN kw END AS kw_hits,
+           CASE WHEN ok THEN
+               ROUND((ind + LEAST(pd / 4.0, 1.0)
+                      + LEAST(kw / 5.0, 1.0)) / 3.0, 6) END AS code_score,
+           CASE WHEN ok THEN
+               ROUND((ind + LEAST(pd / 4.0, 1.0)
+                      + LEAST(kw / 5.0, 1.0)) / 3.0, 6) >= 0.45
+           END AS is_code
+    FROM m
+    """
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health summary (docs/empties/chars/tokens/exact
     percentiles) — the before/after log line of every cleaning stage.
@@ -5050,6 +5106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_mrl": q_knn_mrl,  # new in round 10
         "gram_duplication": q_gram_duplication,  # new in round 10
         "corpus_stats": q_corpus_stats,  # new in round 10
+        "code_signals": q_code_signals,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
@@ -5229,6 +5286,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_mrl": ORACLE_KNN_MRL,
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
         "corpus_stats": ORACLE_CORPUS_STATS,
+        "code_signals": _oracle_code_signals_sql(),
         "strip_html": ORACLE_STRIP_HTML,
         "warc_ingest": _strip_html_chain_sql(
             ORACLE_WARC_INGEST_RAW, carry="target_uri, content_length"

@@ -1083,3 +1083,32 @@ def test_corpus_stats_summary(spark):
     # sketch mode returns the same shape (values approximate)
     a = corpus_stats(df, id_col="doc_id", text_col="text", exact=False).head()
     assert a["n_tokens"] == 5 and a["p50_tokens"] is not None
+
+
+def test_code_signals_calibration(spark):
+    """code_signals (round 10): real code snippets tag is_code, prose
+    (even punctuation-heavy) does not, NULL text yields NULL signals."""
+    from timefence_spark.operators.text import code_signals
+
+    rows = [
+        (1, "def add(a, b):\n    return a + b\n\nprint(add(1, 2))"),
+        (2, "The weather was lovely and the children walked along."),
+        (3, None),
+        (4, 'int main() {\n    printf("hi");\n    return 0;\n}'),
+        (5, "He said (quietly); and then = nothing happened."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in code_signals(
+        df, id_col="doc_id", text_col="text"
+    ).collect()}
+    assert got[1]["is_code"] is True and got[4]["is_code"] is True
+    assert got[2]["is_code"] is False and got[5]["is_code"] is False
+    assert got[3]["code_score"] is None and got[3]["is_code"] is None
+    assert got[1]["kw_hits"] >= 3  # def, return, print via identifier split
+    assert got[4]["indent_frac"] == 0.5
+    # custom lexicon overrides the default
+    custom = code_signals(
+        df, id_col="doc_id", text_col="text",
+        keywords=("weather", "children"), score_threshold=0.1,
+    ).collect()
+    assert {r["doc_id"]: r["kw_hits"] for r in custom}[2] == 2

@@ -282,6 +282,15 @@ class Corpus:
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def code_signals(self, **kwargs) -> DataFrame:
+        """Code-vs-prose routing signals per document
+        (text.code_signals): join back on the id to split the corpus
+        into code and prose streams (different dedup granularity and
+        mixing weights downstream)."""
+        return text.code_signals(
+            self.df, id_col=self.id_col, text_col=self.text_col, **kwargs
+        )
+
     def stats(self, **kwargs) -> DataFrame:
         """One-row corpus health summary (text.corpus_stats): docs,
         empties, chars, tokens, mean/p50/p90 token counts — the log line

@@ -858,6 +858,117 @@ def ngram_frequencies(
     return out.limit(top_k) if top_k is not None else out
 
 
+# Default code-keyword lexicon for code_signals: identifiers common in
+# source code across mainstream languages and RARE in prose (English
+# stopword-ish keywords like if/for/while/true are deliberately absent —
+# they fire on every paragraph). A plan literal like the lang-id
+# markers — swap per corpus.
+CODE_KEYWORDS: tuple[str, ...] = (
+    "def", "return", "import", "const", "function", "void", "int",
+    "float", "bool", "public", "static", "struct", "null", "nullptr",
+    "print", "println", "printf", "lambda", "elif", "endif",
+    "namespace", "typedef", "async", "await", "len", "args", "kwargs",
+)
+
+
+def code_signals(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    keywords: tuple[str, ...] | list[str] = CODE_KEYWORDS,
+    score_threshold: float = 0.45,
+) -> DataFrame:
+    """Code-vs-prose routing signals — pretraining pipelines treat code
+    as its own stream (different dedup granularity, different quality
+    gates, separate mixing weight), so the first structural pass over a
+    crawl tags probable source code. Returns ``(id, n_lines,
+    indent_frac, punct_density, kw_hits, code_score, is_code)``:
+
+    * ``indent_frac`` — fraction of non-empty lines starting with a tab
+      or 4 spaces (block structure);
+    * ``punct_density`` — ``{};()=`` characters per non-empty line
+      (counted by length-difference, exactly replayable — no regex);
+    * ``kw_hits`` — distinct ``keywords`` present among the lowercased
+      identifier tokens (split on non-``[a-z0-9_]`` runs, so
+      ``print(add(1,`` yields ``print``/``add``/``1`` — code glues
+      identifiers to punctuation); a plan-literal lexicon, like
+      lang_id's markers;
+    * ``code_score`` — mean of three capped sub-scores
+      (indent_frac, punct_density/4 capped at 1, kw_hits/5 capped at 1),
+      rounded to 6; ``is_code = code_score >= score_threshold``.
+
+    NULL text yields NULL signals (no row dropped — routing wants every
+    id back). A heuristic, deliberately: it runs at scan speed with
+    zero shuffle on 100 TB, and mis-taggings are cheap because both
+    streams get deduplicated and quality-gated downstream anyway."""
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("__ok"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        F.filter(lines, lambda l: F.trim(l) != "").alias("__lines"),
+    )
+    n_lines = F.size("__lines")
+    indented = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda l: l.startswith("\t") | l.startswith("    "),
+        )
+    )
+    punct = F.lit(0)
+    for ch in "{};()=":
+        punct = punct + (
+            F.length("__t")
+            - F.length(F.replace(F.col("__t"), F.lit(ch), F.lit("")))
+        )
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("__t")), r"[^a-z0-9_]+"),
+            lambda t: t != "",
+        )
+    )
+    kw = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(k) for k in keywords])
+        )
+    )
+    staged = staged.select(
+        F.col(id_col), "__ok",
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, indented.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("__indent"),
+        F.when(n_lines > 0, punct.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("__punct"),
+        kw.alias("__kw"),
+    )
+    score = F.round(
+        (
+            F.col("__indent")
+            + F.least(F.col("__punct") / F.lit(4.0), F.lit(1.0))
+            + F.least(F.col("__kw") / F.lit(5.0), F.lit(1.0))
+        )
+        / F.lit(3.0),
+        6,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("__ok"), F.col("n_lines")).alias("n_lines"),
+        F.when(F.col("__ok"), F.round(F.col("__indent"), 6)).alias(
+            "indent_frac"
+        ),
+        F.when(F.col("__ok"), F.round(F.col("__punct"), 6)).alias(
+            "punct_density"
+        ),
+        F.when(F.col("__ok"), F.col("__kw")).alias("kw_hits"),
+        F.when(F.col("__ok"), score).alias("code_score"),
+        F.when(F.col("__ok"), score >= F.lit(float(score_threshold)))
+        .alias("is_code"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     *,
