@@ -677,6 +677,46 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         )
 
 
+def test_dsir_empty_and_whitespace_docs_emit_no_row(spark):
+    """Token-less documents (empty string, whitespace-only, NULL) must
+    emit no feature row and no weight row — not crash the job. Round-10
+    regression: the bigram F.slice length went negative on 0-token docs
+    and Spark raised INVALID_PARAMETER_VALUE.LENGTH."""
+    from timefence_spark.operators import sampling
+
+    rows = [
+        (1, "real document with several words here"),
+        (2, ""),            # empty
+        (3, "   \t  \n "),  # whitespace-only
+        (4, None),          # NULL
+        (5, "solo"),        # single token: no bigrams, unigram only
+        (6, "another normal document body with words"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "real document words"), (11, "normal document words")],
+        "doc_id long, text string",
+    )
+
+    feats = sampling.hashed_ngram_buckets(
+        raw, id_col="doc_id", text_col="text", buckets=128
+    )
+    ids_with_feats = {r["doc_id"] for r in feats.select("doc_id").distinct().collect()}
+    assert ids_with_feats == {1, 5, 6}
+
+    w = sampling.dsir_weights(
+        raw, target, id_col="doc_id", text_col="text", buckets=128
+    )
+    assert {r["doc_id"] for r in w.collect()} == {1, 5, 6}
+
+    # sampling over a corpus containing degenerate docs still works and
+    # never selects them
+    sel = sampling.dsir_sample(
+        raw, target, id_col="doc_id", text_col="text", n=3, buckets=128
+    )
+    assert {r["doc_id"] for r in sel.collect()} <= {1, 5, 6}
+
+
 def test_dsir_sample_partitioning_invariant(spark):
     """deterministic=True makes DSIR selection a pure function of
     (corpus, target, salt): identical ids and ranks from a 1-partition

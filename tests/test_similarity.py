@@ -1403,6 +1403,49 @@ def test_ivf_pq_residual_exact_reconstruction_identity(spark):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+def test_ivf_pq_explicit_codebook_defaults_to_raw_geometry(spark):
+    """ADVICE r10: an explicit codebook= (a pq_train model, necessarily
+    trained on raw vectors) must resolve residual=None to raw-vector
+    encoding — the pre-r10 semantics — not silently re-interpret the
+    codebook as residual geometry. Inline training (codebook=None) keeps
+    residual=True as its default."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 6")
+    book = similarity.pq_train(
+        df, corpus_id="vec_id", corpus_vec="embedding", m=4, nbits=4,
+        seed=143,
+    )
+    kw = dict(
+        query_id="vec_id", corpus_id="vec_id", k=5,
+        nlist=4, nprobe=4, m=4, nbits=4, seed=42,
+    )
+    got = sorted(map(tuple, similarity.ivf_pq_topk(
+        q, df, codebook=book, **kw
+    ).collect()))
+    raw = sorted(map(tuple, similarity.ivf_pq_topk(
+        q, df, codebook=book, residual=False, **kw
+    ).collect()))
+    res = sorted(map(tuple, similarity.ivf_pq_topk(
+        q, df, codebook=book, residual=True, **kw
+    ).collect()))
+    assert got == raw
+    assert got != res  # the geometries really do diverge on this data
+    # inline training still defaults to residual encoding
+    inline_default = sorted(map(tuple, similarity.ivf_pq_topk(
+        q, df, **kw
+    ).collect()))
+    inline_res = sorted(map(tuple, similarity.ivf_pq_topk(
+        q, df, residual=True, **kw
+    ).collect()))
+    assert inline_default == inline_res
+
+
 def test_ivf_pq_residual_recall_beats_raw_at_nbits4(spark):
     """VERDICT r9 item 2 (recall property): on clustered data — the
     setting IVF exists for — residual encoding spends the 2^4 sub-codes

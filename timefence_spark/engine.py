@@ -712,6 +712,16 @@ def build(
         # source (unsized without a job), leave the conf untouched.
         # Measured at local[32]: 100k_x1 1.36->1.03s, 100k_x10
         # 4.5->3.7s, 1m_x1 2.7->2.4s, 1m_x10+ unchanged (capped).
+        #
+        # SCOPE (ADVICE r10): spark.sql.shuffle.partitions is session
+        # state, so the override is visible to ANY query planned on this
+        # SparkSession while the build runs, and two interleaved builds
+        # on one session could restore each other's value out of order.
+        # builds are assumed one-at-a-time per SparkSession (the engine
+        # holds no other session-wide conf); run concurrent builds on
+        # separate sessions (spark.newSession() gives an isolated conf
+        # with a shared SparkContext). The transcript line below makes
+        # the override auditable per build.
         tuned = _tuned_shuffle_partitions(spark, labels, flat_features)
         if tuned is not None:
             current = spark.conf.get("spark.sql.shuffle.partitions")
@@ -720,7 +730,9 @@ def build(
                 spark.conf.set("spark.sql.shuffle.partitions", str(tuned))
                 transcript.append(
                     f"-- shuffle partitions tuned {current} -> {tuned} "
-                    "(small input; restored after build)"
+                    "(session-wide conf for this build's duration; "
+                    "restored after build — one build per SparkSession; "
+                    "use spark.newSession() for concurrent builds)"
                 )
 
         # ---- Step 2: sources + feature tables --------------------------

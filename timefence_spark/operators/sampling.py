@@ -426,8 +426,16 @@ def hashed_ngram_buckets(
     if n_max == 2:
         # two-arg transform lambda = (element, index): slice element j
         # (1-based) pairs with token j+1 = element_at(__toks, i + 2).
+        # greatest(...,0): F.slice raises INVALID_PARAMETER_VALUE.LENGTH
+        # on length -1, which a 0-token (empty/whitespace-only) document
+        # would otherwise produce — those docs must emit no row, not fail
+        # the job.
         bigrams = F.transform(
-            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+            F.slice(
+                F.col("__toks"),
+                1,
+                F.greatest(F.size("__toks") - 1, F.lit(0)),
+            ),
             lambda x, i: F.concat_ws(
                 " ", x, F.element_at(F.col("__toks"), i + F.lit(2))
             ),

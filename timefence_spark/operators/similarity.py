@@ -2413,7 +2413,7 @@ def ivf_pq_topk(
     rerank: bool = False,
     rerank_factor: int = 4,
     codebook: DataFrame | None = None,
-    residual: bool = True,
+    residual: bool | None = None,
 ) -> DataFrame:
     """FAISS-style IVF-PQ: the coarse quantizer prunes WHICH rows are
     candidates (each query probes its ``nprobe`` nearest of ``nlist``
@@ -2434,8 +2434,18 @@ def ivf_pq_topk(
     unchanged, each candidate adds its probed list's <q, c_j> and the
     reconstruction norm gains per-centroid constants attached by one
     nlist-row broadcast. ``residual=False`` keeps the raw-vector
-    encoding (and is what a ``codebook=`` trained on raw vectors
-    requires — a pre-trained codebook must match this flag's geometry).
+    encoding.
+
+    ``residual=None`` (the default) resolves by geometry ownership:
+    inline training (``codebook=None``) uses residual encoding; an
+    explicit ``codebook=`` resolves to ``residual=False`` because a
+    standalone :func:`pq_train` codebook is trained on raw vectors —
+    silently encoding residuals against it would produce degraded ADC
+    scores with no error. Pass ``residual=True`` alongside ``codebook=``
+    only if the codebook really was trained on residuals (e.g. reusing
+    one from this function's inline path); the persisted-index path
+    (:func:`ivf_pq_build_index` / :func:`ivf_pq_search`) records the
+    geometry in its meta table instead, so prefer it for reuse.
 
     ``rerank=True`` re-scores the top ``k * rerank_factor`` ADC
     candidates against the true vectors (the standard refine step);
@@ -2453,6 +2463,10 @@ def ivf_pq_topk(
     codes partitioned by centroid_id (the :func:`ivf_build_index` layout
     with codes instead of vectors) and filter-prune instead of
     recomputing."""
+    if residual is None:
+        # ADVICE r10: a pre-trained codebook= (pq_train output) is raw-
+        # vector geometry; only inline training owns residual geometry.
+        residual = codebook is None
     cents = _ivf_centroids(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
         seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
