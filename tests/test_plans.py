@@ -285,3 +285,74 @@ def test_build_selects_zero_join_single_pass_plan(spark, sf_dir):
         and s.sort_merge_joins == 0
         and s.nested_loop_joins == 0
     ), f"single-pass build must have zero joins, got {s}"
+
+
+def _lut_staged_below_topmost_join(df) -> None:
+    """Assert the ADC LUT is a staged projection BELOW the candidate
+    join: every operator above the topmost join may reference `__lut`
+    only as an attribute and must never touch the raw query vector
+    `__qv` — touching `__qv` above the join means the m x 2**nbits
+    sub-centroid dot folds re-execute per CANDIDATE instead of per
+    QUERY, an O(candidates * dim) silent regression at scale."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.find("Join ")
+    assert join_at > 0, f"no join in plan:\n{plan[:2000]}"
+    above = plan[:join_at]
+    assert "__lut#" in above, (
+        "score stage above the join does not reference a staged __lut "
+        f"attribute:\n{above}"
+    )
+    assert "__qv" not in above, (
+        "raw query vector __qv leaked above the candidate join — the "
+        f"LUT fold would re-run per candidate:\n{above}"
+    )
+    # and the fold is defined exactly once, below the join
+    assert plan.count(" AS __lut#") == 1, plan[:4000]
+
+
+@pytest.mark.parametrize("compute", ["expr", "join"])
+def test_pq_adc_lut_materialized_once_per_query(spark, compute):
+    """VERDICT r10 item 2: pq_topk's per-query ADC LUT must be staged
+    once per query row (a projection on the broadcast/query side of the
+    candidate join), with per-candidate work reduced to LUT lookups."""
+    import random
+
+    from timefence_spark.operators import similarity as sim
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    book = sim.pq_train(emb, corpus_id="vec_id", m=4, nbits=4)
+    enc = sim.pq_encode(emb, corpus_id="vec_id", codebook=book)
+    q = emb.where("vec_id < 4")
+    out = sim.pq_topk(
+        q, enc, book, query_id="vec_id", k=5, compute=compute,
+    )
+    _lut_staged_below_topmost_join(out)
+
+
+@pytest.mark.parametrize("compute", ["expr", "join"])
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivf_pq_adc_lut_materialized_once_per_query(spark, compute, residual):
+    """Same pin for the composed IVF-PQ path, both geometries: the
+    residual extras (<q,c_j>, per-centroid constants) ride their own
+    nprobe/nlist-bounded stages and must not drag `__qv` above the
+    candidate join either."""
+    import random
+
+    from timefence_spark.operators import similarity as sim
+
+    rng = random.Random(6)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where("vec_id < 4")
+    out = sim.ivf_pq_topk(
+        q, emb, query_id="vec_id", corpus_id="vec_id", k=5,
+        nlist=4, nprobe=2, m=4, nbits=4, compute=compute,
+        residual=residual,
+    )
+    _lut_staged_below_topmost_join(out)
