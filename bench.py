@@ -1230,10 +1230,14 @@ def main() -> int:
         "knn_ivf_pq_pretrained",
         _timed_runs(
             lambda: _force(
+                # residual=True stated explicitly: this codebook comes
+                # from ivf_pq_build_index's residual-geometry training,
+                # and an explicit codebook= now defaults to raw
+                # geometry (ADVICE r10).
                 _sim.ivf_pq_topk(
                     ivf_queries, ivf_corpus, query_id="vec_id",
                     corpus_id="vec_id", k=10, nlist=16, nprobe=4, m=8,
-                    nbits=4, codebook=pre_book,
+                    nbits=4, codebook=pre_book, residual=True,
                 )
             ),
             3,
