@@ -1252,6 +1252,229 @@ ORACLE_TRAIN_BPE = rf"""
     """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (VERDICT r10 item 3) — trainer + encoder entries.
+# Fixed hyperparameters shared by the Spark queries and the SQL replay.
+# ---------------------------------------------------------------------------
+UNIGRAM_VOCAB = 40
+UNIGRAM_ML = 4       # max piece length
+UNIGRAM_SEED = 200   # seed-vocabulary cut for multi-char candidates
+UNIGRAM_UNK = 1_000_000  # micronats below the rarest piece
+
+
+def q_train_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training (new in
+    round 11, VERDICT r10 item 3): Kudo 2018 with hard-EM + count
+    pruning over the word-TYPE table — see operators/unigram.py for
+    the algorithm and the integer-micronat score contract that makes
+    the whole trainer (seed -> EM -> prune -> final recount, Viterbi
+    segmentation included) exactly replayable by the DuckDB oracle:
+    piece log-probs quantize to BIGINT micronats at the model boundary,
+    so every DP decision is an integer comparison on both engines."""
+    from timefence_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    model = unigram.train_unigram_spark(
+        docs, text_col="text", vocab_size=UNIGRAM_VOCAB,
+        max_piece_len=UNIGRAM_ML, seed_size=UNIGRAM_SEED, em_iters=1,
+    )
+    return spark.createDataFrame(
+        model, "piece string, cnt long, logp_micro long"
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents Viterbi-tokenized under the corpus-trained unigram
+    model (new in round 11): encode_documents_unigram — ONE broadcast
+    model map + a pure-JVM DP fold per word, zero Python in the
+    executor path, zero shuffles. Emitted as (doc_id, pos, piece) rows;
+    the oracle replays training end-to-end and then segments each
+    document's words with the same integer-score DP."""
+    from timefence_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    model = unigram.train_unigram_spark(
+        docs, text_col="text", vocab_size=UNIGRAM_VOCAB,
+        max_piece_len=UNIGRAM_ML, seed_size=UNIGRAM_SEED, em_iters=1,
+    )
+    enc = unigram.encode_documents_unigram(
+        docs.where(F.col("doc_id") < 30), model,
+        id_col="doc_id", text_col="text", output="pieces",
+    )
+    return enc.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "piece")
+    )
+
+
+def _unigram_vit_ctes(n: int, words_src: str, mrow: str) -> str:
+    """CTE block: Viterbi-segment every (w, freq) row of ``words_src``
+    under the one-row model ``mrow`` (map m + unk) — the SQL mirror of
+    unigram.viterbi_segment / _viterbi_pieces_sql. vit{n} advances all
+    words' DP tables in lockstep (one recursion step per character
+    position; best candidate = list_sort of (score, piece_len) structs,
+    exactly Spark's array_max tie-break); rec{n} walks the
+    back-pointers; seg{n}/ucounts{n} yield segmentations and
+    freq-weighted piece counts."""
+    return rf"""
+    vit{n}(w, freq, m, unk, i, f) AS (
+        SELECT w, freq, m, unk, 0,
+               [{{'s': CAST(0 AS BIGINT), 'b': 1}}]
+        FROM {words_src}, {mrow}
+        UNION ALL
+        SELECT w, freq, m, unk, i + 1,
+               list_append(f, list_sort(list_filter(
+                   list_transform(range(1, least({UNIGRAM_ML}, i + 1) + 1),
+                       L -> {{'s': f[i - L + 2].s + coalesce(
+                                 list_extract(map_extract(m,
+                                     substr(w, i - L + 2, L::INT)), 1),
+                                 CASE WHEN L = 1 THEN unk ELSE NULL END),
+                             'b': L}}),
+                   x -> x.s IS NOT NULL))[-1])
+        FROM vit{n} WHERE i < len(w)
+    ),
+    rec{n}(w, freq, f, pos, parts) AS (
+        SELECT w, freq, f, len(w), []::VARCHAR[]
+        FROM vit{n} WHERE i = len(w)
+        UNION ALL
+        SELECT w, freq, f, pos - f[pos + 1].b,
+               list_prepend(substr(w, pos - f[pos + 1].b + 1,
+                                   f[pos + 1].b::INT), parts)
+        FROM rec{n} WHERE pos > 0
+    ),
+    seg{n} AS (SELECT w, freq, parts FROM rec{n} WHERE pos = 0),
+    ucounts{n} AS (
+        SELECT piece, SUM(freq)::BIGINT AS cnt
+        FROM (SELECT unnest(parts) AS piece, freq FROM seg{n})
+        GROUP BY 1
+    )"""
+
+
+def _unigram_train_ctes() -> str:
+    """The full trainer replay as a WITH-clause body (needs WITH
+    RECURSIVE): word counts -> substring seed -> model0 -> EM round
+    (vit0) -> char-floored recount -> prune to UNIGRAM_VOCAB -> model1
+    -> final recount (vit1) -> uout(piece, cnt, logp_micro). Mirrors
+    unigram._train_from_seed with em_iters=1 step for step."""
+    micro = (
+        "CAST(floor(ln(cnt::DOUBLE / total::DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT)"
+    )
+    return rf"""
+    uwords AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(coalesce(text, ''),
+                     '\s+')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    ucand AS (
+        SELECT piece, SUM(freq)::BIGINT AS cnt FROM (
+            SELECT substr(w, i::INT, L::INT) AS piece, freq
+            FROM uwords,
+                 LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i),
+                 LATERAL (SELECT unnest(range(1,
+                     least({UNIGRAM_ML}, len(w) - i + 1) + 1)) AS L)
+        ) GROUP BY 1
+    ),
+    uchars AS (SELECT piece, cnt FROM ucand WHERE len(piece) = 1),
+    useed AS (
+        SELECT piece, cnt FROM uchars
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM ucand
+            WHERE len(piece) > 1 AND cnt >= 2
+            ORDER BY cnt DESC, piece LIMIT {UNIGRAM_SEED})
+    ),
+    umodel0 AS (
+        SELECT piece, {micro} AS lp
+        FROM useed, (SELECT SUM(cnt)::BIGINT AS total FROM useed)
+    ),
+    umrow0 AS (
+        SELECT map_from_entries(list({{'k': piece, 'v': lp}})) AS m,
+               MIN(lp) - {UNIGRAM_UNK} AS unk
+        FROM umodel0
+    ),
+    {_unigram_vit_ctes(0, "uwords", "umrow0")},
+    uvocab1 AS (
+        SELECT piece, cnt FROM ucounts0 WHERE cnt > 0
+        UNION ALL
+        SELECT c.piece, 1::BIGINT FROM uchars c
+        WHERE c.piece NOT IN (SELECT piece FROM ucounts0 WHERE cnt > 0)
+    ),
+    upruned AS (
+        SELECT piece, cnt FROM uvocab1 WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM uvocab1 WHERE len(piece) > 1)
+        WHERE rk <= greatest({UNIGRAM_VOCAB} - (
+            SELECT COUNT(*) FROM uvocab1 WHERE len(piece) = 1), 0)
+    ),
+    umodel1 AS (
+        SELECT piece, {micro} AS lp
+        FROM upruned, (SELECT SUM(cnt)::BIGINT AS total FROM upruned)
+    ),
+    umrow1 AS (
+        SELECT map_from_entries(list({{'k': piece, 'v': lp}})) AS m,
+               MIN(lp) - {UNIGRAM_UNK} AS unk
+        FROM umodel1
+    ),
+    {_unigram_vit_ctes(1, "uwords", "umrow1")},
+    ufinal AS (
+        SELECT p.piece,
+               CASE WHEN len(p.piece) = 1
+                    THEN greatest(coalesce(c.cnt, 0), 1)
+                    ELSE coalesce(c.cnt, 0) END AS cnt
+        FROM upruned p LEFT JOIN ucounts1 c USING (piece)
+    ),
+    ufin AS (SELECT piece, cnt FROM ufinal WHERE cnt > 0),
+    uout AS (
+        SELECT piece, cnt, {micro} AS logp_micro
+        FROM ufin, (SELECT SUM(cnt)::BIGINT AS total FROM ufin)
+    )"""
+
+
+ORACLE_TRAIN_UNIGRAM = rf"""
+    WITH RECURSIVE
+    {_unigram_train_ctes()}
+    SELECT piece, cnt, logp_micro FROM uout
+    """
+
+ORACLE_UNIGRAM_ENCODE = rf"""
+    WITH RECURSIVE
+    {_unigram_train_ctes()},
+    umrow2 AS (
+        SELECT map_from_entries(list({{'k': piece, 'v': logp_micro}})) AS m,
+               MIN(logp_micro) - {UNIGRAM_UNK} AS unk
+        FROM uout
+    ),
+    udocw AS (
+        SELECT doc_id, wi, w FROM (
+            SELECT doc_id, unnest(ws) AS w,
+                   generate_subscripts(ws, 1) AS wi
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(
+                             coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+                  FROM documents WHERE doc_id < 30))
+    ),
+    uencw AS (SELECT DISTINCT w, 1::BIGINT AS freq FROM udocw),
+    {_unigram_vit_ctes(2, "uencw", "umrow2")},
+    utoks AS (
+        SELECT dw.doc_id, dw.wi, s.parts
+        FROM udocw dw JOIN seg2 s USING (w)
+    )
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, piece FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY wi, pj) AS pos,
+               piece
+        FROM (SELECT doc_id, wi, unnest(parts) AS piece,
+                     generate_subscripts(parts, 1) AS pj
+              FROM utoks))
+    """
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents tokenized to integer id sequences under the vendored
     BPE (new in round 9): bpe.encode_documents — one bounded vocab
@@ -5097,6 +5320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replays EVERY entry against its DuckDB oracle on each pytest run —
     # but keep the discipline: the driver's run is independent evidence.
     return {
+        "train_unigram": q_train_unigram,  # new in round 11
+        "unigram_encode": q_unigram_encode,  # new in round 11
         "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
         "knn_ivf_pq_raw": q_knn_ivf_pq_raw,  # new in round 10
         "knn_pq_opq": q_knn_pq_opq,  # new in round 10
@@ -5210,6 +5435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "train_unigram": ORACLE_TRAIN_UNIGRAM.strip(),
+        "unigram_encode": ORACLE_UNIGRAM_ENCODE.strip(),
         "train_bpe": ORACLE_TRAIN_BPE,
         "bpe_encode": _oracle_bpe_encode_sql(),
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),

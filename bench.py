@@ -213,6 +213,11 @@ BENCH_QUERIES = [
     "train_bpe",
     "bpe_encode",
     "pack_sequences",
+    # Round-11: unigram-LM tokenizer — trainer (word-type table + one
+    # substring-seed shuffle + per-EM-round segment-and-count) and the
+    # pure-JVM Viterbi encoder (one broadcast model map, zero shuffle).
+    "train_unigram",
+    "unigram_encode",
     # Round-9: scalar-quantized ANN — brute force over 8-bit codes
     # (the knn_pq shape with per-dimension affine reconstruction).
     "knn_sq",

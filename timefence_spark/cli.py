@@ -1291,6 +1291,97 @@ def corpus_train_bpe(
         )
 
 
+@cli.command("corpus-train-tokenizer")
+@click.option("--input", "input_path", required=True,
+              help="Documents parquet to train on.")
+@click.option("--output", "output_path", required=True,
+              help="Output model parquet: (merge_rank, lhs, rhs) for "
+              "bpe; (token_id, piece, cnt, logp_micro) for unigram.")
+@click.option("--model", "model_kind",
+              type=click.Choice(["bpe", "unigram"]), default="bpe",
+              show_default=True,
+              help="Tokenizer family: greedy-merge BPE (Sennrich 2016) "
+              "or unigram-LM (Kudo 2018, SentencePiece-style hard-EM).")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--n-merges", type=int, default=100, show_default=True,
+              help="[bpe] Maximum merges to learn.")
+@click.option("--merges-per-round", type=int, default=1, show_default=True,
+              help="[bpe] Symbol-disjoint merges accepted per "
+              "pair-count job.")
+@click.option("--vocab-size", type=int, default=200, show_default=True,
+              help="[unigram] Target vocabulary size (all corpus "
+              "characters are always kept for coverage).")
+@click.option("--max-piece-len", type=int, default=4, show_default=True,
+              help="[unigram] Longest candidate piece.")
+@click.option("--em-iters", type=int, default=2, show_default=True,
+              help="[unigram] Hard-EM rounds before pruning.")
+@click.option("--save-tokenizer", "tokenizer_path", default=None,
+              help="Also write a frozen tokenizer JSON artifact "
+              "(bpe.load_tokenizer / unigram.load_unigram_tokenizer).")
+@click.option("--json", "json_out", is_flag=True,
+              help="Machine-readable summary.")
+def corpus_train_tokenizer(
+    input_path, output_path, model_kind, id_col, text_col, n_merges,
+    merges_per_round, vocab_size, max_piece_len, em_iters,
+    tokenizer_path, json_out,
+) -> None:
+    """Train a subword tokenizer from a document corpus — BPE (greedy
+    merges; see corpus-train-bpe, which this command supersedes) or
+    unigram-LM (SentencePiece-style: seed substrings, hard-EM over the
+    word-type table, count pruning; Viterbi encoding via
+    unigram.encode_documents_unigram)."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.engine import get_spark
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    df = read_parquet(spark, input_path)
+    corpus = Corpus(df, id_col=id_col, text_col=text_col)
+    if model_kind == "bpe":
+        merges = corpus.train_bpe(
+            n_merges=n_merges, merges_per_round=merges_per_round
+        )
+        spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "merge_rank int, lhs string, rhs string",
+        ).coalesce(1).write.mode("overwrite").parquet(output_path)
+        if tokenizer_path:
+            from timefence_spark.operators import bpe
+
+            vocab = bpe.bpe_vocab(df, text_col=text_col, merges=merges)
+            bpe.save_tokenizer(tokenizer_path, merges=merges, vocab=vocab)
+        learned = len(merges)
+    else:
+        model = corpus.train_unigram(
+            vocab_size=vocab_size, max_piece_len=max_piece_len,
+            em_iters=em_iters,
+        )
+        spark.createDataFrame(
+            [(i, p, c, lp) for i, (p, c, lp) in enumerate(model)],
+            "token_id int, piece string, cnt long, logp_micro long",
+        ).coalesce(1).write.mode("overwrite").parquet(output_path)
+        if tokenizer_path:
+            from timefence_spark.operators import unigram
+
+            unigram.save_unigram_tokenizer(tokenizer_path, model=model)
+        learned = len(model)
+    summary = {
+        "input": input_path,
+        "output": output_path,
+        "model": model_kind,
+        "n_learned": learned,
+        "tokenizer": tokenizer_path,
+    }
+    if json_out:
+        click.echo(json.dumps(summary))
+    else:
+        click.echo(
+            f"corpus-train-tokenizer: {model_kind} model with {learned} "
+            f"entries -> {output_path}"
+        )
+
+
 @cli.command("corpus-inspect")
 @click.option("--input", "input_path", required=True, help="Documents parquet.")
 @click.option("--id-col", default="doc_id", show_default=True)

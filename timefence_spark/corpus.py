@@ -416,6 +416,26 @@ class Corpus:
             merges_per_round=merges_per_round,
         )
 
+    def train_unigram(
+        self, *, vocab_size: int = 200, max_piece_len: int = 4,
+        seed_size: int = 100_000, em_iters: int = 2,
+    ) -> list[tuple[str, int, int]]:
+        """Learn a unigram-LM (SentencePiece-style) tokenizer FROM this
+        corpus (Kudo 2018 hard-EM trainer, see
+        unigram.train_unigram_spark) — the other half of the tokenizer
+        story next to :meth:`train_bpe`. Returns the model as
+        (piece, count, logp_micro) rows ordered by (count desc, piece)
+        — row index = token id; feed it to
+        unigram.encode_documents_unigram. Driver-side,
+        vocabulary-bounded; not a Corpus."""
+        from timefence_spark.operators import unigram
+
+        return unigram.train_unigram_spark(
+            self.df, text_col=self.text_col, vocab_size=vocab_size,
+            max_piece_len=max_piece_len, seed_size=seed_size,
+            em_iters=em_iters,
+        )
+
     def rank_bm25(self, query: str, **kwargs) -> DataFrame:
         """Score every matching document against ``query`` with Okapi
         BM25 (see text.bm25_score) — keyword-targeted subset pulls.
