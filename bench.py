@@ -1250,6 +1250,43 @@ def main() -> int:
     )
     _shutil.rmtree(pre_path, ignore_errors=True)
 
+    # Parametric OPQ row (VERDICT r10 item 6): the data-adaptive
+    # encode->Procrustes->re-rotate trainer (driver-side numpy on a
+    # deterministic bounded sample) feeding the same rotate->PQ->ADC
+    # pipeline as knn_pq_opq — the delta vs that row prices the
+    # alternation. Non-oracle (recall-gated in tests), so it lives here
+    # rather than in queries().
+    emb_all = entry_mod._t(spark, SF_DIR, "embeddings", spread=False).select(
+        "vec_id", "embedding"
+    )
+
+    def run_opq_parametric() -> None:
+        rot = _sim.opq_train(
+            emb_all, corpus_id="vec_id", seed=7, method="parametric",
+            iters=4, m=8, nbits=4,
+        )
+        remb = _sim.rotate_vectors(
+            emb_all, vec_col="embedding", rotation=rot, materialize=True
+        )
+        book = _sim.pq_train(
+            remb, corpus_id="vec_id", m=8, nbits=4, hash_fn="md5"
+        )
+        codes = _sim.pq_encode(remb, corpus_id="vec_id", codebook=book)
+        _force(
+            _sim.pq_topk(
+                remb.where(F.col("vec_id") < 20), codes, book,
+                query_id="vec_id", encoded_id="vec_id", k=5,
+            )
+        )
+
+    record(
+        "knn_pq_opq_parametric",
+        _measure(
+            "knn_pq_opq_parametric", run_opq_parametric, 3,
+            jvm=spark._jvm,
+        ),
+    )
+
     # Skew-shaped line_dedup row (VERDICT r5 item 3): one boilerplate
     # line planted at the head of HALF the corpus's documents, each text
     # repeated 20x so the hot line appears tens of thousands of times.

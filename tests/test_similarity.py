@@ -1656,6 +1656,84 @@ def test_opq_rotation_invariance_and_recall(spark):
     assert out[1] is None and out[2] is None and out[3] is None
 
 
+def test_opq_parametric_beats_seeded_on_anisotropic_data(spark):
+    """VERDICT r10 item 6 (parametric OPQ): the data-adaptive
+    encode -> Procrustes-SVD -> re-rotate alternation, trained on a
+    deterministic bounded sample, must match or beat the seeded random
+    rotation's PQ recall on anisotropic CORRELATED data — the regime
+    variance-balancing alone can't fix (correlated coordinates split
+    across subspaces). Non-oracle by design (LAPACK SVD is not
+    bit-portable); this recall gate IS its correctness contract, plus
+    orthogonality and determinism checks."""
+    import random
+
+    rng = random.Random(9)
+    dim = 32
+    # correlated anisotropy: a few latent factors mixed into all dims
+    factors = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for i in range(260):
+        z = [rng.gauss(0, 1) for _ in range(4)]
+        v = [
+            sum(z[f] * factors[f][j] for f in range(4))
+            + rng.gauss(0, 0.05)
+            for j in range(dim)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 12")
+    truth: dict = {}
+    for r in similarity.cosine_topk(
+        q, df, query_id="vec_id", corpus_id="vec_id", k=5
+    ).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rot) -> float:
+        rdf = similarity.rotate_vectors(
+            df, vec_col="embedding", rotation=rot, materialize=True
+        )
+        rq = rdf.where("vec_id < 12")
+        book = similarity.pq_train(rdf, corpus_id="vec_id", m=8, nbits=4)
+        codes = similarity.pq_encode(rdf, corpus_id="vec_id", codebook=book)
+        got: dict = {}
+        for r in similarity.pq_topk(
+            rq, codes, book, query_id="vec_id", encoded_id="vec_id", k=5
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(k, set()) & t) for k, t in truth.items()
+        ) / sum(len(t) for t in truth.values())
+
+    seeded = similarity.opq_train(df, corpus_id="vec_id", seed=7)
+    para = similarity.opq_train(
+        df, corpus_id="vec_id", seed=7, method="parametric", iters=4,
+        m=8, nbits=4,
+    )
+    r_seed, r_para = recall(seeded), recall(para)
+    assert r_para >= r_seed, (r_para, r_seed)
+
+    # the learned matrix is orthogonal (R R^T = I) and deterministic
+    import numpy as np
+
+    R = np.array(
+        [r["row"] for r in para.orderBy("pos").collect()], dtype=float
+    )
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-8)
+    para2 = similarity.opq_train(
+        df.repartition(5), corpus_id="vec_id", seed=7,
+        method="parametric", iters=4, m=8, nbits=4,
+    )
+    assert sorted(map(tuple, para.collect())) == sorted(
+        map(tuple, para2.collect())
+    )
+    with pytest.raises(ValueError, match="method"):
+        similarity.opq_train(df, corpus_id="vec_id", method="bogus")
+    with pytest.raises(ValueError, match="iters"):
+        similarity.opq_train(
+            df, corpus_id="vec_id", method="parametric", iters=0
+        )
+
+
 def test_truncate_embeddings_mrl(spark):
     """Matryoshka truncation (round 10): prefix slice + optional L2
     renorm as a pure projection; degenerate rows (NULL, short, NULL
