@@ -944,6 +944,22 @@ def _spread_limit(n_runs: int) -> float:
 REQUOTED: dict[str, dict] = {}
 
 
+# Scenario ratios vs BASELINE.md that are ADJUDICATED as accepted
+# floors rather than open perf items (VERDICT r10 item 7): the gate
+# carries the adjudication so it is not re-litigated each round. See
+# docs/concepts/scale.md "Formal closure" for the intercept
+# decomposition behind the 100k_x1 entry.
+ACCEPTED_RATIOS = {
+    "100k_x1": {
+        "accepted_vs_baseline": 2.1,
+        "reason": "0.65s flat orchestration intercept (10 required "
+                  "jobs); data work at 100k is 0.26s vs the "
+                  "reference's 0.51s total; amortizes to 0.72-0.93x "
+                  "at >=1M rows",
+    },
+}
+
+
 # Round-11 isolated re-measure of the r10-flagged ANN rows (VERDICT r10
 # item 1; see the ROOT CAUSE section in the module docstring). Embedded
 # as a constant so the adjudicated numbers persist in every
@@ -1535,6 +1551,7 @@ def _finish(
         "bpe_batching": bpe_batching or {},
         "requoted": REQUOTED,
         "isolated_remeasure_r11": ISOLATED_REMEASURE,
+        "accepted_ratios": ACCEPTED_RATIOS,
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
