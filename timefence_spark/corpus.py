@@ -829,29 +829,47 @@ class Corpus:
         merges: list[tuple[str, str]] | None = None,
         vocab: list[str] | None = None,
         oov_id: int | None = None,
+        unigram_model: list[tuple[str, int, int]] | None = None,
         num_shards: int = 64,
         salt: str = "",
         hash_fn: str = "xxhash64",
         pad_id: int | None = None,
     ) -> DataFrame:
-        """Terminal stage: tokenize every document to integer ids
-        (:func:`bpe.encode_documents` — vendored merges by default, pass
-        :meth:`train_bpe`'s output for a corpus-fitted tokenizer) and cut
-        the per-shard concatenated id stream into fixed ``seq_len``
+        """Terminal stage: tokenize every document to integer ids and
+        cut the per-shard concatenated id stream into fixed ``seq_len``
         training rows (:func:`packing.pack_sequences`). Returns
-        (shard, seq, n_tokens, input_ids) — the ready-to-train form; one
-        mapInPandas stage plus a single document-level shuffle. Pass the
-        ``vocab`` from a :func:`bpe.load_tokenizer` artifact to encode
-        under a FROZEN id space (required when shards from different
-        corpus snapshots must share ids; ``oov_id`` handles characters
-        the frozen vocab has never seen)."""
-        from timefence_spark.operators import bpe as bpe_ops
+        (shard, seq, n_tokens, input_ids) — the ready-to-train form.
+
+        Tokenizer selection: pass ``unigram_model`` (from
+        :meth:`train_unigram` / ``unigram.load_unigram_tokenizer``) to
+        encode with the unigram Viterbi encoder — a pure-JVM fold, no
+        Python stage at all; otherwise BPE via
+        :func:`bpe.encode_documents` (vendored merges by default, pass
+        :meth:`train_bpe`'s output for a corpus-fitted tokenizer; the
+        ``vocab`` from a :func:`bpe.load_tokenizer` artifact freezes
+        the id space, with ``oov_id`` for unseen characters — the
+        unigram model IS its frozen id space, unknowns encode as -1)."""
         from timefence_spark.operators.packing import pack_sequences
 
-        encoded = bpe_ops.encode_documents(
-            self.df, id_col=self.id_col, text_col=self.text_col,
-            merges=merges, vocab=vocab, oov_id=oov_id,
-        )
+        if unigram_model is not None:
+            if merges is not None or vocab is not None:
+                raise ValueError(
+                    "pass either unigram_model or merges/vocab, not both"
+                )
+            from timefence_spark.operators import unigram as uni_ops
+
+            encoded = uni_ops.encode_documents_unigram(
+                self.df, unigram_model, id_col=self.id_col,
+                text_col=self.text_col, output="ids",
+                out_col="token_ids",
+            )
+        else:
+            from timefence_spark.operators import bpe as bpe_ops
+
+            encoded = bpe_ops.encode_documents(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                merges=merges, vocab=vocab, oov_id=oov_id,
+            )
         return pack_sequences(
             encoded, id_col=self.id_col, ids_col="token_ids",
             seq_len=seq_len, num_shards=num_shards, salt=salt,

@@ -3029,6 +3029,7 @@ def ivf_pq_build_index(
     compute: str = "expr",
     refine_iters: int = 0,
     residual: bool = True,
+    rotation: DataFrame | None = None,
     path: str,
 ) -> None:
     """Materialize an IVF-PQ index to ``path`` for repeated searches:
@@ -3037,21 +3038,38 @@ def ivf_pq_build_index(
     * ``<path>/codebook`` — the PQ model (m * 2**nbits sub-centroids).
     * ``<path>/codes`` — every corpus row's PQ codes with its inverted
       list, written ``partitionBy('centroid_id')``.
-    * ``<path>/meta`` — one row recording ``residual`` (and the build
-      parameters), so :func:`ivf_pq_search` scores with the geometry
-      the codes were written in. An index without a meta table (built
-      before residual encoding existed) reads as raw-encoded.
+    * ``<path>/rotation`` — the OPQ rotation, when one was supplied.
+    * ``<path>/meta`` — one row recording ``residual``/``rotated`` (and
+      the build parameters), so :func:`ivf_pq_search` scores with the
+      geometry the codes were written in. An index without a meta table
+      (built before residual encoding existed) reads as raw-encoded.
 
     ``residual=True`` (default, Faiss ``IndexIVFPQ``) stores PQ codes of
     ``x - c_j``; the codebook is trained on residuals. See
     :func:`ivf_pq_topk` for why this lifts recall at small nbits.
+
+    ``rotation=`` (round 11: an :func:`opq_train` model, seeded or
+    parametric) builds the ENTIRE index in the rotated space — the
+    Faiss ``OPQMatrix + IndexIVFPQ`` composition: coarse centroids,
+    list assignment, and PQ codes all quantize ``R x``. The rotation is
+    persisted with the index and :func:`ivf_pq_search` applies it to
+    queries automatically, so callers never manage the rotated space by
+    hand; reranking still happens against raw vectors (cosine is
+    rotation-invariant, so raw-vs-raw is the same ranking).
 
     The :func:`ivf_build_index` layout with CODES instead of vectors —
     the stored index is m small ints per row, so at 100 TB the index is
     dim*4/m-ish smaller than IVF-flat AND searches still prune to
     nprobe/nlist of the files. Rebuild when the corpus changes
     (everything is a pure function of (corpus, nlist, m, nbits, seed,
-    hash_fn, residual))."""
+    hash_fn, residual, rotation))."""
+    if rotation is not None:
+        rotation = pin(rotation)  # read twice: persisted + applied
+        rotation.write.mode("overwrite").parquet(f"{path}/rotation")
+        corpus = rotate_vectors(
+            corpus, vec_col=corpus_vec, rotation=rotation,
+            materialize=True,
+        )
     cents = _ivf_centroids(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
         seed=seed, hash_fn=hash_fn, refine_iters=refine_iters,
@@ -3097,10 +3115,10 @@ def ivf_pq_build_index(
         .parquet(f"{path}/codes")
     spark = corpus.sparkSession
     spark.createDataFrame(
-        [(bool(residual), int(nlist), int(m), int(nbits), int(seed),
-          str(hash_fn))],
-        "residual boolean, nlist int, m int, nbits int, seed int,"
-        " hash_fn string",
+        [(bool(residual), rotation is not None, int(nlist), int(m),
+          int(nbits), int(seed), str(hash_fn))],
+        "residual boolean, rotated boolean, nlist int, m int, nbits int,"
+        " seed int, hash_fn string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -3146,11 +3164,31 @@ def ivf_pq_search(
             and "PATH_NOT_FOUND" in str(exc)
         ):
             raise
+    rot = None
+    try:
+        rot = spark.read.parquet(f"{path}/rotation")
+    except Exception as exc:  # index built without a rotation
+        from pyspark.errors import AnalysisException
+
+        if not (
+            isinstance(exc, AnalysisException)
+            and "PATH_NOT_FOUND" in str(exc)
+        ):
+            raise
     assign = _ivf_assign_factory(centroids, compute="expr", nlist=None)
     q_all = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    query_probes = pin(assign(q_all, "query_id", "__qv", nprobe))
+    # A rotated index probes and ADC-scores in the rotated space, so
+    # queries rotate here — but `q_all` (raw) feeds the exact rerank:
+    # cosine is rotation-invariant, and the rerank table holds RAW
+    # vectors.
+    q_probe = (
+        q_all
+        if rot is None
+        else rotate_vectors(q_all, vec_col="__qv", rotation=rot)
+    )
+    query_probes = pin(assign(q_probe, "query_id", "__qv", nprobe))
     probed = [
         int(r["centroid_id"])
         for r in query_probes.select("centroid_id").distinct().collect()
@@ -3182,7 +3220,7 @@ def ivf_pq_search(
             .select("query_id", "neighbor_id", "codes")
         )
     approx = _pq_adc_rank(
-        q_all, cand, book,
+        q_probe, cand, book,
         k=k if rerank is None else k * rerank_factor,
         round_to=round_to, compute=compute,
         cents=centroids if residual else None,
