@@ -925,6 +925,92 @@ ORACLE_KNN_MRL = """
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (new in round 11,
+    fusion.rrf_fuse): full-dim exact cosine top-10 and MRL-truncated
+    (16-dim prefix) cosine top-10, fused by Cormack et al. 2009's
+    ``sum 1/(60 + rank)`` with integer-micros quantization — the fused
+    score is an integer SUM, so the oracle replays it bit-for-bit with
+    no float-summation-order hazard. The standard hybrid-retrieval
+    combiner for this package's dense/compressed/lexical rankers."""
+    from timefence_spark.operators import fusion
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = (
+        _t(spark, sf_dir, "embeddings", spread=False)
+        .where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+    )
+    dense = similarity.cosine_topk(
+        queries, emb, query_id="vec_id", corpus_id="vec_id", k=10,
+        round_to=4, broadcast_queries=True,
+    )
+    tr = similarity.truncate_embeddings(
+        emb, vec_col="embedding", dims=16, renormalize=False
+    )
+    mrl = similarity.cosine_topk(
+        tr.where(F.col("vec_id") < 20), tr,
+        query_id="vec_id", corpus_id="vec_id", k=10, round_to=4,
+        broadcast_queries=True,
+    )
+    return fusion.rrf_fuse([dense, mrl], k=60, top_k=5)
+
+
+ORACLE_HYBRID_RRF = """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(q.embedding, c.embedding) /
+                   (SQRT(list_dot_product(q.embedding, q.embedding)) *
+                    SQRT(list_dot_product(c.embedding, c.embedding))), 4
+               ) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+    ), dense AS (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM pairs
+    ), t AS (
+        SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings
+    ), tpairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(q.v, c.v) /
+                   (SQRT(list_dot_product(q.v, q.v)) *
+                    SQRT(list_dot_product(c.v, c.v))), 4
+               ) AS cosine
+        FROM t q JOIN t c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+    ), mrl AS (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM tpairs
+    ), terms AS (
+        SELECT query_id, neighbor_id,
+               CAST(floor(1000000000.0 * 1.0 / (60 + rank) + 0.5)
+                    AS BIGINT) AS t
+        FROM dense WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, neighbor_id,
+               CAST(floor(1000000000.0 * 1.0 / (60 + rank) + 0.5)
+                    AS BIGINT) AS t
+        FROM mrl WHERE rank <= 10
+    ), fused AS (
+        SELECT query_id, neighbor_id, SUM(t)::BIGINT AS rrf_micros,
+               COUNT(*)::BIGINT AS n_retrievers
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_micros, n_retrievers,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_micros DESC, neighbor_id ASC) AS rank
+        FROM fused)
+    WHERE rank <= 5
+"""
+
+
 def q_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose routing signals: indentation structure, {};()=
     density (length-difference counting — no regex), identifier-token
@@ -5320,6 +5406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replays EVERY entry against its DuckDB oracle on each pytest run —
     # but keep the discipline: the driver's run is independent evidence.
     return {
+        "hybrid_rrf": q_hybrid_rrf,  # new in round 11
         "train_unigram": q_train_unigram,  # new in round 11
         "unigram_encode": q_unigram_encode,  # new in round 11
         "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
@@ -5435,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hybrid_rrf": ORACLE_HYBRID_RRF.strip(),
         "train_unigram": ORACLE_TRAIN_UNIGRAM.strip(),
         "unigram_encode": ORACLE_UNIGRAM_ENCODE.strip(),
         "train_bpe": ORACLE_TRAIN_BPE,

@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     # pure-JVM Viterbi encoder (one broadcast model map, zero shuffle).
     "train_unigram",
     "unigram_encode",
+    # Round-11: hybrid retrieval — RRF fusion of two ANN rankers
+    # (retriever cost dominates; fusion is one bounded aggregation).
+    "hybrid_rrf",
     # Round-9: scalar-quantized ANN — brute force over 8-bit codes
     # (the knn_pq shape with per-dimension affine reconstruction).
     "knn_sq",

@@ -165,6 +165,9 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         # the word-type table / documents — the PQ-codebook one-row
         # join-kernel shape.
         "train_unigram", "unigram_encode",
+        # hybrid_rrf embeds two exact-kNN retrievers (the knn_cosine
+        # broadcast-queries shape); fusion itself is equi-join only.
+        "hybrid_rrf",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():

@@ -1841,3 +1841,58 @@ def test_truncate_embeddings_mrl(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dims"):
         similarity.truncate_embeddings(df, dims=0)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF (round 11): integer-micros scoring, missing-pair handling,
+    weights, tie-break, and validation."""
+    import math
+
+    import pytest
+    from timefence_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r["neighbor_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+
+    def micros(rank, w=1.0):
+        return int(math.floor(1e9 * w / (60 + rank) + 0.5))
+
+    # 11 appears in both lists: rank 2 in a, rank 1 in b
+    assert out[11]["rrf_micros"] == micros(2) + micros(1)
+    assert out[11]["n_retrievers"] == 2
+    assert out[10]["rrf_micros"] == micros(1) and out[10]["n_retrievers"] == 1
+    assert out[13]["rrf_micros"] == micros(2)
+    # 11 fused above 10 (two lists beat one first place at k=60)
+    assert out[11]["rank"] == 1 and out[10]["rank"] == 2
+
+    # weights bias: at k=60 the flip needs w_a > 62
+    # (w/61 > w/62 + 1/61  <=>  w > 62)
+    w_out = {
+        r["neighbor_id"]: r["rank"]
+        for r in rrf_fuse([a, b], k=60, weights=[100.0, 1.0]).collect()
+    }
+    assert w_out[10] < w_out[11]
+
+    # exact ties break on neighbor_id asc
+    c = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    tie = {r["neighbor_id"]: r["rank"] for r in rrf_fuse([c]).collect()}
+    assert tie[20] == 1 and tie[21] == 2
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1.0])
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse([a], top_k=0)
