@@ -4166,6 +4166,90 @@ def _bm25_oracle() -> str:
 ORACLE_BM25_RANK = _bm25_oracle()
 
 
+def q_hybrid_rrf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE lexical + dense hybrid (new in round 11): seed-document
+    expansion — BM25 keyword matches for a topic query fused with the
+    exact-cosine neighbors of a seed document (vec_id 0; embeddings and
+    documents share the id space), via integer-micros RRF. The shape
+    every hybrid search stack runs: a text ranker and a vector ranker
+    disagree on scores but agree on ids, and rank fusion needs no score
+    calibration."""
+    from pyspark.sql.window import Window as W
+
+    from timefence_spark.operators import fusion
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    lex = text.bm25_score(
+        docs, id_col="doc_id", text_col="text",
+        query=_BM25_QUERY, k1=_BM25_K1, b=_BM25_B,
+    )
+    lexr = (
+        lex.withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("rank") <= 10)
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            "rank",
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dense = similarity.cosine_topk(
+        emb.where(F.col("vec_id") == 0), emb,
+        query_id="vec_id", corpus_id="vec_id", k=10, round_to=4,
+        broadcast_queries=True,
+    ).select("query_id", "neighbor_id", "rank")
+    return fusion.rrf_fuse([lexr, dense], k=60, top_k=5)
+
+
+ORACLE_HYBRID_RRF_BM25 = f"""
+    WITH lex AS (
+        SELECT 0::BIGINT AS query_id, doc_id AS neighbor_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        FROM ({_bm25_oracle()})
+    ), pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(q.embedding, c.embedding) /
+                   (SQRT(list_dot_product(q.embedding, q.embedding)) *
+                    SQRT(list_dot_product(c.embedding, c.embedding))), 4
+               ) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id = 0
+    ), dense AS (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM pairs
+    ), terms AS (
+        SELECT query_id, neighbor_id,
+               CAST(floor(1000000000.0 * 1.0 / (60 + rank) + 0.5)
+                    AS BIGINT) AS t
+        FROM lex WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, neighbor_id,
+               CAST(floor(1000000000.0 * 1.0 / (60 + rank) + 0.5)
+                    AS BIGINT) AS t
+        FROM dense WHERE rank <= 10
+    ), fused AS (
+        SELECT query_id, neighbor_id, SUM(t)::BIGINT AS rrf_micros,
+               COUNT(*)::BIGINT AS n_retrievers
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_micros, n_retrievers,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_micros DESC, neighbor_id ASC) AS rank
+        FROM fused)
+    WHERE rank <= 5
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the operators composed the way a real
     pretraining pipeline chains them, under ONE oracle: exact dedup (keep
@@ -5407,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # but keep the discipline: the driver's run is independent evidence.
     return {
         "hybrid_rrf": q_hybrid_rrf,  # new in round 11
+        "hybrid_rrf_bm25": q_hybrid_rrf_bm25,  # new in round 11
         "train_unigram": q_train_unigram,  # new in round 11
         "unigram_encode": q_unigram_encode,  # new in round 11
         "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
@@ -5523,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "hybrid_rrf": ORACLE_HYBRID_RRF.strip(),
+        "hybrid_rrf_bm25": ORACLE_HYBRID_RRF_BM25.strip(),
         "train_unigram": ORACLE_TRAIN_UNIGRAM.strip(),
         "unigram_encode": ORACLE_UNIGRAM_ENCODE.strip(),
         "train_bpe": ORACLE_TRAIN_BPE,

@@ -168,6 +168,9 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         # hybrid_rrf embeds two exact-kNN retrievers (the knn_cosine
         # broadcast-queries shape); fusion itself is equi-join only.
         "hybrid_rrf",
+        # hybrid_rrf_bm25: bm25's one-row corpus stats (N, avgdl, df)
+        # broadcast cross join + the exact-kNN retriever.
+        "hybrid_rrf_bm25",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():
