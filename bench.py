@@ -271,7 +271,10 @@ SCALE_CONFIGS = [
     ("100k_x1", 100_000, 1, 4, {}),
     ("100k_x10", 100_000, 10, 4, {}),
     ("1m_x1", 1_000_000, 1, 4, {}),
-    ("1m_x10", 1_000_000, 10, 3, {}),
+    # 4 runs since r11: the first timed run carries a 1.5x JIT ramp
+    # ([14.9, 10.4, 9.2] tripped the 50% gate on pure ramp) — the 4th
+    # run lets the 3-fastest trim drop it, same policy as the 100k rows.
+    ("1m_x10", 1_000_000, 10, 4, {}),
     # Reference extended-matrix variants at the published 1M x 10 shape
     # (reference benchmarks/bench.py:228-236): per-feature embargo rides
     # the same single-pass window (feature-side time shift), staleness is
