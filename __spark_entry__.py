@@ -1561,6 +1561,209 @@ ORACLE_UNIGRAM_ENCODE = rf"""
     """
 
 
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (round 11) — likelihood-scored merge trainer +
+# greedy longest-match encoder entries. Fixed hyperparameters shared by
+# the Spark queries and the SQL replay.
+# ---------------------------------------------------------------------------
+WORDPIECE_MERGES = 12
+WORDPIECE_MAXW = 100  # HF max_input_chars_per_word
+
+
+def q_train_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training (new in round 11): the BPE word-type-table
+    merge loop scored by ``count(l,r) / (count(l) * count(r))`` — the
+    likelihood rule of Schuster & Nakajima 2012 as implemented by the
+    HuggingFace trainer — with ##-continuation symbols; see
+    operators/wordpiece.train_wordpiece_spark. The score is ONE
+    IEEE-double expression with count>=2 pre-filtering and (l, r)
+    tie-breaks, so the argmax is bit-portable; the oracle replays the
+    whole loop as one recursive CTE (pair counts + symbol counts +
+    ratio arg-best over the carried vocabulary, list_reduce merge
+    fold), verified merge-for-merge."""
+    from timefence_spark.operators import wordpiece
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    merges = wordpiece.train_wordpiece_spark(
+        docs, text_col="text", n_merges=WORDPIECE_MERGES
+    )
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents tokenized under the corpus-trained WordPiece vocab
+    (new in round 11): greedy longest-match-first with whole-word
+    [UNK] — BERT's WordpieceTokenizer — as ONE broadcast vocab map +
+    a pure-JVM fold per word, zero executor Python, zero shuffles
+    (operators/wordpiece.encode_documents_wordpiece). Emitted as
+    (doc_id, pos, piece) rows; the oracle replays training end-to-end,
+    rebuilds the vocabulary (alphabet + merged tokens), greedy-matches
+    every distinct word with a recursive CTE, and reassembles the
+    documents in word order."""
+    from timefence_spark.operators import wordpiece
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    merges = wordpiece.train_wordpiece_spark(
+        docs, text_col="text", n_merges=WORDPIECE_MERGES
+    )
+    alphabet = wordpiece.wordpiece_alphabet_spark(docs, text_col="text")
+    vocab = wordpiece.wordpiece_pieces(merges, alphabet)
+    enc = wordpiece.encode_documents_wordpiece(
+        docs.where(F.col("doc_id") < 30), vocab,
+        id_col="doc_id", text_col="text",
+        max_word_chars=WORDPIECE_MAXW,
+    )
+    return enc.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "piece")
+    )
+
+
+def _wordpiece_train_ctes() -> str:
+    """Trainer replay as a WITH-clause body (needs WITH RECURSIVE):
+    word counts -> ##-symbol init -> merge recursion with the
+    likelihood arg-best -> wmerges(l, r) in learned order. Mirrors
+    wordpiece._train_wordpiece_from_vocab step for step: candidate
+    pairs pre-filtered to count >= 2, ORDER BY the one IEEE-double
+    score DESC then (l, r), merged token = l || strip_prefix(r, '##')."""
+    return rf"""
+    wwords AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(coalesce(text, ''),
+                     '\s+')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    winit AS (
+        SELECT list({{'syms': list_transform(range(1, length(w) + 1),
+                         i -> CASE WHEN i = 1 THEN substr(w, i::INT, 1)
+                                   ELSE '##' || substr(w, i::INT, 1) END),
+                     'freq': freq}}) AS vocab
+        FROM wwords
+    ),
+    wstate(iter, vocab, merges) AS (
+        SELECT 0, vocab, []::STRUCT(l VARCHAR, r VARCHAR)[] FROM winit
+        UNION ALL
+        SELECT iter + 1,
+               list_transform(vocab, w -> {{'syms': list_reduce(
+                       list_transform(w.syms, s -> [s]),
+                       (acc, x) -> CASE WHEN len(acc) > 0
+                                         AND acc[-1] = best.l
+                                         AND x[1] = best.r
+                                   THEN list_append(
+                                       list_slice(acc, 1, len(acc) - 1),
+                                       best.l ||
+                                       CASE WHEN starts_with(best.r, '##')
+                                            THEN substr(best.r, 3)
+                                            ELSE best.r END)
+                                   ELSE list_append(acc, x[1]) END),
+                   'freq': w.freq}}),
+               list_append(merges, {{'l': best.l, 'r': best.r}})
+        FROM wstate, LATERAL (
+            SELECT p.l, p.r FROM (
+                SELECT u.w.syms[j] AS l, u.w.syms[j + 1] AS r,
+                       SUM(u.w.freq) AS cnt
+                FROM (SELECT unnest(vocab) AS w) u,
+                     LATERAL (SELECT unnest(range(1, len(u.w.syms))) AS j)
+                GROUP BY 1, 2
+            ) p,
+            (SELECT s, SUM(freq) AS cnt FROM (
+                SELECT unnest(uu.w.syms) AS s, uu.w.freq AS freq
+                FROM (SELECT unnest(vocab) AS w) uu) GROUP BY 1) sl,
+            (SELECT s, SUM(freq) AS cnt FROM (
+                SELECT unnest(uu.w.syms) AS s, uu.w.freq AS freq
+                FROM (SELECT unnest(vocab) AS w) uu) GROUP BY 1) sr
+            WHERE p.cnt >= 2 AND sl.s = p.l AND sr.s = p.r
+            ORDER BY p.cnt::DOUBLE / (sl.cnt::DOUBLE * sr.cnt::DOUBLE)
+                     DESC, p.l, p.r
+            LIMIT 1
+        ) best
+        WHERE iter < {WORDPIECE_MERGES}
+    ),
+    wmerges AS (
+        SELECT m.l AS l, m.r AS r, i
+        FROM (SELECT merges FROM wstate ORDER BY iter DESC LIMIT 1),
+             LATERAL (SELECT unnest(merges) AS m,
+                             generate_subscripts(merges, 1) AS i)
+    )"""
+
+
+ORACLE_TRAIN_WORDPIECE = rf"""
+    WITH RECURSIVE
+    {_wordpiece_train_ctes()}
+    SELECT i - 1 AS merge_rank, l AS lhs, r AS rhs FROM wmerges
+    """
+
+ORACLE_WORDPIECE_ENCODE = rf"""
+    WITH RECURSIVE
+    {_wordpiece_train_ctes()},
+    walpha AS (
+        SELECT DISTINCT CASE WHEN i = 1 THEN substr(w, i::INT, 1)
+                             ELSE '##' || substr(w, i::INT, 1) END AS piece
+        FROM wwords, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i)
+    ),
+    wvocab AS (
+        SELECT piece FROM walpha
+        UNION
+        SELECT l || CASE WHEN starts_with(r, '##') THEN substr(r, 3)
+                         ELSE r END
+        FROM wmerges
+    ),
+    wmaxlen AS (SELECT max(length(piece)) AS ml FROM wvocab),
+    wdocw AS (
+        SELECT doc_id, wx.w AS w, wx.i AS widx
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                 '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id < 30),
+             LATERAL (SELECT unnest(ws) AS w,
+                             generate_subscripts(ws, 1) AS i) wx
+    ),
+    wdist AS (SELECT DISTINCT w FROM wdocw),
+    wpe(w, pos, parts, bad) AS (
+        SELECT w, 0, []::VARCHAR[], length(w) > {WORDPIECE_MAXW}
+        FROM wdist
+        UNION ALL
+        SELECT w,
+               CASE WHEN b.L IS NULL THEN length(w) ELSE pos + b.L END,
+               CASE WHEN b.L IS NULL THEN parts
+                    ELSE list_append(parts,
+                         CASE WHEN pos = 0 THEN substr(w, 1, b.L)
+                              ELSE '##' || substr(w, pos + 1, b.L) END)
+                    END,
+               b.L IS NULL
+        FROM wpe, LATERAL (
+            SELECT max(L)::INT AS L
+            FROM (SELECT unnest(range(1,
+                         least((SELECT ml FROM wmaxlen),
+                               length(w) - pos) + 1)) AS L) t
+            WHERE (CASE WHEN pos = 0 THEN substr(w, 1, L::INT)
+                        ELSE '##' || substr(w, pos + 1, L::INT) END)
+                  IN (SELECT piece FROM wvocab)
+        ) b
+        WHERE pos < length(w) AND NOT bad
+    ),
+    wseg AS (
+        SELECT w, CASE WHEN bad THEN ['[UNK]'] ELSE parts END AS parts
+        FROM wpe WHERE bad OR pos = length(w)
+    ),
+    wtoks AS (
+        SELECT d.doc_id, d.widx, s.parts
+        FROM wdocw d JOIN wseg s USING (w)
+    )
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, piece FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY widx, pj) AS pos,
+               piece
+        FROM (SELECT doc_id, widx, unnest(parts) AS piece,
+                     generate_subscripts(parts, 1) AS pj
+              FROM wtoks))
+    """
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents tokenized to integer id sequences under the vendored
     BPE (new in round 9): bpe.encode_documents — one bounded vocab
@@ -5494,6 +5697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_bm25": q_hybrid_rrf_bm25,  # new in round 11
         "train_unigram": q_train_unigram,  # new in round 11
         "unigram_encode": q_unigram_encode,  # new in round 11
+        "train_wordpiece": q_train_wordpiece,  # new in round 11
+        "wordpiece_encode": q_wordpiece_encode,  # new in round 11
         "knn_ivf_pq": q_knn_ivf_pq,  # RESIDUAL encoding since round 10
         "knn_ivf_pq_raw": q_knn_ivf_pq_raw,  # new in round 10
         "knn_pq_opq": q_knn_pq_opq,  # new in round 10
@@ -5611,6 +5816,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_bm25": ORACLE_HYBRID_RRF_BM25.strip(),
         "train_unigram": ORACLE_TRAIN_UNIGRAM.strip(),
         "unigram_encode": ORACLE_UNIGRAM_ENCODE.strip(),
+        "train_wordpiece": ORACLE_TRAIN_WORDPIECE.strip(),
+        "wordpiece_encode": ORACLE_WORDPIECE_ENCODE.strip(),
         "train_bpe": ORACLE_TRAIN_BPE,
         "bpe_encode": _oracle_bpe_encode_sql(),
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),

@@ -165,6 +165,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         # the word-type table / documents — the PQ-codebook one-row
         # join-kernel shape.
         "train_unigram", "unigram_encode",
+        # wordpiece (round 11): same one-row broadcast vocab-map shape.
+        "wordpiece_encode",
         # hybrid_rrf embeds two exact-kNN retrievers (the knn_cosine
         # broadcast-queries shape); fusion itself is equi-join only.
         "hybrid_rrf",

@@ -1296,16 +1296,19 @@ def corpus_train_bpe(
               help="Documents parquet to train on.")
 @click.option("--output", "output_path", required=True,
               help="Output model parquet: (merge_rank, lhs, rhs) for "
-              "bpe; (token_id, piece, cnt, logp_micro) for unigram.")
+              "bpe/wordpiece; (token_id, piece, cnt, logp_micro) for "
+              "unigram.")
 @click.option("--model", "model_kind",
-              type=click.Choice(["bpe", "unigram"]), default="bpe",
-              show_default=True,
-              help="Tokenizer family: greedy-merge BPE (Sennrich 2016) "
-              "or unigram-LM (Kudo 2018, SentencePiece-style hard-EM).")
+              type=click.Choice(["bpe", "unigram", "wordpiece"]),
+              default="bpe", show_default=True,
+              help="Tokenizer family: greedy-merge BPE (Sennrich 2016), "
+              "unigram-LM (Kudo 2018, SentencePiece-style hard-EM), or "
+              "WordPiece (Schuster & Nakajima 2012, likelihood-scored "
+              "merges + ##-continuations).")
 @click.option("--id-col", default="doc_id", show_default=True)
 @click.option("--text-col", default="text", show_default=True)
 @click.option("--n-merges", type=int, default=100, show_default=True,
-              help="[bpe] Maximum merges to learn.")
+              help="[bpe/wordpiece] Maximum merges to learn.")
 @click.option("--merges-per-round", type=int, default=1, show_default=True,
               help="[bpe] Symbol-disjoint merges accepted per "
               "pair-count job.")
@@ -1318,7 +1321,8 @@ def corpus_train_bpe(
               help="[unigram] Hard-EM rounds before pruning.")
 @click.option("--save-tokenizer", "tokenizer_path", default=None,
               help="Also write a frozen tokenizer JSON artifact "
-              "(bpe.load_tokenizer / unigram.load_unigram_tokenizer).")
+              "(bpe.load_tokenizer / unigram.load_unigram_tokenizer / "
+              "wordpiece.load_wordpiece_tokenizer).")
 @click.option("--json", "json_out", is_flag=True,
               help="Machine-readable summary.")
 def corpus_train_tokenizer(
@@ -1327,10 +1331,12 @@ def corpus_train_tokenizer(
     tokenizer_path, json_out,
 ) -> None:
     """Train a subword tokenizer from a document corpus — BPE (greedy
-    merges; see corpus-train-bpe, which this command supersedes) or
+    merges; see corpus-train-bpe, which this command supersedes),
     unigram-LM (SentencePiece-style: seed substrings, hard-EM over the
     word-type table, count pruning; Viterbi encoding via
-    unigram.encode_documents_unigram)."""
+    unigram.encode_documents_unigram), or WordPiece (likelihood-scored
+    merges; greedy longest-match encoding via
+    wordpiece.encode_documents_wordpiece)."""
     from timefence_spark.corpus import Corpus
     from timefence_spark.engine import get_spark
     from timefence_spark.sources.readers import read_parquet
@@ -1351,6 +1357,22 @@ def corpus_train_tokenizer(
 
             vocab = bpe.bpe_vocab(df, text_col=text_col, merges=merges)
             bpe.save_tokenizer(tokenizer_path, merges=merges, vocab=vocab)
+        learned = len(merges)
+    elif model_kind == "wordpiece":
+        merges = corpus.train_wordpiece(n_merges=n_merges)
+        spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "merge_rank int, lhs string, rhs string",
+        ).coalesce(1).write.mode("overwrite").parquet(output_path)
+        if tokenizer_path:
+            from timefence_spark.operators import wordpiece
+
+            alphabet = wordpiece.wordpiece_alphabet_spark(
+                df, text_col=text_col
+            )
+            wordpiece.save_wordpiece_tokenizer(
+                tokenizer_path, merges=merges, alphabet=alphabet
+            )
         learned = len(merges)
     else:
         model = corpus.train_unigram(

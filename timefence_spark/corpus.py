@@ -436,6 +436,25 @@ class Corpus:
             em_iters=em_iters,
         )
 
+    def train_wordpiece(
+        self, *, n_merges: int = 100, checkpoint_every: int = 10,
+    ) -> list[tuple[str, str]]:
+        """Learn a WordPiece tokenizer FROM this corpus (Schuster &
+        Nakajima 2012 likelihood-scored merges with ##-continuation
+        symbols, see wordpiece.train_wordpiece_spark) — the third leg
+        of the tokenizer story next to :meth:`train_bpe` and
+        :meth:`train_unigram`. Returns the merge list; build the
+        encoder vocabulary with wordpiece.wordpiece_pieces(merges,
+        wordpiece.wordpiece_alphabet_spark(df)) and encode with
+        wordpiece.encode_documents_wordpiece. Driver-side,
+        vocabulary-bounded; not a Corpus."""
+        from timefence_spark.operators import wordpiece
+
+        return wordpiece.train_wordpiece_spark(
+            self.df, text_col=self.text_col, n_merges=n_merges,
+            checkpoint_every=checkpoint_every,
+        )
+
     def rank_bm25(self, query: str, **kwargs) -> DataFrame:
         """Score every matching document against ``query`` with Okapi
         BM25 (see text.bm25_score) — keyword-targeted subset pulls.
