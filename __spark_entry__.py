@@ -925,6 +925,75 @@ ORACLE_KNN_MRL = """
 """
 
 
+RPROJ_DIMS = 16
+RPROJ_SEED = 11
+
+
+def q_knn_rproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (Johnson–Lindenstrauss) kNN (new in round 11):
+    vectors project through a seeded 16x64 orthonormal matrix
+    (similarity.jl_projection — a driver-side constant like the LSH
+    hyperplanes) via project_vectors' scan-side affine kernel, then
+    brute-force cosine top-5 in the reduced space. The seeded matrix
+    is the exactly-replayable half of the dim-reduction rung; the
+    data-adaptive half is pca_train (recall-property-gated, like
+    parametric OPQ), which produces the same (pos, row, bias) shape
+    project_vectors consumes — so THIS oracle verifies the projection
+    machinery both paths share."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mat = similarity.jl_projection(64, RPROJ_DIMS, seed=RPROJ_SEED)
+    proj = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "pos int, row array<double>",
+    )
+    p = similarity.project_vectors(
+        emb, vec_col="embedding", projection=proj
+    )
+    return similarity.cosine_topk(
+        p.where(F.col("vec_id") < 20), p,
+        query_id="vec_id", corpus_id="vec_id", k=5, round_to=4,
+        broadcast_queries=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def _oracle_knn_rproj_sql(
+    k: int = 5, dim: int = 64, dims: int = RPROJ_DIMS,
+    seed: int = RPROJ_SEED,
+) -> str:
+    mat = "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]"
+        for row in similarity.jl_projection(dim, dims, seed)
+    ) + "]"
+    return f"""
+    WITH e0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), t AS (
+        SELECT vec_id,
+               CASE WHEN v IS NOT NULL AND len(v) = {dim}
+                     AND len(list_filter(v, x -> x IS NULL)) = 0
+                    THEN list_transform({mat}, r -> list_dot_product(r, v))
+               END AS v
+        FROM e0
+    ), pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(q.v, c.v) /
+                   (SQRT(list_dot_product(q.v, q.v)) *
+                    SQRT(list_dot_product(c.v, c.v))), 4
+               ) AS cosine
+        FROM t q JOIN t c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrievers (new in round 11,
     fusion.rrf_fuse): full-dim exact cosine top-10 and MRL-truncated
@@ -5705,6 +5774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,  # new in round 10
         "dsir_sample": q_dsir_sample,  # new in round 10
         "knn_mrl": q_knn_mrl,  # new in round 10
+        "knn_rproj": q_knn_rproj,  # new in round 11
         "gram_duplication": q_gram_duplication,  # new in round 10
         "corpus_stats": q_corpus_stats,  # new in round 10
         "code_signals": q_code_signals,  # new in round 10
@@ -5891,6 +5961,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "knn_mrl": ORACLE_KNN_MRL,
+        "knn_rproj": _oracle_knn_rproj_sql(),
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
         "corpus_stats": ORACLE_CORPUS_STATS,
         "code_signals": _oracle_code_signals_sql(),

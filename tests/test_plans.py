@@ -160,6 +160,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "knn_pq_opq", "dsir_weights", "dsir_sample",
         # knn_mrl: exact kNN over truncated prefixes — the knn_cosine shape.
         "knn_mrl",
+        # knn_rproj: exact kNN over JL-projected vectors — same shape.
+        "knn_rproj",
         # unigram tokenizer (round 11): the bounded model attaches as a
         # ONE-row broadcast map (model + unk penalty) cross-joined onto
         # the word-type table / documents — the PQ-codebook one-row

@@ -1896,3 +1896,174 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([a], k=0)
     with pytest.raises(ValueError, match="top_k"):
         rrf_fuse([a], top_k=0)
+
+
+def test_pca_train_model_contract(spark):
+    """PCA (round 11): (pos, row, bias, var) with orthonormal sign-fixed
+    axes ordered by explained variance, bias = -<axis, mean>, and a
+    partitioning-stable deterministic sample — the same non-oracle
+    contract shape as parametric OPQ."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(200, 12) * np.linspace(3.0, 0.2, 12) + 5.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    model = similarity.pca_train(df, corpus_id="vec_id", dims=5)
+    rows = model.orderBy("pos").collect()
+    R = np.array([r["row"] for r in rows])
+    assert R.shape == (5, 12)
+    assert np.allclose(R @ R.T, np.eye(5), atol=1e-9)
+    vars_ = [r["var"] for r in rows]
+    assert vars_ == sorted(vars_, reverse=True)
+    # sign fix: each axis's largest-|x| coordinate is positive
+    for r in R:
+        assert r[int(np.abs(r).argmax())] > 0
+    # bias really is -<axis, sample mean>: projecting the mean of the
+    # TRAINING sample must land near zero (exact when cap >= corpus)
+    mean = X.mean(0)
+    bias = np.array([r["bias"] for r in rows])
+    assert np.allclose(R @ mean + bias, 0.0, atol=1e-9)
+    # deterministic under repartitioning (salted-hash sample selection)
+    model2 = similarity.pca_train(
+        df.repartition(7), corpus_id="vec_id", dims=5
+    )
+    assert sorted(map(tuple, model.collect())) == sorted(
+        map(tuple, model2.collect())
+    )
+    # center=False: zero bias, covariance about the origin
+    m0 = similarity.pca_train(
+        df, corpus_id="vec_id", dims=3, center=False
+    )
+    assert all(r["bias"] == 0.0 for r in m0.collect())
+    with pytest.raises(ValueError, match="dims"):
+        similarity.pca_train(df, corpus_id="vec_id", dims=0)
+    with pytest.raises(ValueError, match="dims"):
+        similarity.pca_train(df, corpus_id="vec_id", dims=13)
+    with pytest.raises(ValueError, match="train_cap"):
+        similarity.pca_train(df, corpus_id="vec_id", dims=2, train_cap=1)
+
+
+def test_pca_beats_jl_projection_on_anisotropic_data(spark):
+    """The data-adaptive rung must beat the seeded JL rung where it
+    should: data on a low-dimensional latent subspace. PCA to 6 dims
+    recovers the 4-factor subspace (near-perfect recall); a random
+    6-dim projection of 32 dims cannot. This recall gate IS pca_train's
+    correctness contract (LAPACK eigh is not bit-portable, so no SQL
+    oracle — the projection MACHINERY is oracled via knn_rproj)."""
+    import random
+
+    rng = random.Random(17)
+    dim = 32
+    factors = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for i in range(240):
+        z = [rng.gauss(0, 1) for _ in range(4)]
+        v = [
+            sum(z[f] * factors[f][j] for f in range(4))
+            + rng.gauss(0, 0.05)
+            for j in range(dim)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q_ids = "vec_id < 12"
+    truth: dict = {}
+    for r in similarity.cosine_topk(
+        df.where(q_ids), df, query_id="vec_id", corpus_id="vec_id", k=5
+    ).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(proj_df) -> float:
+        p = similarity.project_vectors(
+            df, vec_col="embedding", projection=proj_df,
+            materialize=True,
+        )
+        got: dict = {}
+        for r in similarity.cosine_topk(
+            p.where(q_ids), p, query_id="vec_id", corpus_id="vec_id", k=5
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(k, set()) & t) for k, t in truth.items()
+        ) / sum(len(t) for t in truth.values())
+
+    pca = similarity.pca_train(
+        df, corpus_id="vec_id", dims=6, center=False
+    )
+    jl = spark.createDataFrame(
+        [
+            (i, row)
+            for i, row in enumerate(similarity.jl_projection(dim, 6, 23))
+        ],
+        "pos int, row array<double>",
+    )
+    r_pca, r_jl = recall(pca), recall(jl)
+    assert r_pca >= r_jl, (r_pca, r_jl)
+    assert r_pca >= 0.9, r_pca  # the latent subspace is recoverable
+
+
+def test_project_vectors_null_contract_and_kernels(spark):
+    """project_vectors: NULL vector / wrong width / NULL element ->
+    NULL; bias applies affinely; expr and join kernels bit-identical;
+    renormalize yields unit vectors and NULLs zero-norm projections."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0]),
+            (1, None),
+            (2, [1.0, 2.0]),
+            (3, [1.0, None, 3.0]),
+            (4, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    proj = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0], 10.0), (1, [0.0, 0.0, 2.0], -1.0)],
+        "pos int, row array<double>, bias double",
+    )
+    out = {
+        r["vec_id"]: r["p"]
+        for r in similarity.project_vectors(
+            df, vec_col="embedding", projection=proj, out_col="p"
+        ).collect()
+    }
+    assert out[0] == [11.0, 5.0]
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] == [10.0, -1.0]
+    out_j = {
+        r["vec_id"]: r["p"]
+        for r in similarity.project_vectors(
+            df, vec_col="embedding", projection=proj, out_col="p",
+            compute="join",
+        ).collect()
+    }
+    assert out == out_j
+    # renormalize: unit norm; an all-zero PROJECTION nulls out
+    proj0 = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0], 0.0), (1, [0.0, 0.0, 0.0], 0.0)],
+        "pos int, row array<double>, bias double",
+    )
+    rn = {
+        r["vec_id"]: r["p"]
+        for r in similarity.project_vectors(
+            df, vec_col="embedding", projection=proj0, out_col="p",
+            renormalize=True,
+        ).collect()
+    }
+    assert rn[0] is None  # zero-norm projection -> NULL
+    rn2 = similarity.project_vectors(
+        df.where("vec_id = 0"), vec_col="embedding", projection=proj,
+        out_col="p", renormalize=True,
+    ).collect()[0]["p"]
+    import math
+
+    assert abs(math.hypot(*rn2) - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="compute"):
+        similarity.project_vectors(
+            df, vec_col="embedding", projection=proj, compute="bogus"
+        )
+    with pytest.raises(ValueError, match="dims"):
+        similarity.jl_projection(8, 9)
+    with pytest.raises(ValueError, match="dims"):
+        similarity.jl_projection(8, 0)

@@ -2234,6 +2234,216 @@ def truncate_embeddings(
     ).drop("__mrl_v", "__mrl_n")
 
 
+def jl_projection(
+    dim: int, dims: int, seed: int = 42
+) -> list[list[float]]:
+    """Seeded orthonormal random projection (Johnson–Lindenstrauss):
+    the first ``dims`` rows of the seeded orthogonal matrix
+    :func:`opq_rotation` builds — a ``dims x dim`` matrix whose rows
+    are orthonormal, so projected dot products approximate the
+    originals with the JL distortion bound. A driver-side constant
+    like :func:`_hyperplanes`: both engines of an oracle replay
+    receive the same literals, which is what keeps the projected-ANN
+    entry exactly SQL-replayable (the data-adaptive variant is
+    :func:`pca_train`)."""
+    if not 1 <= dims <= dim:
+        raise ValueError(f"dims must be in [1, {dim}], got {dims}")
+    return opq_rotation(dim, seed)[:dims]
+
+
+def pca_train(
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    dims: int,
+    center: bool = True,
+    train_cap: int = 16_384,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """A PCA projection for the ANN ladder: ``(pos, row, bias, var)``
+    with ``row`` the pos-th principal axis (unit length, ordered by
+    explained variance desc), ``bias = -<row, mean>`` when ``center``
+    (so the affine map :func:`project_vectors` applies is
+    ``<row, x - mean>``, faiss ``PCAMatrix``'s geometry), and ``var``
+    the axis's sample variance. Apply with :func:`project_vectors`,
+    then run any downstream rung (exact / SQ / PQ / BQ) in the reduced
+    space — the classic dim-reduction rung between MRL truncation
+    (prefix, training-dependent) and OPQ (square, PQ-specific).
+
+    Training runs DRIVER-side on a deterministic salted-hash sample of
+    at most ``train_cap`` rows (the same pure-function-of-ids rule as
+    pq_train's cap — partitioning/rerun-stable), via one dim x dim
+    covariance eigendecomposition; axes are sign-fixed (largest-|x|
+    coordinate positive, first index on ties) so the decomposition is
+    unique. Like ``opq_train(method='parametric')`` this is
+    deliberately NOT oracle-covered — LAPACK eigenvectors are
+    deterministic per platform but not bit-portable across engines —
+    and its quality gate is the recall property test (PCA >= the
+    seeded :func:`jl_projection` on anisotropic data); everything
+    DOWNSTREAM of the returned projection keeps the exact-replay
+    contract since the matrix is just data.
+
+    100 TB shape: the model is dims x dim doubles (KBs); training
+    reads one bounded sample (TakeOrdered by salted hash — no
+    shuffle); application is a scan-side projection that shrinks every
+    downstream ANN shuffle/scan by dim/dims."""
+    import numpy as np
+
+    from timefence_spark.operators.sampling import _salted_hash
+
+    dim = _pq_probe_dim(corpus, corpus_vec, corpus_id)
+    if not 1 <= dims <= dim:
+        raise ValueError(f"dims must be in [1, {dim}], got {dims}")
+    if train_cap < 2:
+        raise ValueError(f"train_cap must be >= 2, got {train_cap}")
+    sample = (
+        corpus.where(
+            F.col(corpus_vec).isNotNull() & (F.size(corpus_vec) == dim)
+        )
+        .select(
+            F.col(corpus_vec).alias("__v"),
+            _salted_hash(
+                F.col(corpus_id), f"pcatrain:{seed}", hash_fn
+            ).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in sample], dtype=np.float64)
+    if X.shape[0] < 2:
+        raise ValueError(
+            f"pca_train needs >= 2 valid training vectors, got {X.shape[0]}"
+        )
+    mean = X.mean(0) if center else np.zeros(dim)
+    Xc = X - mean
+    cov = (Xc.T @ Xc) / (X.shape[0] - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:dims]
+    rows = []
+    for pos, j in enumerate(order):
+        axis = evecs[:, j]
+        # unique up to sign: make the largest-|x| coordinate positive
+        pivot = int(np.argmax(np.abs(axis)))
+        if axis[pivot] < 0:
+            axis = -axis
+        rows.append(
+            (
+                pos,
+                [float(x) for x in axis],
+                float(-(axis @ mean)) if center else 0.0,
+                float(max(evals[j], 0.0)),
+            )
+        )
+    return corpus.sparkSession.createDataFrame(
+        rows, "pos int, row array<double>, bias double, var double"
+    )
+
+
+def project_vectors(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    projection: DataFrame,
+    out_col: str | None = None,
+    renormalize: bool = False,
+    compute: str = "expr",
+    materialize: bool = False,
+) -> DataFrame:
+    """Apply an affine projection (``(pos, row [, bias])`` as from
+    :func:`pca_train`, or a seeded :func:`jl_projection` matrix loaded
+    into the same shape) to a vector column:
+    ``out[i] = <row_i, x> + bias_i`` — a RECTANGULAR generalization of
+    :func:`rotate_vectors` (same scan-side shape, same NULL-not-error
+    contract, same expr/join kernel split and literal budget, same
+    ``materialize`` escape for multi-consumer pipelines). With
+    ``renormalize`` the projected vector is L2-normalized (staged norm
+    so the HOF lambda cannot re-fold per element — the
+    truncate_embeddings trap), which downstream cosine rungs need
+    because projection does not preserve norms the way a square
+    rotation does; a zero-norm projection normalizes to NULL."""
+    if compute not in ("expr", "join"):
+        raise ValueError(f"compute must be 'expr' or 'join', got {compute!r}")
+    out = out_col or vec_col
+    has_bias = "bias" in projection.columns
+    bias_col = (
+        F.col("bias") if has_bias else F.lit(0.0).cast("double")
+    )
+    proj = projection.select("pos", "row", bias_col.alias("bias"))
+    if compute == "expr":
+        rows = sorted(proj.collect(), key=lambda r: r["pos"])
+        if not rows:
+            raise ValueError("empty projection")
+        dim = len(rows[0]["row"])
+        if len(rows) * dim > _ASSIGN_EXPR_MAX_LITERALS:
+            warnings.warn(
+                f"projection embeds {len(rows) * dim} literal doubles — "
+                f"past the expr budget ({_ASSIGN_EXPR_MAX_LITERALS}). "
+                "Falling back to compute='join' (bit-identical).",
+                stacklevel=2,
+            )
+            compute = "join"
+        else:
+            mat = "array(" + ",".join(
+                "named_struct('r', array("
+                + ",".join(_sql_double(x) for x in r["row"])
+                + f"), 'b', {_sql_double(r['bias'])})"
+                for r in rows
+            ) + ")"
+            projected = f"transform({mat}, p -> " + _pq_dot_sql(
+                "p.r", f"`{vec_col}`"
+            ) + " + p.b)"
+            ok = (
+                F.col(vec_col).isNotNull()
+                & (F.size(vec_col) == dim)
+                & (F.size(F.filter(vec_col, lambda x: x.isNull())) == 0)
+            )
+            res = df.withColumn(out, F.when(ok, F.expr(projected)))
+            res = _renorm(res, out) if renormalize else res
+            return pin(res) if materialize else res
+    row_df = proj.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.col("row"), F.col("bias"))
+                )
+            ),
+            lambda s: F.struct(s["row"].alias("r"), s["bias"].alias("b")),
+        ).alias("__proj")
+    )
+    dim_expr = F.size(F.element_at("__proj", 1)["r"])
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim_expr)
+        & (F.size(F.filter(vec_col, lambda x: x.isNull())) == 0)
+    )
+    projected = "transform(`__proj`, p -> " + _pq_dot_sql(
+        "p.r", f"`{vec_col}`"
+    ) + " + p.b)"
+    res = (
+        df.crossJoin(F.broadcast(row_df))
+        .withColumn(out, F.when(ok, F.expr(projected)))
+        .drop("__proj")
+    )
+    res = _renorm(res, out) if renormalize else res
+    return pin(res) if materialize else res
+
+
+def _renorm(df: DataFrame, col: str) -> DataFrame:
+    """L2-normalize an array<double> column in place; zero-norm or NULL
+    input -> NULL. Staged norm projection (no per-element re-fold)."""
+    staged = df.withColumn("__pv_n", l2_norm(F.col(col)))
+    return staged.withColumn(
+        col,
+        F.when(
+            F.col("__pv_n") > 0,
+            F.transform(F.col(col), lambda x: x / F.col("__pv_n")),
+        ),
+    ).drop("__pv_n")
+
+
 def opq_rotation(dim: int, seed: int = 42) -> list[list[float]]:
     """Seeded random orthogonal matrix: QR of a seeded Gaussian, with the
     decomposition made unique by sign-fixing against R's diagonal. A
