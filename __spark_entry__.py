@@ -925,6 +925,97 @@ ORACLE_KNN_MRL = """
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (new in round 11,
+    fusion.mmr_rerank): each query's exact-cosine top-20 greedily
+    re-ordered by ``lambda*rel - (1-lambda)*max-sim-to-selected`` with
+    relevance/similarity/lambda quantized to integer micros at single
+    rounding sites — every greedy pick is an integer comparison, so
+    the oracle replays the selection loop bit-for-bit as a recursive
+    CTE. One bounded (query) gather + a pure-JVM fold; no N^2
+    shuffle, no Python."""
+    from timefence_spark.operators import fusion
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cands = similarity.cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb,
+        query_id="vec_id", corpus_id="vec_id", k=20, round_to=4,
+        broadcast_queries=True,
+    )
+    return fusion.mmr_rerank(cands, emb, lambda_=0.7, k=5)
+
+
+ORACLE_MMR_RERANK = """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.v, c.v) /
+                     (SQRT(list_dot_product(q.v, q.v)) *
+                      SQRT(list_dot_product(c.v, c.v))), 4) AS cosine
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    cand0 AS (
+        SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM pairs
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id,
+               CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rm
+        FROM cand0 WHERE rnk <= 20
+    ),
+    vn AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS nv
+        FROM e
+        WHERE v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) = 0
+          AND sqrt(list_dot_product(v, v)) > 0
+    ),
+    gr AS (
+        SELECT query_id,
+               list(struct_pack(n := neighbor_id, rm := rm, v := nv)
+                    ORDER BY neighbor_id) AS cands
+        FROM cand JOIN vn ON neighbor_id = vec_id
+        GROUP BY query_id
+    ),
+    mst(query_id, step, rem, sel, outl) AS (
+        SELECT query_id, 0, cands, []::DOUBLE[][],
+               []::STRUCT(n BIGINT, u BIGINT)[]
+        FROM gr
+        UNION ALL
+        SELECT query_id, step + 1,
+               list_filter(rem, x -> x.n != best.n),
+               list_append(sel, best.v),
+               list_append(outl, {'n': best.n, 'u': best.u})
+        FROM mst, LATERAL (
+            SELECT t.c.n AS n, t.c.v AS v,
+                   700000 * t.c.rm - 300000 * coalesce(
+                       list_aggregate(list_transform(sel, s ->
+                           CAST(floor(list_dot_product(t.c.v, s)
+                                      * 1000000 + 0.5) AS BIGINT)),
+                           'max'), 0) AS u
+            FROM (SELECT unnest(rem) AS c) t
+            ORDER BY u DESC, n ASC LIMIT 1
+        ) best
+        WHERE step < 5 AND len(rem) > 0
+    ),
+    fin AS (
+        SELECT query_id, outl FROM (
+            SELECT query_id, outl, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY step DESC) AS rn
+            FROM mst) WHERE rn = 1
+    )
+    SELECT query_id, o.s.n AS neighbor_id, o.s.u AS mmr_units,
+           CAST(o.i AS INT) AS rank
+    FROM fin, LATERAL (SELECT unnest(outl) AS s,
+                              generate_subscripts(outl, 1) AS i) o
+    """
+
+
 RPROJ_DIMS = 16
 RPROJ_SEED = 11
 
@@ -5775,6 +5866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,  # new in round 10
         "knn_mrl": q_knn_mrl,  # new in round 10
         "knn_rproj": q_knn_rproj,  # new in round 11
+        "mmr_rerank": q_mmr_rerank,  # new in round 11
         "gram_duplication": q_gram_duplication,  # new in round 10
         "corpus_stats": q_corpus_stats,  # new in round 10
         "code_signals": q_code_signals,  # new in round 10
@@ -5962,6 +6054,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "knn_mrl": ORACLE_KNN_MRL,
         "knn_rproj": _oracle_knn_rproj_sql(),
+        "mmr_rerank": ORACLE_MMR_RERANK.strip(),
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
         "corpus_stats": ORACLE_CORPUS_STATS,
         "code_signals": _oracle_code_signals_sql(),

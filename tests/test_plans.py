@@ -162,6 +162,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "knn_mrl",
         # knn_rproj: exact kNN over JL-projected vectors — same shape.
         "knn_rproj",
+        # mmr_rerank embeds an exact-kNN candidate retriever (the
+        # knn_cosine broadcast-queries shape); MMR itself is one
+        # equi-join + one bounded gather + a JVM fold.
+        "mmr_rerank",
         # unigram tokenizer (round 11): the bounded model attaches as a
         # ONE-row broadcast map (model + unk penalty) cross-joined onto
         # the word-type table / documents — the PQ-codebook one-row

@@ -2067,3 +2067,107 @@ def test_project_vectors_null_contract_and_kernels(spark):
         similarity.jl_projection(8, 9)
     with pytest.raises(ValueError, match="dims"):
         similarity.jl_projection(8, 0)
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """fusion.mmr_rerank (round 11): the JVM greedy fold must equal a
+    straightforward Python MMR with the same integer-micros
+    quantization — including the selection-time score and the
+    neighbor-asc tie-break."""
+    import math
+
+    from timefence_spark.operators.fusion import mmr_rerank
+
+    vecs = {
+        1: [1.0, 0.0], 2: [0.98, 0.2], 3: [0.0, 1.0],
+        4: [0.6, 0.8], 5: [-1.0, 0.0],
+    }
+    cand_rows = [(0, n, r) for n, r in
+                 [(1, 0.99), (2, 0.97), (3, 0.5), (4, 0.8), (5, 0.1)]]
+    cands = spark.createDataFrame(
+        cand_rows, "query_id long, neighbor_id long, cosine double"
+    )
+    vdf = spark.createDataFrame(
+        [(n, v) for n, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["neighbor_id"], r["mmr_units"], r["rank"])
+        for r in mmr_rerank(cands, vdf, lambda_=0.6, k=4)
+        .orderBy("rank").collect()
+    ]
+
+    def _norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    lam, rest = 600000, 400000
+    rem = sorted(
+        (n, int(math.floor(r * 1e6 + 0.5)), _norm(vecs[n]))
+        for _, n, r in cand_rows
+    )
+    sel, out = [], []
+    for rank in range(1, 5):
+        best = None
+        for n, rm, v in rem:
+            sims = []
+            for s in sel:
+                d = 0.0
+                for a, b in zip(v, s):
+                    d += a * b
+                sims.append(int(math.floor(d * 1e6 + 0.5)))
+            ms = max(sims) if sims else 0  # max CAN be negative
+            u = lam * rm - rest * ms
+            if best is None or (u, -n) > (best[3], -best[0]):
+                best = (n, rm, v, u)
+        sel.append(best[2])
+        out.append((best[0], best[3], rank))
+        rem = [x for x in rem if x[0] != best[0]]
+    assert got == out
+    # diversity actually happened: neighbor 2 (near-duplicate of 1)
+    # must NOT follow 1 immediately despite the 2nd-highest relevance
+    assert got[0][0] == 1 and got[1][0] != 2
+
+
+def test_mmr_rerank_drops_degenerate_candidates(spark):
+    from timefence_spark.operators.fusion import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, None), (0, 3, 0.8), (0, 4, 0.7)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    vdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 0.0]), (9, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # 2: NULL rel; 3: zero-norm vector; 4: no vector row -> only 1 left
+    got = mmr_rerank(cands, vdf, k=3).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in got] == [(1, 1)]
+    with pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(cands, vdf, lambda_=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(cands, vdf, k=0)
+
+
+def test_mmr_rerank_lambda_extremes(spark):
+    """lambda=1 is pure relevance order; lambda=0 is pure anti-
+    redundancy (after the first pick, which is relevance-greedy in
+    both — with all-identical sims the neighbor tie-break orders)."""
+    from timefence_spark.operators.fusion import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(0, n, 1.0 - 0.1 * n) for n in range(1, 5)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    vdf = spark.createDataFrame(
+        [(n, [1.0, 0.0]) for n in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    rel = mmr_rerank(cands, vdf, lambda_=1.0, k=4).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rel] == [1, 2, 3, 4]
+    anti = mmr_rerank(cands, vdf, lambda_=0.0, k=4).orderBy("rank").collect()
+    # identical vectors: every unselected candidate scores the same
+    # -(1e6) after the first pick; neighbor-asc breaks the ties. The
+    # first pick at lambda=0 scores 0 for everyone -> neighbor asc.
+    assert [r["neighbor_id"] for r in anti] == [1, 2, 3, 4]
+    assert all(r["mmr_units"] == 0 for r in anti[:1])

@@ -86,3 +86,159 @@ def rrf_fuse(
     return scored.withColumn("rank", F.row_number().over(win)).where(
         F.col("rank") <= top_k
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rel_col: str = "cosine",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    lambda_: float = 0.5,
+    k: int = 10,
+    normalize: bool = True,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily re-order each query's candidate list to trade relevance
+    against redundancy — step t picks the unselected candidate
+    maximizing ``lambda * rel(d) - (1 - lambda) * max_{s in S}
+    sim(d, s)`` — the standard diversification pass over any of this
+    package's retrievers' (query, neighbor, rel) output, with
+    candidate vectors joined from ``vectors`` for the pairwise cosine.
+
+    **Integer-exact selection.** Relevance and pairwise similarity
+    quantize to micros at ONE rounding site each
+    (``floor(x * 1e6 + 0.5)`` as BIGINT — the unigram trainer's rule),
+    and lambda quantizes to ``lam = floor(lambda * 1e6 + 0.5)``, so
+    every greedy comparison is the integer
+    ``lam * rel_m - (1e6 - lam) * max_sim_m`` with ties broken by
+    neighbor ascending — bit-portable to a SQL replay. Returns
+    ``(query, neighbor, mmr_units, rank)``, rank 1..k in selection
+    order; ``mmr_units`` is the score AT selection time.
+
+    Candidates with a NULL relevance, no vector row, or a degenerate
+    vector (NULL, NULL elements, zero norm under ``normalize``) are
+    dropped before selection — they cannot participate in the
+    similarity term. ``normalize=True`` (default) L2-normalizes
+    vectors so the dot IS the cosine; pass False when the vectors are
+    pre-normalized.
+
+    100 TB shape: candidate lists are top-N-bounded per query, so ONE
+    equi-join attaches vectors (broadcast/AQE — the corpus never
+    scans beyond the matched ids), ONE (query) aggregation gathers
+    each list, and the greedy loop runs as a pure-JVM ``aggregate``
+    fold over the bounded array — k * N * k * dim flops per QUERY
+    row, zero Python, no N^2 shuffle. The heavy lifting stays in the
+    retriever that produced the candidates."""
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import math
+
+    lam = int(math.floor(lambda_ * 1_000_000 + 0.5))
+    rest = 1_000_000 - lam
+
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.filter(dvec, lambda x: x.isNull())) == 0)
+        & (F.size(dvec) > 0)
+    )
+    vecs = vectors.select(
+        F.col(vec_id).alias("__vid"),
+        F.when(ok, dvec).alias("__v0"),
+    )
+    if normalize:
+        # staged norm: an inline norm inside the transform lambda would
+        # re-fold per element (HOF lambdas are not CSE'd)
+        vecs = (
+            vecs.withColumn(
+                "__n",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("__v0"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+            )
+            .withColumn(
+                "__v",
+                F.when(
+                    F.col("__n") > 0,
+                    F.transform(
+                        F.col("__v0"), lambda x: x / F.col("__n")
+                    ),
+                ),
+            )
+            .drop("__v0", "__n")
+        )
+    else:
+        vecs = vecs.withColumnRenamed("__v0", "__v")
+    cand = (
+        candidates.where(F.col(rel_col).isNotNull())
+        .select(
+            F.col(query_col).alias("query_id"),
+            F.col(neighbor_col).alias("neighbor_id"),
+            F.expr(
+                f"CAST(floor(CAST(`{rel_col}` AS DOUBLE) * 1000000D "
+                "+ 0.5D) AS BIGINT)"
+            ).alias("__rm"),
+        )
+        .join(vecs, F.col("neighbor_id") == F.col("__vid"))
+        .where(F.col("__v").isNotNull())
+        .select("query_id", "neighbor_id", "__rm", "__v")
+    )
+    grouped = cand.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("neighbor_id").alias("n"),
+                    F.col("__rm").alias("rm"),
+                    F.col("__v").alias("v"),
+                )
+            )
+        ).alias("__cands")
+    )
+    simm = (
+        "coalesce(array_max(transform(acc.sel, s -> "
+        "CAST(floor(aggregate(zip_with(c.v, s, (x, y) -> x * y), 0D, "
+        "(a, p) -> a + p) * 1000000D + 0.5D) AS BIGINT))), 0L)"
+    )
+    argmax = (
+        "array_max(transform(acc.rem, c -> named_struct("
+        f"'u', {lam}L * c.rm - {rest}L * ({simm}), "
+        "'nn', -c.n, 'n', c.n, 'v', c.v)))"
+    )
+    step = (
+        f"element_at(transform(array({argmax}), best -> named_struct("
+        "'rem', filter(acc.rem, x -> x.n != best.n), "
+        "'sel', array_append(acc.sel, best.v), "
+        "'out', array_append(acc.out, "
+        "named_struct('n', best.n, 'u', best.u)))), 1)"
+    )
+    fold = (
+        f"aggregate(sequence(1, {int(k)}), "
+        "named_struct("
+        "'rem', `__cands`, "
+        "'sel', filter(transform(`__cands`, c -> c.v), x -> false), "
+        "'out', filter(transform(`__cands`, c -> "
+        "named_struct('n', c.n, 'u', 0L)), x -> false)), "
+        f"(acc, _i) -> IF(size(acc.rem) = 0, acc, {step}), "
+        "a -> a.out)"
+    )
+    return (
+        grouped.select(
+            "query_id", F.posexplode(F.expr(fold)).alias("__r0", "__s")
+        )
+        .select(
+            "query_id",
+            F.col("__s.n").alias("neighbor_id"),
+            F.col("__s.u").alias("mmr_units"),
+            (F.col("__r0") + 1).cast("int").alias("rank"),
+        )
+    )
