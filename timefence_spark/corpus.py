@@ -917,6 +917,9 @@ class Corpus:
         partition_by: str | list[str] | None = None,
         compression: str | None = None,
         shuffle_salt: str | None = None,
+        cluster_by: str | list[str] | None = None,
+        sort_by: str | list[str] | None = None,
+        num_files: int | None = None,
     ) -> None:
         """Terminal stage: materialize the corpus. ``format='parquet'``
         (columnar, the pipeline-internal default) or ``'jsonl'``
@@ -928,7 +931,31 @@ class Corpus:
         range partition i precedes i+1). ``partition_by`` writes
         hive-style directories (e.g. the 'split' column from
         :meth:`split`); don't combine it with ``shuffle_salt`` if global
-        order matters — partition dirs split the ordered stream."""
+        order matters — partition dirs split the ordered stream.
+
+        ``cluster_by`` writes a range-CLUSTERED layout instead (see
+        sources.writers.write_clustered): each file owns a disjoint
+        key range, so downstream key filters prune by footer min/max
+        on any parquet engine. Mutually exclusive with
+        ``partition_by``/``shuffle_salt`` (clustering IS an ordering)
+        and parquet-only."""
+        if cluster_by is not None:
+            if partition_by is not None or shuffle_salt is not None:
+                raise ValueError(
+                    "cluster_by is mutually exclusive with partition_by "
+                    "and shuffle_salt"
+                )
+            if format != "parquet":
+                raise ValueError(
+                    f"cluster_by requires format='parquet', got {format!r}"
+                )
+            from timefence_spark.sources.writers import write_clustered
+
+            write_clustered(
+                self.df, path, cluster_by=cluster_by, sort_by=sort_by,
+                num_files=num_files, mode=mode, compression=compression,
+            )
+            return
         c = self.shuffle(salt=shuffle_salt) if shuffle_salt is not None else self
         writer = c.df.write.mode(mode)
         if partition_by is not None:
