@@ -5779,6 +5779,44 @@ def _sql_rp_sigs(
     return "\n        UNION ALL ".join(selects)
 
 
+def _sql_rp_probe_sigs(
+    dim: int, bits: int, tables: int, seed: int, probes: int,
+    src: str = "e",
+) -> str:
+    """Query-side MULTIPROBE signatures: per table, the base bucket
+    plus the ``probes`` single-bit flips of smallest |margin| (|dot|
+    against the flipped plane), ties by bit index — the exact rule of
+    similarity._rp_probe_expr / the stable numpy argsort."""
+    selects = []
+    for t in range(tables):
+        planes = _rp_planes(dim, bits, seed + t)
+        dots = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            dots.append(f"list_dot_product(v, {lit}) AS d{i}")
+        base = " + ".join(
+            f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        margs = "[" + ", ".join(
+            f"{{'m': abs(d{i}), 'b': {i}}}" for i in range(bits)
+        ) + "]"
+        buckets = (
+            f"list_prepend(base, list_transform("
+            f"list_slice(list_sort({margs}), 1, {probes}), "
+            "s -> xor(base, (1::BIGINT << s.b))))"
+        )
+        selects.append(
+            f"""SELECT vec_id, v, {t} AS table_id,
+                   unnest({buckets}) AS bucket
+            FROM (SELECT vec_id, v, CAST(({base}) AS BIGINT) AS base,
+                         {', '.join(f'd{i}' for i in range(bits))}
+                  FROM (SELECT vec_id, v, {', '.join(dots)}
+                        FROM {src}))"""
+        )
+    return "\n        UNION ALL ".join(selects)
+
+
 def _oracle_knn_lsh_sql(
     k: int = 5, bits: int = 4, tables: int = 16, dim: int = 64, seed: int = 42,
 ) -> str:
@@ -5794,6 +5832,55 @@ def _oracle_knn_lsh_sql(
           ON c.table_id = q.table_id AND c.bucket = q.bucket
          AND c.vec_id != q.vec_id
         WHERE q.vec_id < 20
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv) /
+                     (SQRT(list_dot_product(qv, qv)) *
+                      SQRT(list_dot_product(cv, cv))), 6) AS cosine
+        FROM cand
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH kNN (new in round 11): each query additionally
+    probes the 2 buckets reached by flipping its lowest-|margin|
+    signature bits per table (Lv et al. 2007, single-bit flips) —
+    recall without more tables, and the CORPUS bucket table (the big
+    one at scale) is untouched. The oracle replays base + probe bucket
+    construction with the same inlined hyperplanes and the same
+    (|margin|, bit) tie-break."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.rp_lsh_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        query_id="vec_id", corpus_id="vec_id", k=5, bits=6, tables=4,
+        dim=64, probes=2,
+    )
+
+
+def _oracle_knn_lsh_multiprobe_sql(
+    k: int = 5, bits: int = 6, tables: int = 4, dim: int = 64,
+    seed: int = 42, probes: int = 2,
+) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qsigs AS (
+        {_sql_rp_probe_sigs(dim, bits, tables, seed, probes,
+                            src="(SELECT * FROM e WHERE vec_id < 20)")}
+    ), csigs AS (
+        {_sql_rp_sigs(dim, bits, tables, seed)}
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        q.v AS qv, c.v AS cv
+        FROM qsigs q JOIN csigs c
+          ON c.table_id = q.table_id AND c.bucket = q.bucket
+         AND c.vec_id != q.vec_id
     ), scored AS (
         SELECT query_id, neighbor_id,
                ROUND(list_dot_product(qv, cv) /
@@ -5867,6 +5954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_mrl": q_knn_mrl,  # new in round 10
         "knn_rproj": q_knn_rproj,  # new in round 11
         "mmr_rerank": q_mmr_rerank,  # new in round 11
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,  # new in round 11
         "gram_duplication": q_gram_duplication,  # new in round 10
         "corpus_stats": q_corpus_stats,  # new in round 10
         "code_signals": q_code_signals,  # new in round 10
@@ -6055,6 +6143,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_mrl": ORACLE_KNN_MRL,
         "knn_rproj": _oracle_knn_rproj_sql(),
         "mmr_rerank": ORACLE_MMR_RERANK.strip(),
+        "knn_lsh_multiprobe": _oracle_knn_lsh_multiprobe_sql(),
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
         "corpus_stats": ORACLE_CORPUS_STATS,
         "code_signals": _oracle_code_signals_sql(),

@@ -245,6 +245,14 @@ BENCH_QUERIES = [
     # 4x-smaller scan (prefix slice is scan-side); the delta vs
     # knn_cosine prices what truncation buys every downstream ANN rung.
     "knn_mrl",
+    # Round-11: JL random-projection kNN — the knn_mrl shape with a
+    # 16x64 literal matvec instead of a prefix slice; the delta vs
+    # knn_mrl prices the projection itself.
+    "knn_rproj",
+    # Round-11: MMR diversified rerank — an exact-kNN candidate pass
+    # plus one bounded (query) gather and the greedy JVM fold; the
+    # delta vs knn_cosine prices diversification.
+    "mmr_rerank",
 ]
 
 
@@ -1324,6 +1332,40 @@ def main() -> int:
         "knn_pq_opq_parametric",
         _measure(
             "knn_pq_opq_parametric", run_opq_parametric, 3,
+            jvm=spark._jvm,
+        ),
+    )
+
+    # WordPiece corpus tokenization row (round 11): train on the full
+    # corpus (size-gated auto path — one word-count shuffle + the
+    # driver merge loop at this vocab scale) then encode EVERY document
+    # with the greedy longest-match JVM fold (one broadcast vocab map,
+    # zero shuffles, zero executor Python). The oracle entry bounds its
+    # encode to 30 docs for the SQL replay; this row prices the
+    # corpus-wide throughput that entry deliberately doesn't.
+    from timefence_spark.operators import wordpiece as _wp
+
+    wp_docs = entry_mod._t(spark, SF_DIR, "documents", spread=False).select(
+        "doc_id", "text"
+    )
+
+    def run_wordpiece_encode_full() -> None:
+        merges = _wp.train_wordpiece_spark(
+            wp_docs, text_col="text", n_merges=50
+        )
+        alphabet = _wp.wordpiece_alphabet_spark(wp_docs, text_col="text")
+        vocab = _wp.wordpiece_pieces(merges, alphabet)
+        _force(
+            _wp.encode_documents_wordpiece(
+                wp_docs, vocab, id_col="doc_id", text_col="text",
+                output="ids",
+            ).select("doc_id", "tokens")
+        )
+
+    record(
+        "wordpiece_encode_full",
+        _measure(
+            "wordpiece_encode_full", run_wordpiece_encode_full, 3,
             jvm=spark._jvm,
         ),
     )

@@ -2171,3 +2171,76 @@ def test_mmr_rerank_lambda_extremes(spark):
     # first pick at lambda=0 scores 0 for everyone -> neighbor asc.
     assert [r["neighbor_id"] for r in anti] == [1, 2, 3, 4]
     assert all(r["mmr_units"] == 0 for r in anti[:1])
+
+
+def test_lsh_multiprobe_parity_and_recall(spark):
+    """Multiprobe LSH (round 11): expr and arrow probe paths produce
+    identical results; probing strictly widens the candidate set so
+    top-k recall vs exact must not drop; degenerate vectors keep the
+    bucket-0 contract on both paths."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 10")
+    kw = dict(
+        query_id="vec_id", corpus_id="vec_id", k=5, bits=6, tables=2,
+        dim=16, round_to=6,
+    )
+
+    def rowset(d):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in d.collect()
+        )
+
+    mp_expr = rowset(
+        similarity.rp_lsh_topk(
+            q, df, signature_impl="expr", score_impl="expr", probes=2,
+            **kw,
+        )
+    )
+    mp_arrow = rowset(
+        similarity.rp_lsh_topk(
+            q, df, signature_impl="arrow", score_impl="expr", probes=2,
+            **kw,
+        )
+    )
+    assert mp_expr == mp_arrow
+    exact: dict = {}
+    for r in similarity.cosine_topk(
+        q, df, query_id="vec_id", corpus_id="vec_id", k=5
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rs):
+        got: dict = {}
+        for qid, nid, _, _ in rs:
+            got.setdefault(qid, set()).add(nid)
+        return sum(
+            len(got.get(kk, set()) & v) for kk, v in exact.items()
+        ) / sum(len(v) for v in exact.values())
+
+    base = rowset(
+        similarity.rp_lsh_topk(
+            q, df, signature_impl="expr", score_impl="expr", **kw
+        )
+    )
+    assert recall(mp_expr) >= recall(base)
+    # probes cap at bits; negative rejects
+    with pytest.raises(ValueError, match="probes"):
+        similarity.rp_lsh_topk(q, df, probes=-1, **kw)
+    # degenerate vectors: base-bucket-0 only, no crash, both paths
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    for impl in ("expr", "arrow"):
+        out = similarity.rp_lsh_topk(
+            bad, df, signature_impl=impl, score_impl="expr", probes=2,
+            **kw,
+        )
+        assert out.count() >= 0  # runs; bucket-0 matches are legitimate

@@ -521,6 +521,52 @@ def _rp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def _rp_probe_expr(
+    vec_col: str, planes: list[list[float]], probes: int
+) -> Column:
+    """Multiprobe bucket ARRAY for one LSH table: the base signature
+    plus the ``probes`` single-bit flips of smallest |margin| (Lv et
+    al. 2007's step-wise probing restricted to 1-flips) — the buckets
+    a query checks so near-boundary neighbors in adjacent buckets are
+    still candidates. The per-plane dots bind ONCE via the
+    single-element-transform trick (HOF lambdas are not CSE'd), then
+    the base bucket binds the same way; ties on |margin| break by bit
+    index, matching the numpy argsort (stable) and the SQL replay.
+    Degenerate vectors (NULL / wrong width) emit just [0], the base
+    bucket the non-probing paths give them."""
+    dots = "array(" + ",".join(
+        "aggregate(zip_with(`" + vec_col + "`, array("
+        + ",".join(f"{float(x)!r}D" for x in p)
+        + "), (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        for p in planes
+    ) + ")"
+    bits = len(planes)
+    base = " + ".join(
+        f"(CASE WHEN element_at(D, {i + 1}) >= 0 THEN {1 << i} "
+        "ELSE 0 END)"
+        for i in range(bits)
+    )
+    flips = (
+        f"slice(array_sort(transform(sequence(0, {bits - 1}), "
+        "i -> named_struct('m', abs(element_at(D, i + 1)), 'b', i))), "
+        f"1, {int(probes)})"
+    )
+    probed = (
+        f"element_at(transform(array(CAST(({base}) AS LONG)), B -> "
+        f"concat(array(B), transform({flips}, "
+        "s -> CAST(B ^ shiftleft(1, s.b) AS LONG)))), 1)"
+    )
+    full = (
+        f"element_at(transform(array({dots}), D -> {probed}), 1)"
+    )
+    ok = (
+        f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {len(planes[0])}"
+    )
+    return F.expr(
+        f"IF({ok}, {full}, array(CAST(0 AS LONG)))"
+    )
+
+
 def _rp_buckets_arrow(
     df: DataFrame,
     *,
@@ -531,6 +577,7 @@ def _rp_buckets_arrow(
     bits: int,
     tables: int,
     seed: int,
+    probes: int = 0,
 ) -> DataFrame:
     """(id, table_id, bucket) for every LSH table via ONE numpy matmul per
     Arrow batch — the vectorized-UDF path for wide vectors / many tables,
@@ -546,6 +593,8 @@ def _rp_buckets_arrow(
     flat = planes.reshape(tables * bits, dim)
     powers = (1 << np.arange(bits)).astype(np.int64)
 
+    n_probe = max(0, min(int(probes), bits))
+
     def gen(batches):
         for pdf in batches:
             if pdf.empty:
@@ -560,21 +609,50 @@ def _rp_buckets_arrow(
                 count=len(vals),
             )
             buckets = np.zeros((len(pdf), tables), dtype=np.int64)
+            dots = None
             if valid.any():
                 vecs = np.vstack(vals[valid]).astype(np.float64)
-                signs = (vecs @ flat.T) >= 0  # (n_valid, tables*bits)
+                dots = vecs @ flat.T  # (n_valid, tables*bits)
+                signs = dots >= 0
                 buckets[valid] = (
                     signs.reshape(int(valid.sum()), tables, bits).astype(np.int64)
                     @ powers
                 )  # (n_valid, tables)
             ids = np.repeat(pdf[id_col].to_numpy(), tables)
-            yield pd.DataFrame(
-                {
-                    out_id: ids,
-                    "table_id": np.tile(np.arange(tables), len(pdf)),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            frames = [
+                pd.DataFrame(
+                    {
+                        out_id: ids,
+                        "table_id": np.tile(np.arange(tables), len(pdf)),
+                        "bucket": buckets.reshape(-1),
+                    }
+                )
+            ]
+            if n_probe and dots is not None:
+                # multiprobe: flip the n_probe lowest-|margin| bits of
+                # each VALID row's signature, one extra row per flip.
+                # Stable argsort breaks |margin| ties by bit index —
+                # the expr path's struct(m, b) sort order.
+                nv = int(valid.sum())
+                margins = np.abs(dots).reshape(nv, tables, bits)
+                order = np.argsort(margins, axis=2, kind="stable")
+                vbuckets = buckets[valid]  # (nv, tables)
+                pid = np.repeat(pdf[id_col].to_numpy()[valid], tables)
+                ptab = np.tile(np.arange(tables), nv)
+                for j in range(n_probe):
+                    flipped = vbuckets ^ (
+                        np.int64(1) << order[:, :, j].astype(np.int64)
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                out_id: pid,
+                                "table_id": ptab,
+                                "bucket": flipped.reshape(-1),
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True)
 
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
@@ -601,9 +679,22 @@ def rp_lsh_topk(
     single_pass: bool | None = None,
     broadcast_queries: bool | None = None,
     max_bucket_size: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate generation +
     exact cosine re-ranking of candidates.
+
+    ``probes`` enables QUERY-side multiprobe (Lv et al. 2007,
+    single-bit flips): besides its base bucket, each query checks the
+    ``probes`` buckets reached by flipping its lowest-|margin|
+    signature bits per table — near-boundary neighbors that landed one
+    bucket over become candidates WITHOUT adding tables, so recall
+    rises at the cost of ~(1 + probes)x candidates instead of
+    (more tables)x signatures + storage. Corpus signatures are
+    unchanged (this is what makes multiprobe the scale move: at 100 TB
+    the corpus-side bucket table is the big one). probes > 0 forces
+    the bucket-join plan (the single-pass kernel probes base buckets
+    only) and is capped at ``bits``.
 
     ``max_bucket_size`` caps CORPUS-side bucket membership in the join
     plan (hot buckets from near-constant vector regions emit
@@ -651,6 +742,9 @@ def rp_lsh_topk(
             )
         dim = first[0]["d"]
 
+    if probes < 0:
+        raise ValueError(f"probes must be >= 0, got {probes}")
+    probes = min(probes, bits)
     if (
         signature_impl == "arrow"
         and score_impl == "arrow"
@@ -658,6 +752,8 @@ def rp_lsh_topk(
         # The cap only exists in the bucket-join plan; setting it forces
         # that plan so the guard the caller asked for is actually active.
         and max_bucket_size is None
+        # multiprobe only exists in the bucket-join plan too
+        and probes == 0
         and (single_pass or _arrow_query_side_ok(queries))
     ):
         return _cosine_topk_arrow(
@@ -666,7 +762,9 @@ def rp_lsh_topk(
             lsh={"bits": bits, "tables": tables, "seed": seed},
         )
 
-    def signatures(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+    def signatures(
+        df: DataFrame, idc: str, vecc: str, out_id: str, n_probe: int = 0
+    ) -> DataFrame:
         # ids + buckets only: the vectors stay OUT of the bucket join and
         # candidate dedup (they would multiply shuffle volume by the vector
         # width x tables); they re-attach per distinct candidate pair below.
@@ -674,7 +772,31 @@ def rp_lsh_topk(
             return _rp_buckets_arrow(
                 df, id_col=idc, vec_col=vecc, out_id=out_id,
                 dim=dim, bits=bits, tables=tables, seed=seed,
+                probes=n_probe,
             ).withColumn("bucket", F.col("bucket").cast("int"))
+        if n_probe:
+            sigs = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _rp_probe_expr(
+                            vecc, _hyperplanes(dim, bits, seed + t),
+                            n_probe,
+                        ).alias("buckets"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+            return (
+                df.select(
+                    F.col(idc).alias(out_id), F.explode(sigs).alias("s")
+                )
+                .select(
+                    out_id, "s.table_id",
+                    F.explode("s.buckets").alias("bucket"),
+                )
+                .withColumn("bucket", F.col("bucket").cast("int"))
+            )
         sigs = F.array(
             *[
                 F.struct(
@@ -690,7 +812,7 @@ def rp_lsh_topk(
             F.col(idc).alias(out_id), F.explode(sigs).alias("s")
         ).select(out_id, "s.table_id", "s.bucket")
 
-    qs = signatures(queries, query_id, query_vec, "query_id")
+    qs = signatures(queries, query_id, query_vec, "query_id", probes)
     cs = signatures(corpus, corpus_id, corpus_vec, "neighbor_id")
     if max_bucket_size is not None:
         from timefence_spark.operators.dedup import _cap_buckets
