@@ -678,3 +678,41 @@ def test_corpus_clean_url_dedup_stage(tmp_path, spark):
     assert "dedup_urls(url)" in summary["stages"]
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3, 4}                   # min id kept; NULL url kept
+
+
+def test_cli_embeddings_index_and_search(spark, tmp_path):
+    """embeddings-build-index + embeddings-search (round 11): the
+    persisted IVF-PQ workflow end-to-end from the CLI, including the
+    rerank path and parquet output."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from timefence_spark.cli import cli
+    from timefence_spark.sources.readers import read_parquet
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    res = CliRunner().invoke(
+        cli,
+        [
+            "embeddings-build-index", "--input", src, "--output", idx,
+            "--nlist", "8", "--m", "8", "--nbits", "4", "--json",
+        ],
+    )
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output.strip().splitlines()[-1])["nlist"] == 8
+    out = str(tmp_path / "results")
+    res2 = CliRunner().invoke(
+        cli,
+        [
+            "embeddings-search", "--index", idx, "--queries", src,
+            "--output", out, "--k", "3", "--nprobe", "4",
+            "--rerank", src, "--json",
+        ],
+    )
+    assert res2.exit_code == 0, res2.output
+    got = read_parquet(spark, out)
+    assert set(got.columns) >= {"query_id", "neighbor_id", "cosine", "rank"}
+    assert got.where("rank > 3").count() == 0
+    assert got.count() > 0

@@ -1440,6 +1440,145 @@ def corpus_inspect(input_path, id_col, text_col, json_out) -> None:
     click.echo(f"  languages: {langs}")
 
 
+@cli.command("embeddings-build-index")
+@click.option("--input", "input_path", required=True,
+              help="Embeddings parquet (id + vector columns).")
+@click.option("--output", "index_path", required=True,
+              help="Index directory (centroids/codebook/codes/meta).")
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+@click.option("--nlist", type=int, default=16, show_default=True,
+              help="Coarse-quantizer lists (codes partition by list).")
+@click.option("--m", "m_sub", type=int, default=8, show_default=True,
+              help="PQ subspaces (bytes per stored vector).")
+@click.option("--nbits", type=int, default=4, show_default=True,
+              help="Bits per PQ code (2**nbits sub-centroids).")
+@click.option("--residual/--no-residual", default=True, show_default=True,
+              help="Encode x - centroid (faiss IndexIVFPQ) vs raw.")
+@click.option("--opq", "opq_method",
+              type=click.Choice(["none", "seeded", "parametric"]),
+              default="none", show_default=True,
+              help="Train an OPQ rotation and build the index in the "
+              "rotated space (persisted; search auto-rotates queries).")
+@click.option("--seed", type=int, default=42, show_default=True)
+@click.option("--hash-fn", default="xxhash64", show_default=True)
+@click.option("--json", "json_out", is_flag=True)
+def embeddings_build_index(
+    input_path, index_path, id_col, vec_col, nlist, m_sub, nbits,
+    residual, opq_method, seed, hash_fn, json_out,
+) -> None:
+    """Build a persisted IVF-PQ ANN index over an embeddings table
+    (similarity.ivf_pq_build_index): k-means coarse lists + product-
+    quantized codes partitioned by list, so searches read nprobe/nlist
+    of the files and what they read is codes, not vectors."""
+    from timefence_spark.engine import get_spark
+    from timefence_spark.operators import similarity
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    df = read_parquet(spark, input_path)
+    rotation = None
+    if opq_method != "none":
+        rotation = similarity.opq_train(
+            df, corpus_id=id_col, corpus_vec=vec_col, seed=seed,
+            method=opq_method, m=m_sub, nbits=nbits,
+        )
+    similarity.ivf_pq_build_index(
+        df, corpus_id=id_col, corpus_vec=vec_col, nlist=nlist, m=m_sub,
+        nbits=nbits, seed=seed, hash_fn=hash_fn, residual=residual,
+        rotation=rotation, path=index_path,
+    )
+    summary = {
+        "input": input_path,
+        "index": index_path,
+        "nlist": nlist,
+        "m": m_sub,
+        "nbits": nbits,
+        "residual": bool(residual),
+        "opq": opq_method,
+    }
+    if json_out:
+        click.echo(json.dumps(summary))
+    else:
+        click.echo(
+            f"embeddings-build-index: IVF-PQ(nlist={nlist}, m={m_sub}, "
+            f"nbits={nbits}, residual={residual}, opq={opq_method}) "
+            f"-> {index_path}"
+        )
+
+
+@cli.command("embeddings-search")
+@click.option("--index", "index_path", required=True,
+              help="Index directory from embeddings-build-index.")
+@click.option("--queries", "queries_path", required=True,
+              help="Query embeddings parquet.")
+@click.option("--output", "output_path", default=None,
+              help="Write results parquet; omit to print the top rows.")
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+@click.option("--k", type=int, default=10, show_default=True)
+@click.option("--nprobe", type=int, default=4, show_default=True,
+              help="Coarse lists probed per query (recall/cost dial).")
+@click.option("--rerank", "rerank_path", default=None,
+              help="Raw-vector parquet for exact re-ranking of the "
+              "top k*4 ADC candidates.")
+@click.option("--json", "json_out", is_flag=True)
+def embeddings_search(
+    index_path, queries_path, output_path, id_col, vec_col, k, nprobe,
+    rerank_path, json_out,
+) -> None:
+    """Search a persisted IVF-PQ index (similarity.ivf_pq_search):
+    queries probe their nprobe nearest lists, the probed list ids prune
+    the partitioned codes table at file level, candidates score by
+    asymmetric PQ distance, and --rerank re-scores the shortlist
+    against raw vectors."""
+    from timefence_spark.engine import get_spark
+    from timefence_spark.operators import similarity
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    queries = read_parquet(spark, queries_path)
+    rerank = rerank_id = None
+    if rerank_path is not None:
+        rerank = read_parquet(spark, rerank_path)
+        rerank_id = id_col
+    res = similarity.ivf_pq_search(
+        spark, index_path, queries, query_id=id_col, query_vec=vec_col,
+        k=k, nprobe=nprobe, rerank=rerank, rerank_id=rerank_id,
+        rerank_vec=vec_col,
+    )
+    if output_path:
+        res.write.mode("overwrite").parquet(output_path)
+        n = spark.read.parquet(output_path).count()
+        if json_out:
+            click.echo(json.dumps(
+                {"index": index_path, "queries": queries_path,
+                 "output": output_path, "rows": n, "k": k,
+                 "nprobe": nprobe}
+            ))
+        else:
+            click.echo(
+                f"embeddings-search: {n} result rows -> {output_path}"
+            )
+        return
+    rows = res.orderBy("query_id", "rank").limit(50).collect()
+    if json_out:
+        click.echo(json.dumps(
+            {"results": [
+                {"query_id": r["query_id"],
+                 "neighbor_id": r["neighbor_id"],
+                 "cosine": r["cosine"], "rank": r["rank"]}
+                for r in rows
+            ]}
+        ))
+        return
+    for r in rows:
+        click.echo(
+            f"  q={r['query_id']} #{r['rank']}: {r['neighbor_id']} "
+            f"(cosine={r['cosine']})"
+        )
+
+
 def main() -> None:  # console entry point
     cli()
 
