@@ -1756,13 +1756,15 @@ def q_train_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents tokenized under the corpus-trained WordPiece vocab
     (new in round 11): greedy longest-match-first with whole-word
-    [UNK] — BERT's WordpieceTokenizer — as ONE broadcast vocab map +
-    a pure-JVM fold per word, zero executor Python, zero shuffles
-    (operators/wordpiece.encode_documents_wordpiece). Emitted as
-    (doc_id, pos, piece) rows; the oracle replays training end-to-end,
-    rebuilds the vocabulary (alphabet + merged tokens), greedy-matches
-    every distinct word with a recursive CTE, and reassembles the
-    documents in word order."""
+    [UNK] — BERT's WordpieceTokenizer — via the default
+    per-distinct-word strategy: the pure-JVM fold runs ONCE per word
+    TYPE against the one-row broadcast vocab map, pieces join back,
+    docs reassemble in word order (zero executor Python;
+    operators/wordpiece.encode_documents_wordpiece). The oracle
+    replays training end-to-end, rebuilds the vocabulary, and
+    greedy-matches every distinct word with a recursive CTE before the
+    same word-order reassembly — structurally the SAME
+    per-type-then-reassemble shape the operator runs."""
     from timefence_spark.operators import wordpiece
 
     docs = _t(spark, sf_dir, "documents", spread=False)

@@ -2233,9 +2233,10 @@ def test_lsh_multiprobe_parity_and_recall(spark):
     # probes cap at bits; negative rejects
     with pytest.raises(ValueError, match="probes"):
         similarity.rp_lsh_topk(q, df, probes=-1, **kw)
-    # degenerate vectors: base-bucket-0 only, no crash, both paths
+    # degenerate vectors: base-bucket-0 only, no crash, both paths —
+    # including NULL ELEMENTS, whose NaN/NULL margins must not probe
     bad = spark.createDataFrame(
-        [(900, None), (901, [1.0] * 3)],
+        [(900, None), (901, [1.0] * 3), (902, [1.0, None] + [0.5] * 14)],
         "vec_id long, embedding array<double>",
     )
     for impl in ("expr", "arrow"):
@@ -2244,3 +2245,51 @@ def test_lsh_multiprobe_parity_and_recall(spark):
             **kw,
         )
         assert out.count() >= 0  # runs; bucket-0 matches are legitimate
+
+
+def test_projection_composes_with_quantized_rungs(spark):
+    """The dim-reduction rungs must COMPOSE with the quantization rungs
+    (the retrieval.md ladder claim): project to 8 dims (PCA), then run
+    SQ8 and PQ top-k in the reduced space; results must rank real
+    neighbors (recall vs reduced-space exact > 0) and every pipeline
+    stage must accept the projected column in place."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = similarity.pca_train(
+        df, corpus_id="vec_id", dims=8, center=False
+    )
+    p = similarity.project_vectors(
+        df, vec_col="embedding", projection=model, materialize=True
+    )
+    q = p.where("vec_id < 8")
+    exact: dict = {}
+    for r in similarity.cosine_topk(
+        q, p, query_id="vec_id", corpus_id="vec_id", k=5
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(res) -> float:
+        got: dict = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(kk, set()) & v) for kk, v in exact.items()
+        ) / sum(len(v) for v in exact.values())
+
+    bounds = similarity.sq_train(p, corpus_id="vec_id")
+    codes = similarity.sq_encode(p, corpus_id="vec_id", bounds=bounds)
+    sq = similarity.sq_topk(
+        q, codes, bounds, query_id="vec_id", encoded_id="vec_id", k=5
+    )
+    assert recall(sq) > 0.5
+    book = similarity.pq_train(p, corpus_id="vec_id", m=4, nbits=4)
+    pcodes = similarity.pq_encode(p, corpus_id="vec_id", codebook=book)
+    pq = similarity.pq_topk(
+        q, pcodes, book, query_id="vec_id", encoded_id="vec_id", k=5
+    )
+    assert recall(pq) > 0.2

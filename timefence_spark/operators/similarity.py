@@ -561,6 +561,12 @@ def _rp_probe_expr(
     )
     ok = (
         f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {len(planes[0])}"
+        f" AND size(filter(`{vec_col}`, x -> x IS NULL)) = 0"
+        # NULL elements make every dot (hence every margin) NULL: the
+        # base bucket degenerates to 0 on all paths, and probing from
+        # NULL margins would hinge on engine-specific NULL sort order —
+        # so degenerate vectors emit their base bucket [0] and nothing
+        # else, matching the arrow kernel's NaN guard.
     )
     return F.expr(
         f"IF({ok}, {full}, array(CAST(0 AS LONG)))"
@@ -632,26 +638,36 @@ def _rp_buckets_arrow(
                 # multiprobe: flip the n_probe lowest-|margin| bits of
                 # each VALID row's signature, one extra row per flip.
                 # Stable argsort breaks |margin| ties by bit index —
-                # the expr path's struct(m, b) sort order.
+                # the expr path's struct(m, b) sort order. Rows with
+                # NaN dots (NULL vector elements) emit no probes: NaN
+                # margin order is engine-specific, and the expr path
+                # gives such vectors their base bucket only.
                 nv = int(valid.sum())
-                margins = np.abs(dots).reshape(nv, tables, bits)
-                order = np.argsort(margins, axis=2, kind="stable")
-                vbuckets = buckets[valid]  # (nv, tables)
-                pid = np.repeat(pdf[id_col].to_numpy()[valid], tables)
-                ptab = np.tile(np.arange(tables), nv)
-                for j in range(n_probe):
-                    flipped = vbuckets ^ (
-                        np.int64(1) << order[:, :, j].astype(np.int64)
+                clean = ~np.isnan(dots).any(axis=1)  # (nv,)
+                if clean.any():
+                    nc = int(clean.sum())
+                    margins = np.abs(dots[clean]).reshape(
+                        nc, tables, bits
                     )
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                out_id: pid,
-                                "table_id": ptab,
-                                "bucket": flipped.reshape(-1),
-                            }
+                    order = np.argsort(margins, axis=2, kind="stable")
+                    vbuckets = buckets[valid][clean]  # (nc, tables)
+                    pid = np.repeat(
+                        pdf[id_col].to_numpy()[valid][clean], tables
+                    )
+                    ptab = np.tile(np.arange(tables), nc)
+                    for j in range(n_probe):
+                        flipped = vbuckets ^ (
+                            np.int64(1) << order[:, :, j].astype(np.int64)
                         )
-                    )
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    out_id: pid,
+                                    "table_id": ptab,
+                                    "bucket": flipped.reshape(-1),
+                                }
+                            )
+                        )
             yield pd.concat(frames, ignore_index=True)
 
     id_type = df.schema[id_col].dataType.simpleString()
