@@ -493,3 +493,43 @@ def test_corpus_filter_gram_duplication(spark):
     )
     assert 4 in kept and 3 in kept and 5 not in kept
     assert kept == [1, 2, 3, 4]
+
+
+def test_to_sequences_wordpiece(spark):
+    """Corpus.to_sequences(wordpiece_vocab=) (round 11): WordPiece ids
+    feed the same single-exchange pack_sequences; unknown words encode
+    as the [UNK] vocab index."""
+    import pytest
+
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.operators import wordpiece as wp
+
+    text = "pack the rows pack the rows pack the rows"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)] + [(9, "zzz")],
+        "doc_id long, text string",
+    )
+    c = Corpus(docs)
+    merges = c.train_wordpiece(n_merges=6)
+    # alphabet WITHOUT doc 9 ('zzz'), so 'z' stays unknown at encode
+    alpha = wp.wordpiece_alphabet_spark(
+        docs.where("doc_id != 9"), text_col="text"
+    )
+    vocab = wp.wordpiece_pieces(merges, alpha) + ["[UNK]"]
+    seqs = c.to_sequences(
+        seq_len=8, wordpiece_vocab=vocab, num_shards=2, pad_id=0
+    )
+    rows = seqs.collect()
+    assert rows and all(len(r["input_ids"]) == 8 for r in rows)
+    ids = {i for r in rows for i in r["input_ids"]}
+    assert ids <= set(range(len(vocab)))  # includes the [UNK] index
+    assert vocab.index("[UNK]") in ids  # 'zzz' has no 'z' in alphabet
+    with pytest.raises(ValueError, match="exactly one"):
+        c.to_sequences(
+            seq_len=8, wordpiece_vocab=vocab,
+            unigram_model=[("a", 1, 0)],
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        c.to_sequences(
+            seq_len=8, wordpiece_vocab=vocab, merges=[("a", "b")]
+        )

@@ -849,6 +849,7 @@ class Corpus:
         vocab: list[str] | None = None,
         oov_id: int | None = None,
         unigram_model: list[tuple[str, int, int]] | None = None,
+        wordpiece_vocab: list[str] | None = None,
         num_shards: int = 64,
         salt: str = "",
         hash_fn: str = "xxhash64",
@@ -867,18 +868,36 @@ class Corpus:
         :meth:`train_bpe`'s output for a corpus-fitted tokenizer; the
         ``vocab`` from a :func:`bpe.load_tokenizer` artifact freezes
         the id space, with ``oov_id`` for unseen characters — the
-        unigram model IS its frozen id space, unknowns encode as -1)."""
+        unigram model IS its frozen id space, unknowns encode as -1).
+        ``wordpiece_vocab`` (wordpiece.wordpiece_pieces output, ideally
+        with the unknown token appended) selects the WordPiece greedy
+        encoder — per-distinct-word JVM fold, ids are vocab indexes,
+        unknown words encode as the [UNK] entry's index (or -1 when
+        absent)."""
         from timefence_spark.operators.packing import pack_sequences
 
+        chosen = [
+            x is not None
+            for x in (unigram_model, wordpiece_vocab, merges or vocab)
+        ]
+        if sum(chosen[:2]) and (chosen[2] or sum(chosen[:2]) > 1):
+            raise ValueError(
+                "pass exactly one of unigram_model, wordpiece_vocab, "
+                "or merges/vocab"
+            )
         if unigram_model is not None:
-            if merges is not None or vocab is not None:
-                raise ValueError(
-                    "pass either unigram_model or merges/vocab, not both"
-                )
             from timefence_spark.operators import unigram as uni_ops
 
             encoded = uni_ops.encode_documents_unigram(
                 self.df, unigram_model, id_col=self.id_col,
+                text_col=self.text_col, output="ids",
+                out_col="token_ids",
+            )
+        elif wordpiece_vocab is not None:
+            from timefence_spark.operators import wordpiece as wp_ops
+
+            encoded = wp_ops.encode_documents_wordpiece(
+                self.df, wordpiece_vocab, id_col=self.id_col,
                 text_col=self.text_col, output="ids",
                 out_col="token_ids",
             )
