@@ -204,7 +204,7 @@ def test_corpus_to_sequences_unigram(spark):
     # (< seq_len each) is the only loss
     assert total_packed <= total_ids
     assert total_ids - total_packed < 16 * 2
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="exactly one"):
         c.to_sequences(seq_len=16, unigram_model=model, merges=[("a", "b")])
 
 
