@@ -533,3 +533,25 @@ def test_to_sequences_wordpiece(spark):
         c.to_sequences(
             seq_len=8, wordpiece_vocab=vocab, merges=[("a", "b")]
         )
+
+
+def test_to_sequences_empty_merges_is_a_bpe_selection(spark):
+    """ADVICE r11: `merges=[]` is a legitimate BPE selection (character-
+    level encoding, zero merges) — truthiness-based validation treated it
+    as absent, silently ignoring it next to another tokenizer instead of
+    raising the documented 'exactly one' error."""
+    import pytest
+
+    from timefence_spark.corpus import Corpus
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "ab")], "doc_id long, text string"
+    )
+    c = Corpus(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        c.to_sequences(
+            seq_len=4, merges=[], unigram_model=[("a", 1, 0)]
+        )
+    # And merges=[] ALONE still selects (character-level) BPE.
+    rows = c.to_sequences(seq_len=4, merges=[], num_shards=1, pad_id=0).collect()
+    assert rows and all(len(r["input_ids"]) == 4 for r in rows)

@@ -375,3 +375,60 @@ def test_ivf_pq_adc_lut_materialized_once_per_query(spark, compute, residual):
         residual=residual,
     )
     _lut_staged_below_topmost_join(out)
+
+
+def test_minhash_shingle_table_pinned_once(spark):
+    """VERDICT r11 item 2: minhash_lsh_pairs' shingle table (the full-text
+    re-tokenization) has three consumers — the signature aggregation and
+    both exact-Jaccard verification joins. It must be pinned so one
+    shingling pass serves all three: every consumer in the final plan
+    reads the checkpointed RDD ("Scan ExistingRDD"), and the raw text
+    column never appears in the output's plan (shingling can't be
+    re-derived inline downstream of the pin)."""
+    from timefence_spark.operators.dedup import minhash_lsh_pairs
+    from timefence_spark.plans import _full_qe_str
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+            for i in range(30)
+        ],
+        "doc_id long, raw_text_payload string",
+    )
+    pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="raw_text_payload",
+        num_perm=16, bands=4, threshold=0.5,
+    )
+    plan = _full_qe_str(pairs)
+    assert "ExistingRDD" in plan, "shingle table is not pinned"
+    # Downstream of the pin, only (id, shingles) flows — the text column
+    # re-appearing means a consumer rebuilt shingles from scratch.
+    assert "raw_text_payload" not in plan, (
+        "text column leaked past the shingle pin — a consumer is "
+        "re-shingling the corpus"
+    )
+    # Values survive the pin: near-identical docs (same i%3 suffix) pair up.
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(r["id_a"] < r["id_b"] and r["jaccard"] >= 0.5 for r in rows)
+
+
+def test_minhash_signatures_shingle_pinned(spark):
+    """minhash_signatures joins the shingle table to its own signature
+    aggregation — same pin contract as minhash_lsh_pairs."""
+    from timefence_spark.operators.dedup import minhash_signatures
+    from timefence_spark.plans import _full_qe_str
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + str(i)) for i in range(10)],
+        "doc_id long, raw_text_payload string",
+    )
+    out = minhash_signatures(
+        docs, id_col="doc_id", text_col="raw_text_payload", num_perm=8
+    )
+    plan = _full_qe_str(out)
+    assert "ExistingRDD" in plan
+    assert "raw_text_payload" not in plan
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r["signature"]) == 8 for r in rows)

@@ -2293,3 +2293,82 @@ def test_projection_composes_with_quantized_rungs(spark):
         q, pcodes, book, query_id="vec_id", encoded_id="vec_id", k=5
     )
     assert recall(pq) > 0.2
+
+
+def test_mmr_rerank_string_neighbor_ids_tiebreak_asc(spark):
+    """ADVICE r11: the tie-break must negate the BIGINT utility, never the
+    neighbor id — string doc ids (which rrf_fuse and every retriever here
+    support) would cast -id to NULL and silently flip ties to descending.
+    Identical relevance + orthogonal vectors makes every step a pure tie:
+    selection order must be lexicographic ascending."""
+    from timefence_spark.operators.fusion import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [("q1", n, 0.9) for n in ("delta", "alpha", "charlie", "bravo")],
+        "query_id string, neighbor_id string, cosine double",
+    )
+    vdf = spark.createDataFrame(
+        [
+            ("alpha", [1.0, 0.0, 0.0, 0.0]),
+            ("bravo", [0.0, 1.0, 0.0, 0.0]),
+            ("charlie", [0.0, 0.0, 1.0, 0.0]),
+            ("delta", [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    got = [
+        r["neighbor_id"]
+        for r in mmr_rerank(cands, vdf, lambda_=0.5, k=4)
+        .orderBy("rank").collect()
+    ]
+    assert got == ["alpha", "bravo", "charlie", "delta"]
+
+
+def test_pca_train_ignores_null_element_vectors(spark):
+    """ADVICE r11: a single NULL ELEMENT inside a sampled vector becomes
+    NaN under numpy and poisons the covariance — the sample predicate
+    must exclude such rows, matching sq_train's valid-row contract."""
+    import math
+    import random
+
+    from timefence_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    rows.append((1000, [1.0, None, 0.5, 0.25]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    proj = similarity.pca_train(df, corpus_id="vec_id", dims=2).collect()
+    assert len(proj) == 2
+    assert all(
+        math.isfinite(x)
+        for r in proj
+        for x in list(r["row"]) + [r["bias"], r["var"]]
+    ), "NULL-element vector poisoned the PCA covariance"
+
+
+def test_rp_probe_expr_nan_vector_matches_arrow(spark):
+    """ADVICE r11: a NaN-bearing vector must emit base-bucket-only from
+    BOTH kernels (Spark orders NaN largest, so without the guard the expr
+    kernel gives the all-ones bucket plus probe flips while the arrow
+    kernel gives bucket 0 — breaking bit-parity)."""
+    from timefence_spark.operators import similarity
+
+    rows = [
+        (1, [float("nan"), 0.5, -0.25, 1.0]),
+        (2, [0.3, -0.7, 0.2, 0.9]),
+        (3, [0.25, -0.6, 0.3, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {}
+    for impl in ("expr", "arrow"):
+        got = similarity.rp_lsh_topk(
+            df, df, query_id="vec_id", corpus_id="vec_id", k=2,
+            bits=4, tables=2, probes=2, signature_impl=impl,
+        )
+        out[impl] = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in got.collect()
+        )
+    assert out["expr"] == out["arrow"]

@@ -876,9 +876,12 @@ class Corpus:
         absent)."""
         from timefence_spark.operators.packing import pack_sequences
 
+        # Identity, not truthiness: merges=[] must still count as a BPE
+        # selection so mixing it with another tokenizer raises.
         chosen = [
-            x is not None
-            for x in (unigram_model, wordpiece_vocab, merges or vocab)
+            unigram_model is not None,
+            wordpiece_vocab is not None,
+            merges is not None or vocab is not None,
         ]
         if sum(chosen[:2]) and (chosen[2] or sum(chosen[:2]) > 1):
             raise ValueError(

@@ -225,14 +225,24 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, shingles, signature: array<bigint>[num_perm]).
 
     min over shingles of (a_j * h(s) + b_j) mod p per permutation — entirely
     JVM-side; the signature aggregation runs in whole-stage codegen (see
     :func:`_signature_df`).
+
+    The shingle table (re-tokenizing the full corpus text) feeds both the
+    signature aggregation and the output join, so it is pinned (lazy
+    localCheckpoint, or a reliable checkpoint under ``checkpoint_dir``) to
+    compute exactly once.
     """
-    sh = _shingle_df(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    sh = pin(
+        _shingle_df(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k),
+        checkpoint_dir=checkpoint_dir,
+        eager=False,
+    )
     sig = _signature_df(
         sh, id_col=id_col, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
@@ -295,6 +305,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH, verified with exact
     Jaccard over shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -304,6 +315,12 @@ def minhash_lsh_pairs(
     O(bands x N x 16 bytes), independent of corpus text size. Shingles are
     re-attached by two joins against the (id, shingles) table per *distinct*
     candidate pair for the exact-Jaccard verification.
+
+    The (id, shingles) table — which re-tokenizes and re-shingles the full
+    corpus text — has THREE consumers (signature aggregation + both
+    verification joins), so it is pinned once (lazy localCheckpoint by
+    default; pass ``checkpoint_dir`` for a reliable-FS checkpoint on
+    preemptible executors) instead of recomputed per consumer.
 
     ``max_bucket_size`` is the hot-bucket guard for web-scale corpora: a
     band bucket shared by k documents emits k^2/2 candidate pairs, so one
@@ -320,7 +337,14 @@ def minhash_lsh_pairs(
     # Signatures and shingle sets as SEPARATE dataframes: bands derive from
     # signatures only; the shingle table is touched only by the per-pair
     # verification joins. They never need to be joined to each other.
-    shingle_tbl = _shingle_df(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    # Pinned: one shingling pass serves all three consumers.
+    shingle_tbl = pin(
+        _shingle_df(
+            df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+        ),
+        checkpoint_dir=checkpoint_dir,
+        eager=False,
+    )
     sigs = _signature_df(
         shingle_tbl, id_col=id_col, num_perm=num_perm, seed=seed, hash_fn=hash_fn
     )
@@ -372,6 +396,7 @@ def minhash_dedup(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id.
 
@@ -381,7 +406,7 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, checkpoint_dir=checkpoint_dir,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -1229,7 +1254,7 @@ def minhash_components(
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, threshold=threshold, seed=seed, hash_fn=hash_fn,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, checkpoint_dir=checkpoint_dir,
     )
     return connected_components(
         pairs.select("id_a", "id_b"), df, id_col=id_col, max_iter=max_iter,

@@ -209,10 +209,14 @@ def mmr_rerank(
         "CAST(floor(aggregate(zip_with(c.v, s, (x, y) -> x * y), 0D, "
         "(a, p) -> a + p) * 1000000D + 0.5D) AS BIGINT))), 0L)"
     )
+    # Tie-break: equal-utility candidates resolve to the smallest neighbor
+    # id (documented asc order). array_min over (-u, n) negates the BIGINT
+    # utility — never the id — so string/any orderable neighbor ids work.
     argmax = (
-        "array_max(transform(acc.rem, c -> named_struct("
+        "array_min(transform(transform(acc.rem, c -> named_struct("
         f"'u', {lam}L * c.rm - {rest}L * ({simm}), "
-        "'nn', -c.n, 'n', c.n, 'v', c.v)))"
+        "'n', c.n, 'v', c.v)), s -> named_struct("
+        "'nu', -s.u, 'n', s.n, 'u', s.u, 'v', s.v)))"
     )
     step = (
         f"element_at(transform(array({argmax}), best -> named_struct("

@@ -483,12 +483,18 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 
 def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of a vector against fixed hyperplanes -> int."""
+    """Sign-bit signature of a vector against fixed hyperplanes -> int.
+
+    NaN dots contribute a 0 bit (same as the arrow kernel's
+    ``dots >= 0``; Spark alone would order NaN >= 0 as true)."""
     bits = []
     for i, p in enumerate(planes):
         plane = F.lit([float(x) for x in p])
+        d = dot(vec, plane)
         bits.append(
-            F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+            F.when((d >= 0) & ~F.isnan(d), F.shiftleft(F.lit(1), i)).otherwise(
+                F.lit(0)
+            )
         )
     sig = bits[0]
     for b in bits[1:]:
@@ -509,16 +515,29 @@ def _rp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     plane constants repeat through every Project node, a ~500 KB plan at 16
     tables) and destabilizes broadcast planning. One Literal per plane
     array keeps the tree small; interpretation cost is acceptable
-    (signatures are ~1 s of a 3 s query at sf0.1)."""
-    terms = []
-    for i, p in enumerate(planes):
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
-        dot_sql = (
-            f"aggregate(zip_with(`{vec_col}`, {arr}, "
-            "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-        )
-        terms.append(f"(CASE WHEN {dot_sql} >= 0 THEN {1 << i} ELSE 0 END)")
-    return F.expr("(" + " + ".join(terms) + ")")
+    (signatures are ~1 s of a 3 s query at sf0.1).
+
+    Each dot binds ONCE through the single-element-transform trick so the
+    per-bit guard can test it twice (sign + NaN) without recomputing: Spark
+    orders NaN largest (``NaN >= 0`` is true) while the numpy kernel's
+    ``dots >= 0`` gives False — without the ``isnan`` guard a NaN-bearing
+    vector would hash to the all-ones bucket in expr mode and bucket 0 in
+    arrow mode, breaking the kernels' bit-parity contract. NULL dots
+    (NULL elements) already fall to the 0 bit on both paths."""
+    dots = "array(" + ",".join(
+        "aggregate(zip_with(`" + vec_col + "`, array("
+        + ",".join(f"{float(x)!r}D" for x in p)
+        + "), (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        for p in planes
+    ) + ")"
+    base = " + ".join(
+        f"(CASE WHEN element_at(D, {i + 1}) >= 0 "
+        f"AND NOT isnan(element_at(D, {i + 1})) THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    return F.expr(
+        f"element_at(transform(array({dots}), D -> ({base})), 1)"
+    )
 
 
 def _rp_probe_expr(
@@ -562,11 +581,13 @@ def _rp_probe_expr(
     ok = (
         f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {len(planes[0])}"
         f" AND size(filter(`{vec_col}`, x -> x IS NULL)) = 0"
-        # NULL elements make every dot (hence every margin) NULL: the
-        # base bucket degenerates to 0 on all paths, and probing from
-        # NULL margins would hinge on engine-specific NULL sort order —
+        f" AND size(filter(`{vec_col}`, x -> isnan(x))) = 0"
+        # NULL elements make every dot (hence every margin) NULL, and
+        # NaN elements make them NaN (Spark orders NaN largest, so
+        # NaN >= 0 is true and NaN margins still sort/emit): both would
+        # diverge from the arrow kernel's bucket-0, no-probe behavior —
         # so degenerate vectors emit their base bucket [0] and nothing
-        # else, matching the arrow kernel's NaN guard.
+        # else, keeping the expr and arrow kernels bit-identical.
     )
     return F.expr(
         f"IF({ok}, {full}, array(CAST(0 AS LONG)))"
@@ -2438,7 +2459,16 @@ def pca_train(
         raise ValueError(f"train_cap must be >= 2, got {train_cap}")
     sample = (
         corpus.where(
-            F.col(corpus_vec).isNotNull() & (F.size(corpus_vec) == dim)
+            F.col(corpus_vec).isNotNull()
+            & (F.size(corpus_vec) == dim)
+            # A single NULL element becomes NaN under numpy and poisons
+            # the whole covariance — same valid-row contract as sq_train.
+            & (
+                F.expr(
+                    f"size(filter(`{corpus_vec}`, x -> x IS NULL))"
+                )
+                == 0
+            )
         )
         .select(
             F.col(corpus_vec).alias("__v"),
