@@ -250,3 +250,59 @@ def test_bpe_memo_cap_degrades_to_reencoding(monkeypatch):
     capped_counter = bpe.make_token_counter(bpe.VENDORED_MERGES)
     assert capped_counter(text) == uncapped
     assert capped_counter(text) == uncapped  # second pass over cleared memo
+
+
+def test_bench_suite_validity_gate(tmp_path):
+    """bench.py's whole-suite sanity check (VERDICT r11 item 1): a
+    uniformly slower run must be marked DEGRADED_RUN and carry the clean
+    reference forward; a normal run passes; a missing/corrupt previous
+    record degrades to 'no_previous_record' instead of crashing."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = bench
+    try:
+        spec.loader.exec_module(bench)
+    finally:
+        sys.modules.pop("bench_mod", None)
+
+    prev = {
+        "suite": "12q@abc",
+        "queries": {f"q{i}": 1.0 for i in range(12)},
+    }
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(json.dumps(prev))
+
+    ok = bench._suite_validity({f"q{i}": 1.05 for i in range(12)}, str(p))
+    assert ok["status"] == "ok" and ok["shared_queries"] == 12
+
+    bad = bench._suite_validity({f"q{i}": 1.4 for i in range(12)}, str(p))
+    assert bad["status"] == "DEGRADED_RUN"
+    assert bad["median_ratio_vs_prev"] == 1.4
+    assert bad["reference_queries"] == prev["queries"]
+
+    # A degraded record must NOT become the base: next run compares
+    # against the carried-forward clean reference.
+    degraded_record = {
+        "suite": "12q@abc",
+        "queries": {f"q{i}": 1.4 for i in range(12)},
+        "suite_validity": bad,
+    }
+    p.write_text(json.dumps(degraded_record))
+    nxt = bench._suite_validity({f"q{i}": 1.02 for i in range(12)}, str(p))
+    assert nxt["status"] == "ok"
+    assert nxt["median_ratio_vs_prev"] == 1.02  # vs 1.0, not 1.4
+
+    assert bench._suite_validity(
+        {f"q{i}": 1.0 for i in range(12)}, str(tmp_path / "missing.json")
+    )["status"] == "no_previous_record"
+    assert bench._suite_validity({"q0": 1.0}, str(p))[
+        "status"
+    ] == "insufficient_overlap"
