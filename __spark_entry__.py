@@ -1498,6 +1498,67 @@ ORACLE_TRAIN_BPE = rf"""
     """
 
 
+def q_train_bpe_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE training (new in round 12, VERDICT r11 item 4):
+    GPT-2-style pretokenization — word types render through the
+    byte-to-unicode table (bpe.byte_render / bpe._byte_render_words,
+    one hex + constant-string-lookup projection over the type table)
+    before the SAME merge loop as train_bpe, so merges form over bytes
+    (full coverage, no OOV characters; multi-byte characters assemble
+    from their UTF-8 bytes). The oracle replays the rendering with the
+    identical construction — substr(table_literal, byte + 1, 1) per hex
+    pair — feeding the unchanged recursive-CTE trainer."""
+    from timefence_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    merges = bpe.train_bpe_spark(
+        docs, text_col="text", n_merges=TRAIN_BPE_MERGES,
+        pretokenize="byte",
+    )
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def _oracle_train_bpe_byte_sql() -> str:
+    """ORACLE_TRAIN_BPE with its words CTE swapped for a byte-rendered
+    one: raw word types -> hex of UTF-8 bytes -> each hex pair indexes
+    the 256-char byte-to-unicode table literal (rendering is injective,
+    so mapping AFTER the GROUP BY preserves frequencies — exactly what
+    train_bpe_spark does)."""
+    from timefence_spark.operators.bpe import byte_unicode_table
+
+    plain_words = """words AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),"""
+    tbl = byte_unicode_table().replace("'", "''")
+    byte_words = f"""rawwords AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    words AS (
+        SELECT array_to_string(list_transform(
+                   range(1, length(hex(w)) // 2 + 1),
+                   i -> substr('{tbl}',
+                               ('0x' || substr(hex(w),
+                                               CAST(i * 2 - 1 AS INT),
+                                               2))::INT + 1,
+                               1)), '') AS w,
+               freq
+        FROM rawwords
+    ),"""
+    assert plain_words in ORACLE_TRAIN_BPE, "train_bpe words CTE drifted"
+    return ORACLE_TRAIN_BPE.replace(plain_words, byte_words, 1)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (VERDICT r10 item 3) — trainer + encoder entries.
 # Fixed hyperparameters shared by the Spark queries and the SQL replay.
@@ -4417,6 +4478,111 @@ ORACLE_BIGRAM_NLL = r"""
 """
 
 
+def q_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY trigram fluency (new in round 12, VERDICT
+    r11 item 6): mean -ln p3 per document where p3 discounts the
+    trigram count (D=0.75) and backs off through continuation-count
+    bigram KN to an add-1 continuation unigram — KenLM's smoothing
+    family at the trigram rung of the CCNet ladder; see
+    operators/text.trigram_logprob for the formula and the
+    vocabulary-scale statistics derivation. deterministic=True folds
+    contributions in (w1, w2, word)-sorted order so the double
+    summation is bit-reproducible against the external oracle."""
+    return text.trigram_logprob(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", discount=0.75,
+        deterministic=True,
+    )
+
+
+ORACLE_TRIGRAM_NLL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tok -> tok <> '') AS toks
+        FROM documents
+    ), tris AS (
+        SELECT doc_id, toks[i - 2] AS w1, toks[i - 1] AS w2,
+               toks[i] AS word
+        FROM t, unnest(range(3, len(toks) + 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), dp AS (
+        SELECT doc_id, w1, w2, word, COUNT(*) AS cnt
+        FROM tris GROUP BY 1, 2, 3, 4
+    ), tri AS (
+        SELECT w1, w2, word, COUNT(*) AS n_tri FROM tris GROUP BY 1, 2, 3
+    ), ctx3 AS (
+        SELECT w1, w2, SUM(n_tri) AS n_ctx3, COUNT(*) AS t_ctx3
+        FROM tri GROUP BY 1, 2
+    ), cbi AS (
+        SELECT w2, word, COUNT(*) AS n_cbi FROM tri GROUP BY 1, 2
+    ), cctx AS (
+        SELECT w2, SUM(n_cbi) AS n_cctx, COUNT(*) AS t_cctx
+        FROM cbi GROUP BY 1
+    ), pairs AS (
+        SELECT toks[i - 1] AS w_prev, toks[i] AS word
+        FROM t, unnest(range(2, len(toks) + 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), bi AS (
+        SELECT w_prev, word FROM pairs GROUP BY 1, 2
+    ), cuni AS (
+        SELECT word, COUNT(*) AS n_cu FROM bi GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_cu) AS DOUBLE) + 1.0 * (COUNT(*) + 1) AS denom1
+        FROM cuni
+    ), contrib AS (
+        SELECT dp.doc_id, dp.w1, dp.w2, dp.word, dp.cnt,
+               tri.n_tri IS NULL AS oov,
+               dp.cnt * -ln(
+                   CASE WHEN ctx3.n_ctx3 IS NOT NULL THEN
+                       (GREATEST(COALESCE(tri.n_tri, 0)::DOUBLE - 0.75,
+                                 0.0)
+                        + 0.75 * ctx3.t_ctx3::DOUBLE * (
+                            CASE WHEN cctx.n_cctx IS NOT NULL THEN
+                                (GREATEST(COALESCE(cbi.n_cbi, 0)::DOUBLE
+                                          - 0.75, 0.0)
+                                 + 0.75 * cctx.t_cctx::DOUBLE
+                                   * ((COALESCE(cuni.n_cu, 0) + 1.0)
+                                      / tot.denom1))
+                                / cctx.n_cctx::DOUBLE
+                            ELSE (COALESCE(cuni.n_cu, 0) + 1.0)
+                                 / tot.denom1 END))
+                       / ctx3.n_ctx3::DOUBLE
+                   ELSE
+                       CASE WHEN cctx.n_cctx IS NOT NULL THEN
+                           (GREATEST(COALESCE(cbi.n_cbi, 0)::DOUBLE
+                                     - 0.75, 0.0)
+                            + 0.75 * cctx.t_cctx::DOUBLE
+                              * ((COALESCE(cuni.n_cu, 0) + 1.0)
+                                 / tot.denom1))
+                           / cctx.n_cctx::DOUBLE
+                       ELSE (COALESCE(cuni.n_cu, 0) + 1.0)
+                            / tot.denom1 END
+                   END
+               ) AS c
+        FROM dp
+        LEFT JOIN tri USING (w1, w2, word)
+        LEFT JOIN ctx3 USING (w1, w2)
+        LEFT JOIN cbi ON cbi.w2 = dp.w2 AND cbi.word = dp.word
+        LEFT JOIN cctx ON cctx.w2 = dp.w2
+        LEFT JOIN cuni ON cuni.word = dp.word
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+           ROUND(SUM(CASE WHEN oov THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt), 6) AS oov_frac,
+           ROUND(list_reduce(
+               list_transform(
+                   list(struct_pack(a := w1, b := w2, w := word, c := c)
+                        ORDER BY w1, w2, word),
+                   s -> s.c
+               ), (a, b) -> a + b) / SUM(cnt), 6) AS mean_nll
+    FROM contrib
+    GROUP BY doc_id
+"""
+
+
 def q_fit_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes classifier training: fit (word, weight) log-odds from
     the documents table labeled by lang='en' — the train half of the
@@ -5961,6 +6127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,  # new in round 10
         "code_signals": q_code_signals,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
+        "train_bpe_byte": q_train_bpe_byte,  # new in round 12
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
         "temperature_mix": q_temperature_mix,  # new in round 9
@@ -5980,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_refined": q_semantic_dup_refined,  # new in round 8
         "semantic_decontam": q_semantic_decontam,  # new in round 8
         "bigram_nll": q_bigram_nll,  # new in round 8
+        "trigram_nll": q_trigram_nll,  # new in round 12
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "media_decode_jpeg_rgb": q_media_decode_jpeg_rgb,  # new in round 8
         "media_decode_jpeg_420": q_media_decode_jpeg_420,  # new in round 8
@@ -6071,6 +6239,7 @@ def oracle_sql() -> dict[str, str]:
         "train_wordpiece": ORACLE_TRAIN_WORDPIECE.strip(),
         "wordpiece_encode": ORACLE_WORDPIECE_ENCODE.strip(),
         "train_bpe": ORACLE_TRAIN_BPE,
+        "train_bpe_byte": _oracle_train_bpe_byte_sql(),
         "bpe_encode": _oracle_bpe_encode_sql(),
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
@@ -6128,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "word_freq": ORACLE_WORD_FREQ,
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "bigram_nll": ORACLE_BIGRAM_NLL,
+        "trigram_nll": ORACLE_TRIGRAM_NLL,
         "fit_classifier": ORACLE_FIT_CLASSIFIER,
         "bm25_rank": ORACLE_BM25_RANK,
         "shuffle_rows": ORACLE_SHUFFLE_ROWS,

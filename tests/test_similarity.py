@@ -2372,3 +2372,145 @@ def test_rp_probe_expr_nan_vector_matches_arrow(spark):
             for r in got.collect()
         )
     assert out["expr"] == out["arrow"]
+
+
+def test_ivf_pq_append_frozen_model(spark, tmp_path):
+    """ivf_pq_append (VERDICT r11 item 5): new rows encode against the
+    FROZEN persisted model — appended codes are byte-identical to
+    encoding the new rows with the index's centroids/codebook directly
+    (so search-after-append == search over a rebuild with the same
+    model), appends are batching-invariant, searches see rows from
+    both generations, and the meta generation bumps per append."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators import similarity as sim
+
+    rng = random.Random(12)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    base = emb.where("vec_id < 80")
+    extra = emb.where("vec_id >= 80")
+    q = emb.where("vec_id < 3")
+
+    idx = str(tmp_path / "idx")
+    sim.ivf_pq_build_index(
+        base, corpus_id="vec_id", nlist=4, m=4, nbits=4, path=idx
+    )
+    assert (
+        spark.read.parquet(f"{idx}/meta").head()["generation"] == 1
+    )
+    gen = sim.ivf_pq_append(spark, idx, extra, corpus_id="vec_id")
+    assert gen == 2
+    assert (
+        spark.read.parquet(f"{idx}/meta").head()["generation"] == 2
+    )
+
+    # appended codes == encoding the new rows against the frozen model
+    # (residual geometry), i.e. exactly what a rebuild-with-same-model
+    # would have written for them
+    cents = spark.read.parquet(f"{idx}/centroids")
+    book = spark.read.parquet(f"{idx}/codebook")
+    assign = sim._ivf_assign_factory(cents, compute="expr")
+    assigned = assign(
+        extra.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        ),
+        "neighbor_id", "__cv", 1,
+    )
+    expect_src = (
+        assigned.join(
+            F.broadcast(
+                cents.select(
+                    "centroid_id", F.col("centroid").alias("__centv")
+                )
+            ),
+            "centroid_id",
+        )
+        .select("neighbor_id", F.expr(sim._RESIDUAL_SQL).alias("__cv"))
+    )
+    expected = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in sim.pq_encode(
+            expect_src, corpus_id="neighbor_id", corpus_vec="__cv",
+            codebook=book,
+        ).collect()
+    }
+    stored = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/codes")
+        .where("neighbor_id >= 80").collect()
+    }
+    assert stored == expected
+
+    got = sim.ivf_pq_search(
+        spark, idx, q, query_id="vec_id", k=30, nprobe=4
+    )
+    hits = [r["neighbor_id"] for r in got.collect()]
+    assert any(h >= 80 for h in hits) and any(h < 80 for h in hits)
+
+    # batching invariance: one append of B == append B1 then append B2
+    idx2 = str(tmp_path / "idx2")
+    sim.ivf_pq_build_index(
+        base, corpus_id="vec_id", nlist=4, m=4, nbits=4, path=idx2
+    )
+    sim.ivf_pq_append(
+        spark, idx2, extra.where("vec_id < 100"), corpus_id="vec_id"
+    )
+    assert sim.ivf_pq_append(
+        spark, idx2, extra.where("vec_id >= 100"), corpus_id="vec_id"
+    ) == 3
+    got2 = sim.ivf_pq_search(
+        spark, idx2, q, query_id="vec_id", k=30, nprobe=4
+    )
+    key = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, got2.select(*key).collect())
+    )
+
+
+def test_ivf_pq_append_rotated_and_legacy_meta(spark, tmp_path):
+    """Appends onto an OPQ-rotated index quantize in the rotated space
+    (the frozen rotation applies inside append, queries keep rotating
+    at search); a legacy meta without the generation column reads as
+    generation 1 and bumps to 2."""
+    import random
+
+    from timefence_spark.operators import similarity as sim
+
+    rng = random.Random(13)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    base, extra = emb.where("vec_id < 70"), emb.where("vec_id >= 70")
+    rot = sim.opq_train(base, corpus_id="vec_id", seed=3)
+    idx = str(tmp_path / "ridx")
+    sim.ivf_pq_build_index(
+        base, corpus_id="vec_id", nlist=4, m=4, nbits=4, path=idx,
+        rotation=rot,
+    )
+    sim.ivf_pq_append(spark, idx, extra, corpus_id="vec_id")
+    got = sim.ivf_pq_search(
+        spark, idx, emb.where("vec_id < 2"), query_id="vec_id", k=40,
+        nprobe=4,
+    )
+    hits = [r["neighbor_id"] for r in got.collect()]
+    assert any(h >= 70 for h in hits)
+
+    # legacy meta: drop the generation column in place
+    meta = spark.read.parquet(f"{idx}/meta").drop("generation").collect()
+    spark.createDataFrame(
+        meta,
+        "residual boolean, rotated boolean, nlist int, m int, nbits int,"
+        " seed int, hash_fn string",
+    ).write.mode("overwrite").parquet(f"{idx}/meta")
+    assert sim.ivf_pq_append(
+        spark, idx, extra.limit(5), corpus_id="vec_id"
+    ) == 2

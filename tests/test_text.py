@@ -1112,3 +1112,209 @@ def test_code_signals_calibration(spark):
         keywords=("weather", "children"), score_threshold=0.1,
     ).collect()
     assert {r["doc_id"]: r["kw_hits"] for r in custom}[2] == 2
+
+
+def test_train_bpe_spark_byte_pretokenize(spark):
+    """Byte-level pretokenization (VERDICT r11 item 4): both trainer
+    paths (Spark-expression rendering in the type table; Python
+    byte_render in the local trainer) must be merge-for-merge
+    identical, merges must form over UTF-8 bytes for non-ASCII text,
+    and the byte-mode encoder must round-trip every character through
+    the learned vocab with zero OOV."""
+    from timefence_spark.operators import bpe
+
+    rows = [
+        (1, "héllo héllo héllo wörld wörld"),
+        (2, "héllo wörld naïve naïve café café café"),
+        (3, "plain ascii words plain ascii words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    text = " ".join(t for _, t in rows)
+    ref = bpe.train_bpe(text, n_merges=25, pretokenize="byte")
+    # auto (local path, Spark-side rendering feeds the collect) and the
+    # forced distributed loop both match the Python byte trainer.
+    assert bpe.train_bpe_spark(
+        df, text_col="text", n_merges=25, pretokenize="byte"
+    ) == ref
+    assert bpe.train_bpe_spark(
+        df, text_col="text", n_merges=25, pretokenize="byte",
+        mode="distributed", checkpoint_every=5,
+    ) == ref
+    # byte semantics differ from char semantics on multi-byte text:
+    # every trained symbol is built from byte-table chars, and 'é'
+    # (U+00E9) appears only as its rendered bytes 'Ã©', never raw.
+    assert ref != bpe.train_bpe(text, n_merges=25)
+    assert all("é" not in l + r for l, r in ref)
+    assert any("Ã©" in l + r for l, r in ref)
+
+    # encoder parity: byte-mode ids decode back to the byte-rendered
+    # document, and nothing is OOV (full byte coverage).
+    vocab = bpe.bpe_vocab(
+        df, text_col="text", merges=ref, pretokenize="byte"
+    )
+    enc = bpe.encode_documents(
+        df, id_col="doc_id", text_col="text", merges=ref, vocab=vocab,
+        pretokenize="byte",
+    )
+    got = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    for doc_id, doc_text in rows:
+        decoded = "".join(vocab[i] for i in got[doc_id])
+        assert decoded == "".join(
+            bpe.byte_render(w) for w in doc_text.split()
+        )
+    # counter agrees with the encoder's n_tokens
+    counter = bpe.make_token_counter(ref, pretokenize="byte")
+    for doc_id, doc_text in rows:
+        assert counter(doc_text) == len(got[doc_id])
+
+    with pytest.raises(ValueError, match="pretokenize"):
+        bpe.train_bpe_spark(df, text_col="text", pretokenize="bytes")
+    with pytest.raises(ValueError, match="pretokenize"):
+        bpe.encode_documents(
+            df, id_col="doc_id", text_col="text", pretokenize="Byte"
+        )
+
+
+def test_byte_unicode_table_shape():
+    """The 256-char table is a bijection, printable bytes map to
+    themselves, and byte_render is injective on distinct words."""
+    from timefence_spark.operators.bpe import byte_render, byte_unicode_table
+
+    L = byte_unicode_table()
+    assert len(L) == 256 and len(set(L)) == 256
+    for b in list(range(33, 127)) + list(range(161, 173)) + list(
+        range(174, 256)
+    ):
+        assert L[b] == chr(b)
+    assert L[32] != " " and L[0] != "\x00"  # controls remapped
+    assert byte_render("héllo") == "hÃ©llo"  # the GPT-2 rendering
+    words = ["a", "b", "ab", "é", "\x00", " x", "Ā"]
+    assert len({byte_render(w) for w in words}) == len(words)
+
+
+def test_trigram_logprob_known_answers(spark):
+    """Hand-computed interpolated Kneser-Ney trigram NLL (VERDICT r11
+    item 6) on a tiny corpus: trigram discount with continuation-count
+    bigram backoff and add-1 continuation unigram; docs with < 3 tokens
+    produce no row; a Python KN replica checks every transition."""
+    import math
+
+    rows = [
+        (1, "a b c a b c"),
+        (2, "a b d"),
+        (3, "b c"),  # two tokens: no trigram row
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.trigram_logprob(
+            docs, id_col="doc_id", text_col="text", discount=0.75
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_trigrams"] == 4 and out[2]["n_trigrams"] == 1
+    assert out[1]["oov_frac"] == 0.0
+
+    # Python KN replica over the same corpus statistics
+    from collections import Counter
+
+    D, k = 0.75, 1.0
+    toks = {i: (t or "").split() for i, t in rows}
+    tris = Counter(
+        (w[j - 2], w[j - 1], w[j])
+        for w in toks.values() for j in range(2, len(w))
+    )
+    bis = Counter(
+        (w[j - 1], w[j]) for w in toks.values() for j in range(1, len(w))
+    )
+    ctx3 = Counter()
+    t_ctx3 = Counter()
+    for (u, v, w), c in tris.items():
+        ctx3[(u, v)] += c
+        t_ctx3[(u, v)] += 1
+    cbi = Counter((v, w) for (u, v, w) in tris)
+    cctx = Counter()
+    t_cctx = Counter()
+    for (v, w), c in cbi.items():
+        cctx[v] += c
+        t_cctx[v] += 1
+    cuni = Counter(w for (u, w) in bis)
+    B, V = sum(cuni.values()), len(cuni)
+    denom1 = B + k * (V + 1)
+
+    def p1(w):
+        return (cuni.get(w, 0) + k) / denom1
+
+    def p2(v, w):
+        if cctx.get(v):
+            return (
+                max(cbi.get((v, w), 0) - D, 0.0)
+                + D * t_cctx[v] * p1(w)
+            ) / cctx[v]
+        return p1(w)
+
+    def p3(u, v, w):
+        if ctx3.get((u, v)):
+            return (
+                max(tris.get((u, v, w), 0) - D, 0.0)
+                + D * t_ctx3[(u, v)] * p2(v, w)
+            ) / ctx3[(u, v)]
+        return p2(v, w)
+
+    for doc_id in (1, 2):
+        w = toks[doc_id]
+        nll = [
+            -math.log(p3(w[j - 2], w[j - 1], w[j]))
+            for j in range(2, len(w))
+        ]
+        assert out[doc_id]["mean_nll"] == pytest.approx(
+            sum(nll) / len(nll), abs=1e-6
+        ), doc_id
+
+    # deterministic mode gives the identical rounded scores
+    det = {
+        r["doc_id"]: r["mean_nll"]
+        for r in text_ops.trigram_logprob(
+            docs, id_col="doc_id", text_col="text", deterministic=True
+        ).collect()
+    }
+    assert det == {i: out[i]["mean_nll"] for i in out}
+
+    # external LM that never saw (b, c, a): transition is OOV but still
+    # scored via the KN backoff chain
+    lm = spark.createDataFrame(
+        [("a", "b", "c", 2), ("a", "b", "d", 1)],
+        "w1 string, w2 string, word string, n_occurrences long",
+    )
+    ext = {
+        r["doc_id"]: r
+        for r in text_ops.trigram_logprob(
+            docs, id_col="doc_id", text_col="text", lm=lm
+        ).collect()
+    }
+    assert 0.0 < ext[1]["oov_frac"] < 1.0
+    assert ext[1]["mean_nll"] > 0.0
+
+    with pytest.raises(ValueError, match="discount"):
+        text_ops.trigram_logprob(
+            docs, id_col="doc_id", text_col="text", discount=1.5
+        )
+
+
+def test_fluency_buckets_trigram_model(spark):
+    """fluency_buckets(model='trigram') labels head/middle/tail by KN
+    trigram NLL; unscored (< 3 token) docs produce no row."""
+    rows = [(i, "the cat sat on the mat again " * (1 + i % 3))
+            for i in range(9)] + [(99, "too short")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.fluency_buckets(
+        docs, id_col="doc_id", text_col="text", model="trigram"
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 99 not in ids and len(ids) == 9
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+    with pytest.raises(ValueError, match="model"):
+        text_ops.fluency_buckets(
+            docs, id_col="doc_id", text_col="text", model="fourgram"
+        )

@@ -2,6 +2,7 @@ from timefence_spark.operators import (
     bpe,
     dedup,
     fusion,
+    hf_tokenizer,
     multimodal,
     packing,
     pii,
@@ -20,6 +21,7 @@ __all__ = [
     "bpe",
     "dedup",
     "fusion",
+    "hf_tokenizer",
     "packing",
     "pii",
     "sampling",

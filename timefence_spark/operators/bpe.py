@@ -75,16 +75,76 @@ a shuffle the scan reads parquet footers the sort orders the output
 MAX_RANK_SENTINEL = 999_999  # rank for "pair not in merge table"
 
 
-def train_bpe(text: str, n_merges: int) -> list[tuple[str, str]]:
+def byte_unicode_table() -> str:
+    """GPT-2's byte-to-unicode table as ONE 256-char lookup string:
+    position b (0-indexed) holds the printable character byte b renders
+    as. Printable bytes (33-126, 161-172, 174-255) map to themselves;
+    the other 68 (controls, space, DEL, NBSP range, soft hyphen) map to
+    256+n in ascending byte order — the public bytes_to_unicode
+    construction (Radford et al. 2019, GPT-2 encoder.py), reproduced
+    from its published description.
+
+    The STRING form is the trick that keeps byte-level BPE replayable
+    on both engines: neither Spark SQL nor DuckDB has a
+    codepoint-to-char function that survives >255 (Spark ``chr`` wraps
+    mod 256), but both can index a constant string —
+    ``substring(L, byte + 1, 1)`` — so the rendering is pure string
+    ops end to end."""
+    printable = (
+        set(range(33, 127)) | set(range(161, 173)) | set(range(174, 256))
+    )
+    out: list[str] = []
+    n = 0
+    for b in range(256):
+        if b in printable:
+            out.append(chr(b))
+        else:
+            out.append(chr(256 + n))
+            n += 1
+    return "".join(out)
+
+
+_BYTE_TABLE = byte_unicode_table()
+_PRETOKENIZE_MODES = ("whitespace", "byte")
+
+
+def byte_render(word: str) -> str:
+    """A word's UTF-8 bytes through the byte-to-unicode table — the
+    symbol stream byte-level BPE trains and encodes on. Injective (the
+    table is a bijection on bytes and UTF-8 is prefix-free), so
+    rendering word TYPES preserves their corpus frequencies."""
+    return "".join(_BYTE_TABLE[b] for b in word.encode("utf-8"))
+
+
+def _check_pretokenize(pretokenize: str) -> None:
+    if pretokenize not in _PRETOKENIZE_MODES:
+        raise ValueError(
+            f"pretokenize must be whitespace|byte, got {pretokenize!r}"
+        )
+
+
+def train_bpe(
+    text: str, n_merges: int, *, pretokenize: str = "whitespace"
+) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` merges from whitespace-tokenized text.
 
     Deterministic: the best pair maximizes frequency, ties broken by the
     lexicographically smallest (left, right) pair. Stops early when no
     adjacent pair occurs twice (merging singletons would just memorize
-    the training set)."""
-    return _train_bpe_from_vocab(
-        Counter(tuple(w) for w in _ws_split(text)), n_merges
-    )
+    the training set).
+
+    ``pretokenize='byte'`` runs the SAME merge loop over each word's
+    byte-to-unicode rendering (:func:`byte_render`) instead of its
+    characters — GPT-2-style byte-level BPE: full byte coverage (no
+    OOV characters ever), multi-byte characters merge from their bytes.
+    Word boundaries stay whitespace on both modes; like the rest of
+    this package the id stream is marker-free (no ``Ġ`` space
+    convention)."""
+    _check_pretokenize(pretokenize)
+    words = _ws_split(text)
+    if pretokenize == "byte":
+        words = [byte_render(w) for w in words]
+    return _train_bpe_from_vocab(Counter(tuple(w) for w in words), n_merges)
 
 
 def _train_bpe_from_vocab(
@@ -171,10 +231,16 @@ def token_count(text: str | None) -> int:
     return sum(_vendored_word_len(w) for w in _ws_split(text))
 
 
-def make_token_counter(merges: list[tuple[str, str]]):
+def make_token_counter(
+    merges: list[tuple[str, str]], *, pretokenize: str = "whitespace"
+):
     """``tokenizer_fn`` for :func:`text.token_count_exact` under a CUSTOM
     merge table (e.g. one learned by :func:`train_bpe_spark`), with the
-    same per-word memoization as the vendored counter."""
+    same per-word memoization as the vendored counter. ``pretokenize``
+    must match how the merges were trained (byte-level merges count
+    over byte-rendered words)."""
+    _check_pretokenize(pretokenize)
+    byte_mode = pretokenize == "byte"
     ranks = {pair: rank for rank, pair in enumerate(merges)}
     # Plain-dict memo rather than lru_cache: the closure must survive
     # cloudpickle into the mapInPandas worker, and a decorated local
@@ -195,11 +261,45 @@ def make_token_counter(merges: list[tuple[str, str]]):
             if c is None:
                 if len(memo) >= _MEMO_CAP:
                     memo.clear()
-                c = memo[w] = len(encode(w, ranks))
+                c = memo[w] = len(
+                    encode(byte_render(w) if byte_mode else w, ranks)
+                )
             n += c
         return n
 
     return count
+
+
+def _byte_render_words(word_counts):
+    """(w, freq) -> (byte-rendered w, freq), JVM-side.
+
+    hex of the word's UTF-8 bytes (bound once as a real column so the
+    per-byte substrings read one row value), then each hex pair indexes
+    the 256-char table literal: ``substring(L, conv(pair,16,10)+1, 1)``.
+    Pure string expressions — whole-stage codegen, no UDF — and the
+    exact construction the DuckDB oracle replays
+    (``('0x' || pair)::INT`` for the byte value there)."""
+    from pyspark.sql import functions as F
+
+    L = F.lit(_BYTE_TABLE)
+    staged = word_counts.withColumn(
+        "__h", F.hex(F.encode(F.col("w"), "UTF-8"))
+    )
+    rendered = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), (F.length("__h") / 2).cast("int")),
+            lambda i: F.substring(
+                L,
+                F.conv(
+                    F.substring(F.col("__h"), i * 2 - 1, F.lit(2)), 16, 10
+                ).cast("int")
+                + 1,
+                F.lit(1),
+            ),
+        ),
+    )
+    return staged.select(rendered.alias("w"), "freq")
 
 
 def train_bpe_spark(
@@ -211,10 +311,21 @@ def train_bpe_spark(
     mode: str = "auto",
     local_threshold: int = 100_000,
     merges_per_round: int = 1,
+    pretokenize: str = "whitespace",
 ) -> list[tuple[str, str]]:
     """Distributed BPE training (VERDICT r8 item 5): the :func:`train_bpe`
     loop re-expressed as Spark aggregations, bit-identical to the Python
     trainer on the same text by construction.
+
+    ``pretokenize='byte'`` (VERDICT r11 item 4) is GPT-2-style
+    byte-level BPE: word TYPES render through the byte-to-unicode table
+    (:func:`byte_render`) before symbol split, so merges form over
+    bytes (full coverage, no OOV characters) and multi-byte characters
+    assemble from their UTF-8 bytes. The rendering rides the word-type
+    table — one hex + constant-string-lookup projection over
+    |vocabulary| rows, nothing corpus-sized — and the merge loop is
+    unchanged, so the SQL oracle replays byte mode with the same
+    recursive CTE over byte-rendered words.
 
     Shape per iteration (Sennrich et al. 2016's vocabulary optimization —
     state is the WORD-TYPE table, not the corpus):
@@ -281,12 +392,18 @@ def train_bpe_spark(
         raise ValueError(
             f"merges_per_round must be >= 1, got {merges_per_round}"
         )
+    _check_pretokenize(pretokenize)
     word_counts = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if pretokenize == "byte":
+        # Injective rendering, so mapping AFTER the type-table groupBy
+        # preserves frequencies while touching |vocab| rows, not the
+        # corpus.
+        word_counts = _byte_render_words(word_counts)
     if mode in ("auto", "local"):
         # One gated action: pull at most threshold+1 type rows; a full
         # set within the gate IS the local training input, an overflow
@@ -367,7 +484,10 @@ def train_bpe_spark(
     return merges
 
 
-def bpe_vocab(df, *, text_col: str = "text", merges=None) -> list[str]:
+def bpe_vocab(
+    df, *, text_col: str = "text", merges=None,
+    pretokenize: str = "whitespace",
+) -> list[str]:
     """Deterministic token vocabulary for :func:`encode_documents`:
     every distinct non-whitespace character in the corpus plus every
     merge product, sorted lexicographically (dense ids = list index).
@@ -376,9 +496,15 @@ def bpe_vocab(df, *, text_col: str = "text", merges=None) -> list[str]:
     one explode→distinct aggregation whose shuffle carries single-char
     rows. Every terminal token :func:`encode` can emit is either a base
     character or a merge product, so the vocabulary is closed over the
-    corpus with no OOV."""
+    corpus with no OOV.
+
+    ``pretokenize='byte'``: base symbols are the byte-to-unicode chars
+    of each corpus character's UTF-8 bytes. UTF-8 renders codepoints
+    independently, so rendering the DISTINCT characters driver-side is
+    exactly the rendered corpus's alphabet — the scan is unchanged."""
     from pyspark.sql import functions as F
 
+    _check_pretokenize(pretokenize)
     if merges is None:
         merges = VENDORED_MERGES
     chars = [
@@ -394,6 +520,8 @@ def bpe_vocab(df, *, text_col: str = "text", merges=None) -> list[str]:
             .collect()
         )
     ]
+    if pretokenize == "byte":
+        chars = [sym for c in chars for sym in byte_render(c)]
     return sorted(set(chars) | {a + b for a, b in merges})
 
 
@@ -406,6 +534,7 @@ def encode_documents(
     vocab: list[str] | None = None,
     out_col: str = "token_ids",
     oov_id: int | None = None,
+    pretokenize: str = "whitespace",
 ) -> "DataFrame":
     """Tokenize documents to integer id sequences — the
     corpus-to-training-stream step :func:`text.token_count_exact` only
@@ -428,13 +557,21 @@ def encode_documents(
     single Arrow-batched mapInPandas stage with the ranks + vocab dict
     in the closure — no token-level shuffle, partitioning preserved.
     Per-word memoization amortizes the greedy encode across the corpus's
-    token/type ratio, exactly like make_token_counter."""
+    token/type ratio, exactly like make_token_counter.
+
+    ``pretokenize='byte'`` must match how ``merges`` were trained: words
+    render through the byte-to-unicode table before the greedy encode
+    (one string op per word TYPE, amortized by the same memo)."""
     import pandas as pd
 
+    _check_pretokenize(pretokenize)
     if merges is None:
         merges = VENDORED_MERGES
     if vocab is None:
-        vocab = bpe_vocab(df, text_col=text_col, merges=merges)
+        vocab = bpe_vocab(
+            df, text_col=text_col, merges=merges, pretokenize=pretokenize
+        )
+    byte_mode = pretokenize == "byte"
     ranks = {pair: rank for rank, pair in enumerate(merges)}
     tok_id = {t: i for i, t in enumerate(vocab)}
     id_type = df.schema[id_col].dataType.simpleString()
@@ -471,7 +608,9 @@ def encode_documents(
                         # ids lists are heavier than counts.
                         if len(memo) >= _MEMO_CAP:
                             memo.clear()
-                        enc = memo[w] = word_ids(w)
+                        enc = memo[w] = word_ids(
+                            byte_render(w) if byte_mode else w
+                        )
                     ids.extend(enc)
                 ids_col.append(ids)
                 n_col.append(len(ids))
@@ -489,7 +628,11 @@ def encode_documents(
 
 
 def save_tokenizer(
-    path, *, merges: list[tuple[str, str]], vocab: list[str] | None = None
+    path,
+    *,
+    merges: list[tuple[str, str]],
+    vocab: list[str] | None = None,
+    format: str = "native",
 ) -> None:
     """Persist a trained tokenizer (merge table + optional vocabulary)
     as one JSON file — the train-once / encode-many artifact: fit with
@@ -497,10 +640,24 @@ def save_tokenizer(
     loads the SAME fixed tokenizer instead of re-deriving it (at 100 TB
     the vocabulary must be frozen with the model, not recomputed per
     corpus snapshot). Driver-side and KB-sized by construction
-    (|merges| + |vocab| entries)."""
+    (|merges| + |vocab| entries).
+
+    ``format='hf'`` writes the HuggingFace ``tokenizer.json`` layout
+    instead (model.type=BPE), the artifact training code actually
+    consumes; requires ``vocab`` since HF BPE serializes the token->id
+    table. See :mod:`.hf_tokenizer`."""
     import json
     from pathlib import Path
 
+    if format == "hf":
+        from timefence_spark.operators.hf_tokenizer import (
+            save_hf_tokenizer,
+        )
+
+        save_hf_tokenizer(path, bpe={"merges": merges, "vocab": vocab})
+        return
+    if format != "native":
+        raise ValueError(f"format must be native|hf, got {format!r}")
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(
@@ -518,11 +675,28 @@ def save_tokenizer(
 def load_tokenizer(path) -> tuple[list[tuple[str, str]], list[str] | None]:
     """Load a :func:`save_tokenizer` artifact -> (merges, vocab).
     Feed merges to :func:`make_token_counter` / :func:`encode_documents`
-    (pass the saved vocab too for a frozen id space)."""
+    (pass the saved vocab too for a frozen id space).
+
+    HuggingFace ``tokenizer.json`` files with model.type=BPE (whether
+    written by ``save_tokenizer(format='hf')`` or by the `tokenizers`
+    library) load transparently."""
     import json
     from pathlib import Path
 
     data = json.loads(Path(path).read_text())
+    if isinstance(data.get("model"), dict) and "type" in data["model"]:
+        from timefence_spark.operators.hf_tokenizer import (
+            load_hf_tokenizer,
+        )
+
+        loaded = load_hf_tokenizer(path)
+        if loaded["type"] != "bpe":
+            raise ValueError(
+                f"{path} is a {loaded['type']} tokenizer.json — load it "
+                "with hf_tokenizer.load_hf_tokenizer and feed the "
+                "matching encoder"
+            )
+        return loaded["merges"], loaded["vocab"]
     if data.get("format") != "timefence-spark-bpe":
         raise ValueError(f"{path} is not a timefence-spark BPE artifact")
     merges = [(a, b) for a, b in data["merges"]]

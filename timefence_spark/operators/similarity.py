@@ -3494,10 +3494,102 @@ def ivf_pq_build_index(
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(bool(residual), rotation is not None, int(nlist), int(m),
-          int(nbits), int(seed), str(hash_fn))],
+          int(nbits), int(seed), str(hash_fn), 1)],
         "residual boolean, rotated boolean, nlist int, m int, nbits int,"
-        " seed int, hash_fn string",
+        " seed int, hash_fn string, generation int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    compute: str = "expr",
+) -> int:
+    """Append new rows to a persisted :func:`ivf_pq_build_index` index
+    WITHOUT retraining (VERDICT r11 item 5): growing corpora encode
+    against the FROZEN model — the index's centroids, codebook, and
+    rotation exactly as persisted — and the resulting codes append as
+    new list-partitioned files under ``<path>/codes``. Returns the new
+    meta ``generation`` (bumped by 1 per append; legacy build-only
+    indexes read as generation 1).
+
+    Equivalence contract (pinned by tests): appended rows carry
+    byte-identical codes to what :func:`ivf_pq_build_index` would have
+    written for them HAD the same frozen model been used — so
+    search-after-append equals search over a rebuild with that model,
+    and appends are batching-invariant (one append of A∪B == append A
+    then append B).
+
+    What this deliberately does NOT do: re-balance lists or refresh the
+    model. Appended data quantizes against centroids/codebooks trained
+    on the original corpus — the standard Faiss ``add()`` semantics —
+    so drifted distributions degrade recall gracefully rather than
+    changing existing neighbors' codes. Rebuild when the generation
+    count (or a recall probe) says the model has aged out.
+
+    Caller owns id uniqueness: ids already present in the index are
+    appended, not upserted (same as writing duplicate ids to the
+    original build).
+
+    100 TB shape: one broadcast-assign + encode scan over ONLY the new
+    rows, one partitioned parquet append — nothing existing is read or
+    rewritten except the single-row meta table."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"{path}/meta must hold exactly one row, found "
+            f"{len(meta_rows)} — not an ivf_pq_build_index artifact"
+        )
+    meta = meta_rows[0].asDict()
+    residual = bool(meta["residual"])
+    generation = int(meta.get("generation") or 1)
+    cents = spark.read.parquet(f"{path}/centroids")
+    book = spark.read.parquet(f"{path}/codebook")
+    src = new_corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+    )
+    if bool(meta.get("rotated")):
+        rot = spark.read.parquet(f"{path}/rotation")
+        src = rotate_vectors(
+            src, vec_col="__cv", rotation=rot, materialize=True
+        )
+    assign = _ivf_assign_factory(cents, compute="expr", nlist=None)
+    # Parent pin, same rationale as the build: assignment feeds the
+    # encode projection and the listing write.
+    assigned = pin(assign(src, "neighbor_id", "__cv", 1))
+    if residual:
+        cvecs = F.broadcast(
+            cents.select("centroid_id", F.col("centroid").alias("__centv"))
+        )
+        enc_src = (
+            assigned.select("neighbor_id", "__cv", "centroid_id")
+            .join(cvecs, "centroid_id")
+            .select("neighbor_id", F.expr(_RESIDUAL_SQL).alias("__cv"))
+        )
+    else:
+        enc_src = assigned.select("neighbor_id", "__cv")
+    codes = pq_encode(
+        enc_src, corpus_id="neighbor_id", corpus_vec="__cv",
+        codebook=book, compute=compute,
+    )
+    assigned.select("neighbor_id", "centroid_id").join(codes, "neighbor_id")\
+        .write.mode("append").partitionBy("centroid_id")\
+        .parquet(f"{path}/codes")
+    meta["generation"] = generation + 1
+    spark.createDataFrame(
+        [(bool(meta["residual"]), bool(meta.get("rotated")),
+          int(meta["nlist"]), int(meta["m"]), int(meta["nbits"]),
+          int(meta["seed"]), str(meta["hash_fn"]),
+          int(meta["generation"]))],
+        "residual boolean, rotated boolean, nlist int, m int, nbits int,"
+        " seed int, hash_fn string, generation int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return generation + 1
 
 
 def ivf_pq_search(

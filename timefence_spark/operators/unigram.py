@@ -475,13 +475,29 @@ def encode_documents_unigram(
 
 
 def save_unigram_tokenizer(
-    path, *, model: list[tuple[str, int, int]]
+    path, *, model: list[tuple[str, int, int]], format: str = "native"
 ) -> None:
     """Persist (piece, count, logp_micro) rows as one JSON artifact —
-    the train-once / encode-many contract of :func:`bpe.save_tokenizer`."""
+    the train-once / encode-many contract of :func:`bpe.save_tokenizer`.
+
+    ``format='hf'`` writes the HuggingFace ``tokenizer.json`` layout
+    (model.type=Unigram, ordered [piece, logprob] vocab) instead; row
+    order — the id space — and the micronat scores round-trip exactly,
+    so re-imported models produce identical encodings. Training counts
+    aren't part of that layout and re-import as 0 (they don't affect
+    encoding). See :mod:`.hf_tokenizer`."""
     import json
     from pathlib import Path
 
+    if format == "hf":
+        from timefence_spark.operators.hf_tokenizer import (
+            save_hf_tokenizer,
+        )
+
+        save_hf_tokenizer(path, unigram={"model": model})
+        return
+    if format != "native":
+        raise ValueError(f"format must be native|hf, got {format!r}")
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(
@@ -496,10 +512,28 @@ def save_unigram_tokenizer(
 
 
 def load_unigram_tokenizer(path) -> list[tuple[str, int, int]]:
+    """Load a unigram artifact -> (piece, count, logp_micro) rows.
+
+    HuggingFace ``tokenizer.json`` files with model.type=Unigram load
+    transparently (counts come back as 0 — the layout doesn't carry
+    them and encoding doesn't use them)."""
     import json
     from pathlib import Path
 
     data = json.loads(Path(path).read_text())
+    if isinstance(data.get("model"), dict) and "type" in data["model"]:
+        from timefence_spark.operators.hf_tokenizer import (
+            load_hf_tokenizer,
+        )
+
+        loaded = load_hf_tokenizer(path)
+        if loaded["type"] != "unigram":
+            raise ValueError(
+                f"{path} is a {loaded['type']} tokenizer.json — load it "
+                "with hf_tokenizer.load_hf_tokenizer and feed the "
+                "matching encoder"
+            )
+        return loaded["model"]
     if data.get("format") != "timefence-spark-unigram":
         raise ValueError(f"{path} is not a timefence-spark unigram artifact")
     return [(pc, int(c), int(lp)) for pc, c, lp in data["pieces"]]

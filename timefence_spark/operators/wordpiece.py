@@ -500,13 +500,41 @@ def _encode_by_types(
 
 
 def save_wordpiece_tokenizer(
-    path, *, merges: list[tuple[str, str]], alphabet: list[str]
+    path,
+    *,
+    merges: list[tuple[str, str]],
+    alphabet: list[str],
+    format: str = "native",
+    unk_token: str = "[UNK]",
 ) -> None:
     """Persist merges + alphabet as one JSON artifact — the train-once /
-    encode-many contract of bpe.save_tokenizer."""
+    encode-many contract of bpe.save_tokenizer.
+
+    ``format='hf'`` writes the HuggingFace ``tokenizer.json`` layout
+    (model.type=WordPiece) instead: the DERIVED vocabulary
+    (:func:`wordpiece_pieces`, plus ``unk_token`` appended when absent)
+    with list-index ids — HF WordPiece stores the final vocab, not the
+    training merges. Load it back with
+    :func:`.hf_tokenizer.load_hf_tokenizer` (the ``vocab`` field feeds
+    :func:`encode_documents_wordpiece` directly)."""
     import json
     from pathlib import Path
 
+    if format == "hf":
+        from timefence_spark.operators.hf_tokenizer import (
+            save_hf_tokenizer,
+        )
+
+        save_hf_tokenizer(
+            path,
+            wordpiece={
+                "vocab": wordpiece_pieces(merges, alphabet),
+                "unk_token": unk_token,
+            },
+        )
+        return
+    if format != "native":
+        raise ValueError(f"format must be native|hf, got {format!r}")
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(
@@ -528,6 +556,15 @@ def load_wordpiece_tokenizer(
     from pathlib import Path
 
     data = json.loads(Path(path).read_text())
+    if isinstance(data.get("model"), dict) and "type" in data["model"]:
+        # tokenizer.json stores the FINAL vocab; merges/alphabet are
+        # training residue it doesn't carry, so this loader can't
+        # reconstruct its return shape from one.
+        raise ValueError(
+            f"{path} is a tokenizer.json artifact — load it with "
+            "hf_tokenizer.load_hf_tokenizer; its 'vocab' feeds "
+            "encode_documents_wordpiece directly"
+        )
     if data.get("format") != "timefence-spark-wordpiece":
         raise ValueError(
             f"{path} is not a timefence-spark wordpiece artifact"
