@@ -913,11 +913,99 @@ def _scenario_main(label: str) -> int:
         res = _run_pipeline_scenario(spark, label.split(":", 1)[1])
     elif label == "audit_rebuild_1m_x10":
         res = _run_audit_scenario(spark)
+    elif label == "clustered_read":
+        res = _run_clustered_read_scenario(spark)
     else:
         res = _run_scale_scenario(spark, label)
     print(SCENARIO_PREFIX + json.dumps(res), flush=True)
     spark.stop()
     return 0
+
+
+def _run_clustered_read_scenario(spark) -> dict:
+    """write_clustered's read-side payoff, measured (VERDICT r11 item 7):
+    the same 5M-row table written range-CLUSTERED on its key vs hash-
+    SCATTERED, then a selective key-range aggregate timed on each
+    layout. Clustering means each file owns a disjoint key range, so
+    the footer min/max stats answer the predicate for all but ~1-2 of
+    the 32 files; the scattered layout has every file straddling the
+    whole key domain and reads everything. The recorded artifact is the
+    seconds pair + the files-pruned arithmetic — the justification that
+    at 100 TB this layout turns a full scan into a point lookup."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from timefence_spark.sources.writers import file_key_ranges, write_clustered
+
+    # 20M x ~100 compressed bytes (~2 GB on disk): big enough that the
+    # selective read's decode work dominates the ~0.5 s fixed job cost —
+    # at 5M rows both layouts measured identical (overhead floor).
+    n, files = 20_000_000, 32
+    base = "/tmp/tf_bench_clustered"
+    shutil.rmtree(base, ignore_errors=True)
+    df = spark.range(n).select(
+        # xxhash64-scrambled key order: the worst case for an unclustered
+        # write (insertion order carries no key locality at all).
+        F.xxhash64("id").alias("k"),
+        (F.col("id") % 1000).alias("v"),
+        # ~400 B of non-constant payload per row (document-shaped): the
+        # layout only matters when scanning costs something — a few-byte
+        # payload fits any 5M-row table in cache and hides the pruning.
+        F.concat(
+            F.lit("payload-"),
+            F.col("id"),
+            F.lit("-"),
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 6),
+        ).alias("s"),
+    )
+    write_clustered(
+        df, f"{base}/clustered", cluster_by="k", num_files=files,
+        mode="overwrite",
+    )
+    df.repartition(files).write.mode("overwrite").parquet(
+        f"{base}/scattered"
+    )
+    # Selective range: the middle 1/64 of the long domain (~2 files of
+    # the clustered layout straddle it; every scattered file does).
+    lo, hi = 0, (1 << 63) // 32
+    ranges = file_key_ranges(f"{base}/clustered", "k")
+    overlapping = sum(
+        1
+        for _f, mn, mx in ranges
+        if mn is not None and mx is not None and mn <= hi and mx >= lo
+    )
+
+    def timed(path: str) -> list[float]:
+        def run():
+            (
+                spark.read.parquet(path)
+                .where(F.col("k").between(lo, hi))
+                # sum(length(s)) forces the payload column: with only
+                # k/v read, column pruning makes both layouts equally
+                # cheap and the scenario would measure nothing.
+                .agg(
+                    F.sum("v"),
+                    F.count(F.lit(1)),
+                    F.sum(F.length("s")),
+                )
+                .collect()
+            )
+        return _timed_runs(run, 3)
+
+    clustered_runs = timed(f"{base}/clustered")
+    scattered_runs = timed(f"{base}/scattered")
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "sec": min(clustered_runs),
+        "runs": clustered_runs,
+        "scattered_sec": min(scattered_runs),
+        "scattered_runs": scattered_runs,
+        "speedup": round(min(scattered_runs) / min(clustered_runs), 2),
+        "n_rows": n,
+        "files": files,
+        "clustered_files_overlapping_range": overlapping,
+    }
 
 
 def _run_scenario_subprocess(label: str) -> dict:
@@ -1654,6 +1742,9 @@ def _finish(
             scale[f"pipeline_{which}"] = _run_scenario_subprocess(
                 f"pipeline:{which}"
             )
+        # write_clustered read-side payoff (VERDICT r11 item 7): the
+        # selective key-range read on the clustered vs scattered layout.
+        scale["clustered_read"] = _run_scenario_subprocess("clustered_read")
 
     # Requote backstop for scale rows (mirrors _measure): a scenario
     # whose trimmed spread trips the gate gets ONE fresh-JVM re-run
