@@ -716,3 +716,84 @@ def test_cli_embeddings_index_and_search(spark, tmp_path):
     assert set(got.columns) >= {"query_id", "neighbor_id", "cosine", "rank"}
     assert got.where("rank > 3").count() == 0
     assert got.count() > 0
+
+    # embeddings-append-index (round 12): grow the same index from the
+    # CLI against the frozen model; the meta generation bumps and a
+    # fresh search still returns rows.
+    res3 = CliRunner().invoke(
+        cli,
+        [
+            "embeddings-append-index", "--index", idx, "--input", src,
+            "--json",
+        ],
+    )
+    assert res3.exit_code == 0, res3.output
+    assert _json.loads(
+        res3.output.strip().splitlines()[-1]
+    )["generation"] == 2
+    out2 = str(tmp_path / "results2")
+    res4 = CliRunner().invoke(
+        cli,
+        [
+            "embeddings-search", "--index", idx, "--queries", src,
+            "--output", out2, "--k", "3", "--nprobe", "4", "--json",
+        ],
+    )
+    assert res4.exit_code == 0, res4.output
+    assert read_parquet(spark, out2).count() > 0
+
+
+def test_corpus_train_tokenizer_hf_format_and_byte_pretokenize(
+    tmp_path, spark
+):
+    """corpus-train-tokenizer (round 12): --tokenizer-format hf writes a
+    HuggingFace tokenizer.json the generic loader reads back, and
+    --pretokenize byte trains byte-level BPE; byte mode is rejected for
+    non-BPE families."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from timefence_spark.cli import cli
+    from timefence_spark.operators.hf_tokenizer import load_hf_tokenizer
+
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(i, "héllo wörld héllo wörld pack the rows") for i in range(3)],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "model.parquet"
+    tok = tmp_path / "tokenizer.json"
+    res = CliRunner().invoke(
+        cli,
+        [
+            "corpus-train-tokenizer", "--input", str(src),
+            "--output", str(out), "--model", "bpe",
+            "--n-merges", "10", "--pretokenize", "byte",
+            "--save-tokenizer", str(tok),
+            "--tokenizer-format", "hf", "--json",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    summary = _json.loads(res.output.strip().splitlines()[-1])
+    assert summary["pretokenize"] == "byte"
+    assert summary["tokenizer_format"] == "hf"
+    loaded = load_hf_tokenizer(tok)
+    assert loaded["type"] == "bpe" and len(loaded["merges"]) == 10
+    # byte-level: the non-ASCII chars only ever appear byte-rendered
+    assert all("é" not in l + r for l, r in loaded["merges"])
+    stored = spark.read.parquet(str(out)).orderBy("merge_rank").collect()
+    assert [(r["lhs"], r["rhs"]) for r in stored] == loaded["merges"]
+
+    res2 = CliRunner().invoke(
+        cli,
+        [
+            "corpus-train-tokenizer", "--input", str(src),
+            "--output", str(tmp_path / "m2.parquet"),
+            "--model", "unigram", "--pretokenize", "byte",
+        ],
+        catch_exceptions=False,
+    )
+    assert res2.exit_code != 0
+    assert "bpe only" in res2.output

@@ -555,3 +555,40 @@ def test_to_sequences_empty_merges_is_a_bpe_selection(spark):
     # And merges=[] ALONE still selects (character-level) BPE.
     rows = c.to_sequences(seq_len=4, merges=[], num_shards=1, pad_id=0).collect()
     assert rows and all(len(r["input_ids"]) == 4 for r in rows)
+
+
+def test_filter_fluency_trigram_and_byte_sequences(spark):
+    """Corpus.filter_fluency(model='trigram') gates on KN trigram NLL
+    (unscored short docs kept); Corpus.to_sequences(pretokenize='byte')
+    feeds byte-level BPE ids into the same single-exchange packer."""
+    from timefence_spark.corpus import Corpus
+    from timefence_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat again and again") for i in range(6)]
+        + [(50, "zq xv plorb")] + [(99, "too short")],
+        "doc_id long, text string",
+    )
+    c = Corpus(docs)
+    # repeated docs score ~0.09 mean NLL, the gibberish one ~0.72
+    # (its unique trigram is still "seen" under self-statistics, so
+    # the gap is discount-driven, not OOV-driven)
+    scored_kept = c.filter_fluency(max_nll=0.3, model="trigram")
+    ids = {r["doc_id"] for r in scored_kept.df.select("doc_id").collect()}
+    assert 99 in ids           # < 3 tokens: unscored, kept
+    assert set(range(6)) <= ids
+    assert 50 not in ids       # gibberish: high NLL, dropped
+
+    merges = c.train_bpe(n_merges=8, pretokenize="byte")
+    vocab = bpe.bpe_vocab(
+        docs, text_col="text", merges=merges, pretokenize="byte"
+    )
+    seqs = c.to_sequences(
+        seq_len=6, merges=merges, vocab=vocab, pretokenize="byte",
+        num_shards=2, pad_id=0,
+    )
+    rows = seqs.collect()
+    assert rows and all(len(r["input_ids"]) == 6 for r in rows)
+    assert all(
+        0 <= i < len(vocab) for r in rows for i in r["input_ids"]
+    )

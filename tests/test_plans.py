@@ -153,8 +153,13 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # (R, T) ride the same ONE-row aggregate broadcast cross join as
     # unigram_nll's LM scalars; per-bucket and per-doc joins are
     # equi-joins.
+    # trigram_nll (round 12): the continuation-unigram totals (B, V)
+    # ride the same ONE-row aggregate broadcast cross join as
+    # unigram_nll/bigram_nll; all KN statistic tables attach via
+    # equi-joins.
     allowed_bnlj = {
-        "knn_cosine", "unigram_nll", "bigram_nll", "fit_classifier",
+        "knn_cosine", "unigram_nll", "bigram_nll", "trigram_nll",
+        "fit_classifier",
         "bm25_rank", "knn_pq", "fluency_buckets", "fluency_buckets_lang",
         "temperature_mix", "knn_sq", "knn_binary", "knn_ivf_pq",
         "knn_pq_opq", "dsir_weights", "dsir_sample",

@@ -2514,3 +2514,30 @@ def test_ivf_pq_append_rotated_and_legacy_meta(spark, tmp_path):
     assert sim.ivf_pq_append(
         spark, idx, extra.limit(5), corpus_id="vec_id"
     ) == 2
+
+
+def test_ivf_flat_append(spark, tmp_path):
+    """ivf_append (round 12): the flat sibling of ivf_pq_append — new
+    vectors assign to the frozen persisted centroids and append as
+    list-partitioned files; searches see rows from both generations."""
+    import random
+
+    from timefence_spark.operators import similarity as sim
+
+    rng = random.Random(14)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    base, extra = emb.where("vec_id < 60"), emb.where("vec_id >= 60")
+    idx = str(tmp_path / "flat")
+    sim.ivf_build_index(base, corpus_id="vec_id", nlist=4, path=idx)
+    sim.ivf_append(spark, idx, extra, corpus_id="vec_id")
+    stored = spark.read.parquet(f"{idx}/corpus")
+    assert stored.count() == 90
+    got = sim.ivf_search(
+        spark, idx, emb.where("vec_id < 2"), query_id="vec_id", k=30,
+        nprobe=4,
+    )
+    hits = [r["neighbor_id"] for r in got.collect()]
+    assert any(h >= 60 for h in hits) and any(h < 60 for h in hits)

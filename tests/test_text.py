@@ -865,8 +865,9 @@ def test_fluency_buckets(spark):
             docs, id_col="doc_id", text_col="text", bounds=(0.8, 0.2)
         )
     with pytest.raises(ValueError, match="model"):
+        # trigram became a real model in round 12; 4-grams are not one
         text_ops.fluency_buckets(
-            docs, id_col="doc_id", text_col="text", model="trigram"
+            docs, id_col="doc_id", text_col="text", model="fourgram"
         )
 
 

@@ -1323,12 +1323,25 @@ def corpus_train_bpe(
               help="Also write a frozen tokenizer JSON artifact "
               "(bpe.load_tokenizer / unigram.load_unigram_tokenizer / "
               "wordpiece.load_wordpiece_tokenizer).")
+@click.option("--tokenizer-format", "tokenizer_format",
+              type=click.Choice(["native", "hf"]),
+              default="native", show_default=True,
+              help="Artifact layout for --save-tokenizer: this "
+              "package's JSON, or the HuggingFace tokenizer.json "
+              "layout training code consumes "
+              "(hf_tokenizer.load_hf_tokenizer reads it back).")
+@click.option("--pretokenize",
+              type=click.Choice(["whitespace", "byte"]),
+              default="whitespace", show_default=True,
+              help="[bpe] 'byte' trains GPT-2-style byte-level BPE: "
+              "merges form over byte-to-unicode renderings (full byte "
+              "coverage, no OOV characters).")
 @click.option("--json", "json_out", is_flag=True,
               help="Machine-readable summary.")
 def corpus_train_tokenizer(
     input_path, output_path, model_kind, id_col, text_col, n_merges,
     merges_per_round, vocab_size, max_piece_len, em_iters,
-    tokenizer_path, json_out,
+    tokenizer_path, tokenizer_format, pretokenize, json_out,
 ) -> None:
     """Train a subword tokenizer from a document corpus — BPE (greedy
     merges; see corpus-train-bpe, which this command supersedes),
@@ -1344,9 +1357,14 @@ def corpus_train_tokenizer(
     spark = get_spark()
     df = read_parquet(spark, input_path)
     corpus = Corpus(df, id_col=id_col, text_col=text_col)
+    if pretokenize != "whitespace" and model_kind != "bpe":
+        raise click.UsageError(
+            "--pretokenize byte applies to --model bpe only"
+        )
     if model_kind == "bpe":
         merges = corpus.train_bpe(
-            n_merges=n_merges, merges_per_round=merges_per_round
+            n_merges=n_merges, merges_per_round=merges_per_round,
+            pretokenize=pretokenize,
         )
         spark.createDataFrame(
             [(i, l, r) for i, (l, r) in enumerate(merges)],
@@ -1355,8 +1373,14 @@ def corpus_train_tokenizer(
         if tokenizer_path:
             from timefence_spark.operators import bpe
 
-            vocab = bpe.bpe_vocab(df, text_col=text_col, merges=merges)
-            bpe.save_tokenizer(tokenizer_path, merges=merges, vocab=vocab)
+            vocab = bpe.bpe_vocab(
+                df, text_col=text_col, merges=merges,
+                pretokenize=pretokenize,
+            )
+            bpe.save_tokenizer(
+                tokenizer_path, merges=merges, vocab=vocab,
+                format=tokenizer_format,
+            )
         learned = len(merges)
     elif model_kind == "wordpiece":
         merges = corpus.train_wordpiece(n_merges=n_merges)
@@ -1371,7 +1395,8 @@ def corpus_train_tokenizer(
                 df, text_col=text_col
             )
             wordpiece.save_wordpiece_tokenizer(
-                tokenizer_path, merges=merges, alphabet=alphabet
+                tokenizer_path, merges=merges, alphabet=alphabet,
+                format=tokenizer_format,
             )
         learned = len(merges)
     else:
@@ -1386,7 +1411,9 @@ def corpus_train_tokenizer(
         if tokenizer_path:
             from timefence_spark.operators import unigram
 
-            unigram.save_unigram_tokenizer(tokenizer_path, model=model)
+            unigram.save_unigram_tokenizer(
+                tokenizer_path, model=model, format=tokenizer_format
+            )
         learned = len(model)
     summary = {
         "input": input_path,
@@ -1394,6 +1421,8 @@ def corpus_train_tokenizer(
         "model": model_kind,
         "n_learned": learned,
         "tokenizer": tokenizer_path,
+        "tokenizer_format": tokenizer_format if tokenizer_path else None,
+        "pretokenize": pretokenize,
     }
     if json_out:
         click.echo(json.dumps(summary))
@@ -1504,6 +1533,46 @@ def embeddings_build_index(
             f"embeddings-build-index: IVF-PQ(nlist={nlist}, m={m_sub}, "
             f"nbits={nbits}, residual={residual}, opq={opq_method}) "
             f"-> {index_path}"
+        )
+
+
+@cli.command("embeddings-append-index")
+@click.option("--index", "index_path", required=True,
+              help="Index directory from embeddings-build-index.")
+@click.option("--input", "input_path", required=True,
+              help="NEW embeddings parquet to add (id + vector columns).")
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+@click.option("--json", "json_out", is_flag=True)
+def embeddings_append_index(
+    index_path, input_path, id_col, vec_col, json_out
+) -> None:
+    """Append new rows to a persisted IVF-PQ index without retraining
+    (similarity.ivf_pq_append): the new vectors encode against the
+    index's FROZEN centroids/codebook/rotation and land as appended
+    list-partitioned code files; the meta generation counter bumps.
+    Rebuild (embeddings-build-index) when the data distribution has
+    drifted from the trained model."""
+    from timefence_spark.engine import get_spark
+    from timefence_spark.operators import similarity
+    from timefence_spark.sources.readers import read_parquet
+
+    spark = get_spark()
+    df = read_parquet(spark, input_path)
+    generation = similarity.ivf_pq_append(
+        spark, index_path, df, corpus_id=id_col, corpus_vec=vec_col
+    )
+    summary = {
+        "index": index_path,
+        "appended_from": input_path,
+        "generation": generation,
+    }
+    if json_out:
+        click.echo(json.dumps(summary))
+    else:
+        click.echo(
+            f"embeddings-append-index: {input_path} -> {index_path} "
+            f"(generation {generation})"
         )
 
 

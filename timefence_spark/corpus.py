@@ -257,14 +257,17 @@ class Corpus:
         text.unigram_logprob; ``model='bigram'`` with the interpolated
         text.bigram_logprob (``lm`` is then a (w_prev, word,
         n_occurrences) table from text.bigram_frequencies; pass
-        ``lm_unigram=`` through ``kwargs`` for the backoff table).
+        ``lm_unigram=`` through ``kwargs`` for the backoff table);
+        ``model='trigram'`` with the Kneser-Ney text.trigram_logprob
+        (``lm`` = text.trigram_frequencies output; ``lm_bigram=``
+        through ``kwargs``).
 
         Unscored documents are KEPT — token-less docs under 'unigram',
-        docs with < 2 tokens under 'bigram' — the gate measures fluency,
-        not emptiness, mirroring filter_pii's keep-NULL-text policy.
-        Chain ``filter_quality`` first to drop empties. Implemented as an
-        anti-join on the over-threshold ids so unscored documents pass
-        through."""
+        docs with < 2 tokens under 'bigram', < 3 under 'trigram' — the
+        gate measures fluency, not emptiness, mirroring filter_pii's
+        keep-NULL-text policy. Chain ``filter_quality`` first to drop
+        empties. Implemented as an anti-join on the over-threshold ids
+        so unscored documents pass through."""
         if model == "unigram":
             scored = text.unigram_logprob(
                 self.df, id_col=self.id_col, text_col=self.text_col,
@@ -275,9 +278,15 @@ class Corpus:
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 lm=lm, **kwargs,
             )
+        elif model == "trigram":
+            scored = text.trigram_logprob(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                lm=lm, **kwargs,
+            )
         else:
             raise ValueError(
-                f"model must be 'unigram' or 'bigram', got {model!r}"
+                f"model must be 'unigram', 'bigram', or 'trigram', "
+                f"got {model!r}"
             )
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
@@ -398,7 +407,7 @@ class Corpus:
 
     def train_bpe(
         self, *, n_merges: int = 100, checkpoint_every: int = 10,
-        merges_per_round: int = 1,
+        merges_per_round: int = 1, pretokenize: str = "whitespace",
     ) -> list[tuple[str, str]]:
         """Learn a BPE merge table FROM this corpus (distributed
         Sennrich trainer, see bpe.train_bpe_spark) — feed it into
@@ -406,14 +415,15 @@ class Corpus:
         to close the train -> tokenize loop with a corpus-fitted
         tokenizer instead of the vendored demo merges.
         ``merges_per_round`` batches driver round-trips for large
-        vocabularies (see bpe.train_bpe_spark). Returns the merge list
-        (driver-side, vocabulary-bounded), not a Corpus."""
+        vocabularies; ``pretokenize='byte'`` trains GPT-2-style
+        byte-level BPE (see bpe.train_bpe_spark). Returns the merge
+        list (driver-side, vocabulary-bounded), not a Corpus."""
         from timefence_spark.operators import bpe
 
         return bpe.train_bpe_spark(
             self.df, text_col=self.text_col, n_merges=n_merges,
             checkpoint_every=checkpoint_every,
-            merges_per_round=merges_per_round,
+            merges_per_round=merges_per_round, pretokenize=pretokenize,
         )
 
     def train_unigram(
@@ -850,6 +860,7 @@ class Corpus:
         oov_id: int | None = None,
         unigram_model: list[tuple[str, int, int]] | None = None,
         wordpiece_vocab: list[str] | None = None,
+        pretokenize: str = "whitespace",
         num_shards: int = 64,
         salt: str = "",
         hash_fn: str = "xxhash64",
@@ -910,6 +921,7 @@ class Corpus:
             encoded = bpe_ops.encode_documents(
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 merges=merges, vocab=vocab, oov_id=oov_id,
+                pretokenize=pretokenize,
             )
         return pack_sequences(
             encoded, id_col=self.id_col, ids_col="token_ids",

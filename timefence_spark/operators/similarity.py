@@ -1121,6 +1121,38 @@ def ivf_build_index(
         .parquet(f"{path}/corpus")
 
 
+def ivf_append(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    compute: str = "expr",
+) -> None:
+    """Append rows to a persisted :func:`ivf_build_index` (IVF-FLAT)
+    index without re-sampling centroids — the flat sibling of
+    :func:`ivf_pq_append`: new vectors assign to the FROZEN persisted
+    centroids and land as appended list-partitioned files under
+    ``<path>/corpus``. Same Faiss ``add()`` semantics and same caveats
+    (caller owns id uniqueness; drifted distributions degrade recall
+    gracefully — rebuild when the model ages out)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assign = _ivf_assign_factory(cents, compute=compute, nlist=None)
+    assigned = assign(
+        new_corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+        ),
+        "neighbor_id", "__cv", 1,
+    )
+    assigned.select(
+        "neighbor_id", F.col("__cv").alias("vector"), "centroid_id"
+    ).write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/corpus"
+    )
+
+
 def ivf_search(
     spark,
     path: str,
