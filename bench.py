@@ -213,6 +213,14 @@ BENCH_QUERIES = [
     "train_bpe",
     "bpe_encode",
     "pack_sequences",
+    # Round-12: byte-level BPE training — the same size-gated trainer
+    # over byte-to-unicode-rendered word types; the delta vs train_bpe
+    # prices the hex + table-lookup rendering projection.
+    "train_bpe_byte",
+    # Round-12: Kneser-Ney trigram fluency — the bigram_nll shape one
+    # n-gram up (triple explode + pre-agg + five KN statistic joins,
+    # all vocabulary-scale, + one-row continuation totals).
+    "trigram_nll",
     # Round-11: unigram-LM tokenizer — trainer (word-type table + one
     # substring-seed shuffle + per-EM-round segment-and-count) and the
     # pure-JVM Viterbi encoder (one broadcast model map, zero shuffle).

@@ -1078,6 +1078,12 @@ def build(
         # TimefenceDuplicateError must surface before the first output
         # side effect (and before config errors from the write options,
         # matching the classic sequential ordering).
+        # (r12 experiment, measured and REJECTED: pre-filling the persist
+        # cache with a background noop write to overlap this wait made
+        # 1m_x10 ~20% SLOWER warm and ~75% slower cold — the standalone
+        # fill pays the full pipeline + columnar cache build serially,
+        # while inside the write AQE overlaps those stages with the
+        # sample/sort work. Keep the single-materialization shape.)
         _resolve_dup_checks()
         _emit("Writing output")
         if part_list:
