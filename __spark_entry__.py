@@ -1260,6 +1260,72 @@ ORACLE_CORPUS_STATS = r"""
 """
 
 
+HASH_EMBED_DIMS = 16
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing-trick text embeddings (new in round 12):
+    signed feature hashing (Weinberger et al. 2009) — every word maps
+    to one of 16 buckets by the portable content hash, contributes
+    +/-1 by an independent sign hash, counts accumulate, L2 normalize.
+    The dependency-free embedder that closes the text -> embedding ->
+    ANN/semantic-dedup loop inside the engine (text.hash_embed); the
+    oracle rebuilds every vector bit-for-bit from the same md5-derived
+    buckets/signs. Emitted exploded as (doc_id, dim_idx, val)."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    emb = text.hash_embed(
+        docs, id_col="doc_id", text_col="text", dims=HASH_EMBED_DIMS,
+        hash_fn="md5",
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "val")
+    )
+
+
+ORACLE_HASH_EMBED = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(toks) AS gram
+        FROM t WHERE len(toks) >= 1
+    ), hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('b:' || gram), 1, 15)) AS BIGINT)
+                   % 2147483647 % {HASH_EMBED_DIMS} AS b,
+               CASE WHEN CAST(('0x' || substr(md5('s:' || gram), 1, 15))
+                              AS BIGINT) % 2147483647 % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM g
+    ), pb AS (
+        SELECT doc_id, b, SUM(s) AS w FROM hb GROUP BY 1, 2
+    ), es AS (
+        SELECT doc_id, list(struct_pack(b := b, w := w)) AS entries
+        FROM pb GROUP BY 1
+    ), dense AS (
+        SELECT doc_id,
+               list_transform(range(0, {HASH_EMBED_DIMS}), i ->
+                   coalesce(list_reduce(
+                       list_transform(entries, e ->
+                           CASE WHEN e.b = i THEN e.w ELSE 0.0 END),
+                       (a, b) -> a + b), 0.0)) AS v
+        FROM es
+    ), normed AS (
+        SELECT doc_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS n
+        FROM dense
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS dim_idx,
+           ROUND(CASE WHEN n = 0 THEN v[CAST(i AS INT) + 1]
+                      ELSE v[CAST(i AS INT) + 1] / n END, 6) AS val
+    FROM normed, unnest(range(0, {HASH_EMBED_DIMS})) AS u(i)
+"""
+
+
 def q_gram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-corpus n-gram duplication rate (Lee et al.
     2022 memorization-risk signal): fraction of each doc's 5-grams that
@@ -6124,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,  # new in round 11
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,  # new in round 11
         "gram_duplication": q_gram_duplication,  # new in round 10
+        "hash_embed": q_hash_embed,  # new in round 12
         "corpus_stats": q_corpus_stats,  # new in round 10
         "code_signals": q_code_signals,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
@@ -6317,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": ORACLE_MMR_RERANK.strip(),
         "knn_lsh_multiprobe": _oracle_knn_lsh_multiprobe_sql(),
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
+        "hash_embed": ORACLE_HASH_EMBED,
         "corpus_stats": ORACLE_CORPUS_STATS,
         "code_signals": _oracle_code_signals_sql(),
         "strip_html": ORACLE_STRIP_HTML,

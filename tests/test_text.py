@@ -1319,3 +1319,74 @@ def test_fluency_buckets_trigram_model(spark):
         text_ops.fluency_buckets(
             docs, id_col="doc_id", text_col="text", model="fourgram"
         )
+
+
+def test_hash_embed_properties(spark):
+    """hash_embed (round 12): identical text -> identical unit vector;
+    near-identical docs are cosine-close while disjoint-vocabulary docs
+    are not; zero-gram docs emit no row; md5 and xxhash64 modes share
+    every structural property."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a sleepy dog"),
+            (3, "zq xv plorb gnarf wibble"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in ("xxhash64", "md5"):
+        out = {
+            r["doc_id"]: list(r["embedding"])
+            for r in text_ops.hash_embed(
+                docs, id_col="doc_id", text_col="text", dims=32,
+                hash_fn=fn,
+            ).collect()
+        }
+        assert set(out) == {0, 1, 2, 3}
+        assert out[0] == out[1]
+        assert all(len(v) == 32 for v in out.values())
+        norms = {
+            k: math.sqrt(sum(x * x for x in v)) for k, v in out.items()
+        }
+        assert all(abs(n - 1.0) < 1e-4 for n in norms.values())
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        assert cos(out[0], out[2]) > 0.6          # 8/9 shared words
+        assert cos(out[0], out[3]) < cos(out[0], out[2])
+
+    with pytest.raises(ValueError, match="dims"):
+        text_ops.hash_embed(docs, id_col="doc_id", text_col="text", dims=1)
+    with pytest.raises(ValueError, match="ngram"):
+        text_ops.hash_embed(
+            docs, id_col="doc_id", text_col="text", ngram=0
+        )
+
+
+def test_hash_embed_closes_semantic_dedup_loop(spark):
+    """The in-engine text -> embedding -> semantic-dedup composition:
+    Corpus.embed feeds dedup_semantic, and near-duplicate documents
+    (one word changed) collapse while distinct content survives —
+    no external model anywhere."""
+    from timefence_spark.corpus import Corpus
+
+    base = "the planner pushes the filter below the join and prunes row groups"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("prunes", "skips")),       # near-dup of 1
+            (3, "completely different musings about cooking pasta al dente"),
+        ],
+        "doc_id long, text string",
+    )
+    c = Corpus(docs)
+    emb = c.embed(dims=64)
+    survived = c.dedup_semantic(emb, n_clusters=1, threshold=0.8)
+    ids = {r["doc_id"] for r in survived.df.select("doc_id").collect()}
+    assert ids == {1, 3}, ids

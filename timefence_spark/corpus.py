@@ -291,6 +291,22 @@ class Corpus:
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def embed(
+        self, *, dims: int = 64, ngram: int = 1, **kwargs
+    ) -> DataFrame:
+        """Deterministic hashing-trick embeddings for this corpus
+        (text.hash_embed: signed feature hashing, L2-normalized) — the
+        (id, embedding) table :meth:`dedup_semantic` /
+        :meth:`decontaminate_semantic` and the similarity operators
+        consume, with no external model. Documents with zero tokens
+        emit no row (they then pass semantic stages unscored, the
+        keep-unscored policy). A trained-model embedder slots in at the
+        same (id, vector) boundary."""
+        return text.hash_embed(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            dims=dims, ngram=ngram, **kwargs,
+        )
+
     def code_signals(self, **kwargs) -> DataFrame:
         """Code-vs-prose routing signals per document
         (text.code_signals): join back on the id to split the corpus

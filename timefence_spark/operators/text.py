@@ -858,6 +858,109 @@ def ngram_frequencies(
     return out.limit(top_k) if top_k is not None else out
 
 
+def hash_embed(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    dims: int = 64,
+    ngram: int = 1,
+    hash_fn: str = "xxhash64",
+    normalize: bool = True,
+    round_to: int | None = 6,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic text embeddings via SIGNED FEATURE HASHING
+    (the hashing trick, Weinberger et al. 2009): every word n-gram maps
+    to one of ``dims`` buckets by hash, contributes +1/-1 by an
+    independent sign hash (the signs make collisions cancel in
+    expectation, keeping inner products unbiased), counts accumulate,
+    and the vector optionally L2-normalizes. Returns (id, out_col:
+    array<double>); documents with zero grams emit NO row (the
+    keep-unscored convention of the logprob family).
+
+    This is the dependency-free embedder that closes the
+    text -> embedding -> ANN/semantic-dedup loop inside the engine:
+    ``hash_embed`` -> :func:`similarity.semantic_dedup` /
+    :func:`similarity.cosine_topk` works end-to-end with no external
+    model, and because buckets/signs derive from the portable content
+    hash (``hash_fn='md5'``), an external SQL oracle reproduces every
+    vector bit-for-bit. A trained-model embedder slots in at the same
+    (id, vector) boundary.
+
+    100 TB shape: gram construction is scan-local; one (id, bucket)
+    pre-aggregated shuffle (at most ``min(dims, grams)`` rows per doc)
+    plus the per-doc gather — the word_frequencies plan keyed by doc.
+    The vector materializes from a bucket->weight map with one
+    ``sequence(0, dims-1)`` transform; normalization binds the raw
+    vector once (single-element-transform trick) so the norm fold does
+    not re-evaluate it per element."""
+    from timefence_spark.operators.dedup import _content_hash
+
+    if dims < 2:
+        raise ValueError(f"dims must be >= 2, got {dims}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    sz = _nsize(toks, F.col(text_col).isNotNull())
+    if ngram == 1:
+        grams = F.when(sz >= 1, toks)
+    else:
+        grams = F.when(
+            sz >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), sz - ngram),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+            ),
+        )
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    # Independent salts for bucket and sign: deriving both from ONE hash
+    # (e.g. h % dims and h % 2) correlates sign with bucket parity for
+    # even dims, biasing every even-bucket weight positive.
+    bucket = F.pmod(
+        _content_hash(F.concat(F.lit("b:"), F.col("__g")), hash_fn),
+        F.lit(int(dims)),
+    )
+    sign = F.when(
+        F.pmod(
+            _content_hash(F.concat(F.lit("s:"), F.col("__g")), hash_fn),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    per_bucket = (
+        g.select(F.col(id_col), bucket.alias("__b"), sign.alias("__s"))
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__w"))
+    )
+    gathered = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__w")))
+        ).alias("__m")
+    )
+    raw = (
+        f"transform(sequence(0, {int(dims) - 1}), "
+        "i -> coalesce(element_at(`__m`, i), 0D))"
+    )
+    if normalize:
+        # All-zero vectors (signs cancelled in every bucket) stay zero
+        # instead of dividing by a zero norm.
+        vec = (
+            f"element_at(transform(array({raw}), V -> "
+            "element_at(transform("
+            "array(sqrt(aggregate(V, 0D, (acc, x) -> acc + x * x))), "
+            "N -> IF(N = 0D, V, transform(V, x -> x / N))), 1)), 1)"
+        )
+    else:
+        vec = raw
+    if round_to is not None:
+        vec = f"transform({vec}, x -> round(x, {int(round_to)}))"
+    return gathered.select(
+        F.col(id_col), F.expr(vec).alias(out_col)
+    )
+
+
 # Default code-keyword lexicon for code_signals: identifiers common in
 # source code across mainstream languages and RARE in prose (English
 # stopword-ish keywords like if/for/while/true are deliberately absent —
