@@ -217,6 +217,10 @@ BENCH_QUERIES = [
     # over byte-to-unicode-rendered word types; the delta vs train_bpe
     # prices the hex + table-lookup rendering projection.
     "train_bpe_byte",
+    # Round-12: hashing-trick embeddings — scan-local grams, one
+    # (id, bucket) pre-agg shuffle, per-doc map gather. The row prices
+    # the whole-corpus embed step that feeds semantic dedup / ANN.
+    "hash_embed",
     # Round-12: Kneser-Ney trigram fluency — the bigram_nll shape one
     # n-gram up (triple explode + pre-agg + five KN statistic joins,
     # all vocabulary-scale, + one-row continuation totals).
