@@ -668,7 +668,8 @@ def test_filter_fluency_bigram_model(spark):
     }
     assert kept == {1, 2, 4}
     with pytest.raises(ValueError, match="model"):
-        Corpus(docs).filter_fluency(max_nll=1.0, model="trigram")
+        # trigram became a real model in round 12; 4-grams are not one
+        Corpus(docs).filter_fluency(max_nll=1.0, model="fourgram")
 
 
 def test_fit_classifier_known_answers(spark):
