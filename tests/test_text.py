@@ -556,6 +556,33 @@ def test_null_text_portable_across_size_semantics(spark, ansi, legacy):
             spark.conf.set(k, v)
 
 
+def test_hash_embed_ansi_mode(spark):
+    """hash_embed gathers the dense vector from a sparse bucket map —
+    most keys are MISSING by construction, and under
+    spark.sql.ansi.enabled=true a plain element_at on a missing map key
+    throws MAP_KEY_DOES_NOT_EXIST. The gather uses try_element_at
+    (ADVICE r12), so the vectors must be identical across configs."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box")],
+        "doc_id long, text string",
+    )
+    saved = spark.conf.get("spark.sql.ansi.enabled")
+    out = {}
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            out[ansi] = {
+                r["doc_id"]: r["embedding"]
+                for r in text_ops.hash_embed(
+                    df, id_col="doc_id", text_col="text", dims=16
+                ).collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved)
+    assert out["true"] == out["false"]
+    assert len(out["true"][1]) == 16
+
+
 def test_chunk_documents_empty_and_whitespace_docs(spark):
     """ADVICE r7: empty-string and whitespace-only documents must produce
     NO chunks at the default min_tokens=1 (split('') yields [''], which
@@ -1284,19 +1311,34 @@ def test_trigram_logprob_known_answers(spark):
     assert det == {i: out[i]["mean_nll"] for i in out}
 
     # external LM that never saw (b, c, a): transition is OOV but still
-    # scored via the KN backoff chain
+    # scored via the KN backoff chain. lm and lm_bigram come from the
+    # same (tiny) corpus, as the contract requires.
     lm = spark.createDataFrame(
         [("a", "b", "c", 2), ("a", "b", "d", 1)],
         "w1 string, w2 string, word string, n_occurrences long",
     )
+    lm_bi = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("b", "d", 1)],
+        "w_prev string, word string, n_occurrences long",
+    )
     ext = {
         r["doc_id"]: r
         for r in text_ops.trigram_logprob(
-            docs, id_col="doc_id", text_col="text", lm=lm
+            docs, id_col="doc_id", text_col="text", lm=lm, lm_bigram=lm_bi
         ).collect()
     }
     assert 0.0 < ext[1]["oov_frac"] < 1.0
     assert ext[1]["mean_nll"] > 0.0
+
+    # exactly one of lm / lm_bigram mixes two models' statistics
+    with pytest.raises(ValueError, match="BOTH"):
+        text_ops.trigram_logprob(
+            docs, id_col="doc_id", text_col="text", lm=lm
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        text_ops.trigram_logprob(
+            docs, id_col="doc_id", text_col="text", lm_bigram=lm_bi
+        )
 
     with pytest.raises(ValueError, match="discount"):
         text_ops.trigram_logprob(

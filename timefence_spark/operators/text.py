@@ -939,9 +939,13 @@ def hash_embed(
             F.collect_list(F.struct(F.col("__b"), F.col("__w")))
         ).alias("__m")
     )
+    # try_element_at: under spark.sql.ansi.enabled=true a plain
+    # element_at on a missing map key raises MAP_KEY_DOES_NOT_EXIST —
+    # and most keys ARE missing here (the map holds only touched
+    # buckets). try_ returns NULL on both configs (ADVICE r12).
     raw = (
         f"transform(sequence(0, {int(dims) - 1}), "
-        "i -> coalesce(element_at(`__m`, i), 0D))"
+        "i -> coalesce(try_element_at(`__m`, i), 0D))"
     )
     if normalize:
         # All-zero vectors (signs cancelled in every bucket) stay zero
@@ -1516,10 +1520,17 @@ def trigram_logprob(
 
     ``lm`` is a (w1, w2, word, n_occurrences) table from
     :func:`trigram_frequencies`; ``lm_bigram`` the matching bigram table
-    (both ``None``: this corpus's own statistics). All KN statistics —
-    context totals, continuation counts, type counts — derive from
-    those two TYPE tables with vocabulary-scale aggregations; nothing
-    corpus-sized is re-shuffled.
+    (both ``None``: this corpus's own statistics). Pass BOTH or NEITHER
+    — the continuation-unigram backoff (N1p(.w), B, V) derives from
+    ``lm_bigram``, so supplying only ``lm`` would silently mix the
+    external trigram model with the scored corpus's own bigram
+    statistics (ADVICE r12); it raises instead. The two tables must
+    come from the SAME corpus, and a ``top_k``-truncated ``lm`` yields
+    inconsistent context totals (c(uv.) under-counts dropped types) —
+    train untruncated, like :func:`bigram_logprob` documents. All KN
+    statistics — context totals, continuation counts, type counts —
+    derive from those two TYPE tables with vocabulary-scale
+    aggregations; nothing corpus-sized is re-shuffled.
 
     Returns ``(id, n_trigrams, oov_frac, mean_nll)`` over the document's
     trigram positions: ``oov_frac`` = fraction unseen at the trigram
@@ -1530,6 +1541,13 @@ def trigram_logprob(
     :func:`unigram_logprob`/:func:`bigram_logprob`."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if (lm is None) != (lm_bigram is None):
+        raise ValueError(
+            "pass BOTH lm and lm_bigram (from the same corpus) or "
+            "NEITHER — the KN unigram backoff derives from lm_bigram, "
+            "and mixing an external trigram model with this corpus's "
+            "own bigrams scores under two different models"
+        )
     if lm is None:
         lm = trigram_frequencies(df, id_col=id_col, text_col=text_col)
     if lm_bigram is None:
