@@ -1625,6 +1625,83 @@ def _oracle_train_bpe_byte_sql() -> str:
     return ORACLE_TRAIN_BPE.replace(plain_words, byte_words, 1)
 
 
+def q_train_bpe_gpt2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2 BPE training (new in round 13, VERDICT r12 item 4): the
+    published GPT-2 split regex (contractions, space-prefixed
+    letter/digit/punct runs, whitespace-run handling) replaces the
+    whitespace split — applied JVM-side via regexp_extract_all (Java
+    regex handles the pattern's lookahead natively) — then the byte
+    rendering and merge loop run unchanged, so leading spaces become
+    the Ġ convention and merges can span them. This is the mode whose
+    HF export (ByteLevel pre_tokenizer) round-trips through the
+    HuggingFace tokenizers library. See operators/bpe.GPT2_SPLIT_REGEX
+    / gpt2_split."""
+    from timefence_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    merges = bpe.train_bpe_spark(
+        docs, text_col="text", n_merges=TRAIN_BPE_MERGES,
+        pretokenize="gpt2",
+    )
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def _oracle_train_bpe_gpt2_sql() -> str:
+    """ORACLE_TRAIN_BPE with the words CTE swapped for GPT-2 regex
+    pieces + byte rendering. RE2 (DuckDB's regex engine) has no
+    lookahead, so the pattern's `\\s+(?!\\S)` is replayed with a
+    SENTINEL construction: a chr(1) marker is first inserted between
+    each whitespace run's last character and the following
+    non-whitespace (one global regexp_replace), the alternation then
+    matches sentinel-prefixed pieces with plain greedy classes, and the
+    sentinel is stripped from the extracted pieces — verified
+    piece-for-piece identical to Java's lookahead evaluation and the
+    Python scanner (tests/test_text.py). Assumes chr(1) does not occur
+    in the corpus (it never does in real text)."""
+    from timefence_spark.operators.bpe import byte_unicode_table
+
+    plain_words = """words AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),"""
+    tbl = byte_unicode_table().replace("'", "''")
+    # lookahead-free GPT-2 alternation over the sentinel-marked text
+    pat = (
+        r"''s|''t|''re|''ve|''m|''ll|''d"
+        r"|\x01? ?\p{L}+|\x01? ?\p{N}+|\x01? ?[^\s\x01\p{L}\p{N}]+"
+        r"|\x01?\s+"
+    )
+    gpt2_words = f"""rawwords AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT replace(unnest(regexp_extract_all(
+                  regexp_replace(text, '(\\s)(\\S)',
+                                 chr(1) || '\\1\\2', 'g'),
+                  '{pat}')), chr(1), '') AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    words AS (
+        SELECT array_to_string(list_transform(
+                   range(1, length(hex(w)) // 2 + 1),
+                   i -> substr('{tbl}',
+                               ('0x' || substr(hex(w),
+                                               CAST(i * 2 - 1 AS INT),
+                                               2))::INT + 1,
+                               1)), '') AS w,
+               freq
+        FROM rawwords
+    ),"""
+    assert plain_words in ORACLE_TRAIN_BPE, "train_bpe words CTE drifted"
+    return ORACLE_TRAIN_BPE.replace(plain_words, gpt2_words, 1)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (VERDICT r10 item 3) — trainer + encoder entries.
 # Fixed hyperparameters shared by the Spark queries and the SQL replay.
@@ -6195,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_signals": q_code_signals,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
         "train_bpe_byte": q_train_bpe_byte,  # new in round 12
+        "train_bpe_gpt2": q_train_bpe_gpt2,  # new in round 13
         "bpe_encode": q_bpe_encode,  # new in round 9
         "bpe_encode_trained": q_bpe_encode_trained,  # new in round 9
         "temperature_mix": q_temperature_mix,  # new in round 9
@@ -6307,6 +6385,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_encode": ORACLE_WORDPIECE_ENCODE.strip(),
         "train_bpe": ORACLE_TRAIN_BPE,
         "train_bpe_byte": _oracle_train_bpe_byte_sql(),
+        "train_bpe_gpt2": _oracle_train_bpe_gpt2_sql(),
         "bpe_encode": _oracle_bpe_encode_sql(),
         "bpe_encode_trained": _oracle_bpe_encode_trained_sql(),
         "temperature_mix": ORACLE_TEMPERATURE_MIX,

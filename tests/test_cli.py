@@ -645,7 +645,8 @@ def test_corpus_train_bpe_cli(tmp_path, spark):
         tmp_path,
     )
     assert r.exit_code == 0, r.output
-    merges2, vocab2 = bpe.load_tokenizer(tok)
+    merges2, vocab2, pre2 = bpe.load_tokenizer(tok)
+    assert pre2 == "whitespace"
     assert merges2 == got
     assert vocab2 == sorted(set(vocab2))  # lexicographic id space
     assert all(a + b in vocab2 for a, b in merges2)
@@ -746,10 +747,12 @@ def test_cli_embeddings_index_and_search(spark, tmp_path):
 def test_corpus_train_tokenizer_hf_format_and_byte_pretokenize(
     tmp_path, spark
 ):
-    """corpus-train-tokenizer (round 12): --tokenizer-format hf writes a
-    HuggingFace tokenizer.json the generic loader reads back, and
-    --pretokenize byte trains byte-level BPE; byte mode is rejected for
-    non-BPE families."""
+    """corpus-train-tokenizer (rounds 12-13): --tokenizer-format hf
+    writes a HuggingFace tokenizer.json the generic loader reads back
+    (--pretokenize gpt2 -> ByteLevel pre_tokenizer); --pretokenize byte
+    still trains + saves natively but is REJECTED for hf export (no
+    equivalent pre_tokenizer — ADVICE r12), and byte/gpt2 modes are
+    rejected for non-BPE families."""
     import json as _json
 
     from click.testing import CliRunner
@@ -769,7 +772,7 @@ def test_corpus_train_tokenizer_hf_format_and_byte_pretokenize(
         [
             "corpus-train-tokenizer", "--input", str(src),
             "--output", str(out), "--model", "bpe",
-            "--n-merges", "10", "--pretokenize", "byte",
+            "--n-merges", "10", "--pretokenize", "gpt2",
             "--save-tokenizer", str(tok),
             "--tokenizer-format", "hf", "--json",
         ],
@@ -777,14 +780,49 @@ def test_corpus_train_tokenizer_hf_format_and_byte_pretokenize(
     )
     assert res.exit_code == 0, res.output
     summary = _json.loads(res.output.strip().splitlines()[-1])
-    assert summary["pretokenize"] == "byte"
+    assert summary["pretokenize"] == "gpt2"
     assert summary["tokenizer_format"] == "hf"
+    data = _json.loads(tok.read_text())
+    assert data["pre_tokenizer"]["type"] == "ByteLevel"
     loaded = load_hf_tokenizer(tok)
     assert loaded["type"] == "bpe" and len(loaded["merges"]) == 10
+    assert loaded["pretokenize"] == "gpt2"
     # byte-level: the non-ASCII chars only ever appear byte-rendered
     assert all("é" not in l + r for l, r in loaded["merges"])
     stored = spark.read.parquet(str(out)).orderBy("merge_rank").collect()
     assert [(r["lhs"], r["rhs"]) for r in stored] == loaded["merges"]
+
+    # --pretokenize byte trains and saves natively...
+    tok_b = tmp_path / "tok_byte.json"
+    res_b = CliRunner().invoke(
+        cli,
+        [
+            "corpus-train-tokenizer", "--input", str(src),
+            "--output", str(tmp_path / "mb.parquet"), "--model", "bpe",
+            "--n-merges", "5", "--pretokenize", "byte",
+            "--save-tokenizer", str(tok_b), "--json",
+        ],
+        catch_exceptions=False,
+    )
+    assert res_b.exit_code == 0, res_b.output
+    from timefence_spark.operators import bpe as bpe_ops
+
+    _, _, pre_b = bpe_ops.load_tokenizer(tok_b)
+    assert pre_b == "byte"
+    # ...but byte + hf export is a usage error
+    res_bh = CliRunner().invoke(
+        cli,
+        [
+            "corpus-train-tokenizer", "--input", str(src),
+            "--output", str(tmp_path / "mbh.parquet"), "--model", "bpe",
+            "--n-merges", "5", "--pretokenize", "byte",
+            "--save-tokenizer", str(tmp_path / "t.json"),
+            "--tokenizer-format", "hf",
+        ],
+        catch_exceptions=False,
+    )
+    assert res_bh.exit_code != 0
+    assert "gpt2" in res_bh.output
 
     res2 = CliRunner().invoke(
         cli,

@@ -54,14 +54,71 @@ def test_bpe_hf_roundtrip(spark, docs, tmp_path):
         for m in data["model"]["merges"]
     )
 
-    m2, v2 = bpe.load_tokenizer(p)
-    assert m2 == merges and v2 == vocab
+    m2, v2, pre2 = bpe.load_tokenizer(p)
+    assert m2 == merges and v2 == vocab and pre2 == "whitespace"
     after = _ids(
         bpe.encode_documents(
             docs, id_col="doc_id", text_col="text", merges=m2, vocab=v2
         )
     )
     assert after == before
+
+
+def test_bpe_hf_roundtrip_gpt2(spark, docs, tmp_path):
+    """GPT-2-mode HF round trip (VERDICT r12 item 4): the export
+    carries the ByteLevel pre_tokenizer/decoder pair (what the
+    `tokenizers` library needs to segment with the GPT-2 regex and
+    byte-render, i.e. to reproduce bpe.gpt2_split + byte_render
+    exactly), the reimported model encodes id-identically, and
+    pretokenize='byte' exports are rejected (ADVICE r12 — they would
+    silently mis-encode)."""
+    from timefence_spark.operators import bpe
+
+    merges = bpe.train_bpe_spark(
+        docs, text_col="text", n_merges=12, pretokenize="gpt2"
+    )
+    vocab = bpe.bpe_vocab(
+        docs, text_col="text", merges=merges, pretokenize="gpt2"
+    )
+    before = _ids(
+        bpe.encode_documents(
+            docs, id_col="doc_id", text_col="text", merges=merges,
+            vocab=vocab, pretokenize="gpt2",
+        )
+    )
+
+    p = tmp_path / "gpt2_tokenizer.json"
+    bpe.save_tokenizer(
+        p, merges=merges, vocab=vocab, format="hf", pretokenize="gpt2"
+    )
+    data = json.loads(p.read_text())
+    assert data["pre_tokenizer"] == {
+        "type": "ByteLevel",
+        "add_prefix_space": False,
+        "trim_offsets": True,
+        "use_regex": True,
+    }
+    assert data["decoder"]["type"] == "ByteLevel"
+    # Ġ-rendered tokens survive serialization; no token contains a
+    # raw space (the "left right" merge form stays unambiguous)
+    assert any(t.startswith("Ġ") for t in data["model"]["vocab"])
+    assert all(" " not in t for t in data["model"]["vocab"])
+
+    m2, v2, pre2 = bpe.load_tokenizer(p)
+    assert (m2, v2, pre2) == (merges, vocab, "gpt2")
+    after = _ids(
+        bpe.encode_documents(
+            docs, id_col="doc_id", text_col="text", merges=m2, vocab=v2,
+            pretokenize=pre2,
+        )
+    )
+    assert after == before
+
+    with pytest.raises(ValueError, match="gpt2"):
+        bpe.save_tokenizer(
+            tmp_path / "nope.json", merges=merges, vocab=vocab,
+            format="hf", pretokenize="byte",
+        )
 
 
 def test_bpe_hf_requires_vocab_and_accepts_pair_merges(tmp_path):
@@ -94,7 +151,9 @@ def test_bpe_hf_requires_vocab_and_accepts_pair_merges(tmp_path):
     assert loaded["merges"] == [("a", "b")]
     assert loaded["vocab"] == ["a", "b", "ab"]
     # and the family loader reads it transparently too
-    assert bpe.load_tokenizer(p) == ([("a", "b")], ["a", "b", "ab"])
+    assert bpe.load_tokenizer(p) == (
+        [("a", "b")], ["a", "b", "ab"], "whitespace"
+    )
 
 
 def test_wordpiece_hf_roundtrip(spark, docs, tmp_path):

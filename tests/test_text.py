@@ -1204,6 +1204,116 @@ def test_train_bpe_spark_byte_pretokenize(spark):
         )
 
 
+def test_gpt2_split_matches_spark_regex(spark):
+    """The Python gpt2_split scanner, Spark's regexp_extract_all over
+    GPT2_SPLIT_REGEX (Java lookahead), and the DuckDB sentinel replay
+    (__spark_entry__._oracle_train_bpe_gpt2_sql's construction) must
+    segment identically — the three engines the gpt2 mode runs on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators import bpe
+
+    texts = [
+        "a  b", "a b", "it's", "a  's", "hello   world  ", "a \t b",
+        "tab\t\tx", "num 123 x,y.z", " lead", "a\n\nb", "",
+        "x4sep'll no", "don'T", "I'd've", "a 'quote'", "....",
+        "a    b", "café 中文 123", "nbsp\xa0x", "mixed42id",
+        "end space ", "  ", "\t", "a-b_c", "1,234.56!", "π≈3.14",
+    ]
+    scanner = [bpe.gpt2_split(t) for t in texts]
+    # pieces always concatenate back to the input (GPT-2 property)
+    for t, ps in zip(texts, scanner):
+        assert "".join(ps) == t
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(
+                "text", F.lit(bpe.GPT2_SPLIT_REGEX), 0
+            ).alias("p"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == scanner[i], (t, got[i], scanner[i])
+
+    # DuckDB sentinel construction (RE2 has no lookahead)
+    con = duckdb.connect()
+    pat = (
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"|\x01? ?\p{L}+|\x01? ?\p{N}+|\x01? ?[^\s\x01\p{L}\p{N}]+"
+        r"|\x01?\s+"
+    )
+    for i, t in enumerate(texts):
+        duck = con.execute(
+            "SELECT list_transform(regexp_extract_all("
+            "regexp_replace(?, '(\\s)(\\S)', chr(1) || '\\1\\2', 'g'),"
+            " ?), p -> replace(p, chr(1), ''))",
+            [t, pat],
+        ).fetchone()[0]
+        assert duck == scanner[i], (t, duck, scanner[i])
+
+
+def test_train_bpe_spark_gpt2_pretokenize(spark):
+    """GPT-2 pretokenization (VERDICT r12 item 4): Spark and Python
+    trainers are merge-for-merge identical, merges form over
+    byte-rendered regex pieces (leading space -> Ġ), and the encoder's
+    id stream decodes back to the EXACT original text — whitespace
+    included — which no whitespace-boundary mode can do."""
+    from timefence_spark.operators import bpe
+
+    rows = [
+        (1, "the planner reads the table scan and prunes it"),
+        (2, "the scan isn't slow, it's 42 times faster\tthan that"),
+        (3, "héllo wörld  héllo wörld naïve café"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    text = " ".join(t for _, t in rows if t)
+    one = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ref = bpe.train_bpe(text, n_merges=30, pretokenize="gpt2")
+    assert bpe.train_bpe_spark(
+        one, text_col="text", n_merges=30, pretokenize="gpt2"
+    ) == ref
+    assert bpe.train_bpe_spark(
+        one, text_col="text", n_merges=30, pretokenize="gpt2",
+        mode="distributed", checkpoint_every=5,
+    ) == ref
+    # Ġ (byte-rendered space) participates in merges — the convention
+    # the whitespace/byte modes never produce.
+    assert any("Ġ" in l + r for l, r in ref)
+
+    vocab = bpe.bpe_vocab(
+        df, text_col="text", merges=ref, pretokenize="gpt2"
+    )
+    # GPT-2 convention: all 256 byte symbols + merge products, no scan
+    assert len(vocab) == len(set(bpe.byte_unicode_table())
+                             | {a + b for a, b in ref})
+    enc = bpe.encode_documents(
+        df, id_col="doc_id", text_col="text", merges=ref, vocab=vocab,
+        pretokenize="gpt2",
+    )
+    got = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    table = bpe.byte_unicode_table()
+    unrender = {c: b for b, c in enumerate(table)}
+    for doc_id, doc_text in rows:
+        if doc_text is None:
+            continue
+        decoded = bytes(
+            unrender[c] for c in "".join(vocab[i] for i in got[doc_id])
+        ).decode("utf-8")
+        assert decoded == doc_text, doc_id
+    counter = bpe.make_token_counter(ref, pretokenize="gpt2")
+    for doc_id, doc_text in rows:
+        if doc_text is not None:
+            assert counter(doc_text) == len(got[doc_id])
+
+
 def test_byte_unicode_table_shape():
     """The 256-char table is a bijection, printable bytes map to
     themselves, and byte_render is injective on distinct words."""

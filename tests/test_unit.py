@@ -228,9 +228,22 @@ def test_bpe_tokenizer_save_load_roundtrip(tmp_path):
     v = ["a", "ab", "abc", "b", "c"]
     p = tmp_path / "tok" / "bpe.json"
     bpe.save_tokenizer(p, merges=m, vocab=v)
-    assert bpe.load_tokenizer(p) == (m, v)
+    assert bpe.load_tokenizer(p) == (m, v, "whitespace")
     bpe.save_tokenizer(p, merges=m)
-    assert bpe.load_tokenizer(p) == (m, None)
+    assert bpe.load_tokenizer(p) == (m, None, "whitespace")
+    # the training mode is part of the model and round-trips (ADVICE r12)
+    bpe.save_tokenizer(p, merges=m, vocab=v, pretokenize="byte")
+    assert bpe.load_tokenizer(p) == (m, v, "byte")
+    bpe.save_tokenizer(p, merges=m, vocab=v, pretokenize="gpt2")
+    assert bpe.load_tokenizer(p) == (m, v, "gpt2")
+    # version-1 artifacts predate the field and load as whitespace
+    import json as _json
+
+    v1 = _json.loads(p.read_text())
+    del v1["pretokenize"]
+    v1["version"] = 1
+    p.write_text(_json.dumps(v1))
+    assert bpe.load_tokenizer(p) == (m, v, "whitespace")
     p.write_text('{"format": "other"}')
     with _pytest.raises(ValueError, match="not a timefence-spark BPE"):
         bpe.load_tokenizer(p)

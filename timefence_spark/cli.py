@@ -1331,11 +1331,15 @@ def corpus_train_bpe(
               "layout training code consumes "
               "(hf_tokenizer.load_hf_tokenizer reads it back).")
 @click.option("--pretokenize",
-              type=click.Choice(["whitespace", "byte"]),
+              type=click.Choice(["whitespace", "byte", "gpt2"]),
               default="whitespace", show_default=True,
-              help="[bpe] 'byte' trains GPT-2-style byte-level BPE: "
-              "merges form over byte-to-unicode renderings (full byte "
-              "coverage, no OOV characters).")
+              help="[bpe] 'byte' trains byte-level BPE over whitespace "
+              "words (merges form over byte-to-unicode renderings; "
+              "full byte coverage, no OOV characters); 'gpt2' uses the "
+              "published GPT-2 split regex + byte rendering (leading "
+              "spaces become the Ġ convention) — the mode whose "
+              "--tokenizer-format hf export round-trips through the "
+              "HuggingFace tokenizers library.")
 @click.option("--json", "json_out", is_flag=True,
               help="Machine-readable summary.")
 def corpus_train_tokenizer(
@@ -1359,7 +1363,14 @@ def corpus_train_tokenizer(
     corpus = Corpus(df, id_col=id_col, text_col=text_col)
     if pretokenize != "whitespace" and model_kind != "bpe":
         raise click.UsageError(
-            "--pretokenize byte applies to --model bpe only"
+            "--pretokenize byte/gpt2 applies to --model bpe only"
+        )
+    if pretokenize == "byte" and tokenizer_format == "hf":
+        raise click.UsageError(
+            "--pretokenize byte has no HuggingFace pre_tokenizer "
+            "equivalent (the exported tokenizer.json would mis-encode "
+            "raw text) — use --pretokenize gpt2 for an HF-round-"
+            "trippable byte-level model, or --tokenizer-format native"
         )
     if model_kind == "bpe":
         merges = corpus.train_bpe(
@@ -1379,7 +1390,7 @@ def corpus_train_tokenizer(
             )
             bpe.save_tokenizer(
                 tokenizer_path, merges=merges, vocab=vocab,
-                format=tokenizer_format,
+                format=tokenizer_format, pretokenize=pretokenize,
             )
         learned = len(merges)
     elif model_kind == "wordpiece":

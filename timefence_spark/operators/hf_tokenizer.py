@@ -20,8 +20,14 @@ Reference semantics notes (what each family round-trips):
   index) and ``model.merges`` the ranked merge list. Written as the
   classic ``"left right"`` strings (readable by every `tokenizers`
   version); pairs-form ``["left", "right"]`` (tokenizers >= 0.20) is
-  accepted on load. Whitespace pretokenization means no token ever
-  contains a space, so the string form is unambiguous.
+  accepted on load. No token ever contains a space (whitespace modes
+  never include one; gpt2 mode byte-renders spaces to ``Ġ``), so the
+  string form is unambiguous. The pre_tokenizer block records the
+  training mode: ByteLevel for ``pretokenize='gpt2'`` (the library
+  then splits with the GPT-2 regex and byte-renders, exactly matching
+  bpe.gpt2_split + bpe.byte_render), WhitespaceSplit otherwise;
+  ``pretokenize='byte'`` has no HF equivalent and is rejected
+  (ADVICE r12).
 * **WordPiece** — ``model.vocab`` only (HF WordPiece stores the final
   vocabulary; merges/alphabet are training residue). Our pieces already
   carry HF's ``##`` continuation prefix, so the vocab maps verbatim;
@@ -51,36 +57,82 @@ __all__ = [
 ]
 
 _WS_PRETOKENIZER = {"type": "WhitespaceSplit"}
+# GPT-2's pre_tokenizer as the `tokenizers` library serializes it:
+# regex split (the published GPT-2 pattern, use_regex=true) + per-piece
+# byte-to-unicode rendering — exactly bpe.gpt2_split + bpe.byte_render.
+_BYTELEVEL_PRETOKENIZER = {
+    "type": "ByteLevel",
+    "add_prefix_space": False,
+    "trim_offsets": True,
+    "use_regex": True,
+}
+_BYTELEVEL_DECODER = {
+    "type": "ByteLevel",
+    "add_prefix_space": True,
+    "trim_offsets": True,
+    "use_regex": True,
+}
 
 
-def _envelope(model: dict) -> dict:
+def _envelope(model: dict, *, pretokenize: str = "whitespace") -> dict:
     """The tokenizer.json top level: the fields `tokenizers` always
-    writes, with the knobs this package doesn't use left null/empty."""
+    writes, with the knobs this package doesn't use left null/empty.
+    ``pretokenize='gpt2'`` emits the ByteLevel pre_tokenizer/decoder
+    pair; everything else emits WhitespaceSplit."""
+    byte_level = pretokenize == "gpt2"
     return {
         "version": "1.0",
         "truncation": None,
         "padding": None,
         "added_tokens": [],
         "normalizer": None,
-        "pre_tokenizer": dict(_WS_PRETOKENIZER),
+        "pre_tokenizer": dict(
+            _BYTELEVEL_PRETOKENIZER if byte_level else _WS_PRETOKENIZER
+        ),
         "post_processor": None,
-        "decoder": None,
+        "decoder": dict(_BYTELEVEL_DECODER) if byte_level else None,
         "model": model,
     }
 
 
 def bpe_to_hf_dict(
-    *, merges: list[tuple[str, str]], vocab: list[str]
+    *,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    pretokenize: str = "whitespace",
 ) -> dict:
     """HF tokenizer.json dict for a trained BPE model.
 
     ``vocab`` is required (HF BPE stores token ids in the model block);
-    pass :func:`bpe.bpe_vocab`'s output or a loaded artifact's vocab."""
+    pass :func:`bpe.bpe_vocab`'s output or a loaded artifact's vocab.
+
+    ``pretokenize`` must say how the merges were trained (ADVICE r12 —
+    a byte-trained model exported with a character-level pre_tokenizer
+    would silently mis-encode in the `tokenizers` library):
+    'gpt2' exports the ByteLevel pre_tokenizer (true GPT-2-style
+    round trip), 'whitespace' exports WhitespaceSplit, and 'byte'
+    (whitespace boundaries + byte rendering) has no HF pre_tokenizer
+    equivalent and raises — retrain with pretokenize='gpt2' or keep
+    the native format for byte-mode models."""
     if vocab is None:
         raise ValueError(
             "format='hf' requires a vocab: HF BPE serializes the "
             "token->id table in the model block (pass bpe_vocab(...)'s "
             "output, or the vocab from a saved artifact)"
+        )
+    if pretokenize == "byte":
+        raise ValueError(
+            "pretokenize='byte' (whitespace word boundaries + byte "
+            "rendering) has no HuggingFace pre_tokenizer equivalent — "
+            "an exported tokenizer.json would silently mis-encode raw "
+            "text in the tokenizers library. Train with "
+            "pretokenize='gpt2' for an HF-round-trippable byte-level "
+            "model, or save format='native'"
+        )
+    if pretokenize not in ("whitespace", "gpt2"):
+        raise ValueError(
+            f"pretokenize must be whitespace|gpt2 for HF export, "
+            f"got {pretokenize!r}"
         )
     for left, right in merges:
         if " " in left or " " in right:
@@ -99,7 +151,8 @@ def bpe_to_hf_dict(
             "byte_fallback": False,
             "vocab": {tok: i for i, tok in enumerate(vocab)},
             "merges": [f"{left} {right}" for left, right in merges],
-        }
+        },
+        pretokenize=pretokenize,
     )
 
 
@@ -155,7 +208,8 @@ def save_hf_tokenizer(
 
     Pass the family's model kwargs as a dict::
 
-        save_hf_tokenizer(p, bpe={"merges": merges, "vocab": vocab})
+        save_hf_tokenizer(p, bpe={"merges": merges, "vocab": vocab,
+                                  "pretokenize": "gpt2"})
         save_hf_tokenizer(p, wordpiece={"vocab": pieces})
         save_hf_tokenizer(p, unigram={"model": rows})
     """
@@ -211,7 +265,8 @@ def load_hf_tokenizer(path) -> dict:
 
     Returns a dict keyed by family::
 
-        {"type": "bpe", "merges": [...], "vocab": [...]}
+        {"type": "bpe", "merges": [...], "vocab": [...],
+         "pretokenize": "whitespace" | "gpt2"}
         {"type": "wordpiece", "vocab": [...], "unk_token": "[UNK]"}
         {"type": "unigram", "model": [(piece, 0, logp_micro), ...]}
 
@@ -227,6 +282,13 @@ def load_hf_tokenizer(path) -> dict:
         )
     kind = model["type"]
     if kind == "BPE":
+        pre = data.get("pre_tokenizer") or {}
+        pre_type = pre.get("type")
+        if pre_type == "Sequence":
+            kinds = [
+                p.get("type") for p in pre.get("pretokenizers") or []
+            ]
+            pre_type = "ByteLevel" if "ByteLevel" in kinds else pre_type
         return {
             "type": "bpe",
             "merges": [
@@ -234,6 +296,13 @@ def load_hf_tokenizer(path) -> dict:
                 for i, m in enumerate(model.get("merges") or [])
             ],
             "vocab": _ordered_vocab(model.get("vocab") or {}, "BPE"),
+            # ByteLevel == GPT-2 regex split + byte rendering, which is
+            # this package's pretokenize='gpt2'; anything else maps to
+            # the whitespace default (the closest encode-side behavior
+            # we have for Whitespace/WhitespaceSplit/absent).
+            "pretokenize": (
+                "gpt2" if pre_type == "ByteLevel" else "whitespace"
+            ),
         }
     if kind == "WordPiece":
         return {
