@@ -4726,6 +4726,184 @@ ORACLE_TRIGRAM_NLL = r"""
 """
 
 
+NGRAM_NLL_N = 5
+NGRAM_NLL_MIN_COUNT = 2
+
+
+def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-grade interpolated Kneser-Ney 5-GRAM fluency (new in round
+    13, VERDICT r12 item 5): mean -ln p5 per document, discounted raw
+    counts at the top order backing off through three continuation-
+    count KN rungs to the add-1 continuation unigram — the published
+    CCNet filter's order (Wenzek et al. 2020 filter on a 5-gram KenLM)
+    with min_count=2 KenLM-style pruning on every order >= 3 type table
+    (the floor that bounds high-order tables at web scale; pruned grams
+    score through backoff). See operators/text.ngram_logprob — all
+    statistics derive from the 4 gram-TYPE tables with vocabulary-scale
+    aggregations. deterministic=True folds contributions gram-sorted so
+    the double summation is bit-reproducible against the oracle."""
+    return text.ngram_logprob(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", n=NGRAM_NLL_N,
+        min_count=NGRAM_NLL_MIN_COUNT, deterministic=True,
+    )
+
+
+def _oracle_ngram_nll_sql(n: int, min_count: int) -> str:
+    """ORACLE_TRIGRAM_NLL generalized to order n: gram-type CTEs per
+    order (HAVING-pruned at >= 3), continuation tables from each
+    order-(k+1) TYPE set, and the KN probability chain emitted as a
+    nested CASE built bottom-up — the same formula text.ngram_logprob
+    evaluates as Spark Columns."""
+    names = [f"w{j}" for j in range(1, n)] + ["word"]
+
+    def gram_select(m: int) -> str:
+        cols = ", ".join(
+            f"toks[i - {m - 1 - j}] AS {c}"
+            for j, c in enumerate([f"w{x}" for x in range(1, m)] + ["word"])
+        )
+        return (
+            f"SELECT {cols} FROM t, unnest(range({m}, len(toks) + 1)) "
+            f"AS u(i) WHERE len(toks) >= {m}"
+        )
+
+    ctes = [
+        r"""t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tok -> tok <> '') AS toks
+        FROM documents
+    )"""
+    ]
+    dp_cols = ", ".join(names)
+    ctes.append(
+        f"""dp AS (
+        SELECT doc_id, {dp_cols}, COUNT(*) AS cnt
+        FROM (SELECT doc_id, {', '.join(
+            f'toks[i - {n - 1 - j}] AS {c}' for j, c in enumerate(names)
+        )} FROM t, unnest(range({n}, len(toks) + 1)) AS u(i)
+              WHERE len(toks) >= {n})
+        GROUP BY ALL
+    )"""
+    )
+    # type tables per order (pruned at orders >= 3, like the Spark side)
+    for m in range(n, 1, -1):
+        mc = f" HAVING COUNT(*) >= {min_count}" if m >= 3 else ""
+        cols = ", ".join([f"w{x}" for x in range(1, m)] + ["word"])
+        ctes.append(
+            f"""tab{m} AS (
+        SELECT {cols}, COUNT(*) AS c
+        FROM ({gram_select(m)}) GROUP BY ALL{mc}
+    )"""
+        )
+    ctes.append(
+        f"""ctxt AS (
+        SELECT {', '.join(names[:-1])}, SUM(c) AS n_ctx,
+               COUNT(*) AS t_ctx
+        FROM tab{n} GROUP BY ALL
+    )"""
+    )
+    for k in range(n - 1, 1, -1):
+        src_cols = [f"w{x}" for x in range(2, k + 1)] + ["word"]
+        xs = [f"x{j}" for j in range(1, k)] + ["xw"]
+        sel = ", ".join(f"{a} AS {b}" for a, b in zip(src_cols, xs))
+        ctes.append(
+            f"""cont{k} AS (
+        SELECT {sel}, COUNT(*) AS n_c
+        FROM tab{k + 1} GROUP BY ALL
+    )"""
+        )
+        ctes.append(
+            f"""cctx{k} AS (
+        SELECT {', '.join(xs[:-1])}, SUM(n_c) AS n_cc,
+               COUNT(*) AS t_cc
+        FROM cont{k} GROUP BY ALL
+    )"""
+        )
+    ctes.append(
+        """cuni AS (
+        SELECT word, COUNT(*) AS n_cu FROM tab2 GROUP BY 1
+    )"""
+    )
+    ctes.append(
+        """tot AS (
+        SELECT CAST(SUM(n_cu) AS DOUBLE) + 1.0 * (COUNT(*) + 1)
+               AS denom1
+        FROM cuni
+    )"""
+    )
+    # probability chain, bottom-up
+    p = "((COALESCE(cuni.n_cu, 0) + 1.0) / tot.denom1)"
+    for k in range(2, n):
+        seen = (
+            f"(GREATEST(COALESCE(cont{k}.n_c, 0)::DOUBLE - 0.75, 0.0) "
+            f"+ 0.75 * cctx{k}.t_cc::DOUBLE * {p}) "
+            f"/ cctx{k}.n_cc::DOUBLE"
+        )
+        p = (
+            f"(CASE WHEN cctx{k}.n_cc IS NOT NULL THEN {seen} "
+            f"ELSE {p} END)"
+        )
+    top_seen = (
+        f"(GREATEST(COALESCE(tab{n}.c, 0)::DOUBLE - 0.75, 0.0) "
+        f"+ 0.75 * ctxt.t_ctx::DOUBLE * {p}) / ctxt.n_ctx::DOUBLE"
+    )
+    p = (
+        f"(CASE WHEN ctxt.n_ctx IS NOT NULL THEN {top_seen} "
+        f"ELSE {p} END)"
+    )
+    joins = [
+        f"LEFT JOIN tab{n} ON "
+        + " AND ".join(f"tab{n}.{c} = dp.{c}" for c in names),
+        "LEFT JOIN ctxt ON "
+        + " AND ".join(f"ctxt.{c} = dp.{c}" for c in names[:-1]),
+    ]
+    for k in range(n - 1, 1, -1):
+        ctx_names = names[n - k:-1]  # scoring context for order k
+        xs = [f"x{j}" for j in range(1, k)]
+        joins.append(
+            f"LEFT JOIN cont{k} ON "
+            + " AND ".join(
+                f"cont{k}.{x} = dp.{c}" for x, c in zip(xs, ctx_names)
+            )
+            + f" AND cont{k}.xw = dp.word"
+        )
+        joins.append(
+            f"LEFT JOIN cctx{k} ON "
+            + " AND ".join(
+                f"cctx{k}.{x} = dp.{c}" for x, c in zip(xs, ctx_names)
+            )
+        )
+    joins.append("LEFT JOIN cuni ON cuni.word = dp.word")
+    joins.append("CROSS JOIN tot")
+    dp_refs = ", ".join(f"dp.{c}" for c in names)
+    return f"""
+    WITH {', '.join(ctes)}, contrib AS (
+        SELECT dp.doc_id, {dp_refs}, dp.cnt,
+               tab{n}.c IS NULL AS oov,
+               dp.cnt * -ln({p}) AS c
+        FROM dp
+        {' '.join(joins)}
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+           ROUND(SUM(CASE WHEN oov THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt), 6) AS oov_frac,
+           ROUND(list_reduce(
+               list_transform(
+                   list(struct_pack({', '.join(
+                       f'k{j} := w{j}' for j in range(1, n)
+                   )}, kw := word, c := c)
+                        ORDER BY {', '.join(
+                            [f'w{j}' for j in range(1, n)] + ['word']
+                        )}),
+                   s -> s.c
+               ), (a, b) -> a + b) / SUM(cnt), 6) AS mean_nll
+    FROM contrib
+    GROUP BY doc_id
+    """
+
+
 def q_fit_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes classifier training: fit (word, weight) log-odds from
     the documents table labeled by lang='en' — the train half of the
@@ -6293,6 +6471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,  # new in round 8
         "bigram_nll": q_bigram_nll,  # new in round 8
         "trigram_nll": q_trigram_nll,  # new in round 12
+        "ngram_nll": q_ngram_nll,  # new in round 13 (5-gram KN)
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "media_decode_jpeg_rgb": q_media_decode_jpeg_rgb,  # new in round 8
         "media_decode_jpeg_420": q_media_decode_jpeg_420,  # new in round 8
@@ -6444,6 +6623,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": ORACLE_UNIGRAM_NLL,
         "bigram_nll": ORACLE_BIGRAM_NLL,
         "trigram_nll": ORACLE_TRIGRAM_NLL,
+        "ngram_nll": _oracle_ngram_nll_sql(
+            NGRAM_NLL_N, NGRAM_NLL_MIN_COUNT
+        ),
         "fit_classifier": ORACLE_FIT_CLASSIFIER,
         "bm25_rank": ORACLE_BM25_RANK,
         "shuffle_rows": ORACLE_SHUFFLE_ROWS,

@@ -1456,6 +1456,167 @@ def test_trigram_logprob_known_answers(spark):
         )
 
 
+def test_ngram_logprob_kenlm_grade(spark):
+    """Order-n interpolated Kneser-Ney (VERDICT r12 item 5): n=3 is
+    bit-identical to trigram_logprob, n=4/5 match a Python KN replica
+    (with and without the KenLM-style min_count pruning floor), the
+    partial-ladder and bad-n error paths raise, an external full
+    ladder scores, and fluency_buckets accepts model='5gram'."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again on the mat"),
+        (2, "the dog ran over the hill and the dog ran back home"),
+        (3, "a b"),
+        (4, "the cat ran on the hill and sat on the mat again today"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tri = {
+        r["doc_id"]: (r["n_trigrams"], r["oov_frac"], r["mean_nll"])
+        for r in text_ops.trigram_logprob(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    ng3 = {
+        r["doc_id"]: (r["n_ngrams"], r["oov_frac"], r["mean_nll"])
+        for r in text_ops.ngram_logprob(
+            df, id_col="doc_id", text_col="text", n=3
+        ).collect()
+    }
+    assert ng3 == tri
+
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    def grams(ws, k):
+        return [tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+
+    corpus = [toks(t) for _, t in rows if t]
+
+    def replica(N, min_count):
+        tabs = {
+            k: Counter(g for ws in corpus for g in grams(ws, k))
+            for k in range(2, N + 1)
+        }
+        for k in range(3, N + 1):
+            if min_count > 1:
+                tabs[k] = Counter(
+                    {g: v for g, v in tabs[k].items() if v >= min_count}
+                )
+        D = 0.75
+        cont, cctx = {}, {}
+        for k in range(N - 1, 1, -1):
+            c = Counter()
+            for g in tabs[k + 1]:
+                c[g[1:]] += 1
+            cont[k] = c
+            cc = defaultdict(lambda: [0, 0])
+            for g, v in c.items():
+                cc[g[:-1]][0] += v
+                cc[g[:-1]][1] += 1
+            cctx[k] = cc
+        cuni = Counter()
+        for g in tabs[2]:
+            cuni[g[1]] += 1
+        B, V = sum(cuni.values()), len(cuni)
+        ctx_top = defaultdict(lambda: [0, 0])
+        for g, v in tabs[N].items():
+            ctx_top[g[:-1]][0] += v
+            ctx_top[g[:-1]][1] += 1
+
+        def p_kn(g):
+            p = (cuni.get(g[-1], 0) + 1.0) / (B + 1.0 * (V + 1))
+            for k in range(2, N):
+                suf = g[len(g) - k:]
+                cc = cctx[k].get(suf[:-1])
+                if cc:
+                    p = (
+                        max(cont[k].get(suf, 0) - D, 0) + D * cc[1] * p
+                    ) / cc[0]
+            ct = ctx_top.get(g[:-1])
+            if ct:
+                p = (max(tabs[N].get(g, 0) - D, 0) + D * ct[1] * p) / ct[0]
+            return p
+
+        return tabs, p_kn
+
+    for N in (4, 5):
+        for mc in (1, 2):
+            tabs, p_kn = replica(N, mc)
+            got = {
+                r["doc_id"]: r
+                for r in text_ops.ngram_logprob(
+                    df, id_col="doc_id", text_col="text", n=N,
+                    min_count=mc, deterministic=(mc == 2),
+                ).collect()
+            }
+            for doc_id, t in rows:
+                ws = toks(t)
+                gs = grams(ws, N)
+                if not gs:
+                    assert doc_id not in got
+                    continue
+                nll = sum(-math.log(p_kn(g)) for g in gs) / len(gs)
+                oov = sum(1 for g in gs if g not in tabs[N]) / len(gs)
+                r = got[doc_id]
+                assert r["n_ngrams"] == len(gs), (N, mc, doc_id)
+                assert r["mean_nll"] == pytest.approx(
+                    round(nll, 6), abs=2e-6
+                ), (N, mc, doc_id)
+                assert r["oov_frac"] == pytest.approx(
+                    round(oov, 6), abs=2e-6
+                ), (N, mc, doc_id)
+
+    # external FULL ladder (corpus's own tables fed back in) == internal
+    lms = [
+        text_ops.ngram_lm_frequencies(
+            df, id_col="doc_id", text_col="text", n=k
+        )
+        for k in range(4, 1, -1)
+    ]
+    ext = {
+        r["doc_id"]: r["mean_nll"]
+        for r in text_ops.ngram_logprob(
+            df, id_col="doc_id", text_col="text", n=4, lms=lms
+        ).collect()
+    }
+    base = {
+        r["doc_id"]: r["mean_nll"]
+        for r in text_ops.ngram_logprob(
+            df, id_col="doc_id", text_col="text", n=4
+        ).collect()
+    }
+    assert ext == base
+
+    with pytest.raises(ValueError, match="full ladder"):
+        text_ops.ngram_logprob(
+            df, id_col="doc_id", text_col="text", n=4, lms=lms[:1]
+        )
+    with pytest.raises(ValueError, match="n must be >= 3"):
+        text_ops.ngram_logprob(df, id_col="doc_id", text_col="text", n=2)
+    with pytest.raises(ValueError, match="min_count"):
+        text_ops.ngram_logprob(
+            df, id_col="doc_id", text_col="text", n=4, min_count=0
+        )
+
+    fb = {
+        r["doc_id"]: r["bucket"]
+        for r in text_ops.fluency_buckets(
+            df, id_col="doc_id", text_col="text", model="5gram"
+        ).collect()
+    }
+    assert set(fb) == {1, 2, 4} and set(fb.values()) <= {
+        "head", "middle", "tail"
+    }
+    with pytest.raises(ValueError, match="lms"):
+        text_ops.fluency_buckets(
+            df, id_col="doc_id", text_col="text", model="5gram", lm=lms[0]
+        )
+
+
 def test_fluency_buckets_trigram_model(spark):
     """fluency_buckets(model='trigram') labels head/middle/tail by KN
     trigram NLL; unscored (< 3 token) docs produce no row."""

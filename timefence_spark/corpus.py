@@ -28,6 +28,8 @@ surviving ids, never shuffling the text column.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -260,7 +262,9 @@ class Corpus:
         ``lm_unigram=`` through ``kwargs`` for the backoff table);
         ``model='trigram'`` with the Kneser-Ney text.trigram_logprob
         (``lm`` = text.trigram_frequencies output; ``lm_bigram=``
-        through ``kwargs``).
+        through ``kwargs``); ``model='5gram'`` (or any '<n>gram',
+        3-9) with the KenLM-grade text.ngram_logprob — pass
+        ``min_count=`` / the full ``lms=`` ladder through ``kwargs``.
 
         Unscored documents are KEPT — token-less docs under 'unigram',
         docs with < 2 tokens under 'bigram', < 3 under 'trigram' — the
@@ -283,10 +287,22 @@ class Corpus:
                 self.df, id_col=self.id_col, text_col=self.text_col,
                 lm=lm, **kwargs,
             )
+        elif _re.fullmatch(r"[3-9]gram", model or ""):
+            # '5gram' etc.: KenLM-grade KN ladder (text.ngram_logprob);
+            # an external LM is the full lms= ladder via kwargs.
+            if lm is not None:
+                raise ValueError(
+                    f"model={model!r} takes its external LM as the "
+                    "full lms= ladder (see text.ngram_logprob), not lm="
+                )
+            scored = text.ngram_logprob(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                n=int(model[0]), **kwargs,
+            )
         else:
             raise ValueError(
-                f"model must be 'unigram', 'bigram', or 'trigram', "
-                f"got {model!r}"
+                f"model must be 'unigram', 'bigram', 'trigram', or "
+                f"'<n>gram' (3-9), got {model!r}"
             )
         drop = scored.where(F.col("mean_nll") > max_nll).select(self.id_col)
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))

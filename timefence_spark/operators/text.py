@@ -7,6 +7,8 @@ so they run at scan speed over 100 TB document corpora.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1653,6 +1655,292 @@ def trigram_logprob(
     )
 
 
+def _ngram_tuples(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, w1..w_{n-1}, word) — one row per adjacent token n-TUPLE,
+    the order-n generalization of :func:`_trigram_pairs` (same
+    empty-token filter, same scan-side filter + transform + one
+    posexplode, zero shuffle). Docs with < n tokens emit no rows."""
+    toks_raw = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(toks_raw, lambda t: t != F.lit("")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = _nsize(toks)
+    names = [f"w{j}" for j in range(1, n)] + ["word"]
+
+    def tup(i):
+        return F.struct(
+            *[
+                F.element_at(toks, i - (n - 1 - j)).alias(names[j])
+                for j in range(n)
+            ]
+        )
+
+    struct_t = ",".join(f"{c}:string" for c in names)
+    grams = F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(n), F.greatest(sz, F.lit(n))), tup),
+    ).otherwise(F.expr(f"cast(array() as array<struct<{struct_t}>>)"))
+    return staged.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col, *[F.col(f"__g.{c}") for c in names]
+    )
+
+
+def ngram_lm_frequencies(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide order-n gram table (w1..w_{n-1}, word,
+    n_occurrences) — the training step for :func:`ngram_logprob`'s LM
+    ladder, the order-n generalization of :func:`trigram_frequencies`
+    (same deterministic order: count desc, then words asc; one explode
+    + one gram-keyed shuffle).
+
+    ``min_count`` is the KenLM-style count-pruning floor (VERDICT r12
+    item 5): grams below it are dropped AFTER the count, which is what
+    bounds the type table at high orders — a 100 TB web corpus's raw
+    5-gram type table is itself corpus-scale (most 5-grams are
+    singletons), pruned at 2+ it collapses toward the vocabulary
+    scale the KN statistics derivation needs."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    names = [f"w{j}" for j in range(1, n)] + ["word"]
+    out = (
+        _ngram_tuples(df, id_col=id_col, text_col=text_col, n=n)
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    out = out.orderBy(
+        F.desc("n_occurrences"), *[F.asc(c) for c in names]
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def ngram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    lms: list[DataFrame] | None = None,
+    min_count: int = 1,
+    discount: float = 0.75,
+    smoothing_k: float = 1.0,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Per-document fluency under an interpolated KNESER-NEY order-n LM
+    (VERDICT r12 item 5) — the KenLM-grade top of the CCNet fluency
+    ladder (Wenzek et al. 2020 filter on a 5-gram KenLM; interpolated
+    KN with a fixed discount is KenLM's smoothing family, and n=5 is
+    its published order). :func:`trigram_logprob` is exactly this at
+    n=3; both follow Chen & Goodman 1999 with fixed discount D:
+
+    * the HIGHEST order uses raw counts:
+      ``p_n = (max(c(gram)-D, 0) + D * T(ctx) * p_{n-1}) / c(ctx·)``
+      when the (n-1)-context was seen, else ``p_{n-1}``;
+    * every middle order k uses CONTINUATION counts (distinct
+      left-extensions among order-(k+1) gram TYPES — the KN insight):
+      ``p_k = (max(N1p(·g_k)-D, 0) + D * T'(ctx_k) * p_{k-1})
+      / N1p(·ctx_k·)`` when defined, else ``p_{k-1}``;
+    * the base is the continuation unigram with the same add-k floor
+      as :func:`unigram_logprob`, so every probability is positive.
+
+    ``lms`` is the LM ladder ``[order-n table, order-(n-1) table, ...,
+    order-2 table]`` — each a (w1..w_{k-1}, word, n_occurrences) table
+    from :func:`ngram_lm_frequencies` (an order-2 table may use
+    ``w_prev`` for its context column, so :func:`bigram_frequencies`
+    output plugs in). Pass the FULL ladder or ``None`` (this corpus's
+    own statistics) — a partial ladder would mix models, same contract
+    as :func:`trigram_logprob`. All tables must come from the same
+    corpus and be untruncated (no ``top_k``).
+
+    ``min_count`` (used when ``lms`` is None) is the KenLM-style
+    count-pruning floor applied to every derived order >= 3 — the knob
+    that bounds high-order type tables at web scale (see
+    :func:`ngram_lm_frequencies`); the order-2 table stays unpruned
+    because the continuation-unigram base (N1p(·w), B, V) must cover
+    the vocabulary. Pruning changes the model (KenLM's does too):
+    pruned grams score through backoff.
+
+    Returns ``(id, n_ngrams, oov_frac, mean_nll)`` over the document's
+    order-n positions: ``oov_frac`` = fraction unseen at the top
+    level, ``mean_nll`` the mean ``-ln p_n``. Documents with < n
+    tokens produce NO row. ``deterministic=True`` folds contributions
+    in gram-sorted order for bit-reproducible external replay.
+
+    100 TB shape (same as :func:`trigram_logprob`, one rung up): ALL
+    KN statistics derive from the n-1 gram-TYPE tables with
+    vocabulary-scale aggregations; the only corpus-scale work is the
+    scan-side gram explode pre-aggregated to one row per (doc, gram)
+    before the joins, and every stat table attaches with an
+    AQE-broadcast equi-join."""
+    if n < 3:
+        raise ValueError(
+            f"n must be >= 3 (use bigram_logprob/unigram_logprob for "
+            f"lower orders), got {n}"
+        )
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if lms is not None and len(lms) != n - 1:
+        raise ValueError(
+            f"lms must be the full ladder of {n - 1} tables "
+            f"[order-{n} .. order-2], got {len(lms)} — a partial "
+            "ladder would mix two models' statistics"
+        )
+    if lms is None:
+        lms = [
+            ngram_lm_frequencies(
+                df, id_col=id_col, text_col=text_col, n=k,
+                min_count=min_count if k >= 3 else 1,
+            )
+            for k in range(n, 1, -1)
+        ]
+    else:
+        lms = list(lms)
+    # Normalize an order-2 table's bigram_frequencies naming.
+    if "w_prev" in lms[-1].columns:
+        lms[-1] = lms[-1].withColumnRenamed("w_prev", "w1")
+    D = F.lit(float(discount))
+    names = [f"w{j}" for j in range(1, n)] + ["word"]
+
+    def scoring_suffix(k: int) -> list[str]:
+        # the order-k gram ending at the scored word, in scoring names
+        return names[n - k:]
+
+    top = lms[0].select(
+        *names, F.col("n_occurrences").cast("long").alias("__n_top")
+    )
+    ctx_top = top.groupBy(*names[:-1]).agg(
+        F.sum("__n_top").alias("__nctx_top"),
+        F.count(F.lit(1)).alias("__t_top"),
+    )
+    # Middle orders k = n-1 .. 2: continuation tables from the
+    # order-(k+1) TYPE set (rows are unique, so count(1) per suffix IS
+    # the distinct-left-extension count), renamed into scoring names.
+    cont: dict[int, DataFrame] = {}
+    cctx: dict[int, DataFrame] = {}
+    for k in range(n - 1, 1, -1):
+        src = lms[n - 1 - k]  # order k+1: columns w1..wk, word
+        src_names = [f"w{j}" for j in range(1, k + 1)] + ["word"]
+        missing = [c for c in src_names if c not in src.columns]
+        if missing:
+            raise ValueError(
+                f"lms[{n - 1 - k}] (order {k + 1}) is missing columns "
+                f"{missing} — expected {src_names} + n_occurrences"
+            )
+        suffix_src = src_names[1:]
+        tgt = scoring_suffix(k)
+        # One aliased select, not sequential renames: the shifted
+        # names overlap (w2->w3 while w3 exists), which a one-shot
+        # projection handles and withColumnRenamed cannot.
+        c = src.groupBy(*suffix_src).agg(
+            F.count(F.lit(1)).alias(f"__nc_{k}")
+        ).select(
+            *[F.col(a).alias(b) for a, b in zip(suffix_src, tgt)],
+            F.col(f"__nc_{k}"),
+        )
+        cont[k] = c
+        cc = c.groupBy(*tgt[:-1]).agg(
+            F.sum(f"__nc_{k}").alias(f"__ncc_{k}"),
+            F.count(F.lit(1)).alias(f"__tc_{k}"),
+        )
+        cctx[k] = cc
+    # Base: continuation unigram from the order-2 TYPE set.
+    bi = lms[-1].select("w1", "word")
+    cont_uni = bi.groupBy("word").agg(F.count(F.lit(1)).alias("__n_cu"))
+    totals = F.broadcast(
+        cont_uni.agg(
+            F.coalesce(F.sum("__n_cu"), F.lit(0).cast("long")).alias("__B"),
+            F.count(F.lit(1)).alias("__V"),
+        )
+    )
+    denom1 = (
+        F.col("__B") + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
+    ).cast("double")
+
+    per_doc = (
+        _ngram_tuples(df, id_col=id_col, text_col=text_col, n=n)
+        .groupBy(id_col, *names)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = per_doc.join(top, names, "left").join(
+        ctx_top, names[:-1], "left"
+    )
+    for k in range(n - 1, 1, -1):
+        joined = joined.join(cont[k], scoring_suffix(k), "left").join(
+            cctx[k], scoring_suffix(k)[:-1], "left"
+        )
+    joined = joined.join(cont_uni, "word", "left").crossJoin(totals)
+
+    p = (
+        F.coalesce(F.col("__n_cu"), F.lit(0)) + F.lit(float(smoothing_k))
+    ) / denom1
+    for k in range(2, n):
+        p_seen = (
+            F.greatest(
+                F.coalesce(F.col(f"__nc_{k}"), F.lit(0)).cast("double") - D,
+                F.lit(0.0),
+            )
+            + D * F.col(f"__tc_{k}").cast("double") * p
+        ) / F.col(f"__ncc_{k}").cast("double")
+        p = F.when(F.col(f"__ncc_{k}").isNotNull(), p_seen).otherwise(p)
+    p_top_seen = (
+        F.greatest(
+            F.coalesce(F.col("__n_top"), F.lit(0)).cast("double") - D,
+            F.lit(0.0),
+        )
+        + D * F.col("__t_top").cast("double") * p
+    ) / F.col("__nctx_top").cast("double")
+    p = F.when(F.col("__nctx_top").isNotNull(), p_top_seen).otherwise(p)
+    nll = -F.log(p)
+    oov = F.when(
+        F.col("__n_top").isNull(), F.col("__cnt")
+    ).otherwise(F.lit(0))
+    grouped = joined.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_ngrams"),
+        F.sum(oov).alias("__oov"),
+        (
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in names],
+                    (F.col("__cnt") * nll).alias("c"),
+                )
+            )
+            if deterministic
+            else F.sum(F.col("__cnt") * nll)
+        ).alias("__nll"),
+    )
+    if deterministic:
+        nll_total = F.aggregate(
+            F.array_sort(F.col("__nll")), F.lit(0.0),
+            lambda acc, s: acc + s["c"],
+        )
+    else:
+        nll_total = F.col("__nll")
+    return grouped.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.round(
+            F.col("__oov").cast("double") / F.col("n_ngrams"), 6
+        ).alias("oov_frac"),
+        F.round(nll_total / F.col("n_ngrams"), 6).alias("mean_nll"),
+    )
+
+
 def fluency_buckets(
     df: DataFrame,
     *,
@@ -1715,9 +2003,23 @@ def fluency_buckets(
         scored = trigram_logprob(
             df, id_col=id_col, text_col=text_col, lm=lm, **kwargs
         )
+    elif _re.fullmatch(r"[3-9]gram", model or ""):
+        # '4gram'/'5gram'/...: the KenLM-grade KN ladder (VERDICT r12
+        # item 5). An external LM is the full lms= ladder (kwargs), not
+        # the single lm= table.
+        if lm is not None:
+            raise ValueError(
+                f"model={model!r} takes its external LM as the full "
+                "lms= ladder (see ngram_logprob), not lm="
+            )
+        scored = ngram_logprob(
+            df, id_col=id_col, text_col=text_col, n=int(model[0]),
+            **kwargs,
+        )
     else:
         raise ValueError(
-            f"model must be 'unigram', 'bigram', or 'trigram', got {model!r}"
+            f"model must be 'unigram', 'bigram', 'trigram', or "
+            f"'<n>gram' (3-9), got {model!r}"
         )
     scored = scored.select(F.col(id_col), "mean_nll")
     perc = F.percentile if exact else F.percentile_approx
