@@ -1282,7 +1282,10 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_HASH_EMBED = rf"""
+# Shared CTE prefix: documents -> per-doc dense signed-hash vector +
+# its L2 norm (the hash_embed pipeline) — consumed by the hash_embed
+# oracle (exploded dims) and the classifier_hashed oracle (dot+sigmoid).
+_HASH_EMBED_CTE = rf"""
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'),
@@ -1317,12 +1320,68 @@ ORACLE_HASH_EMBED = rf"""
                sqrt(list_reduce(list_transform(v, x -> x * x),
                                 (a, b) -> a + b)) AS n
         FROM dense
-    )
+    )"""
+
+ORACLE_HASH_EMBED = rf"""{_HASH_EMBED_CTE}
     SELECT doc_id,
            CAST(i AS INT) AS dim_idx,
            ROUND(CASE WHEN n = 0 THEN v[CAST(i AS INT) + 1]
                       ELSE v[CAST(i AS INT) + 1] / n END, 6) AS val
     FROM normed, unnest(range(0, {HASH_EMBED_DIMS})) AS u(i)
+"""
+
+# Fixed seeded weight vector shared by the Spark query and the SQL
+# replay (Knuth multiplicative-hash spread over [-1, 1] at 6 dp): the
+# scoring oracle's model is a LITERAL, like classifier_score's — the
+# trainer itself is pytest-gated (deterministic quantized GD; see
+# tests/test_text.py).
+CLASSIFIER_HASHED_WEIGHTS = [
+    round((((j * 2654435761) % 2000001) - 1000000) / 1e6, 6)
+    for j in range(HASH_EMBED_DIMS)
+]
+CLASSIFIER_HASHED_BIAS = -0.125
+
+
+def q_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier over HASHED features (new in round 13, VERDICT
+    r12 item 6): score = sigmoid(bias + w · hash_embed(text)) — the
+    scoring half of the DCLM/fineweb-edu-style learned quality filter
+    (text.hashed_classifier_score). The weight vector here is a fixed
+    seeded literal so both engines score the identical model; the
+    logistic-regression trainer (text.fit_classifier_hashed —
+    deterministic micro-quantized gradient descent) is covered by the
+    pytest AUC property against the Naive-Bayes baseline."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return text.hashed_classifier_score(
+        docs, id_col="doc_id", text_col="text",
+        weights=CLASSIFIER_HASHED_WEIGHTS, bias=CLASSIFIER_HASHED_BIAS,
+        hash_fn="md5",
+    )
+
+
+def _oracle_classifier_hashed_sql() -> str:
+    """The hash_embed CTE chain + a left-to-right dot-product fold over
+    the literal weight list + sigmoid, rounded to 6 — the exact
+    expression order hashed_classifier_score's zip_with/aggregate
+    evaluates (both folds start at 0 and add products in index
+    order)."""
+    w = "[" + ", ".join(repr(x) for x in CLASSIFIER_HASHED_WEIGHTS) + "]"
+    d = HASH_EMBED_DIMS
+    return rf"""{_HASH_EMBED_CTE}, vec AS (
+        SELECT doc_id,
+               list_transform(range(0, {d}), i ->
+                   ROUND(CASE WHEN n = 0 THEN v[CAST(i AS INT) + 1]
+                              ELSE v[CAST(i AS INT) + 1] / n END, 6))
+                   AS e
+        FROM normed
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-({CLASSIFIER_HASHED_BIAS!r}
+               + coalesce(list_reduce(
+                   list_transform(range(0, {d}), i ->
+                       e[CAST(i AS INT) + 1] * {w}[CAST(i AS INT) + 1]),
+                   (a, b) -> a + b), 0.0)))), 6) AS clf_score
+    FROM vec
 """
 
 
@@ -6446,6 +6505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,  # new in round 11
         "gram_duplication": q_gram_duplication,  # new in round 10
         "hash_embed": q_hash_embed,  # new in round 12
+        "classifier_hashed": q_classifier_hashed,  # new in round 13
         "corpus_stats": q_corpus_stats,  # new in round 10
         "code_signals": q_code_signals,  # new in round 10
         "train_bpe": q_train_bpe,  # new in round 9
@@ -6646,6 +6706,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_multiprobe": _oracle_knn_lsh_multiprobe_sql(),
         "gram_duplication": ORACLE_GRAM_DUPLICATION,
         "hash_embed": ORACLE_HASH_EMBED,
+        "classifier_hashed": _oracle_classifier_hashed_sql(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "code_signals": _oracle_code_signals_sql(),
         "strip_html": ORACLE_STRIP_HTML,

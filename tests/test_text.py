@@ -1204,6 +1204,167 @@ def test_train_bpe_spark_byte_pretokenize(spark):
         )
 
 
+def _rank_auc(scores: dict, is_pos) -> float:
+    pairs = sorted(scores.items(), key=lambda kv: kv[1])
+    ranks = {d: i + 1 for i, (d, _) in enumerate(pairs)}
+    n_pos = sum(1 for d in scores if is_pos(d))
+    n_neg = len(scores) - n_pos
+    r_pos = sum(ranks[d] for d in scores if is_pos(d))
+    return (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+def test_fit_classifier_hashed_beats_nb_on_correlated_features(spark):
+    """Learned quality classifier (VERDICT r12 item 6): on a planted
+    corpus with a perfectly CORRELATED token pair (one signal, two
+    tokens — Naive Bayes double-counts it as independent evidence),
+    the micro-quantized logistic-regression trainer must out-rank the
+    NB baseline (AUC), retrain bit-identically, and produce the same
+    model on the size-gated local path and the distributed loop."""
+    import random
+
+    from timefence_spark.operators import text as T
+
+    rng = random.Random(11)
+    noise = ["the", "a", "of", "and", "to", "in", "it", "is"]
+    rows = []
+    for i in range(400):
+        pos = i % 2 == 0
+        words = []
+        if rng.random() < (0.40 if pos else 0.70):
+            words += ["nile", "river"]  # correlated pair: one signal
+        if rng.random() < (0.75 if pos else 0.35):
+            words += ["quality"]
+        if rng.random() < (0.65 if pos else 0.30):
+            words += ["method"]
+        while len(words) < 16:
+            words.append(rng.choice(noise))
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), pos))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+    model = T.fit_classifier_hashed(
+        df, id_col="doc_id", text_col="text", label_col="label",
+        dims=64, iters=800, lr=1.0, normalize=False,
+    )
+    assert len(model["weights"]) == 64 and model["n_docs"] == 400
+    scored = {
+        r["doc_id"]: r["clf_score"]
+        for r in T.hashed_classifier_score(
+            df, id_col="doc_id", text_col="text",
+            weights=model["weights"], bias=model["bias"],
+            normalize=False,
+        ).collect()
+    }
+    nb_weights = T.fit_classifier(
+        df, id_col="doc_id", text_col="text", label_col="label"
+    )
+    nb = {
+        r["doc_id"]: r["clf_score"]
+        for r in T.classifier_score(
+            df, id_col="doc_id", text_col="text", weights_df=nb_weights
+        ).collect()
+    }
+    is_pos = lambda d: d % 2 == 0  # noqa: E731
+    auc_lr = _rank_auc(scored, is_pos)
+    auc_nb = _rank_auc(nb, is_pos)
+    assert auc_lr > auc_nb, (auc_lr, auc_nb)
+    assert auc_lr > 0.85
+
+    # bit-identical retrain (quantized GD: exact integer sums, fixed
+    # driver arithmetic)
+    model2 = T.fit_classifier_hashed(
+        df, id_col="doc_id", text_col="text", label_col="label",
+        dims=64, iters=800, lr=1.0, normalize=False,
+    )
+    assert model2 == model
+
+    # Corpus wiring round-trips the model dict
+    from timefence_spark.corpus import Corpus
+
+    c = Corpus(df)
+    cm = c.train_quality_classifier(
+        label_col="label", dims=64, iters=800, lr=1.0, normalize=False
+    )
+    assert cm == model
+    cs = {
+        r["doc_id"]: r["clf_score"]
+        for r in c.score_quality_classifier(cm).collect()
+    }
+    assert cs == scored
+
+
+def test_fit_classifier_hashed_paths_and_errors(spark):
+    """Local (size-gated collect) and distributed (per-iteration
+    decimal-sum jobs) trainers produce the same model; error paths:
+    empty label set, over-threshold mode='local', bad hyperparams,
+    unscored docs produce no score row."""
+    from timefence_spark.operators import text as T
+
+    rows = [
+        (
+            i,
+            (
+                "good text insight value "
+                if i % 2 == 0
+                else "spam click buy now "
+            )
+            + "the a of and",
+            i % 2 == 0,
+        )
+        for i in range(60)
+    ] + [(1000, None, True), (1001, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+    local = T.fit_classifier_hashed(
+        df, id_col="doc_id", text_col="text", label_col="label",
+        dims=16, iters=6, lr=1.0,
+    )
+    dist = T.fit_classifier_hashed(
+        df, id_col="doc_id", text_col="text", label_col="label",
+        dims=16, iters=6, lr=1.0, mode="distributed",
+    )
+    # gradients are exact integers on both paths; residuals can differ
+    # only where libm exp differs at a micro-rounding boundary
+    assert max(
+        abs(a - b)
+        for a, b in zip(
+            local["weights"] + [local["bias"]],
+            dist["weights"] + [dist["bias"]],
+        )
+    ) <= 2e-6
+    # NULL/empty docs embed to no grams -> no score row
+    scored = T.hashed_classifier_score(
+        df, id_col="doc_id", text_col="text",
+        weights=local["weights"], bias=local["bias"],
+    )
+    ids = {r["doc_id"] for r in scored.collect()}
+    assert 1000 not in ids and 1001 not in ids and len(ids) == 60
+
+    with pytest.raises(ValueError, match="trainable"):
+        T.fit_classifier_hashed(
+            df.where("doc_id < 0"), id_col="doc_id", text_col="text",
+            label_col="label", dims=8,
+        )
+    with pytest.raises(ValueError, match="local_threshold"):
+        T.fit_classifier_hashed(
+            df, id_col="doc_id", text_col="text", label_col="label",
+            dims=8, mode="local", local_threshold=10,
+        )
+    for bad in (
+        {"dims": 1}, {"iters": 0}, {"lr": 0.0}, {"l2": -1.0},
+        {"momentum": 1.0}, {"mode": "remote"},
+    ):
+        with pytest.raises(ValueError):
+            T.fit_classifier_hashed(
+                df, id_col="doc_id", text_col="text", label_col="label",
+                **{"dims": 8, **bad},
+            )
+    with pytest.raises(ValueError, match="weights"):
+        T.hashed_classifier_score(
+            df, id_col="doc_id", text_col="text", weights=[0.1]
+        )
+
+
 def test_gpt2_split_matches_spark_regex(spark):
     """The Python gpt2_split scanner, Spark's regexp_extract_all over
     GPT2_SPLIT_REGEX (Java lookahead), and the DuckDB sentinel replay

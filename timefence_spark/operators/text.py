@@ -672,6 +672,268 @@ def fit_classifier(
     )
 
 
+def hashed_classifier_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    ngram: int = 1,
+    hash_fn: str = "xxhash64",
+    normalize: bool = True,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Linear classifier over HASHED features (VERDICT r12 item 6) —
+    the scoring half of the DCLM / fineweb-edu-style learned quality
+    filter: ``score = sigmoid(bias + w · hash_embed(text))`` where the
+    feature vector is :func:`hash_embed`'s signed-hashing embedding
+    (dims = ``len(weights)``; pass the same ``ngram`` / ``hash_fn`` /
+    ``normalize`` the model was trained with —
+    :func:`fit_classifier_hashed` returns them alongside the weights).
+
+    Unlike :func:`classifier_score`'s explicit-vocabulary model, the
+    feature space here is BOUNDED BY CONSTRUCTION (the hashing trick,
+    Weinberger et al. 2009), so the weight vector is a few-hundred-
+    entry literal no matter the corpus vocabulary — the model ships in
+    the plan, and the dot product is one deterministic left-to-right
+    ``zip_with`` + ``aggregate`` fold per document (scan-speed, zero
+    extra shuffle beyond hash_embed's one pre-agg).
+
+    Returns (id, out_col) with the score rounded to 6 places (libm exp
+    ulp contract, like :func:`classifier_score`). Documents that embed
+    to no row (no grams: NULL/empty text, or fewer than ``ngram``
+    tokens) produce NO row — the keep-unscored policy downstream."""
+    dims = len(weights)
+    if dims < 2:
+        raise ValueError(f"weights must have >= 2 entries, got {dims}")
+    emb = hash_embed(
+        df, id_col=id_col, text_col=text_col, dims=dims, ngram=ngram,
+        hash_fn=hash_fn, normalize=normalize, round_to=6,
+    )
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), w_arr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    raw = F.lit(float(bias)) + dot
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return emb.select(F.col(id_col), F.round(score, 6).alias(out_col))
+
+
+def fit_classifier_hashed(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    dims: int = 64,
+    ngram: int = 1,
+    hash_fn: str = "xxhash64",
+    iters: int = 50,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    momentum: float = 0.9,
+    normalize: bool = True,
+    mode: str = "auto",
+    local_threshold: int = 100_000,
+) -> dict:
+    """Logistic-regression trainer over hashed features (VERDICT r12
+    item 6) — the LEARNED quality classifier DCLM / fineweb-edu-style
+    pipelines filter with, one rung above :func:`fit_classifier`'s
+    closed-form Naive Bayes: NB sums per-occurrence log-odds, so a
+    document repeating one weak token 50 times swamps the score;
+    logistic regression over the L2-normalized :func:`hash_embed`
+    features weighs EVIDENCE, not repetitions, and handles correlated
+    features. Returns ``{"weights": [...], "bias": float, "ngram": n,
+    "hash_fn": ..., "normalize": True, "n_docs": N, "iters_run": k}``
+    — feed weights/bias straight to :func:`hashed_classifier_score`.
+
+    Training is full-batch gradient descent with heavy-ball momentum
+    (Polyak — full-batch GD on a logistic loss converges O(1/t);
+    momentum buys the practical 5-10x, deterministically), made
+    DETERMINISTIC by integer quantization (the unigram trainer's
+    micronat trick, applied to GD): features quantize to micro-units
+    once (hash_embed already rounds to 6 places, so the quantization
+    is exact), the model lives on the micro grid between iterations,
+    per-row margins are exact integer dot products, residuals quantize
+    to micros, and each gradient component is an exact integer sum
+    (decimal(38,0) — no float summation-order dependence, no overflow
+    at any corpus size). The only floating-point steps run on the
+    DRIVER over ``dims + 1`` values per iteration — bit-reproducible.
+    Stops early when the quantized model is unchanged by an iteration
+    (a fixed point on the micro grid).
+
+    100 TB shape: ONE hash_embed pass (its single pre-agg shuffle)
+    materializes the (label, micro-feature) table, pinned with
+    localCheckpoint so the loop never recomputes upstream; each
+    iteration is one scan of that narrow table (dims longs + a label)
+    with a ``dims + 2``-column aggregate — the bounded-driver-collect
+    pattern the BPE trainer documents. ``mode='auto'`` is size-gated
+    like :func:`train_bpe_spark`: a labeled sample within
+    ``local_threshold`` rows is collected ONCE (bounded by the gate)
+    and the loop runs driver-side on numpy int64 — the gradient sums
+    are the same exact integers, so the two paths differ only where
+    libm ``exp`` differs in the last ulp (a 1-micro residual on a
+    measure-zero boundary); pass ``mode='distributed'`` to force the
+    per-iteration Spark jobs, ``'local'`` to error past the gate.
+    Rows with a NULL label or no grams contribute nothing."""
+    if dims < 2:
+        raise ValueError(f"dims must be >= 2, got {dims}")
+    if dims > 4096:
+        raise ValueError(
+            f"dims must be <= 4096 (per-iteration aggregate width), "
+            f"got {dims}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr <= 0.0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    if l2 < 0.0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    if not 0.0 <= momentum < 1.0:
+        raise ValueError(f"momentum must be in [0, 1), got {momentum}")
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"mode must be auto|local|distributed, got {mode!r}")
+    emb = hash_embed(
+        df, id_col=id_col, text_col=text_col, dims=dims, ngram=ngram,
+        hash_fn=hash_fn, normalize=normalize, round_to=6,
+    )
+    labels = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("boolean").cast("int").alias("__y"),
+    ).where(F.col("__y").isNotNull())
+    feats_plan = emb.join(labels, id_col).select(
+        F.col("__y"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x * 1e6).cast("long"),
+        ).alias("__xm"),
+    )
+
+    # Shared driver-side update: heavy-ball on the dims+1 float values,
+    # re-quantized to the micro grid. Identical code for both paths —
+    # the paths differ only in who computes the exact integer sums.
+    state = {
+        "beta": [0] * dims,  # micro-units
+        "bias_m": 0,
+        "vel": [0.0] * dims,
+        "vel_b": 0.0,
+    }
+
+    def step(g_ints, gb_int, n_docs) -> bool:
+        beta, vel = state["beta"], state["vel"]
+        new_beta = []
+        for j in range(dims):
+            g = float(g_ints[j]) / 1e12 / n_docs
+            g += l2 * (beta[j] / 1e6)
+            vel[j] = momentum * vel[j] - lr * g
+            new_beta.append(round((beta[j] / 1e6 + vel[j]) * 1e6))
+        gb = float(gb_int) / 1e6 / n_docs
+        state["vel_b"] = momentum * state["vel_b"] - lr * gb
+        new_bias = round((state["bias_m"] / 1e6 + state["vel_b"]) * 1e6)
+        changed = new_beta != beta or new_bias != state["bias_m"]
+        state["beta"], state["bias_m"] = new_beta, new_bias
+        return changed
+
+    def result(n_docs, iters_run) -> dict:
+        return {
+            "weights": [b / 1e6 for b in state["beta"]],
+            "bias": state["bias_m"] / 1e6,
+            "ngram": ngram,
+            "hash_fn": hash_fn,
+            "normalize": normalize,
+            "n_docs": n_docs,
+            "iters_run": iters_run,
+        }
+
+    if mode in ("auto", "local"):
+        # One gated action, like train_bpe_spark's local path.
+        head = feats_plan.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            import numpy as np
+
+            n_docs = len(head)
+            if n_docs == 0:
+                raise ValueError(
+                    "no trainable rows: every document has a NULL "
+                    "label or embeds to no grams"
+                )
+            X = np.array([list(r["__xm"]) for r in head], dtype=np.int64)
+            y = np.array([r["__y"] for r in head], dtype=np.float64)
+            # int64 exactness guard for the r @ X gradient sums
+            if int(np.abs(X).max()) * 1_000_000 * n_docs >= 2**63 - 1:
+                raise ValueError(
+                    "raw-count features too large for the exact int64 "
+                    "local gradient — use normalize=True or "
+                    "mode='distributed' (decimal sums)"
+                )
+            iters_run = 0
+            for _ in range(iters):
+                iters_run += 1
+                b_arr = np.array(state["beta"], dtype=np.int64)
+                prod = X * b_arr  # exact int64 per-entry products
+                # same j-order float accumulation as the Spark fold
+                acc = np.full(n_docs, float(state["bias_m"]) * 1e6)
+                for j in range(dims):
+                    acc += prod[:, j].astype(np.float64)
+                p = 1.0 / (1.0 + np.exp(-(acc / 1e12)))
+                r = np.rint((p - y) * 1e6).astype(np.int64)
+                g_ints = (r @ X).tolist()  # exact int64 (guarded above)
+                if not step(g_ints, int(r.sum()), n_docs):
+                    break
+            return result(n_docs, iters_run)
+        if mode == "local":
+            raise ValueError(
+                f"mode='local' but more than {local_threshold} labeled "
+                "rows; raise local_threshold or use "
+                "mode='auto'/'distributed'"
+            )
+
+    feats = feats_plan.localCheckpoint(eager=True)
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError(
+            "no trainable rows: every document has a NULL label or "
+            "embeds to no grams"
+        )
+    iters_run = 0
+    for _ in range(iters):
+        iters_run += 1
+        # margin: micro-beta · micro-x in 1e-12-units. Products compute
+        # in double (a within-row left-to-right fold — deterministic
+        # regardless of precision, and overflow-free for raw-count
+        # features under normalize=False).
+        margin = F.aggregate(
+            F.zip_with(
+                F.col("__xm"),
+                F.array(*[F.lit(int(b)) for b in state["beta"]]),
+                lambda x, b: x.cast("double") * b,
+            ),
+            F.lit(float(state["bias_m"]) * 1e6),
+            lambda acc, x: acc + x,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin / F.lit(1e12))))
+        r = F.round((p - F.col("__y").cast("double")) * 1e6).cast("long")
+        staged = feats.select(r.alias("__r"), "__xm")
+        sums = staged.agg(
+            F.sum(F.col("__r").cast("decimal(38,0)")).alias("__gb"),
+            *[
+                F.sum(
+                    (
+                        F.col("__r") * F.element_at(F.col("__xm"), j + 1)
+                    ).cast("decimal(38,0)")
+                ).alias(f"__g{j}")
+                for j in range(dims)
+            ],
+        ).head()
+        g_ints = [int(sums[f"__g{j}"] or 0) for j in range(dims)]
+        if not step(g_ints, int(sums["__gb"] or 0), n_docs):
+            break
+    return result(n_docs, iters_run)
+
+
 def bm25_score(
     df: DataFrame,
     *,
