@@ -927,6 +927,8 @@ def _scenario_main(label: str) -> int:
         res = _run_audit_scenario(spark)
     elif label == "clustered_read":
         res = _run_clustered_read_scenario(spark)
+    elif label == "ivf_pq_append":
+        res = _run_ivf_pq_append_scenario(spark)
     else:
         res = _run_scale_scenario(spark, label)
     print(SCENARIO_PREFIX + json.dumps(res), flush=True)
@@ -988,7 +990,7 @@ def _run_clustered_read_scenario(spark) -> dict:
         if mn is not None and mx is not None and mn <= hi and mx >= lo
     )
 
-    def timed(path: str) -> list[float]:
+    def make_read(path: str):
         def run():
             (
                 spark.read.parquet(path)
@@ -1003,20 +1005,192 @@ def _run_clustered_read_scenario(spark) -> dict:
                 )
                 .collect()
             )
-        return _timed_runs(run, 3)
+        return run
 
-    clustered_runs = timed(f"{base}/clustered")
-    scattered_runs = timed(f"{base}/scattered")
+    fns = {
+        "clustered": make_read(f"{base}/clustered"),
+        "scattered": make_read(f"{base}/scattered"),
+    }
+    # one untimed warmup each: plan compilation + codegen
+    fns["clustered"]()
+    fns["scattered"]()
+
+    def timed_sequence(seq: list[str], pre=None) -> dict[str, list[float]]:
+        out: dict[str, list[float]] = {"clustered": [], "scattered": []}
+        for which in seq:
+            if pre is not None:
+                pre()
+            t0 = time.perf_counter()
+            fns[which]()
+            out[which].append(round(time.perf_counter() - t0, 3))
+        return out
+
+    # ORDER-BALANCED alternation (VERDICT r12 item 1: the old loop
+    # always timed all clustered runs, then all scattered — so page
+    # cache state and concurrent load biased the pair; the driver's
+    # round-end record even measured the pruning read SLOWER than the
+    # full scan). Each layout runs first in half the adjacent pairs.
+    warm = timed_sequence(
+        ["clustered", "scattered", "scattered", "clustered",
+         "clustered", "scattered", "scattered", "clustered"]
+    )
+
+    # Cold-cache variant: drop the OS page cache before every read, so
+    # both layouts pay real I/O and the pruning win is storage-bound —
+    # the regime the 100 TB claim is actually about. Skipped (recorded
+    # as such) where /proc/sys/vm/drop_caches is not writable.
+    def drop_caches() -> bool:
+        try:
+            os.sync()
+            with open("/proc/sys/vm/drop_caches", "w") as fh:
+                fh.write("3")
+            return True
+        except OSError:
+            return False
+
+    cold: dict | None = None
+    if drop_caches():
+        cold_runs = timed_sequence(
+            ["clustered", "scattered", "scattered", "clustered"],
+            pre=drop_caches,
+        )
+        cold = {
+            "sec": min(cold_runs["clustered"]),
+            "runs": cold_runs["clustered"],
+            "scattered_sec": min(cold_runs["scattered"]),
+            "scattered_runs": cold_runs["scattered"],
+            "speedup": round(
+                min(cold_runs["scattered"]) / min(cold_runs["clustered"]), 2
+            ),
+        }
+
     shutil.rmtree(base, ignore_errors=True)
     return {
-        "sec": min(clustered_runs),
-        "runs": clustered_runs,
-        "scattered_sec": min(scattered_runs),
-        "scattered_runs": scattered_runs,
-        "speedup": round(min(scattered_runs) / min(clustered_runs), 2),
+        "sec": min(warm["clustered"]),
+        "runs": warm["clustered"],
+        "scattered_sec": min(warm["scattered"]),
+        "scattered_runs": warm["scattered"],
+        "speedup": round(
+            min(warm["scattered"]) / min(warm["clustered"]), 2
+        ),
+        "order": "alternating_balanced",
+        "cold": cold if cold else {"err": "drop_caches unavailable"},
         "n_rows": n,
         "files": files,
         "clustered_files_overlapping_range": overlapping,
+    }
+
+
+def _run_ivf_pq_append_scenario(spark) -> dict:
+    """ivf_pq_append exercised at bench scale with a DRIFTED shard
+    (VERDICT r12 item 7): build a persisted IVF-PQ index on 90% of the
+    embeddings table (untimed), then time appending a distribution-
+    shifted version of the held-out 10% (scaled + offset vectors — off
+    the trained centroids) — the append's design claim is that it is an
+    encode-scan over ONLY the new rows, so its wall time is compared
+    against a full rebuild over base+shard. Recall@10 of drifted
+    queries is measured on the appended index AND on the rebuild (both
+    against exact cosine over the combined corpus): the gap is the
+    measured price of freezing the model, the number that tells an
+    operator when to rebuild."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from timefence_spark.operators import similarity as sim
+
+    emb = entry_mod._t(spark, SF_DIR, "embeddings", spread=False).select(
+        "vec_id", "embedding"
+    )
+    base_corpus = emb.where(F.col("vec_id") % 10 != 0)
+    # Drifted shard: same cardinality structure, shifted+rescaled
+    # components — a distribution the frozen centroids never saw. The
+    # shift is deliberately moderate (0.9x + 0.15): the drifted rows
+    # form one tight off-manifold cluster, which is exactly the hard
+    # case for a frozen coarse quantizer, but an extreme offset makes
+    # even the REBUILD's recall floor out and the drift-cost gap
+    # unmeasurable.
+    drift = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(0.9) + F.lit(0.15)).cast("float"),
+        ).alias("embedding"),
+    )
+    drift_n = drift.count()
+    queries = drift.where(F.col("vec_id") % 5 == 0).limit(40)
+    combined = base_corpus.unionByName(drift)
+
+    base_idx = f"/tmp/tf_ivfpq_append_base_{uuid.uuid4().hex[:8]}"
+    sim.ivf_pq_build_index(
+        base_corpus, corpus_id="vec_id", nlist=16, m=8, nbits=4,
+        path=base_idx,
+    )
+
+    # Timed appends: each run appends the shard to a FRESH COPY of the
+    # base index (an append mutates codes + meta generation).
+    runs = []
+    appended_idx = None
+    for _ in range(3):
+        idx = f"/tmp/tf_ivfpq_append_{uuid.uuid4().hex[:8]}"
+        shutil.copytree(base_idx, idx)
+        t0 = time.perf_counter()
+        gen = sim.ivf_pq_append(
+            spark, idx, drift, corpus_id="vec_id"
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+        if appended_idx is None:
+            appended_idx = idx  # keep the first for the recall probe
+        else:
+            shutil.rmtree(idx, ignore_errors=True)
+
+    # Rebuild over base + shard, timed once — the cost append avoids.
+    rebuild_idx = f"/tmp/tf_ivfpq_rebuild_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    sim.ivf_pq_build_index(
+        combined, corpus_id="vec_id", nlist=16, m=8, nbits=4,
+        path=rebuild_idx,
+    )
+    rebuild_sec = round(time.perf_counter() - t0, 3)
+
+    # Recall@10 on the drifted queries, exact cosine as ground truth.
+    k = 10
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(
+            queries, combined, query_id="vec_id", corpus_id="vec_id", k=k
+        ).collect()
+    }
+
+    def recall(path: str) -> float:
+        # nprobe=8 + exact rerank: the production search config — the
+        # recall ceiling is then CANDIDATE recall, which is where a
+        # frozen coarse quantizer pays for drift.
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_pq_search(
+                spark, path, queries, query_id="vec_id", k=k, nprobe=8,
+                rerank=combined, rerank_id="vec_id",
+            ).collect()
+        }
+        return round(len(got & exact) / max(len(exact), 1), 4)
+
+    recall_append = recall(appended_idx)
+    recall_rebuild = recall(rebuild_idx)
+    shutil.rmtree(base_idx, ignore_errors=True)
+    shutil.rmtree(appended_idx, ignore_errors=True)
+    shutil.rmtree(rebuild_idx, ignore_errors=True)
+    return {
+        "sec": min(runs),
+        "runs": runs,
+        "generation_after_append": gen,
+        "rebuild_sec": rebuild_sec,
+        "append_vs_rebuild": round(min(runs) / rebuild_sec, 3),
+        "recall_at10_append": recall_append,
+        "recall_at10_rebuild": recall_rebuild,
+        "recall_drift_cost": round(recall_rebuild - recall_append, 4),
+        "n_appended": drift_n,
     }
 
 
@@ -1149,6 +1323,61 @@ ISOLATED_REMEASURE = {
     },
 }
 
+# Round-13 isolated re-measures (VERDICT r12 items 2 + 3), quiet host
+# (load < 0.6/32 cores), 2026-08-16. Methodology upgrade vs r11: the
+# 100k scenarios ran INTERLEAVED with the round-10 code (git worktree
+# at de11095) as a same-host control — HEAD vs r10-code alternating,
+# two rounds each — and a job profile (statusStore bracketing one
+# build) compared the two versions' job lists.
+ISOLATED_REMEASURE_R13 = {
+    "100k_x1": {
+        # sec = per-invocation scenario min (4 runs each)
+        "head": [1.25, 1.349], "r10_code_same_host": [1.265, 1.204],
+        "verdict": (
+            "NO code regression: HEAD == r10 code on the same host "
+            "(identical 10-job sequence, statusStore-profiled; "
+            "engine.py diff since r10 is comments-only). 1.25s meets "
+            "the ~1.3s host-adjusted floor; the r12 records "
+            "(1.745/1.951s) were environmental."
+        ),
+        "job_profile": {"head_jobs": 10, "r10_jobs": 10},
+        "published": 0.51, "vs_published": 2.45,
+    },
+    "100k_x10": {
+        "head": [3.858, 3.74], "r10_code_same_host": [3.963, 4.269],
+        "verdict": (
+            "HEAD slightly FASTER than r10 code; best 3.74s = 1.94x "
+            "published (<= the 2x budget). r12's 4.4-6.1s records "
+            "were environmental."
+        ),
+        "published": 1.93, "vs_published": 1.94,
+    },
+    # knn subset re-measure (fresh JVM, SPARK_GRAFT_QUERIES subset, two
+    # consecutive invocations A/B). CAVEAT recorded: subset runs lack
+    # the full suite's shared-scan/JIT warmup, so they sit ABOVE
+    # in-suite numbers — compare vs_r12_committed (in-suite), not raw.
+    "knn_pq": {
+        "ab_min": [4.13, 4.178], "r11": 2.793, "r12": 3.876,
+        "vs_r12": 1.07,
+        "verdict": (
+            "moves with its whole family (knn_sq 1.05x, knn_pq_opq "
+            "1.26x vs r12) — the r11->r12 1.39x is the documented "
+            "r10->r11 host drift + run-context variance, not a "
+            "knn_pq-specific regression (code untouched)."
+        ),
+    },
+    "knn_mrl": {
+        "ab_min": [0.853, 0.857], "r11": 0.422, "r12": 0.581,
+        "vs_r12": 1.47,
+        "verdict": (
+            "sub-second row dominated by fixed job cost; stable "
+            "across A/B but inflated in subset context (no suite "
+            "warmup). The in-suite round-end number is the honest "
+            "comparison base."
+        ),
+    },
+}
+
 
 def _measure(name: str, fn, n: int, jvm=None) -> list[float]:
     """Timed runs with ONE self-requote on instability: a row whose
@@ -1251,6 +1480,60 @@ def _suite_validity(
         # Carry the clean base forward so a string of degraded runs
         # keeps comparing against the last trustworthy record.
         out["reference_queries"] = ref_q
+    return out
+
+
+def _scale_validity(scale: dict, detail_path: str) -> dict:
+    """The suite validity gate extended to the SCALE section (VERDICT
+    r12 item 1a): three divergent 100k_x1 numbers coexisted in r12
+    because scale scenarios had no uniformly-degraded-run marker.
+    Median per-scenario ratio vs the previous committed record over
+    the limit -> DEGRADED_RUN, with the clean reference scale secs
+    carried forward exactly like _suite_validity. The clustered_read
+    payoff rides along: a speedup below 1.0 (pruning read slower than
+    the full scan) marks the row PAYOFF_INVERTED so it can never
+    silently stand as the recorded claim."""
+    out: dict = {}
+    cr = scale.get("clustered_read") or {}
+    if cr.get("speedup") is not None and cr["speedup"] < 1.0:
+        out["clustered_read"] = "PAYOFF_INVERTED"
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        out["status"] = "no_previous_record"
+        return out
+    ref = {
+        lbl: r.get("sec")
+        for lbl, r in (prev.get("scale") or {}).items()
+        if r.get("sec")
+    }
+    prev_validity = prev.get("scale_validity") or {}
+    if prev_validity.get("status") == "DEGRADED_RUN" and prev_validity.get(
+        "reference_scale"
+    ):
+        ref = prev_validity["reference_scale"]
+    shared = [
+        lbl for lbl, r in scale.items() if r.get("sec") and ref.get(lbl)
+    ]
+    if len(shared) < 5:
+        out["status"] = "insufficient_overlap"
+        out["shared"] = len(shared)
+        return out
+    ratios = sorted(scale[lbl]["sec"] / ref[lbl] for lbl in shared)
+    med = ratios[len(ratios) // 2]
+    out.update(
+        {
+            "status": (
+                "ok" if med <= SUITE_MEDIAN_RATIO_LIMIT else "DEGRADED_RUN"
+            ),
+            "median_ratio_vs_prev": round(med, 3),
+            "limit": SUITE_MEDIAN_RATIO_LIMIT,
+            "shared_scenarios": len(shared),
+        }
+    )
+    if out["status"] == "DEGRADED_RUN":
+        out["reference_scale"] = ref
     return out
 
 
@@ -1755,8 +2038,12 @@ def _finish(
                 f"pipeline:{which}"
             )
         # write_clustered read-side payoff (VERDICT r11 item 7): the
-        # selective key-range read on the clustered vs scattered layout.
+        # selective key-range read on the clustered vs scattered layout,
+        # order-balanced + cold-cache since r13 (VERDICT r12 item 1).
         scale["clustered_read"] = _run_scenario_subprocess("clustered_read")
+        # ivf_pq_append at bench scale with a drift-recall probe
+        # (VERDICT r12 item 7).
+        scale["ivf_pq_append"] = _run_scenario_subprocess("ivf_pq_append")
 
     # Requote backstop for scale rows (mirrors _measure): a scenario
     # whose trimmed spread trips the gate gets ONE fresh-JVM re-run
@@ -1837,6 +2124,7 @@ def _finish(
         "bpe_batching": bpe_batching or {},
         "requoted": REQUOTED,
         "isolated_remeasure_r11": ISOLATED_REMEASURE,
+        "isolated_remeasure_r13": ISOLATED_REMEASURE_R13,
         "host_reference_calibration_r12": HOST_REFERENCE_CALIBRATION_R12,
         "accepted_ratios": ACCEPTED_RATIOS,
         "sf": sf_val,
@@ -1854,6 +2142,24 @@ def _finish(
             "not code: this run is marked invalid as a comparison base.",
             file=sys.stderr,
         )
+    if scale:
+        scale_validity = _scale_validity(scale, detail_path)
+        detail["scale_validity"] = scale_validity
+        if scale_validity.get("status") == "DEGRADED_RUN":
+            print(
+                "SCALE DEGRADED: median per-scenario ratio "
+                f"{scale_validity['median_ratio_vs_prev']}x vs the "
+                "previous record exceeds the limit — the scale section "
+                "of this run is invalid as a comparison base.",
+                file=sys.stderr,
+            )
+        if scale_validity.get("clustered_read") == "PAYOFF_INVERTED":
+            print(
+                "clustered_read PAYOFF_INVERTED: the pruning read "
+                "measured slower than the full scan — the measurement, "
+                "not the layout, is suspect.",
+                file=sys.stderr,
+            )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print("detail: " + json.dumps(detail), file=sys.stderr)
