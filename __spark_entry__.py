@@ -4808,6 +4808,37 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fluency_buckets_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet terciles at the filter's PUBLISHED shape (new in round 13):
+    the 5-gram Kneser-Ney scorer (ngram_nll's exact configuration —
+    min_count=2 pruning, deterministic fold) feeding the same exact
+    interpolated-percentile head/middle/tail cut as the unigram entry.
+    One scored subtree + a one-row broadcast threshold aggregate."""
+    return text.fluency_buckets(
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id", text_col="text", model=f"{NGRAM_NLL_N}gram",
+        min_count=NGRAM_NLL_MIN_COUNT, deterministic=True,
+    )
+
+
+def _oracle_fluency_buckets_5gram_sql() -> str:
+    """The ngram_nll replay as the scored CTE + the tercile cut —
+    ORACLE_FLUENCY_BUCKETS' shape over the 5-gram KN scorer."""
+    scored = _oracle_ngram_nll_sql(NGRAM_NLL_N, NGRAM_NLL_MIN_COUNT)
+    return f"""
+    WITH scored AS ({scored}), cuts AS (
+        SELECT ROUND(quantile_cont(mean_nll, 1.0/3.0), 6) AS t_lo,
+               ROUND(quantile_cont(mean_nll, 2.0/3.0), 6) AS t_hi
+        FROM scored
+    )
+    SELECT doc_id, mean_nll,
+           CASE WHEN mean_nll <= t_lo THEN 'head'
+                WHEN mean_nll <= t_hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts
+"""
+
+
 def _oracle_ngram_nll_sql(n: int, min_count: int) -> str:
     """ORACLE_TRIGRAM_NLL generalized to order n: gram-type CTEs per
     order (HAVING-pruned at >= 3), continuation tables from each
@@ -6532,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,  # new in round 8
         "trigram_nll": q_trigram_nll,  # new in round 12
         "ngram_nll": q_ngram_nll,  # new in round 13 (5-gram KN)
+        "fluency_buckets_5gram": q_fluency_buckets_5gram,  # round 13
         "media_decode_jpeg": q_media_decode_jpeg,  # new in round 8
         "media_decode_jpeg_rgb": q_media_decode_jpeg_rgb,  # new in round 8
         "media_decode_jpeg_420": q_media_decode_jpeg_420,  # new in round 8
@@ -6686,6 +6718,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_nll": _oracle_ngram_nll_sql(
             NGRAM_NLL_N, NGRAM_NLL_MIN_COUNT
         ),
+        "fluency_buckets_5gram": _oracle_fluency_buckets_5gram_sql(),
         "fit_classifier": ORACLE_FIT_CLASSIFIER,
         "bm25_rank": ORACLE_BM25_RANK,
         "shuffle_rows": ORACLE_SHUFFLE_ROWS,

@@ -225,6 +225,18 @@ BENCH_QUERIES = [
     # n-gram up (triple explode + pre-agg + five KN statistic joins,
     # all vocabulary-scale, + one-row continuation totals).
     "trigram_nll",
+    # Round-13: GPT-2-regex BPE training — the delta vs train_bpe_byte
+    # prices the regexp_extract_all piece split (whitespace runs and
+    # space-prefixed pieces widen the type table).
+    "train_bpe_gpt2",
+    # Round-13: 5-gram interpolated KN with min_count=2 pruning — the
+    # ladder's top: 4 gram-type tables, 9 statistic joins, all
+    # vocabulary-scale after the per-doc pre-agg.
+    "ngram_nll",
+    # Round-13: hashed-feature linear scoring — hash_embed + a
+    # zip_with/aggregate dot against a literal weight vector; the row
+    # prices the corpus-wide learned-quality-filter scoring pass.
+    "classifier_hashed",
     # Round-11: unigram-LM tokenizer — trainer (word-type table + one
     # substring-seed shuffle + per-EM-round segment-and-count) and the
     # pure-JVM Viterbi encoder (one broadcast model map, zero shuffle).
