@@ -184,6 +184,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         # hybrid_rrf_bm25: bm25's one-row corpus stats (N, avgdl, df)
         # broadcast cross join + the exact-kNN retriever.
         "hybrid_rrf_bm25",
+        # ngram_nll / fluency_buckets_5gram (round 13): trigram_nll's
+        # sanctioned one-row continuation-totals broadcast cross join,
+        # two orders up (and the buckets' one-row threshold join).
+        "ngram_nll", "fluency_buckets_5gram",
     }
     offenders = {}
     for name, q in entry_mod.queries().items():
