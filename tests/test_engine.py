@@ -314,6 +314,45 @@ def test_duplicate_detection_error_and_keep_any(spark, tmp_path):
     )
     with pytest.raises(TimefenceDuplicateError):
         tf.build(labels, [feat_err], spark=spark)
+    # With an output path the in-window duplicate count lands with the
+    # write action (round 13); the error must still abort the build AND
+    # remove the output.
+    out = tmp_path / "dup_out.parquet"
+    with pytest.raises(TimefenceDuplicateError):
+        tf.build(labels, [feat_err], str(out), spark=spark)
+    assert not out.exists()
+
+
+def test_duplicate_detection_null_key_rows(spark, tmp_path):
+    """Duplicate (key, ts) groups whose key or timestamp is NULL never
+    enter the union window (NULL keys cannot match), so the round-13
+    in-window counter is blind to them — the NULL-subset branch of the
+    batched pre-pass must still surface them, exactly like the classic
+    standalone check (SQL GROUP BY groups NULLs)."""
+    dup = spark.createDataFrame(
+        [
+            (None, dt.datetime(2024, 1, 1), 1.0),
+            (None, dt.datetime(2024, 1, 1), 2.0),
+            (1, dt.datetime(2024, 1, 2), 3.0),
+        ],
+        "user_id int, ts timestamp_ntz, v double",
+    )
+    p = str(tmp_path / "nulldup.parquet")
+    dup.coalesce(1).write.parquet(p)
+    labels = tf.Labels(
+        df=spark.createDataFrame(
+            [(1, dt.datetime(2024, 2, 1), True)],
+            "user_id int, label_time timestamp_ntz, y boolean",
+        ),
+        keys="user_id",
+        label_time="label_time",
+        target="y",
+    )
+    feat = tf.Feature(
+        tf.Source(p, keys="user_id", timestamp="ts"), columns="v", name="f"
+    )
+    with pytest.raises(TimefenceDuplicateError):
+        tf.build(labels, [feat], spark=spark)
     feat_ok = tf.Feature(
         tf.Source(p, keys="user_id", timestamp="ts"),
         columns="v",

@@ -315,6 +315,52 @@ def test_build_selects_zero_join_single_pass_plan(spark, sf_dir):
     ), f"single-pass build must have zero joins, got {s}"
 
 
+def test_in_window_dup_flags_share_the_window(spark):
+    """Round 13: the in-window duplicate counter (pit_match_multi
+    dup_track) must ride the EXISTING window pass — the lag/lead flag
+    expressions share the running frame's partitioning and ordering, so
+    the physical plan keeps exactly ONE Window operator and gains no
+    Exchange; the check's entire cost is two offset-frame processors
+    and a CollectMetrics pass-through."""
+    from pyspark.sql import Observation
+
+    from timefence_spark.operators.asof import pit_match_multi
+    from timefence_spark.plans import physical_summary
+
+    labels = spark.createDataFrame(
+        [(i % 10, T0 + timedelta(hours=i)) for i in range(100)],
+        "entity long, label_time timestamp_ntz",
+    ).withColumn("__label_rowid", F.monotonically_increasing_id())
+    feat = spark.createDataFrame(
+        [(i % 10, T0 + timedelta(hours=i - 2), float(i)) for i in range(100)],
+        "entity long, feature_time timestamp_ntz, v double",
+    )
+    kwargs = dict(
+        key_pairs=[("entity", "entity")],
+        label_time="label_time",
+        lookback_s=365 * 86400,
+    )
+    plain = pit_match_multi(
+        labels, [("f", feat, "feature_time", ["v"], 0)], **kwargs
+    )
+    obs = Observation()
+    flagged = pit_match_multi(
+        labels,
+        [("f", feat, "feature_time", ["v"], 0)],
+        dup_track=[True],
+        dup_observation=obs,
+        **kwargs,
+    )
+    s_plain = physical_summary(plain)
+    s_flagged = physical_summary(flagged)
+    assert s_flagged.windows == 1, f"expected ONE Window, got {s_flagged}"
+    assert s_flagged.exchanges == s_plain.exchanges, (
+        f"dup flags added a shuffle: {s_plain} -> {s_flagged}"
+    )
+    flagged.count()
+    assert int(obs.get["dups_0"]) == 0  # no duplicate groups planted
+
+
 def _lut_staged_below_topmost_join(df) -> None:
     """Assert the ADC LUT is a staged projection BELOW the candidate
     join: every operator above the topmost join may reference `__lut`

@@ -64,7 +64,12 @@ from timefence_spark.errors import (
     schema_error_missing_key,
     timezone_error,
 )
-from timefence_spark.operators.asof import ROW_ID, pit_match, pit_match_multi
+from timefence_spark.operators.asof import (
+    ROW_ID,
+    _payload_orderable,
+    pit_match,
+    pit_match_multi,
+)
 from timefence_spark.results import (
     AuditReport,
     BuildResult,
@@ -310,9 +315,69 @@ def _dup_check_agg(src_df: DataFrame, feature: Feature) -> DataFrame:
     )
 
 
+def _apply_dup_policy(src_df: DataFrame, feat: Feature, dup_pairs: int) -> None:
+    """Raise / warn per on_duplicate (reference engine.py:586-627); the
+    top-3 example query runs only on the error path."""
+    if dup_pairs <= 0:
+        return
+    if feat.on_duplicate == "error":
+        key_ts = [*feat.source_keys, feat.source.timestamp]
+        grouped = src_df.groupBy(*key_ts).agg(F.count(F.lit(1)).alias("cnt"))
+        examples = [
+            r.asDict()
+            for r in grouped.where(F.col("cnt") > 1)
+            .orderBy(F.desc("cnt"))
+            .limit(3)
+            .collect()
+        ]
+        raise duplicate_error(feat.name, dup_pairs, examples)
+    warnings.warn(
+        f"Feature '{feat.name}' has {dup_pairs} duplicate "
+        f"(key, feature_time) pairs. Using on_duplicate='keep_any' — "
+        "one row will be selected deterministically (max payload).",
+        stacklevel=3,
+    )
+
+
+def _observation_get(obs: Any, timeout_s: float) -> dict | None:
+    """``Observation.get`` that cannot wedge the build: once the
+    observed plan's first action completes Spark resolves every
+    registered observation (raising when its CollectMetrics node was
+    optimized away), so post-action this returns promptly — the timeout
+    thread is a belt-and-suspenders guard for an unresolved promise.
+    Returns the metrics dict, or None when unavailable (caller falls
+    back to the standalone check)."""
+    import threading
+
+    box: dict[str, Any] = {}
+
+    def _get() -> None:
+        try:
+            box["v"] = obs.get
+        except Exception as exc:  # optimized-away node -> standalone path
+            box["e"] = exc
+
+    t = threading.Thread(target=_get, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("v")
+
+
+def _null_subset(src_df: DataFrame, feat: Feature) -> DataFrame:
+    """The rows the union window plan excludes: NULL in any key or the
+    timestamp. Parquet NULL statistics prune the scan to footer reads
+    when the columns are NULL-free, so this subset check is near-free
+    on clean data."""
+    cond = F.col(feat.source.timestamp).isNull()
+    for k in feat.source_keys:
+        cond = cond | F.col(k).isNull()
+    return src_df.where(cond)
+
+
 def _batch_duplicate_checks(
     checks: list[tuple[str, DataFrame, Feature]],
-) -> dict[str, int]:
+    null_subset_checks: list[tuple[str, DataFrame, Feature]] = (),
+) -> tuple[dict[str, int], dict[str, int]]:
     """Run every source's duplicate check as ONE Spark action.
 
     A 10-feature build used to pay 10 sequential aggregation jobs here
@@ -321,9 +386,13 @@ def _batch_duplicate_checks(
     and pays the overhead once. Shuffle volume is unchanged —
     O(distinct (key, ts)) per source, map-side combined.
 
-    Raises / warns per on_duplicate (reference engine.py:586-627); the
-    top-3 example query runs only on the error path. Returns
-    {source_name: row_count}."""
+    ``checks`` get the full aggregation with the on_duplicate policy
+    applied immediately. ``null_subset_checks`` are sources whose main
+    duplicate count rides the build's window pass (pit_match_multi
+    dup_track); only their NULL-key/NULL-time rows — which that pass
+    cannot see — are aggregated here, and their policy is applied later
+    by the engine once the window metrics land. Returns
+    ({source_name: row_count}, {tag: null_subset_dup_pairs})."""
     from functools import reduce
 
     branches = [
@@ -332,31 +401,52 @@ def _batch_duplicate_checks(
         )
         for tag, src_df, feat in checks
     ]
+    if null_subset_checks:
+        # The NULL subsets are ~0 rows by construction (parquet NULL
+        # stats prune clean sources to footer reads), so the cost here
+        # is pure stage-scheduling overhead — a per-source agg branch
+        # like the full checks above turns into ~2 AQE stages per
+        # source. Instead every source's NULL rows union into ONE
+        # stream, carrying its (keys, ts) group as a per-source struct
+        # column (structs keep exact type semantics; other sources'
+        # rows are NULL there, so cross-source rows can never collide),
+        # and one two-stage aggregation covers all sources.
+        sides = []
+        for tag, src_df, feat in null_subset_checks:
+            key_ts = [*feat.source_keys, feat.source.timestamp]
+            sides.append(
+                _null_subset(src_df, feat).select(
+                    F.lit(tag).alias("tag"),
+                    F.struct(*key_ts).alias(f"__g_{tag}"),
+                )
+            )
+        unioned = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), sides
+        )
+        group_cols = [f"__g_{tag}" for tag, _, _ in null_subset_checks]
+        grouped = unioned.groupBy("tag", *group_cols).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        branches.append(
+            grouped.groupBy("tag").agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.when(F.col("cnt") > 1, F.lit(1))).alias("dup_pairs"),
+            )
+        )
+    if not branches:
+        return {}, {}
     rows = reduce(lambda a, b: a.unionByName(b), branches).collect()
     stats = {r["tag"]: (int(r["n_rows"] or 0), int(r["dup_pairs"] or 0)) for r in rows}
     counts: dict[str, int] = {}
     for tag, src_df, feat in checks:
         n_rows, dup_pairs = stats[tag]
         counts[feat.source.name] = n_rows
-        if dup_pairs > 0:
-            if feat.on_duplicate == "error":
-                key_ts = [*feat.source_keys, feat.source.timestamp]
-                grouped = src_df.groupBy(*key_ts).agg(F.count(F.lit(1)).alias("cnt"))
-                examples = [
-                    r.asDict()
-                    for r in grouped.where(F.col("cnt") > 1)
-                    .orderBy(F.desc("cnt"))
-                    .limit(3)
-                    .collect()
-                ]
-                raise duplicate_error(feat.name, dup_pairs, examples)
-            warnings.warn(
-                f"Feature '{feat.name}' has {dup_pairs} duplicate "
-                f"(key, feature_time) pairs. Using on_duplicate='keep_any' — "
-                "one row will be selected deterministically (max payload).",
-                stacklevel=3,
-            )
-    return counts
+        _apply_dup_policy(src_df, feat, dup_pairs)
+    # A source with zero NULL rows contributes no group row at all.
+    null_dups = {
+        tag: stats.get(tag, (0, 0))[1] for tag, _, _ in null_subset_checks
+    }
+    return counts, null_dups
 
 
 def _validate_splits(
@@ -753,6 +843,19 @@ def build(
 
         registered_sources.update(_preload_sources(spark, flat_features))
         pending_checks: list[tuple[str, DataFrame, Feature]] = []
+        null_subset_checks: list[tuple[str, DataFrame, Feature]] = []
+        # Sources whose duplicate count rides the build's window pass
+        # (pit_match_multi dup_track): designated feature name ->
+        # (null-subset tag, source df, feature). Eligibility = the
+        # feature provably routes through pit_match_multi (build-level
+        # union strategy, no skew bucketing) as a row-preserving
+        # projection of its source (columns mode) with an orderable
+        # payload (the in-window adjacency argument needs the payload
+        # tie-break columns in the sort), and no store is attached
+        # (feature-cache writes must keep the classic check-then-
+        # materialize ordering).
+        window_dup_feats: dict[str, tuple[str, DataFrame, Feature]] = {}
+        null_dup_results: dict[str, int] = {}
         for feat in flat_features:
             src_name = feat.source.name
             if src_name not in registered_sources:
@@ -761,9 +864,22 @@ def build(
             dup_key = (src_name, tuple(feat.source_keys), feat.source.timestamp)
             if dup_key not in dup_checked:
                 dup_checked.add(dup_key)
-                pending_checks.append(
-                    (f"c{len(pending_checks)}", registered_sources[src_name], feat)
+                src_df = registered_sources[src_name]
+                in_window = (
+                    store is None
+                    and skew_bucket_s is None
+                    and resolved_strategy == "union"
+                    and feat.mode == "columns"
+                    and _payload_orderable(src_df, list(feat._columns))
                 )
+                if in_window:
+                    tag = f"n{len(null_subset_checks)}"
+                    null_subset_checks.append((tag, src_df, feat))
+                    window_dup_feats[feat.name] = (tag, src_df, feat)
+                else:
+                    pending_checks.append(
+                        (f"c{len(pending_checks)}", src_df, feat)
+                    )
 
         # The duplicate-check action runs on a BACKGROUND thread while the
         # main thread builds feature tables and join plans (driver-side
@@ -775,17 +891,28 @@ def build(
         # fail-fast contract is ordering-identical where it matters.
         dup_future = None
         dup_pool = None
-        if pending_checks:
-            _emit(f"Checking {len(pending_checks)} source(s) for duplicates")
+        if pending_checks or null_subset_checks:
+            _emit(
+                f"Checking {len(pending_checks)} source(s) for duplicates"
+                + (
+                    f" ({len(null_subset_checks)} in-window, NULL subset only)"
+                    if null_subset_checks
+                    else ""
+                )
+            )
             dup_pool = ThreadPoolExecutor(max_workers=1)
-            dup_future = dup_pool.submit(_batch_duplicate_checks, pending_checks)
+            dup_future = dup_pool.submit(
+                _batch_duplicate_checks, pending_checks, null_subset_checks
+            )
 
         def _resolve_dup_checks() -> None:
             nonlocal dup_future
             if dup_future is not None:
                 fut, dup_future = dup_future, None
                 try:
-                    source_counts.update(fut.result())
+                    counts, null_dups = fut.result()
+                    source_counts.update(counts)
+                    null_dup_results.update(null_dups)
                 finally:
                     dup_pool.shutdown(wait=False)
 
@@ -935,6 +1062,7 @@ def build(
             for kp, group_feats in union_groups.items()
             for i in range(0, len(group_feats), UNION_GROUP_MAX_FEATURES)
         ]
+        dup_observations: list[tuple[Any, list[tuple[int, str]]]] = []
         for kp, group_feats in chunked_groups:
             _emit(
                 "Joining "
@@ -951,6 +1079,22 @@ def build(
                 )
                 for feat in group_feats
             ]
+            dup_track = [feat.name in window_dup_feats for feat in group_feats]
+            dup_obs = None
+            if any(dup_track):
+                from pyspark.sql import Observation
+
+                dup_obs = Observation()
+                dup_observations.append(
+                    (
+                        dup_obs,
+                        [
+                            (fi, feat.name)
+                            for fi, feat in enumerate(group_feats)
+                            if dup_track[fi]
+                        ],
+                    )
+                )
             gout = pit_match_multi(
                 spine,
                 specs,
@@ -960,6 +1104,8 @@ def build(
                 staleness_s=duration_seconds(max_staleness_td),
                 strict=(join == "strict"),
                 carry_left=zero_join,
+                dup_track=dup_track if any(dup_track) else None,
+                dup_observation=dup_obs,
             )
             group_outputs.append(gout)
             _submit_plan_probe([feat.name for feat in group_feats], gout)
@@ -1074,10 +1220,23 @@ def build(
         result = result.orderBy(*labels.keys, lt)
 
         # ---- Step 5: one materialization -> write + count + stats ------
-        # Join the background duplicate-check action NOW: any
+        # Join the background duplicate-check action NOW: any standalone
         # TimefenceDuplicateError must surface before the first output
         # side effect (and before config errors from the write options,
-        # matching the classic sequential ordering).
+        # matching the classic sequential ordering). This join is cheap
+        # since round 13: for the common columns-mode/union-strategy
+        # build the per-source duplicate aggregation no longer exists —
+        # the count rides the main window pass as lag/lead flags (see
+        # pit_match_multi dup_track) and only a NULL-key/NULL-time
+        # subset agg (parquet null-stats prune it to footer reads on
+        # clean data) plus any ineligible sources run here.
+        # (r13 experiment, measured and REJECTED: resolving the FULL
+        # standalone check after the write to overlap its jobs with the
+        # write's stages helped nothing at local[32] — both phases
+        # saturate the same cores and the dup shuffle contends with the
+        # pre-sort persist; alternating same-host A/B: old mins
+        # 12.9-15.9s, overlapped 12.2-16.5s at 1m_x10. The in-window
+        # formulation ELIMINATES the work instead of rescheduling it.)
         # (r12 experiment, measured and REJECTED: pre-filling the persist
         # cache with a background noop write to overlap this wait made
         # 1m_x10 ~20% SLOWER warm and ~75% slower cold — the standalone
@@ -1122,6 +1281,52 @@ def build(
                 )
         if stats_map is None:
             stats_map = combined.agg(*aggs).first().asDict()
+
+        # ---- In-window duplicate policy (round 13) ---------------------
+        # The per-feature duplicate-group counts landed with the SAME
+        # action that materialized the build (write, or the stats agg
+        # when output=None); the NULL-subset counts from the batched
+        # pre-pass add the rows the window never saw. A duplicate error
+        # therefore surfaces after the output write — the build still
+        # fails and the just-written files are removed, but a
+        # pre-existing directory an overwrite-build targeted is gone
+        # rather than preserved (the cost of deleting the standalone
+        # scan+shuffle of every source from the critical path).
+        if dup_observations:
+            window_counts: dict[str, int] | None = {}
+            for dup_obs, tracked in dup_observations:
+                vals = _observation_get(dup_obs, timeout_s=60.0)
+                if vals is None:
+                    window_counts = None
+                    break
+                for fi, fname in tracked:
+                    window_counts[fname] = int(vals.get(f"dups_{fi}") or 0)
+            try:
+                if window_counts is None:
+                    # CollectMetrics optimized away (degenerate plans) —
+                    # the classic standalone check applies the policy.
+                    logger.info(
+                        "in-window duplicate metrics unavailable; falling "
+                        "back to the standalone duplicate check"
+                    )
+                    _batch_duplicate_checks(list(window_dup_feats.values()))
+                else:
+                    for fname, (tag, src_df, feat) in window_dup_feats.items():
+                        total = window_counts.get(fname, 0) + null_dup_results.get(
+                            tag, 0
+                        )
+                        _apply_dup_policy(src_df, feat, total)
+            except Exception:
+                if output is not None:
+                    out_str = _abs(output)
+                    if "://" not in out_str:
+                        out_path = Path(out_str)
+                        if out_path.is_dir():
+                            shutil.rmtree(out_path, ignore_errors=True)
+                        elif out_path.exists():
+                            out_path.unlink()
+                raise
+
         result_cols = result.columns
         _resolve_plan_probes()
 

@@ -172,6 +172,8 @@ def pit_match_multi(
     strict: bool = True,
     row_id: str = ROW_ID,
     carry_left: bool = False,
+    dup_track: Sequence[bool] | None = None,
+    dup_observation=None,
 ) -> DataFrame:
     """Match N feature tables that share one entity-key mapping against the
     label spine in ONE union/window pass.
@@ -180,6 +182,13 @@ def pit_match_multi(
     embargo_s)``. Returns ``[row_id, {prefix}__{c}..., {prefix}__feature_time
     ...]`` for every feature — the engine's whole recombination collapses to
     a single row-id join (or none).
+
+    ``dup_track`` (one bool per ``feats`` entry) enables in-window
+    duplicate-(key, time) group counting for the flagged features;
+    ``dup_observation`` (a ``pyspark.sql.Observation``) receives one
+    ``dups_{i}`` metric per tracked feature when the plan first
+    executes. See the in-line comment at the window select for how the
+    adjacency argument makes this exact and free.
 
     ``carry_left=True`` carries the ENTIRE label row through the window as a
     struct (same trick as :func:`_asof_union_single_pass`) and returns
@@ -209,6 +218,7 @@ def pit_match_multi(
 
     key_aliases = [f"__k{i}" for i in range(len(key_pairs))]
     label_tag = 0 if strict else 1
+    track_any = dup_track is not None and any(dup_track)
     lt = F.col(label_time)
     if carry_left:
         left_marker = F.struct(*[F.col(c) for c in labels.columns]).alias("__lrow")
@@ -234,13 +244,14 @@ def pit_match_multi(
         rows = feature.where(ft.isNotNull())
         for _, sk in key_pairs:
             rows = rows.where(F.col(sk).isNotNull())
-        sides.append(
-            rows.select(
-                *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
-                _plus(ft, embargo_s).alias("__t"),
-                payload.alias(f"__p{fi}"),
-            ).withColumn("__tag", F.lit(1 - label_tag))
-        )
+        side = rows.select(
+            *[F.col(sk).alias(a) for (_, sk), a in zip(key_pairs, key_aliases)],
+            _plus(ft, embargo_s).alias("__t"),
+            payload.alias(f"__p{fi}"),
+        ).withColumn("__tag", F.lit(1 - label_tag))
+        if track_any:
+            side = side.withColumn("__fid", F.lit(fi))
+        sides.append(side)
         orderable.append(_payload_orderable(feature, value_cols))
 
     unioned = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), sides)
@@ -259,6 +270,49 @@ def pit_match_multi(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marker = "__lrow" if carry_left else "__rid"
+
+    # Duplicate-(key, ts) detection rides THIS window (round 13): inside
+    # a key partition the sort clusters equal-(__t, tag) rows of one
+    # feature contiguously (rows of feature fi share the NULL pattern of
+    # every other payload column, so the payload tie-breaks cannot
+    # interleave an orderable feature's rows — and rows of features
+    # excluded from the tie-break sort entirely NULL-first, before any
+    # tracked feature's rows), which makes a duplicate group a run of
+    # adjacent rows. A group is counted ONCE, at its first row: no
+    # same-feature predecessor at the same __t, but a same-feature
+    # successor at the same __t. Adjacency is tested on the scalar
+    # ``__fid`` feature-id column with ONE shared lag pair and ONE
+    # shared lead pair — four offset expressions total, independent of
+    # the feature count (a per-feature formulation lagging the payload
+    # structs measured ~8s slower at 100k x 10 features). The offset
+    # frames share the running frame's partitioning and ordering, so
+    # Catalyst plans ONE Window operator and the check costs no extra
+    # shuffle, sort, scan or job — the engine reads the per-feature
+    # group counts from ``dup_observation`` after the build's one
+    # materialization (vs the standalone pre-pass aggregation, which
+    # re-scanned and re-shuffled every source: ~6s of the 1m_x10
+    # build). Callers must route NULL-key/NULL-time rows (excluded from
+    # the union above) through the standalone check — parquet NULL
+    # statistics make that filter scan near-free on clean data.
+    flag_cols = []
+    flag_names: list[int] = []
+    if track_any:
+        w_off = Window.partitionBy(*key_aliases).orderBy(*order_cols)
+        fid = F.col("__fid")
+        prev_same = (F.lag("__fid").over(w_off) == fid) & (
+            F.lag("__t").over(w_off) == F.col("__t")
+        )
+        next_same = (F.lead("__fid").over(w_off) == fid) & (
+            F.lead("__t").over(w_off) == F.col("__t")
+        )
+        first_of_dup_group = (
+            fid.isNotNull()
+            & ~F.coalesce(prev_same, F.lit(False))
+            & F.coalesce(next_same, F.lit(False))
+        )
+        flag_cols.append(F.when(first_of_dup_group, fid).alias("__dupfid"))
+        flag_names = [fi for fi, t in enumerate(dup_track) if t]
+
     matched = unioned.select(
         marker,
         "__lt",
@@ -266,7 +320,19 @@ def pit_match_multi(
             F.last(f"__p{fi}", ignorenulls=True).over(w).alias(f"__m{fi}")
             for fi in range(len(feats))
         ],
-    ).where(F.col(marker).isNotNull())
+        *flag_cols,
+    )
+    if flag_cols and dup_observation is not None:
+        matched = matched.observe(
+            dup_observation,
+            *[
+                F.count(F.when(F.col("__dupfid") == fi, F.lit(1))).alias(
+                    f"dups_{fi}"
+                )
+                for fi in flag_names
+            ],
+        )
+    matched = matched.where(F.col(marker).isNotNull())
 
     lower_s = _effective_lower_bound_s(lookback_s, staleness_s)
     if carry_left:

@@ -3994,15 +3994,17 @@ def bq_train(
     )
 
 
-def _bq_thr_row(thresholds: DataFrame) -> DataFrame:
-    """Thresholds aggregated to ONE row of a position-ordered array —
-    the same no-collect broadcast-attach shape as _sq_bounds_row."""
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("pos"), F.col("thr")))
-    )
-    return thresholds.agg(
-        F.transform(ordered, lambda s: s["thr"]).alias("__thrs")
-    )
+def _bq_thr_list(thresholds: DataFrame) -> list:
+    """Thresholds collected to a position-ordered Python list (one
+    bounded row per dimension — the table is vocabulary-scale by
+    construction). Collecting at plan time lets the bit-packing and
+    Hamming expressions unroll to STATIC arithmetic inside whole-stage
+    codegen; the round-13 isolated re-measures caught the previous
+    higher-order-function fold running interpreted, with per-JVM
+    bimodal JIT behavior (BENCH_DETAIL isolated_remeasure_r13b)."""
+    rows = thresholds.select("pos", "thr").collect()
+    rows.sort(key=lambda r: r["pos"])
+    return [r["thr"] for r in rows]
 
 
 # 2^(i mod 32) as a BIGINT literal array: PySpark's shiftleft() only
@@ -4011,33 +4013,28 @@ def _bq_thr_row(thresholds: DataFrame) -> DataFrame:
 _BQ_POW2 = [1 << p for p in range(32)]
 
 
-def _bq_lanes(vec, dim_col: Column) -> Column:
-    """Pack sign bits (vec(i) >= thr[i+1]) into 32-bit lanes of BIGINT:
-    lane j = sum over i in [32j, 32j+31] of bit_i * 2^(i mod 32). The
-    '>= threshold -> 1' tie rule is part of the format contract.
-    ``vec`` is a callable mapping a 0-based bigint index Column to the
-    element value."""
-    pows = F.array(*[F.lit(p).cast("long") for p in _BQ_POW2])
-    n_lanes = F.ceil(dim_col / 32).cast("int")
-    lanes = F.sequence(F.lit(0), n_lanes - 1)
-    bit = lambda i: F.when(  # noqa: E731
-        vec(i) >= F.element_at("__thrs", (i + 1).cast("int")),
-        F.lit(1).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    return F.transform(
-        lanes,
-        lambda j: F.aggregate(
-            F.sequence(
-                j.cast("bigint") * 32,
-                F.least(
-                    j.cast("bigint") * 32 + 31, dim_col.cast("bigint") - 1
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + bit(i) * F.element_at(pows, (i % 32 + 1).cast("int")),
-        ),
-    )
+def _bq_lanes_static(v: Column, thr: list) -> Column:
+    """Statically-unrolled sign-bit packing against LITERAL thresholds:
+    lane j is a plain sum of dim CASE terms, so the whole expression
+    lives inside whole-stage codegen (a dynamic higher-order-function
+    fold evaluates interpreted). Same
+    format contract: bit i = (vec[i] >= thr[i]), 32 bits per BIGINT
+    lane, NULL elements pack as 0 (callers exclude them via ``ok``)."""
+    dim = len(thr)
+    lanes = []
+    for j in range(0, dim, 32):
+        terms = [
+            F.when(
+                F.element_at(v, i + 1) >= F.lit(thr[i]),
+                F.lit(_BQ_POW2[i % 32]).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(j, min(j + 32, dim))
+        ]
+        lane = terms[0]
+        for t in terms[1:]:
+            lane = lane + t
+        lanes.append(lane)
+    return F.array(*lanes)
 
 
 def bq_encode(
@@ -4051,21 +4048,26 @@ def bq_encode(
     vectors (NULL, wrong width, NULL elements) get NULL lanes, like
     pq_encode/sq_encode.
 
-    100 TB shape: a scan-side projection — the one-row threshold attach
-    is a broadcast cross join; nothing shuffles."""
+    100 TB shape: a scan-side projection — the thresholds collapse to
+    one bounded row collected at plan time and embedded as literals
+    (see :func:`_bq_thr_list`), so the packing is static codegen
+    arithmetic and nothing shuffles or joins at all."""
+    thr = _bq_thr_list(thresholds)
+    dim = len(thr)
     v = F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
-    row = F.broadcast(_bq_thr_row(thresholds))
-    dim = F.size(F.col("__thrs"))
+    if dim == 0:  # empty thresholds: NULL lanes, like sq_encode
+        return corpus.select(
+            F.col(corpus_id),
+            F.lit(None).cast("array<bigint>").alias("lanes"),
+        )
     ok = (
         F.col(corpus_vec).isNotNull()
-        & (dim >= 1)  # empty thresholds: NULL lanes, like sq_encode
-        & (F.size(v) == dim)
+        & (F.size(v) == F.lit(dim))
         & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
     )
-    vec = lambda i: F.element_at(v, i.cast("int") + 1)  # noqa: E731
-    return corpus.crossJoin(row).select(
+    return corpus.select(
         F.col(corpus_id),
-        F.when(ok, _bq_lanes(vec, dim)).alias("lanes"),
+        F.when(ok, _bq_lanes_static(v, thr)).alias("lanes"),
     )
 
 
@@ -4094,24 +4096,27 @@ def bq_topk(
     last). ``rerank`` re-scores the top k*rerank_factor exactly and
     returns (query_id, neighbor_id, cosine, rank); without it the
     result is (query_id, neighbor_id, hamming, rank)."""
+    thr = _bq_thr_list(thresholds)
+    dim = len(thr)
     v = F.transform(F.col(query_vec), lambda x: x.cast("double"))
-    row = F.broadcast(_bq_thr_row(thresholds))
-    dim = F.size(F.col("__thrs"))
     ok = (
         F.col(query_vec).isNotNull()
-        & (dim >= 1)  # empty thresholds: NULL hamming, not an error
-        & (F.size(v) == dim)
+        & F.lit(dim >= 1)  # empty thresholds: NULL hamming, not an error
+        & (F.size(v) == F.lit(dim))
         & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
     )
-    vec = lambda i: F.element_at(v, i.cast("int") + 1)  # noqa: E731
     # Query lanes (and the exact-vector copy for the rerank path) are
-    # computed ONCE per query row, before the candidate cross join.
+    # computed ONCE per query row, before the candidate cross join. The
+    # literal thresholds make both the packing and the Hamming fold
+    # below static codegen arithmetic (no broadcast attach, no
+    # interpreted higher-order functions — isolated_remeasure_r13b).
     q_all = (
-        queries.crossJoin(row)
-        .select(
+        queries.select(
             F.col(query_id).alias("query_id"),
             v.alias("__qv"),
-            F.when(ok, _bq_lanes(vec, dim)).alias("__qlanes"),
+            F.when(ok, _bq_lanes_static(v, thr)).alias("__qlanes")
+            if dim >= 1
+            else F.lit(None).cast("array<bigint>").alias("__qlanes"),
         )
         .withColumn("__qn", l2_norm(F.col("__qv")))
     )
@@ -4121,17 +4126,21 @@ def bq_topk(
         .crossJoin(_gate_broadcast(q_all, broadcast_queries))
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    n_lanes = F.size(F.col("lanes"))
-    ham = F.aggregate(
-        F.sequence(F.lit(1), n_lanes),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.bit_count(
-            F.element_at("lanes", i.cast("int")).bitwiseXOR(
-                F.element_at("__qlanes", i.cast("int"))
+    n_lanes_static = (dim + 31) // 32
+    if n_lanes_static:
+        lane_terms = [
+            F.bit_count(
+                F.element_at("lanes", j + 1).bitwiseXOR(
+                    F.element_at("__qlanes", j + 1)
+                )
             )
-        ),
-    )
+            for j in range(n_lanes_static)
+        ]
+        ham = lane_terms[0].cast("long")
+        for t in lane_terms[1:]:
+            ham = ham + t
+    else:
+        ham = F.lit(None).cast("long")
     scored = cand.select(
         "query_id",
         "neighbor_id",
