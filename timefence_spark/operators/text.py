@@ -1484,9 +1484,26 @@ def unigram_logprob(
     runs in one canonical sequence (used by the DuckDB oracle entry).
     The default sums in shuffle order — the right choice at scale, where
     a last-ulp-deterministic mean is not worth a per-doc array sort."""
+    per_doc_word = (
+        df.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     if lm is None:
-        lm = word_frequencies(df, id_col=id_col, text_col=text_col)
-    lm = lm.select("word", F.col("n_occurrences").cast("long").alias("__n"))
+        # Own-corpus LM: re-aggregate the scorer's own (doc, word)
+        # table instead of a second corpus scan (word_frequencies'
+        # n_occurrences is exactly sum(__cnt) over docs; round 13,
+        # guide §2.4 — the shared (id, word) exchange is planned once).
+        lm = per_doc_word.groupBy("word").agg(
+            F.sum("__cnt").cast("long").alias("__n")
+        )
+    else:
+        lm = lm.select(
+            "word", F.col("n_occurrences").cast("long").alias("__n")
+        )
     # The LM's two scalars (N, V) stay IN the plan as a broadcast one-row
     # cross join: an eager .first() here would run the whole LM
     # aggregation as an extra job at call time and again at action time,
@@ -1501,15 +1518,6 @@ def unigram_logprob(
         F.col("__N")
         + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
     ).cast("double")
-
-    per_doc_word = (
-        df.select(
-            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
-        )
-        .where(F.col("word") != "")
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
     # The joined copy renames __n: lm's lineage also feeds the totals
     # aggregate, and Spark's self-join disambiguation would otherwise see
     # two attributes named __n and refuse to resolve the reference.
@@ -1632,17 +1640,60 @@ def bigram_logprob(
     (w_prev, word)-sorted order for bit-reproducible external replay."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    if lm is None:
-        lm = bigram_frequencies(df, id_col=id_col, text_col=text_col)
-    if lm_unigram is None:
-        lm_unigram = word_frequencies(df, id_col=id_col, text_col=text_col)
-    bi = lm.select(
-        "w_prev", "word", F.col("n_occurrences").cast("long").alias("__n_bi")
-    )
+    if lm is None and lm_unigram is None:
+        # FUSED own-corpus path (round 13, guide §2.4): the bigram LM,
+        # the unigram LM, and the per-doc scoring table all derive from
+        # ONE padded-window explode + (id, w1, word) pre-aggregation —
+        # the old path re-scanned and re-exploded the corpus three
+        # times. include_tail keeps the final token position so the
+        # 1-prefix sums reproduce word_frequencies' counts exactly.
+        pdw = _padded_window_counts(
+            df, id_col=id_col, text_col=text_col, n=2, include_tail=True
+        )
+        # T2 mirrors the KN path's type table: one (w1, word) re-agg of
+        # the shared pre-agg; __wlen >= 2 (an aggregate column, so the
+        # predicate stays ABOVE the shared exchange) selects real pairs.
+        T2 = pdw.groupBy("w1", "word").agg(
+            F.sum("__cnt").alias("__w"), F.max("__wlen").alias("__wlen")
+        )
+        # __wlen >= 1 is vacuously true; referencing it keeps the
+        # max(__wlen) buffer in this consumer's copy of the shared
+        # pre-aggregation (column pruning would otherwise drop it and
+        # split the shared exchange). coalesce(key, '') as in the KN
+        # path: block inferred isnotnull(key) build-side filters.
+        uni = (
+            T2.where(F.col("__wlen") >= 1)
+            .groupBy(F.coalesce(F.col("w1"), F.lit("")).alias("word"))
+            .agg(F.sum("__w").cast("long").alias("__n_uni"))
+        )
+        bi = T2.where(F.col("__wlen") >= 2).select(
+            F.coalesce(F.col("w1"), F.lit("")).alias("w_prev"),
+            F.coalesce(F.col("word"), F.lit("")).alias("word"),
+            F.col("__w").cast("long").alias("__n_bi"),
+        )
+        per_doc_pair = pdw.where(F.col("__wlen") >= 2).select(
+            F.col(id_col), F.col("w1").alias("w_prev"), "word", "__cnt"
+        )
+    else:
+        if lm is None:
+            lm = bigram_frequencies(df, id_col=id_col, text_col=text_col)
+        if lm_unigram is None:
+            lm_unigram = word_frequencies(
+                df, id_col=id_col, text_col=text_col
+            )
+        bi = lm.select(
+            "w_prev", "word",
+            F.col("n_occurrences").cast("long").alias("__n_bi"),
+        )
+        uni = lm_unigram.select(
+            "word", F.col("n_occurrences").cast("long").alias("__n_uni")
+        )
+        per_doc_pair = (
+            _bigram_pairs(df, id_col=id_col, text_col=text_col)
+            .groupBy(id_col, "w_prev", "word")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
     ctx = bi.groupBy("w_prev").agg(F.sum("__n_bi").alias("__n_ctx"))
-    uni = lm_unigram.select(
-        "word", F.col("n_occurrences").cast("long").alias("__n_uni")
-    )
     totals = F.broadcast(
         uni.agg(
             F.coalesce(F.sum("__n_uni"), F.lit(0).cast("long")).alias("__N"),
@@ -1652,12 +1703,6 @@ def bigram_logprob(
     denom = (
         F.col("__N") + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
     ).cast("double")
-
-    per_doc_pair = (
-        _bigram_pairs(df, id_col=id_col, text_col=text_col)
-        .groupBy(id_col, "w_prev", "word")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
     joined = (
         per_doc_pair.join(bi, ["w_prev", "word"], "left")
         .join(ctx, "w_prev", "left")
@@ -1813,9 +1858,15 @@ def trigram_logprob(
             "own bigrams scores under two different models"
         )
     if lm is None:
-        lm = trigram_frequencies(df, id_col=id_col, text_col=text_col)
-    if lm_bigram is None:
-        lm_bigram = bigram_frequencies(df, id_col=id_col, text_col=text_col)
+        # Own-corpus statistics: exactly ngram_logprob at n=3 (the
+        # docstrings' stated identity) — route through the shared
+        # fused scorer so the ladder derives from ONE padded-window
+        # explode instead of three corpus scans (round 13, guide §2.4).
+        return _kn_ngram_scored(
+            df, id_col=id_col, text_col=text_col, n=3, lms=None,
+            min_count=1, discount=discount, smoothing_k=smoothing_k,
+            deterministic=deterministic, n_out_col="n_trigrams",
+        )
     D = F.lit(float(discount))
     tri = lm.select(
         "w1", "w2", "word",
@@ -1990,6 +2041,74 @@ def ngram_lm_frequencies(
     return out.limit(top_k) if top_k is not None else out
 
 
+def _padded_window_counts(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    include_tail: bool = False,
+) -> DataFrame:
+    """(id, w1..w_{n-1}, word, __cnt): one row per DISTINCT padded
+    suffix-window per document — the single-explode source every KN
+    ladder statistic derives from (round 13 optimization, guide §2.4).
+
+    A window starts at every token position with >= 2 tokens remaining
+    (``include_tail=True``: at EVERY position, so the 1-prefixes count
+    unigram occurrences exactly) and carries the next ``n`` tokens,
+    NULL-padded past the document end. A k-gram occurrence at position i (any 2 <= k <= n) is exactly
+    the non-NULL k-prefix of the window at i, so grouping the non-NULL
+    k-prefixes of this one table reproduces ``ngram_lm_frequencies``'
+    counts for EVERY order at once — one scan + one (id, window)
+    shuffle where the ladder path pays one scan + one corpus-scale
+    shuffle PER order. Same tokenizer and empty-token filter as
+    :func:`_ngram_tuples`."""
+    toks_raw = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(toks_raw, lambda t: t != F.lit("")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = _nsize(toks)
+    names = [f"w{j}" for j in range(1, n)] + ["word"]
+
+    def win(i):
+        # try_element_at: past-the-end pads NULL on EVERY session
+        # config (plain element_at throws under ANSI).
+        return F.struct(
+            *[
+                F.try_element_at(toks, i + F.lit(j)).alias(names[j])
+                for j in range(n)
+            ]
+        )
+
+    struct_t = ",".join(f"{c}:string" for c in names)
+    min_sz, last = (1, sz) if include_tail else (2, sz - 1)
+    wins = F.when(
+        sz >= min_sz, F.transform(F.sequence(F.lit(1), last), win)
+    ).otherwise(F.expr(f"cast(array() as array<struct<{struct_t}>>)"))
+    exploded = staged.select(
+        F.col(id_col), F.explode(wins).alias("__g")
+    ).select(id_col, *[F.col(f"__g.{c}") for c in names])
+    # __wlen (the window's non-NULL length, so names[k-1] IS NOT NULL
+    # <=> __wlen >= k) is exposed as an AGGREGATE of the grouping keys,
+    # NOT as a plain column: Catalyst pushes key-predicates below
+    # aggregations and through this groupBy into the explode stage,
+    # which would split the one shared corpus-scale exchange into one
+    # filtered copy per consumer (re-running the scan+explode each
+    # time). A predicate on an aggregate output cannot be pushed below
+    # the aggregate, so every per-order consumer filters on __wlen and
+    # the exchange is planned — and executed — exactly once.
+    wlen = F.when(F.col(names[-1]).isNotNull(), F.lit(n))
+    for j in range(n - 2, 0, -1):
+        wlen = wlen.when(F.col(names[j]).isNotNull(), F.lit(j + 1))
+    wlen = wlen.otherwise(F.lit(1))
+    return exploded.groupBy(id_col, *names).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max(wlen).alias("__wlen"),
+    )
+
+
 def ngram_logprob(
     df: DataFrame,
     *,
@@ -2063,19 +2182,29 @@ def ngram_logprob(
             f"[order-{n} .. order-2], got {len(lms)} — a partial "
             "ladder would mix two models' statistics"
         )
-    if lms is None:
-        lms = [
-            ngram_lm_frequencies(
-                df, id_col=id_col, text_col=text_col, n=k,
-                min_count=min_count if k >= 3 else 1,
-            )
-            for k in range(n, 1, -1)
-        ]
-    else:
-        lms = list(lms)
-    # Normalize an order-2 table's bigram_frequencies naming.
-    if "w_prev" in lms[-1].columns:
-        lms[-1] = lms[-1].withColumnRenamed("w_prev", "w1")
+    return _kn_ngram_scored(
+        df, id_col=id_col, text_col=text_col, n=n, lms=lms,
+        min_count=min_count, discount=discount, smoothing_k=smoothing_k,
+        deterministic=deterministic, n_out_col="n_ngrams",
+    )
+
+
+def _kn_ngram_scored(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    lms: list[DataFrame] | None,
+    min_count: int,
+    discount: float,
+    smoothing_k: float,
+    deterministic: bool,
+    n_out_col: str,
+) -> DataFrame:
+    """Shared interpolated-KN scorer behind :func:`ngram_logprob` (any
+    order) and :func:`trigram_logprob`'s own-corpus case (n=3,
+    ``n_out_col="n_trigrams"``) — identical formula, identical output."""
     D = F.lit(float(discount))
     names = [f"w{j}" for j in range(1, n)] + ["word"]
 
@@ -2083,47 +2212,120 @@ def ngram_logprob(
         # the order-k gram ending at the scored word, in scoring names
         return names[n - k:]
 
-    top = lms[0].select(
-        *names, F.col("n_occurrences").cast("long").alias("__n_top")
-    )
+    cont: dict[int, DataFrame] = {}
+    cctx: dict[int, DataFrame] = {}
+    if lms is None:
+        # FUSED own-corpus path (round 13, guide §2.4): every ladder
+        # statistic derives from ONE padded-window explode instead of
+        # one scan + one corpus-scale gram shuffle per order. The
+        # (id, window) pre-aggregation is shared verbatim with the
+        # scoring join's per-doc table, so the corpus is read once.
+        pdw = _padded_window_counts(df, id_col=id_col, text_col=text_col, n=n)
+        T = pdw.groupBy(*names).agg(
+            F.sum("__cnt").alias("__w"), F.max("__wlen").alias("__wlen")
+        )
+
+        def order_table(k: int) -> DataFrame:
+            # order-k gram type table: counts of the non-NULL
+            # k-prefixes (__wlen >= k, see _padded_window_counts)
+            # reproduce ngram_lm_frequencies(n=k) exactly; same
+            # min_count pruning floor for k >= 3, order-2 table
+            # unpruned (the continuation-unigram base must cover the
+            # vocabulary).
+            t = (
+                T.where(F.col("__wlen") >= k)
+                .groupBy(*names[:k])
+                .agg(F.sum("__w").alias("__n"))
+            )
+            # min_count floor for k >= 3; the k < 3 (and min_count=1)
+            # filter is vacuously true (counts are >= 1 by
+            # construction) but referencing __n keeps the sum buffer
+            # in every consumer's copy of the shared subtree — column
+            # pruning would otherwise drop it for count-only consumers
+            # (cont/cont_uni) and split the shared corpus exchange.
+            return t.where(
+                F.col("__n") >= (min_count if k >= 3 else 1)
+            )
+
+        # Join keys are re-exposed through coalesce(col, '') — a no-op
+        # on values (every key is non-NULL past its __wlen filter) that
+        # makes the output non-nullable, so the optimizer does NOT
+        # infer isnotnull(key) filters on these build sides. Inferred
+        # key filters push below the shared aggregations into the
+        # explode stage and would split the one corpus-scale exchange
+        # into a filtered copy per joined table.
+        def nn(col: str, alias: str | None = None):
+            return F.coalesce(F.col(col), F.lit("")).alias(alias or col)
+
+        tabs = {k: order_table(k) for k in range(2, n + 1)}
+        top = tabs[n].select(
+            *[nn(c) for c in names],
+            F.col("__n").cast("long").alias("__n_top"),
+        )
+        for k in range(n - 1, 1, -1):
+            suffix_src = names[1:k + 1]
+            tgt = scoring_suffix(k)
+            c = tabs[k + 1].groupBy(*suffix_src).agg(
+                F.count(F.lit(1)).alias(f"__nc_{k}")
+            ).select(
+                *[nn(a, b) for a, b in zip(suffix_src, tgt)],
+                F.col(f"__nc_{k}"),
+            )
+            cont[k] = c
+        cont_uni = tabs[2].groupBy(nn(names[1], "word")).agg(
+            F.count(F.lit(1)).alias("__n_cu")
+        )
+        per_doc = pdw.where(F.col("__wlen") >= n).drop("__wlen")
+    else:
+        lms = list(lms)
+        # Normalize an order-2 table's bigram_frequencies naming.
+        if "w_prev" in lms[-1].columns:
+            lms[-1] = lms[-1].withColumnRenamed("w_prev", "w1")
+        top = lms[0].select(
+            *names, F.col("n_occurrences").cast("long").alias("__n_top")
+        )
+        # Middle orders k = n-1 .. 2: continuation tables from the
+        # order-(k+1) TYPE set (rows are unique, so count(1) per suffix
+        # IS the distinct-left-extension count), in scoring names.
+        for k in range(n - 1, 1, -1):
+            src = lms[n - 1 - k]  # order k+1: columns w1..wk, word
+            src_names = [f"w{j}" for j in range(1, k + 1)] + ["word"]
+            missing = [c for c in src_names if c not in src.columns]
+            if missing:
+                raise ValueError(
+                    f"lms[{n - 1 - k}] (order {k + 1}) is missing columns "
+                    f"{missing} — expected {src_names} + n_occurrences"
+                )
+            suffix_src = src_names[1:]
+            tgt = scoring_suffix(k)
+            # One aliased select, not sequential renames: the shifted
+            # names overlap (w2->w3 while w3 exists), which a one-shot
+            # projection handles and withColumnRenamed cannot.
+            c = src.groupBy(*suffix_src).agg(
+                F.count(F.lit(1)).alias(f"__nc_{k}")
+            ).select(
+                *[F.col(a).alias(b) for a, b in zip(suffix_src, tgt)],
+                F.col(f"__nc_{k}"),
+            )
+            cont[k] = c
+        # Base: continuation unigram from the order-2 TYPE set.
+        bi = lms[-1].select("w1", "word")
+        cont_uni = bi.groupBy("word").agg(F.count(F.lit(1)).alias("__n_cu"))
+        per_doc = (
+            _ngram_tuples(df, id_col=id_col, text_col=text_col, n=n)
+            .groupBy(id_col, *names)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
     ctx_top = top.groupBy(*names[:-1]).agg(
         F.sum("__n_top").alias("__nctx_top"),
         F.count(F.lit(1)).alias("__t_top"),
     )
-    # Middle orders k = n-1 .. 2: continuation tables from the
-    # order-(k+1) TYPE set (rows are unique, so count(1) per suffix IS
-    # the distinct-left-extension count), renamed into scoring names.
-    cont: dict[int, DataFrame] = {}
-    cctx: dict[int, DataFrame] = {}
     for k in range(n - 1, 1, -1):
-        src = lms[n - 1 - k]  # order k+1: columns w1..wk, word
-        src_names = [f"w{j}" for j in range(1, k + 1)] + ["word"]
-        missing = [c for c in src_names if c not in src.columns]
-        if missing:
-            raise ValueError(
-                f"lms[{n - 1 - k}] (order {k + 1}) is missing columns "
-                f"{missing} — expected {src_names} + n_occurrences"
-            )
-        suffix_src = src_names[1:]
         tgt = scoring_suffix(k)
-        # One aliased select, not sequential renames: the shifted
-        # names overlap (w2->w3 while w3 exists), which a one-shot
-        # projection handles and withColumnRenamed cannot.
-        c = src.groupBy(*suffix_src).agg(
-            F.count(F.lit(1)).alias(f"__nc_{k}")
-        ).select(
-            *[F.col(a).alias(b) for a, b in zip(suffix_src, tgt)],
-            F.col(f"__nc_{k}"),
-        )
-        cont[k] = c
-        cc = c.groupBy(*tgt[:-1]).agg(
+        cctx[k] = cont[k].groupBy(*tgt[:-1]).agg(
             F.sum(f"__nc_{k}").alias(f"__ncc_{k}"),
             F.count(F.lit(1)).alias(f"__tc_{k}"),
         )
-        cctx[k] = cc
-    # Base: continuation unigram from the order-2 TYPE set.
-    bi = lms[-1].select("w1", "word")
-    cont_uni = bi.groupBy("word").agg(F.count(F.lit(1)).alias("__n_cu"))
     totals = F.broadcast(
         cont_uni.agg(
             F.coalesce(F.sum("__n_cu"), F.lit(0).cast("long")).alias("__B"),
@@ -2134,11 +2336,6 @@ def ngram_logprob(
         F.col("__B") + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
     ).cast("double")
 
-    per_doc = (
-        _ngram_tuples(df, id_col=id_col, text_col=text_col, n=n)
-        .groupBy(id_col, *names)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
     joined = per_doc.join(top, names, "left").join(
         ctx_top, names[:-1], "left"
     )
@@ -2173,7 +2370,7 @@ def ngram_logprob(
         F.col("__n_top").isNull(), F.col("__cnt")
     ).otherwise(F.lit(0))
     grouped = joined.groupBy(id_col).agg(
-        F.sum("__cnt").alias("n_ngrams"),
+        F.sum("__cnt").alias(n_out_col),
         F.sum(oov).alias("__oov"),
         (
             F.collect_list(
@@ -2195,11 +2392,11 @@ def ngram_logprob(
         nll_total = F.col("__nll")
     return grouped.select(
         F.col(id_col),
-        F.col("n_ngrams"),
+        F.col(n_out_col),
         F.round(
-            F.col("__oov").cast("double") / F.col("n_ngrams"), 6
+            F.col("__oov").cast("double") / F.col(n_out_col), 6
         ).alias("oov_frac"),
-        F.round(nll_total / F.col("n_ngrams"), 6).alias("mean_nll"),
+        F.round(nll_total / F.col(n_out_col), 6).alias("mean_nll"),
     )
 
 
