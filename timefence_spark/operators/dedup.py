@@ -1082,29 +1082,43 @@ def duplicate_spans(
             ).alias("__gram"),
         )
     group_cols = ["__gram"] if scope == "corpus" else [id_col, "__gram"]
+    # Round-13 rewrite (guide §2.4): the old plan joined every exploded
+    # window back to its gram's MIN(struct) winner to flag duplicates —
+    # a second corpus-scale explode + a gram-keyed join of all windows.
+    # But each gram group crowns exactly ONE winning occurrence, so
+    # per document: n_dup_windows = n_windows - (windows this document
+    # WINS). n_windows is pure scan-side arithmetic (the slide emits
+    # exactly max(len - k + 1, 0) windows), and wins-per-doc is a
+    # vocabulary->document-scale re-aggregation of the winner table.
+    # One explode + one gram shuffle total; the straggler-proof
+    # MIN(struct) aggregation (map-side combine collapses hot
+    # boilerplate grams) is unchanged, and no join ever carries
+    # window-scale rows.
     winners = windows.groupBy(*group_cols).agg(
         F.min(
             F.struct(F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp"))
         ).alias("__w")
     )
-    occurrence = F.struct(
-        F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
+    wins = winners.groupBy(F.col("__w.__wi").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("__won")
     )
-    flagged = windows.join(winners, group_cols).withColumn(
-        "__dup", occurrence != F.col("__w")
-    )
-    stats = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.count(F.when(F.col("__dup"), 1)).alias("n_dup_windows"),
-    )
-    return df.select(id_col).join(stats, id_col, "left").select(
+    n_win_expr = F.when(
+        F.size(F.col("__toks")) >= k,
+        (F.size(F.col("__toks")) - F.lit(k - 1)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_doc = tokenized.select(F.col(id_col), n_win_expr.alias("n_windows"))
+    return per_doc.join(wins, id_col, "left").select(
         id_col,
-        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.col("n_windows"),
+        (F.col("n_windows") - F.coalesce("__won", F.lit(0))).alias(
+            "n_dup_windows"
+        ),
         F.round(
             F.when(
-                F.coalesce("n_windows", F.lit(0)) > 0,
-                F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+                F.col("n_windows") > 0,
+                (
+                    F.col("n_windows") - F.coalesce("__won", F.lit(0))
+                ).cast("double") / F.col("n_windows"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("dup_fraction"),
