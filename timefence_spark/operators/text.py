@@ -2636,6 +2636,59 @@ def line_dedup(
             ).alias("__w")
         )
     )
+    if key_by == "text":
+        # Round-13 rewrite (guide §2.4): in text mode the winner's group
+        # key IS the line, so the kept dedup-lines are simply the winner
+        # table projected to (winner id, winner pos, line) — no need to
+        # join every exploded occurrence back to its group's winner.
+        # Kept lines = winners ∪ sub-floor occurrences (which bypass
+        # dedup); the rebuild groupBy(id) shuffles only KEPT lines
+        # instead of every line, and the corpus-scale line-keyed join
+        # disappears — with it, the join-side skew a hot boilerplate
+        # line used to create (the MIN(struct) aggregation, whose
+        # map-side combine collapses hot lines, already carried the
+        # skew-proof argument; now it is the only line-keyed stage).
+        # n_lines is scan-side arithmetic: the split emits its array
+        # size in lines, every one of them exploded.
+        kept = winners.select(
+            F.col("__w.__wi").alias(id_col),
+            F.col("__w.__wp").alias("__pos"),
+            F.col("__line"),
+        ).unionByName(
+            lines.where(F.length("__line") < min_len).select(
+                F.col(id_col), "__pos", "__line"
+            )
+        )
+        rebuilt = kept.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos"), F.col("__line"))
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        split_sz = F.size(
+            F.split(F.col(text_col), F.lit(re.escape(sep)), -1)
+        )
+        per_doc = df.select(
+            F.col(id_col),
+            F.when(F.col(text_col).isNotNull(), split_sz)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_lines"),
+        )
+        return per_doc.join(rebuilt, id_col, "left").select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     occurrence = F.struct(
         F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
     )
