@@ -2577,25 +2577,23 @@ def line_dedup(
     header duplicated across half the corpus costs one row per
     partition, not one 50%-of-the-corpus sort partition (the window
     formulation used through round 5 had exactly that straggler). The
-    winners then attach back with an equi-join on the line — skewed
-    line keys there are split by AQE skew-join handling, which can never
-    rescue a window — and one groupBy(id) reassembles documents.
+    kept lines ARE the winner table (plus sub-floor occurrences), so no
+    join ships occurrences back to their winners; one groupBy(id) over
+    only the kept lines reassembles documents.
 
-    ``key_by`` picks the aggregation + join key:
+    ``key_by`` picks the aggregation key:
 
     * ``'text'`` (default) — the literal line string: exactly
       replayable by an external SQL oracle, collision-free.
     * ``'hash'`` — a 128-bit content key (two independent xxhash64
-      halves): the winner aggregation shuffles FIXED-WIDTH 16-byte keys
-      (its combiner output is (key, min-struct) — no text at all), and
-      the attach-back join partitions/sorts on those fixed keys; the
-      probe side still carries each line once, for the rebuild, so line
-      text crosses the wire ONCE instead of three times. The shape for
-      100 TB corpora where lines average hundreds of bytes. A collision
-      would wrongly drop one line at ~2^-64 odds per pair — the same
-      accepted trade as published content-hash exact dedup. Output is
-      identical to ``'text'`` on non-adversarial data (asserted against
-      the same oracle in the differential suite)."""
+      halves): the winner aggregation groups/shuffles on FIXED-WIDTH
+      16-byte keys (the line text rides the min-struct payload, once per
+      distinct line per map partition), so hot-key combining and the
+      exchange never hash or compare long strings. A collision would
+      wrongly drop one line at ~2^-64 odds per pair — the same accepted
+      trade as published content-hash exact dedup. Output is identical
+      to ``'text'`` on non-adversarial data (asserted against the same
+      oracle in the differential suite)."""
     import re
 
     if scope not in ("corpus", "document"):
@@ -2625,103 +2623,67 @@ def line_dedup(
     else:
         key_cols = ["__line"]
     group_cols = key_cols if scope == "corpus" else [id_col, *key_cols]
+    # Round-13 rewrite (guide §2.4): the kept dedup-lines are exactly the
+    # winner table — no need to join every exploded occurrence back to
+    # its group's winner to flag keep/drop. In text mode the group key IS
+    # the line; in hash mode the winner's text rides the MIN(struct)
+    # payload instead: the struct orders on (id, pos) first, so the
+    # aggregate picks the winner occurrence's OWN line (identical to the
+    # old join output even under a hash collision), and the combiner
+    # ships one (key, struct) row per distinct line per map partition —
+    # strictly fewer text bytes than the removed join, whose probe side
+    # carried every occurrence's text. Kept lines = winners ∪ sub-floor
+    # occurrences (which bypass dedup); the rebuild groupBy(id) shuffles
+    # only KEPT lines instead of every line. The MIN(struct) aggregation
+    # (map-side combine collapses hot boilerplate lines) is now the only
+    # line-keyed stage, so the straggler posture is unchanged. n_lines is
+    # scan-side arithmetic: the split emits its array size in lines.
+    win_payload = [F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")]
+    if key_by == "hash":
+        win_payload.append(F.col("__line").alias("__wl"))
     winners = (
         lines.where(F.length("__line") >= min_len)
         .groupBy(*group_cols)
-        .agg(
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
-                )
-            ).alias("__w")
+        .agg(F.min(F.struct(*win_payload)).alias("__w"))
+    )
+    won_line = F.col("__w.__wl") if key_by == "hash" else F.col("__line")
+    kept = winners.select(
+        F.col("__w.__wi").alias(id_col),
+        F.col("__w.__wp").alias("__pos"),
+        won_line.alias("__line"),
+    ).unionByName(
+        lines.where(F.length("__line") < min_len).select(
+            F.col(id_col), "__pos", "__line"
         )
     )
-    if key_by == "text":
-        # Round-13 rewrite (guide §2.4): in text mode the winner's group
-        # key IS the line, so the kept dedup-lines are simply the winner
-        # table projected to (winner id, winner pos, line) — no need to
-        # join every exploded occurrence back to its group's winner.
-        # Kept lines = winners ∪ sub-floor occurrences (which bypass
-        # dedup); the rebuild groupBy(id) shuffles only KEPT lines
-        # instead of every line, and the corpus-scale line-keyed join
-        # disappears — with it, the join-side skew a hot boilerplate
-        # line used to create (the MIN(struct) aggregation, whose
-        # map-side combine collapses hot lines, already carried the
-        # skew-proof argument; now it is the only line-keyed stage).
-        # n_lines is scan-side arithmetic: the split emits its array
-        # size in lines, every one of them exploded.
-        kept = winners.select(
-            F.col("__w.__wi").alias(id_col),
-            F.col("__w.__wp").alias("__pos"),
-            F.col("__line"),
-        ).unionByName(
-            lines.where(F.length("__line") < min_len).select(
-                F.col(id_col), "__pos", "__line"
-            )
-        )
-        rebuilt = kept.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("__pos"), F.col("__line"))
-                        )
-                    ),
-                    lambda s: s["__line"],
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__pos"), F.col("__line"))
+                    )
                 ),
-                sep,
-            ).alias("text"),
-        )
-        split_sz = F.size(
-            F.split(F.col(text_col), F.lit(re.escape(sep)), -1)
-        )
-        per_doc = df.select(
-            F.col(id_col),
-            F.when(F.col(text_col).isNotNull(), split_sz)
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("n_lines"),
-        )
-        return per_doc.join(rebuilt, id_col, "left").select(
-            id_col,
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.col("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
-    occurrence = F.struct(
-        F.col(id_col).alias("__wi"), F.col("__pos").alias("__wp")
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("text"),
     )
-    flagged = lines.join(winners, group_cols, "left").withColumn(
-        # no winner row = sub-floor line (bypasses dedup, always kept)
-        "__keep",
-        F.col("__w").isNull() | (occurrence == F.col("__w")),
+    split_sz = F.size(
+        F.split(F.col(text_col), F.lit(re.escape(sep)), -1)
     )
-    rebuilt = (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct(F.col("__pos"), F.col("__line")),
-                            )
-                        )
-                    ),
-                    lambda s: s["__line"],
-                ),
-                sep,
-            ).alias("text"),
-        )
+    per_doc = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), split_sz)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_lines"),
     )
-    return df.select(id_col).join(rebuilt, id_col, "left").select(
+    return per_doc.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce("text", F.lit("")).alias("text"),
-        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.col("n_lines"),
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
 
