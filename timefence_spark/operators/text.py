@@ -1030,6 +1030,61 @@ def bm25_score(
     ).where(F.col("n_terms_matched") > 0)
 
 
+def _per_doc_term_counts(
+    df: DataFrame, id_col: str, terms, out_name: str
+) -> DataFrame:
+    """(id, term, __n): per-document term occurrence counts computed
+    SCAN-SIDE from the ``terms`` array expression — no shuffle.
+
+    Each document is ONE input row, so its complete term multiset is
+    already partition-local; a ``groupBy(id, term)`` pre-aggregation
+    (the round-12 shape) re-shuffled every distinct (doc, term) pair —
+    a corpus-scale exchange of term TEXT — only to compute counts the
+    scan already had. Instead: sort the array, find the distinct-run
+    boundaries (positions where ``s[i] != s[i-1]``), and emit one
+    (term, run-length) struct per distinct term. ``F.get`` (0-based,
+    NULL out of range) keeps the expression ANSI-safe. A NULL terms
+    array, or an empty one, emits no rows (the explode drops them),
+    matching the exploded-rows semantics.
+
+    The sorted array and the boundary array are materialized as REAL
+    projected columns (two stacked selects), never inlined expressions:
+    every `F.get` inside the run-length lambda references them, and an
+    inlined copy re-evaluates the whole sort/filter per element access —
+    O(d²·log d) per document (measured: a single-expression version hung
+    the sf0.001 oracle sweep). CollapseProject keeps the split because
+    the produced columns are non-cheap and multiply referenced."""
+    s = F.col("__s")
+    bnd = F.col("__b")
+    staged = df.select(
+        F.col(id_col), F.array_sort(terms).alias("__s")
+    ).select(
+        F.col(id_col),
+        s,
+        F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)),
+        ).alias("__b"),
+    )
+    entries = F.transform(
+        bnd,
+        lambda x, j: F.struct(
+            F.get(s, x).alias(out_name),
+            (F.coalesce(F.get(bnd, j + 1), F.size(s)) - x)
+            .cast("long")
+            .alias("__n"),
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(s) >= 1, entries)).alias("__e"),
+    ).select(
+        F.col(id_col),
+        F.col("__e." + out_name).alias(out_name),
+        F.col("__e.__n").alias("__n"),
+    )
+
+
 def word_frequencies(
     df: DataFrame,
     *,
@@ -1046,9 +1101,14 @@ def word_frequencies(
     pre-aggregate BEFORE the global shuffle (one row per distinct word per
     doc crosses the wire, with n_docs as a count and n_occurrences as a
     sum — no count-distinct shuffle of raw occurrences); word keys are
-    near-uniform, so no salting needed. ``top_k`` is a driver-side limit
-    on sorted output — fine for vocabulary heads; leave it ``None`` to
-    write the full table."""
+    near-uniform, so no salting needed. The scan-side sorted-run-length
+    alternative (:func:`_per_doc_term_counts`, used by
+    :func:`ngram_frequencies`) was measured SLOWER here: unigrams repeat
+    heavily within a document, so the (doc, word) pre-agg compresses the
+    exchange far below gram scale while the per-doc token sort costs
+    O(d log d) string compares — r13 A/B 0.60s → 0.85s at sf0.1.
+    ``top_k`` is a driver-side limit on sorted output — fine for
+    vocabulary heads; leave it ``None`` to write the full table."""
     per_doc = (
         df.select(
             F.col(id_col),
@@ -1090,10 +1150,14 @@ def ngram_frequencies(
 
     100 TB shape: the word_frequencies plan one gram-width up — gram
     construction is scan-local (tokens slice m times per row, no
-    explode-then-window); per-doc occurrence counts pre-aggregate BEFORE
-    the global shuffle, so one row per distinct (doc, gram) crosses the
-    wire and doc frequency is a plain count, never a count-distinct
-    expand. Gram keys are near-uniform; no salting needed."""
+    explode-then-window); per-doc occurrence counts are SCAN-SIDE array
+    arithmetic (:func:`_per_doc_term_counts`), so ONE global shuffle
+    carries map-side-partial-aggregated gram rows and doc frequency is a
+    plain count, never a count-distinct expand. Grams are near-unique
+    within a document, so the (doc, gram) pre-agg exchange this replaces
+    shipped every gram occurrence (corpus scale); r13 A/B at sf0.1 is
+    flat (5.05s → 5.04s) with one less Exchange and doc_id pruned from
+    the scan. Gram keys are near-uniform; no salting needed."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
@@ -1105,11 +1169,7 @@ def ngram_frequencies(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     )
-    per_doc = (
-        df.select(F.col(id_col), F.explode(grams).alias("ngram"))
-        .groupBy(id_col, "ngram")
-        .agg(F.count("*").alias("__n"))
-    )
+    per_doc = _per_doc_term_counts(df, id_col, grams, "ngram")
     out = (
         per_doc.groupBy("ngram")
         .agg(
