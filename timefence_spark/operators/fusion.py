@@ -142,21 +142,43 @@ def mmr_rerank(
     lam = int(math.floor(lambda_ * 1_000_000 + 0.5))
     rest = 1_000_000 - lam
 
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Vector hygiene (double cast, degenerate-row drop) and the L2
+    # normalization run AFTER the id equi-join, on the matched candidate
+    # rows only — candidate lists are top-N-bounded per query, so this
+    # is a few hundred rows where the corpus side is unbounded. The
+    # corpus scan projects only (id, vector); at 100 TB the
+    # normalize-then-join order paid a full-corpus interpreted-HOF pass
+    # (norm fold + divide transform per row) for rows the join then
+    # discarded (round-13 optimization, guide §1.2/§4: don't compute
+    # things you throw away).
+    vecs = vectors.select(
+        F.col(vec_id).alias("__vid"), F.col(vec_col).alias("__raw")
+    )
+    dvec = F.transform(F.col("__raw"), lambda x: x.cast("double"))
     ok = (
-        F.col(vec_col).isNotNull()
+        F.col("__raw").isNotNull()
         & (F.size(F.filter(dvec, lambda x: x.isNull())) == 0)
         & (F.size(dvec) > 0)
     )
-    vecs = vectors.select(
-        F.col(vec_id).alias("__vid"),
-        F.when(ok, dvec).alias("__v0"),
+    matched = (
+        candidates.where(F.col(rel_col).isNotNull())
+        .select(
+            F.col(query_col).alias("query_id"),
+            F.col(neighbor_col).alias("neighbor_id"),
+            F.expr(
+                f"CAST(floor(CAST(`{rel_col}` AS DOUBLE) * 1000000D "
+                "+ 0.5D) AS BIGINT)"
+            ).alias("__rm"),
+        )
+        .join(vecs, F.col("neighbor_id") == F.col("__vid"))
+        .select("query_id", "neighbor_id", "__rm",
+                F.when(ok, dvec).alias("__v0"))
     )
     if normalize:
         # staged norm: an inline norm inside the transform lambda would
         # re-fold per element (HOF lambdas are not CSE'd)
-        vecs = (
-            vecs.withColumn(
+        matched = (
+            matched.withColumn(
                 "__n",
                 F.sqrt(
                     F.aggregate(
@@ -178,28 +200,27 @@ def mmr_rerank(
             .drop("__v0", "__n")
         )
     else:
-        vecs = vecs.withColumnRenamed("__v0", "__v")
-    cand = (
-        candidates.where(F.col(rel_col).isNotNull())
-        .select(
-            F.col(query_col).alias("query_id"),
-            F.col(neighbor_col).alias("neighbor_id"),
-            F.expr(
-                f"CAST(floor(CAST(`{rel_col}` AS DOUBLE) * 1000000D "
-                "+ 0.5D) AS BIGINT)"
-            ).alias("__rm"),
-        )
-        .join(vecs, F.col("neighbor_id") == F.col("__vid"))
-        .where(F.col("__v").isNotNull())
-        .select("query_id", "neighbor_id", "__rm", "__v")
-    )
-    grouped = cand.groupBy("query_id").agg(
+        matched = matched.withColumnRenamed("__v0", "__v")
+    # The degenerate-row drop rides INSIDE collect_list (NULL entries
+    # are skipped by collect_list) instead of a where(__v IS NOT NULL):
+    # a plain filter references only build-side-derived columns, so
+    # Catalyst pushes it through the join into the corpus scan — which
+    # re-evaluates the cast/null-check/norm HOF chain once per CORPUS
+    # row as a scan filter, exactly the full-corpus pass the join
+    # reorder exists to avoid. An aggregate argument cannot be pushed.
+    # Queries whose candidates are all degenerate yield an empty
+    # __cands, and the posexplode of the empty fold output drops them —
+    # same rows as the filter produced.
+    grouped = matched.groupBy("query_id").agg(
         F.sort_array(
             F.collect_list(
-                F.struct(
-                    F.col("neighbor_id").alias("n"),
-                    F.col("__rm").alias("rm"),
-                    F.col("__v").alias("v"),
+                F.when(
+                    F.col("__v").isNotNull(),
+                    F.struct(
+                        F.col("neighbor_id").alias("n"),
+                        F.col("__rm").alias("rm"),
+                        F.col("__v").alias("v"),
+                    ),
                 )
             )
         ).alias("__cands")

@@ -275,8 +275,15 @@ def train_wordpiece_spark(
 
 def wordpiece_alphabet_spark(df, *, text_col: str = "text") -> list[str]:
     """The corpus's WordPiece alphabet — every bare first character and
-    ##-prefixed continuation character seen in any word — sorted. ONE
-    explode + distinct aggregation; bounded by the character inventory."""
+    ##-prefixed continuation character seen in any word — sorted.
+
+    The per-character explode runs over distinct word TYPES, not word
+    occurrences (round-13 optimization, guide §2.3): the word
+    ``distinct`` collapses repeats map-side before anything character-
+    shaped is built, so the symbol transform+explode — the expensive
+    per-row work — runs |types| times instead of |tokens| times. Both
+    aggregations are bounded (word types, then the character
+    inventory); the symbol set is identical by construction."""
     from pyspark.sql import functions as F
 
     syms_expr = (
@@ -286,6 +293,7 @@ def wordpiece_alphabet_spark(df, *, text_col: str = "text") -> list[str]:
     rows = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .where(F.col("w") != "")
+        .distinct()
         .select(F.expr(syms_expr).alias("s"))
         .distinct()
         .collect()
