@@ -1391,6 +1391,149 @@ ISOLATED_REMEASURE_R13 = {
 }
 
 
+# Round-13 fresh-JVM extras replay (the four rows whose in-suite r13
+# numbers drifted >=1.3x vs r12 with untouched code), 2 sessions
+# back-to-back, quiet host, 2026-08-16. Embedded as a constant (it was
+# originally patched into the committed record only) so every future
+# BENCH_DETAIL write persists it.
+ISOLATED_REMEASURE_R13B = {
+    "methodology": "fresh-JVM extras replay (same construction as "
+                   "bench.py extras), 2 sessions back-to-back, quiet "
+                   "host (load <2), 2026-08-16; raw runs quoted "
+                   "un-trimmed",
+    "knn_ivf_pq_pretrained": {
+        "A": [4.364, 4.142, 4.891], "B": [4.01, 4.018, 4.187],
+        "min": 4.01, "r12": 3.684, "vs_r12": 1.09,
+        "verdict": (
+            "isolated ~= r12; the in-suite 7.45s (2.02x) is "
+            "run-context inflation (row runs late in the now-61-query "
+            "suite), not a code regression (similarity.py untouched "
+            "since r12)."
+        ),
+    },
+    "knn_pq_opq_parametric": {
+        "A": [7.232, 5.894, 5.296], "B": [4.796, 4.795, 5.476],
+        "min": 4.795, "r12": 4.903, "vs_r12": 0.98,
+        "verdict": "isolated == r12; in-suite 7.85s is context. "
+                   "Code untouched.",
+    },
+    "line_dedup_sent": {
+        "A_min": 1.906, "B_min": 1.564, "r12": 1.403, "vs_r12": 1.11,
+        "verdict": "within noise; line_dedup untouched since r12.",
+    },
+    "line_dedup_sent_hash": {
+        "A_min": 1.342, "B_min": 1.573, "r12": 1.251, "vs_r12": 1.07,
+        "verdict": "within noise.",
+    },
+    "knn_binary": {
+        "A": [3.613, 6.11, 6.614], "B": [14.041, 11.753, 11.611],
+        "suite_r13": 2.753, "r12": 1.951,
+        "verdict": (
+            "BIMODAL across JVMs (3.6s vs 11.6s, each internally "
+            "consistent) on untouched code: the Hamming fold is a "
+            "higher-order-function expression (F.aggregate over packed "
+            "lanes) outside whole-stage codegen, and whether the "
+            "interpreted eval path gets JIT-compiled varies per JVM. "
+            "In-suite (warm, post-knn_sq) remains the honest "
+            "comparison base; flagged for a codegen-friendly rewrite "
+            "rather than carried as a perf claim."
+        ),
+    },
+}
+
+
+# Round-13 round-end re-measures (refresh of the canonical record at
+# the optimized HEAD, 2026-08-18) — and the ROOT CAUSE of three rounds
+# of "run-context inflation" narratives: the bench host is a VM with
+# INTERMITTENT hypervisor CPU steal. Sampled via /proc/stat (field 9,
+# 10s deltas): 10-15% of total CPU during the refresh run's 1M-scenario
+# window and throughout a second full run (killed), <0.5% in quiet
+# windows minutes later. Inflated rows coincide with steal windows, not
+# with code changes or suite position alone; the spread-gate requote and
+# the two validity gates are what keep a record committable through
+# them. Sample steal before trusting any wall-clock number on this host.
+ISOLATED_REMEASURE_R13C = {
+    "methodology": "SPARK_GRAFT_QUERIES=ngram_nll,ngram_freq,"
+                   "knn_binary,knn_sq subset, fresh JVM, 2 invocations "
+                   "back-to-back, 2026-08-18; /proc/stat CPU-steal "
+                   "sampled around each (A: ~0%, B: steal rose to "
+                   "~11% during the run)",
+    "host_steal_finding": (
+        "intermittent hypervisor CPU steal (10-15% windows, <0.5% "
+        "quiet) is the mechanism behind the r11-r13 cross-round "
+        "inflation; measured 14% during the refresh run's 1M "
+        "scenarios, whose first runs landed 2-6x their requoted "
+        "values."
+    ),
+    "ngram_freq": {
+        "A": [4.736, 5.018, 5.163], "B": [5.595, 5.376, 5.547],
+        "min": 4.736, "committed_pre_refresh": 5.29,
+        "in_suite_refresh": 8.462,
+        "verdict": "isolated == the committed baseline; the refresh "
+                   "run's in-suite 8.46s is a steal window, not a "
+                   "regression (the round's scan-side rewrite is "
+                   "oracle-verified and removed an exchange).",
+    },
+    "knn_sq": {
+        "A": [4.161, 2.979, 3.323], "B": [4.551, 4.988, 4.617],
+        "min": 2.979, "committed_pre_refresh": 3.21,
+        "in_suite_refresh": 4.388,
+        "verdict": "isolated == committed (B ran into the next steal "
+                   "window); in-suite 4.39s is environmental.",
+    },
+    "knn_binary": {
+        "A": [4.977, 3.611, 4.281], "B": [4.3, 3.862, 4.179],
+        "min": 3.611, "r13b_bimodal_modes": [3.6, 11.6],
+        "in_suite_refresh": 5.722,
+        "verdict": "the 11.6s interpreted-HOF mode flagged in "
+                   "isolated_remeasure_r13b is GONE in both fresh JVMs "
+                   "after the unrolled-kernel rewrite; remaining "
+                   "3.6-5.0s variance tracks steal.",
+    },
+    "ngram_nll": {
+        "A": [12.475, 8.801, 13.193], "B": [6.727, 7.629, 6.823],
+        "min": 6.727, "quiet_ab_after_fusion": 5.32,
+        "in_suite_refresh": 8.365,
+        "verdict": "genuinely GC-bound row: quiet-host mins span "
+                   "5.3-6.7s across JVMs (old-gen pressure from the "
+                   "5-gram window explode), steal + late-suite GC debt "
+                   "stack on top. Still ~2x under the pre-fusion "
+                   "9.24-43s instability; the 1-scan plan stands.",
+    },
+    # The three 2-timed-run 1m_x10 variants ran inside the refresh
+    # run's steal window and sit below the >=3-run requote backstop;
+    # re-measured as SPARK_GRAFT_SCENARIO subprocesses (fresh JVM each)
+    # in quiet windows. The canonical scale section stays the one-run
+    # output; these rows are the steal-corrected evidence.
+    "1m_x10_staleness30d": {
+        "runs": [17.636, 9.973], "min": 9.973,
+        "in_suite_refresh": 16.353, "committed_pre_refresh": 12.9,
+        "reference_same_host": 13.31,
+        "verdict": "quiet-window 9.97s = 0.75x the same-host "
+                   "reference (the r13 duplicate-check fusion reaches "
+                   "this variant); the recorded 16.35s is a steal "
+                   "window.",
+    },
+    "1m_x10_splits": {
+        "runs": [19.708, 16.763], "min": 16.763,
+        "in_suite_refresh": 27.443, "committed_pre_refresh": 24.1,
+        "reference_same_host": 11.98,
+        "verdict": "quiet-window 16.76s (1.40x same-host reference, "
+                   "down from r12's 1.93-2.04x); the recorded 27.44s "
+                   "is a steal window (its first run 55.4s).",
+    },
+    "1m_x10_embargo1d": {
+        "runs": [23.567, 18.294], "min": 18.294,
+        "in_suite_refresh": 19.134, "committed_pre_refresh": 20.03,
+        "reference_same_host": 15.63,
+        "verdict": "consistent with the recorded 19.13s — this "
+                   "variant keeps the bounded-window fallback plan "
+                   "(embargo>0), so the fusion does not apply; 1.17x "
+                   "same-host reference.",
+    },
+}
+
+
 def _measure(name: str, fn, n: int, jvm=None) -> list[float]:
     """Timed runs with ONE self-requote on instability: a row whose
     trimmed spread trips the gate is re-measured after a System.gc()
@@ -2137,6 +2280,8 @@ def _finish(
         "requoted": REQUOTED,
         "isolated_remeasure_r11": ISOLATED_REMEASURE,
         "isolated_remeasure_r13": ISOLATED_REMEASURE_R13,
+        "isolated_remeasure_r13b": ISOLATED_REMEASURE_R13B,
+        "isolated_remeasure_r13c": ISOLATED_REMEASURE_R13C,
         "host_reference_calibration_r12": HOST_REFERENCE_CALIBRATION_R12,
         "accepted_ratios": ACCEPTED_RATIOS,
         "sf": sf_val,
