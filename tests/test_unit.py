@@ -319,3 +319,17 @@ def test_bench_suite_validity_gate(tmp_path):
     assert bench._suite_validity({"q0": 1.0}, str(p))[
         "status"
     ] == "insufficient_overlap"
+
+    # Scale-row requote eligibility (round 13): 2-timed-run scenarios
+    # ARE covered — a host-steal window landing on one of two runs
+    # leaves no third sample for the trim to drop, which is exactly the
+    # case the backstop exists for. Stable pairs and sub-floor gaps
+    # must not burn a re-run.
+    assert bench._scale_requote_needed([76.709, 19.134])  # steal window
+    assert bench._scale_requote_needed([38.849, 16.353])
+    assert not bench._scale_requote_needed([23.567, 18.294])  # stable
+    assert not bench._scale_requote_needed([1.2, 0.9])  # sub-floor gap
+    assert not bench._scale_requote_needed([10.0])  # single sample
+    # 4-run sets keep the pre-existing behavior (trim of 3 fastest).
+    assert bench._scale_requote_needed([121.8, 33.4, 39.5, 96.6])
+    assert not bench._scale_requote_needed([13.9, 12.3, 16.1, 20.8])
