@@ -1531,6 +1531,25 @@ ISOLATED_REMEASURE_R13C = {
                    "(embargo>0), so the fusion does not apply; 1.17x "
                    "same-host reference.",
     },
+    # Third independent clustered_read session (VERDICT r12 item 1
+    # asked for the payoff reproduced >=1.5x across two sessions):
+    # cold-cache — the regime the 100 TB pruning claim is about — is
+    # now >=1.5x in ALL THREE sessions (4.6x mid-round, 1.79x in the
+    # committed refresh, 7.59x here); warm sits at 1.2-1.7x because
+    # fixed job cost dominates a warm sub-second read at this scale.
+    "clustered_read_session3": {
+        "warm": {"sec": 0.786, "scattered_sec": 0.955, "speedup": 1.22,
+                 "runs": [0.847, 0.827, 0.786, 1.009],
+                 "scattered_runs": [1.608, 1.574, 1.016, 0.955]},
+        "cold": {"sec": 0.757, "scattered_sec": 5.747, "speedup": 7.59,
+                 "runs": [1.178, 0.757],
+                 "scattered_runs": [9.932, 5.747]},
+        "order": "alternating_balanced",
+        "verdict": "cold payoff reproduced >=1.5x in three separate "
+                   "sessions (4.6x / 1.79x / 7.59x); the cold ratio's "
+                   "spread tracks how hard the page cache evicts the "
+                   "32 scattered files between runs, never the sign.",
+    },
 }
 
 
