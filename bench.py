@@ -37,11 +37,16 @@ with >=6 samples (VERDICT r10 item 1: knn_ivf shipped runs spanning
 samples a >20% disagreement among the three FASTEST is a signal, not a
 stall). A row that trips the gate is re-measured ONCE in-session after
 a GC pause (both sample sets land in BENCH_DETAIL.json under
-"requoted"); only if the retry is also unstable does the script exit 1
-— an unstable bench must not silently gate regressions, but a single
-contaminated sample set must not fail a 40-minute suite either. Scale
-scenarios with >=3 runs (including both 10M shapes, 4 runs each) feed
-the same gate as "scale:<label>".
+"requoted"); if the retry is also unstable the row is listed in the
+JSON's "unstable" array — the exit code is ALWAYS 0 once the one-line
+JSON has printed (round 14, VERDICT r13 item 1: the r13 c8 run printed
+a good line and then exited 1 over one unstable row, which the driver
+records as a failed run). Scale scenarios with >=3 runs (including both
+10M shapes, 4 runs each) feed the same gate as "scale:<label>". A wall
+budget (SPARK_GRAFT_WALL_BUDGET_SEC, default 3000s) bounds the whole
+run: optional scenarios and requote re-runs are skipped (marked, never
+silent) when the budget is threatened, so the JSON line always lands
+inside the driver's timeout.
 
 Round-over-round comparison: the headline "value" sums the CURRENT
 suite, which has grown across rounds — the artifact's "suite" key
@@ -137,6 +142,77 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# ---------------------------------------------------------------------------
+# Wall-clock budget (VERDICT r13 item 1). The r13 32-core run timed out
+# (rc=124) before printing the one-line JSON: the scenario catalog had
+# grown and the requote backstop launches extra fresh-JVM re-runs exactly
+# when CPU steal makes everything slow. The contract fix has three parts:
+#   1. a hard budget (env-tunable, default well under the driver timeout)
+#      — OPTIONAL scenarios (1m_x25/x50 width-trend extras, clustered_read,
+#      ivf_pq_append) are skipped with a {"skipped": "wall_budget"} marker
+#      when the remaining budget cannot cover their estimated cost, and
+#      even core scenarios are skipped (marked, never silently) once the
+#      budget is effectively gone — a partial JSON always beats rc=124;
+#   2. requote re-runs are capped (MAX_SCALE_REQUOTES) and skipped when
+#      the budget is threatened;
+#   3. the script ALWAYS exits 0 after printing the one-line JSON —
+#      instability is reported inside the JSON ("unstable": [...]), never
+#      via the exit code (the r13 c8 run printed a perfectly good line and
+#      then exited 1 over one unstable row).
+# ---------------------------------------------------------------------------
+_T0 = time.monotonic()
+WALL_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_WALL_BUDGET_SEC", "3000"))
+# Keep this much slack for the requote pass + _finish bookkeeping.
+BUDGET_RESERVE_SEC = 120.0
+
+
+def _budget_left() -> float:
+    return WALL_BUDGET_SEC - (time.monotonic() - _T0)
+
+
+# Rough quiet-host wall cost per scale scenario (fresh JVM + data gen on a
+# warm /tmp cache + warmup + timed runs), from the r13 records. Used ONLY
+# to decide whether an optional scenario still fits the budget — never to
+# time anything.
+SCENARIO_EST_SEC = {
+    "audit_rebuild_1m_x10": 90,
+    "100k_x1": 30,
+    "100k_x10": 40,
+    "1m_x1": 45,
+    "1m_x10": 110,
+    "1m_x10_embargo1d": 70,
+    "1m_x10_staleness30d": 60,
+    "1m_x10_splits": 80,
+    "1m_x25": 180,
+    "1m_x50": 400,
+    "10m_x1": 150,
+    "10m_x10": 420,
+    "pipeline:pack_1m": 45,
+    "pipeline:clean_1m": 40,
+    "clustered_read": 180,
+    "ivf_pq_append": 150,
+}
+# Width-trend extras and writer-payoff scenarios: evidence rows, not
+# round-over-round comparison bases — first to go under budget pressure.
+OPTIONAL_SCENARIOS = {"1m_x25", "1m_x50", "clustered_read", "ivf_pq_append"}
+MAX_SCALE_REQUOTES = 3
+
+
+def _steal_ticks() -> int | None:
+    """Aggregate hypervisor-steal ticks from /proc/stat (field 9 of the
+    'cpu' line). Sampled at suite start and end and stamped into
+    BENCH_DETAIL so every record carries its own steal evidence (VERDICT
+    r13 item 9) — replaces growing embedded remeasure constants."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+_STEAL_T0 = _steal_ticks()
 
 BENCH_QUERIES = [
     "pit_strict",
@@ -1208,16 +1284,20 @@ def _run_ivf_pq_append_scenario(spark) -> dict:
 
 def _run_scenario_subprocess(label: str) -> dict:
     env = dict(os.environ, **{SCENARIO_ENV: label})
+    # Cap each subprocess at the remaining wall budget (minus the finish
+    # reserve) so one straggling scenario cannot eat the driver timeout:
+    # a timed-out scenario becomes an "err" row in a DELIVERED artifact.
+    timeout = min(2400.0, max(60.0, _budget_left() - BUDGET_RESERVE_SEC))
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            timeout=2400,
+            timeout=timeout,
         )
     except subprocess.TimeoutExpired:
-        return {"err": "scenario subprocess timed out"}
+        return {"err": f"scenario subprocess timed out ({timeout:.0f}s)"}
     for line in reversed(p.stdout.splitlines()):
         if line.startswith(SCENARIO_PREFIX):
             res = json.loads(line[len(SCENARIO_PREFIX):])
@@ -1560,7 +1640,16 @@ def _measure(name: str, fn, n: int, jvm=None) -> list[float]:
     left by earlier rows — is the reproduced cause of every such trip
     to date: audit_rebuild in r9, knn_ivf in r10). The set with the
     smaller spread is the quote; if BOTH sets are unstable the gate
-    still fires in _finish."""
+    still fires in _finish.
+
+    A System.gc() ahead of the warmups (round 14, VERDICT r13 item 7):
+    the PQ/OPQ family measured 1.5-2x slower in-suite than isolated
+    because GC debt accumulates across the 61-query JVM and lands on
+    whichever rows run late. Collecting BEFORE each row's untimed
+    warmups starts every query from a comparably clean heap — the timed
+    region itself is unchanged."""
+    if jvm is not None:
+        jvm.System.gc()
     runs = _timed_runs(fn, n)
     rel, gap = _trimmed_spread(runs)
     if rel > _spread_limit(n) and gap > SPREAD_ABS_FLOOR_SEC:
@@ -1729,10 +1818,18 @@ def _trimmed_spread(runs: list[float]) -> tuple[float, float]:
     External stalls on a shared host inflate the slow tail arbitrarily;
     if even the three FASTEST runs disagree by >50% AND by more than
     SPREAD_ABS_FLOOR_SEC, the number itself is untrustworthy and the gate
-    should fire."""
+    should fire.
+
+    2-sample sets normalize by the FASTER run (ADVICE r13): with only two
+    samples the 'median' of the pair is the slower one, so the gate fired
+    only at slow > 2x fast while a 3-run set fires at ~1.5x — exactly the
+    moderate steal window (1.3-1.8x on one of two runs) the 2-run requote
+    backstop was added for slipped through. Normalizing by the fast run
+    makes a 2-sample set fire at slow/fast > 1.5, matching the 3-run
+    sensitivity; the 0.5s absolute floor is unchanged."""
     fastest = sorted(runs)[:3]
-    med = fastest[len(fastest) // 2]
-    rel = round((fastest[-1] - fastest[0]) / med, 3) if med else 0.0
+    base = fastest[0] if len(fastest) == 2 else fastest[len(fastest) // 2]
+    rel = round((fastest[-1] - fastest[0]) / base, 3) if base else 0.0
     return rel, round(fastest[-1] - fastest[0], 3)
 
 
@@ -1751,6 +1848,9 @@ def _compact_line(detail: dict) -> str:
         for name, r in section.items():
             if "err" in r:
                 out[name] = {"err": r["err"][:60]}
+                continue
+            if "skipped" in r:
+                out[name] = {"skipped": r["skipped"]}
                 continue
             row = {"sec": r["sec"]}
             sh = r.get("shuffle")
@@ -1937,7 +2037,8 @@ def main() -> int:
     pre_book = spark.read.parquet(f"{pre_path}/codebook")
     record(
         "knn_ivf_pq_pretrained",
-        _timed_runs(
+        _measure(
+            "knn_ivf_pq_pretrained",
             lambda: _force(
                 # residual=True stated explicitly: this codebook comes
                 # from ivf_pq_build_index's residual-geometry training,
@@ -1950,6 +2051,7 @@ def main() -> int:
                 )
             ),
             3,
+            jvm=spark._jvm,
         ),
     )
     _shutil.rmtree(pre_path, ignore_errors=True)
@@ -2203,6 +2305,29 @@ def _finish(
 ) -> int:
     scale: dict[str, dict] = {}
     skew: dict[str, dict] = {}
+
+    def _run_budgeted(label: str, dest: dict, key: str) -> None:
+        """Run one scenario subprocess under the wall budget: optional
+        scenarios are skipped when the remaining budget cannot cover
+        their estimated cost; core scenarios are skipped only once the
+        budget is effectively gone. Skips are always marked in the
+        artifact, never silent."""
+        est = SCENARIO_EST_SEC.get(label, 120)
+        base = label.split(":", 1)[-1] if ":" in label else label
+        optional = base in OPTIONAL_SCENARIOS or label in OPTIONAL_SCENARIOS
+        left = _budget_left()
+        need = est if optional else 45  # core: start if minimally viable
+        if left < BUDGET_RESERVE_SEC + need:
+            dest[key] = {"skipped": "wall_budget", "est_sec": est,
+                         "budget_left_sec": round(left, 1)}
+            print(
+                f"scenario {label}: SKIPPED (wall budget: {left:.0f}s "
+                f"left, est {est}s)",
+                file=sys.stderr,
+            )
+            return
+        dest[key] = _run_scenario_subprocess(label)
+
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         # Audit runs FIRST: in r9 and r10 it measured ~11.5s when placed
         # after the 10m scenarios yet 5.8-7.0s in isolation (even
@@ -2210,26 +2335,22 @@ def _finish(
         # data resident) — whatever host state the 10m subprocesses
         # leave behind (writeback, cache churn) inflates the NEXT
         # subprocess. Measure it before the monsters run.
-        scale["audit_rebuild_1m_x10"] = _run_scenario_subprocess(
-            "audit_rebuild_1m_x10"
-        )
+        _run_budgeted("audit_rebuild_1m_x10", scale, "audit_rebuild_1m_x10")
         for variant in SKEW_VARIANTS:
-            skew[variant] = _run_scenario_subprocess(f"skew:{variant}")
+            _run_budgeted(f"skew:{variant}", skew, variant)
         for label, *_ in SCALE_CONFIGS:
-            scale[label] = _run_scenario_subprocess(label)
+            _run_budgeted(label, scale, label)
         # Corpus-pipeline scenarios ride the scale section (same slimming
         # + spread gate): the extension operators at 1M docs.
         for which in ("pack_1m", "clean_1m"):
-            scale[f"pipeline_{which}"] = _run_scenario_subprocess(
-                f"pipeline:{which}"
-            )
+            _run_budgeted(f"pipeline:{which}", scale, f"pipeline_{which}")
         # write_clustered read-side payoff (VERDICT r11 item 7): the
         # selective key-range read on the clustered vs scattered layout,
         # order-balanced + cold-cache since r13 (VERDICT r12 item 1).
-        scale["clustered_read"] = _run_scenario_subprocess("clustered_read")
+        _run_budgeted("clustered_read", scale, "clustered_read")
         # ivf_pq_append at bench scale with a drift-recall probe
         # (VERDICT r12 item 7).
-        scale["ivf_pq_append"] = _run_scenario_subprocess("ivf_pq_append")
+        _run_budgeted("ivf_pq_append", scale, "ivf_pq_append")
 
     # Requote backstop for scale rows (mirrors _measure): a scenario
     # whose trimmed spread trips the gate gets ONE fresh-JVM re-run
@@ -2240,6 +2361,7 @@ def _finish(
     # the r13 refresh recorded staleness at 16.35s where a quiet
     # fresh JVM measures 9.97s). Same methodology: same scenario, same
     # run count, fresh JVM; the smaller-spread sample set is quoted.
+    n_scale_requotes = 0
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         for lbl, r in list(scale.items()):
             runs_l = r.get("runs", [])
@@ -2250,6 +2372,32 @@ def _finish(
                 f"pipeline:{lbl[9:]}" if lbl.startswith("pipeline_")
                 else lbl
             )
+            # Budget guard (VERDICT r13 item 1): re-runs fire exactly
+            # when steal makes everything slow — cap their count and
+            # never let them push the run past the wall budget.
+            est = SCENARIO_EST_SEC.get(sub_label, 120)
+            if (
+                n_scale_requotes >= MAX_SCALE_REQUOTES
+                or _budget_left() < BUDGET_RESERVE_SEC + est
+            ):
+                REQUOTED[f"scale:{lbl}"] = {
+                    "first": runs_l,
+                    "retry": None,
+                    "skipped": (
+                        "requote_cap"
+                        if n_scale_requotes >= MAX_SCALE_REQUOTES
+                        else "wall_budget"
+                    ),
+                }
+                print(
+                    f"scenario {lbl}: spread {rel} tripped the gate but "
+                    "the requote was skipped "
+                    f"(requotes={n_scale_requotes}, "
+                    f"budget_left={_budget_left():.0f}s)",
+                    file=sys.stderr,
+                )
+                continue
+            n_scale_requotes += 1
             retry = _run_scenario_subprocess(sub_label)
             REQUOTED[f"scale:{lbl}"] = {
                 "first": runs_l, "retry": retry.get("runs"),
@@ -2319,6 +2467,21 @@ def _finish(
         "isolated_remeasure_r13c": ISOLATED_REMEASURE_R13C,
         "host_reference_calibration_r12": HOST_REFERENCE_CALIBRATION_R12,
         "accepted_ratios": ACCEPTED_RATIOS,
+        # Steal evidence per record (VERDICT r13 item 9): aggregate
+        # /proc/stat steal ticks over the whole run. On this 32-CPU host
+        # ~10-15% steal is ~3000+ ticks per 100s of wall; <0.5% is quiet.
+        "host_steal": {
+            "start_ticks": _STEAL_T0,
+            "end_ticks": _steal_ticks(),
+            "wall_sec": round(time.monotonic() - _T0, 1),
+        },
+        "wall_budget": {
+            "budget_sec": WALL_BUDGET_SEC,
+            "left_sec": round(_budget_left(), 1),
+            "skipped": sorted(
+                lbl for lbl, r in scale.items() if r.get("skipped")
+            ),
+        },
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -2357,12 +2520,15 @@ def _finish(
     print("detail: " + json.dumps(detail), file=sys.stderr)
     print(_compact_line(detail))
     if unstable:
+        # Reported INSIDE the JSON ("unstable": [...]) — never via the
+        # exit code (VERDICT r13 item 1: the c8 run printed a perfectly
+        # good line and then exited 1 over one unstable row, and the
+        # driver treats nonzero exits as failed runs).
         print(
             "bench spread over limit (50%, 20% at >=6 samples) for: "
-            f"{', '.join(unstable)}",
+            f"{', '.join(unstable)} — reported in the JSON, exit stays 0",
             file=sys.stderr,
         )
-        return 1
     return 0
 
 

@@ -265,13 +265,10 @@ def test_bpe_memo_cap_degrades_to_reencoding(monkeypatch):
     assert capped_counter(text) == uncapped  # second pass over cleared memo
 
 
-def test_bench_suite_validity_gate(tmp_path):
-    """bench.py's whole-suite sanity check (VERDICT r11 item 1): a
-    uniformly slower run must be marked DEGRADED_RUN and carry the clean
-    reference forward; a normal run passes; a missing/corrupt previous
-    record degrades to 'no_previous_record' instead of crashing."""
+def _load_bench():
+    """Import bench.py as a throwaway module (it lives outside the
+    package, at the repo root)."""
     import importlib.util
-    import json
     import os
     import sys
 
@@ -285,6 +282,17 @@ def test_bench_suite_validity_gate(tmp_path):
         spec.loader.exec_module(bench)
     finally:
         sys.modules.pop("bench_mod", None)
+    return bench
+
+
+def test_bench_suite_validity_gate(tmp_path):
+    """bench.py's whole-suite sanity check (VERDICT r11 item 1): a
+    uniformly slower run must be marked DEGRADED_RUN and carry the clean
+    reference forward; a normal run passes; a missing/corrupt previous
+    record degrades to 'no_previous_record' instead of crashing."""
+    import json
+
+    bench = _load_bench()
 
     prev = {
         "suite": "12q@abc",
@@ -320,16 +328,48 @@ def test_bench_suite_validity_gate(tmp_path):
         "status"
     ] == "insufficient_overlap"
 
-    # Scale-row requote eligibility (round 13): 2-timed-run scenarios
-    # ARE covered — a host-steal window landing on one of two runs
-    # leaves no third sample for the trim to drop, which is exactly the
-    # case the backstop exists for. Stable pairs and sub-floor gaps
-    # must not burn a re-run.
+
+def test_scale_requote_needed():
+    """Scale-row requote eligibility (round 13, own test since round 14 —
+    ADVICE r13): 2-timed-run scenarios ARE covered — a host-steal window
+    landing on one of two runs leaves no third sample for the trim to
+    drop, which is exactly the case the backstop exists for. Stable
+    pairs and sub-floor gaps must not burn a re-run."""
+    bench = _load_bench()
+
     assert bench._scale_requote_needed([76.709, 19.134])  # steal window
     assert bench._scale_requote_needed([38.849, 16.353])
+    # ADVICE r13: 2-sample sets normalize by the FASTER run, so a
+    # moderate steal window (slow/fast between 1.5x and 2x — the 10-15%
+    # steal the round root-caused) now fires like a 3-run set would.
+    assert bench._scale_requote_needed([28.0, 16.0])  # 1.75x
     assert not bench._scale_requote_needed([23.567, 18.294])  # stable
     assert not bench._scale_requote_needed([1.2, 0.9])  # sub-floor gap
     assert not bench._scale_requote_needed([10.0])  # single sample
     # 4-run sets keep the pre-existing behavior (trim of 3 fastest).
     assert bench._scale_requote_needed([121.8, 33.4, 39.5, 96.6])
     assert not bench._scale_requote_needed([13.9, 12.3, 16.1, 20.8])
+
+
+def test_bench_wall_budget_machinery(monkeypatch):
+    """VERDICT r13 item 1: the bench must always deliver its one-line
+    JSON — optional scenarios are skipped under budget pressure, core
+    ones only when the budget is effectively gone, and the skip is
+    always a marked artifact row."""
+    bench = _load_bench()
+
+    # Exhausted budget: _budget_left() goes negative, steal sampler
+    # still returns an int on this host.
+    monkeypatch.setattr(bench, "WALL_BUDGET_SEC", 0.0)
+    assert bench._budget_left() <= 0.0
+    st = bench._steal_ticks()
+    assert st is None or isinstance(st, int)
+
+    # Optional scenarios are classified for skipping; core ones are not.
+    assert "1m_x50" in bench.OPTIONAL_SCENARIOS
+    assert "clustered_read" in bench.OPTIONAL_SCENARIOS
+    assert "1m_x10" not in bench.OPTIONAL_SCENARIOS
+    assert "10m_x10" not in bench.OPTIONAL_SCENARIOS
+    # Every scale-section label has a budget estimate.
+    for label, *_ in bench.SCALE_CONFIGS:
+        assert label in bench.SCENARIO_EST_SEC
