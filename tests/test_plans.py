@@ -119,6 +119,7 @@ def test_multi_feature_single_pass_one_window(spark, sides):
     assert s.windows == 1, f"expected one Window operator, got {s.windows}"
 
 
+@pytest.mark.slow
 def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     """Sweeping regression net: NO entry query may plan a CartesianProduct,
     and BroadcastNestedLoopJoin is allowed only where it is the designed

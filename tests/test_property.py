@@ -424,6 +424,7 @@ def test_line_dedup_matches_python_reference(spark, data, min_len, scope_doc):
         assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
 
 
+@pytest.mark.slow
 @settings(
     max_examples=12,
     deadline=None,
@@ -463,6 +464,7 @@ def test_connected_components_algorithms_agree(spark, edges):
     assert results["local"] == results["propagation"]
 
 
+@pytest.mark.slow
 @settings(
     max_examples=8,
     deadline=None,

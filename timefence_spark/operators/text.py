@@ -2169,6 +2169,63 @@ def _padded_window_counts(
     )
 
 
+def _padded_window_counts_packed(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """(id, __g, __cnt, __wlen): :func:`_padded_window_counts` with the
+    window packed into ONE space-joined gram STRING instead of a struct
+    of n token columns (round 14, VERDICT r13 item 4 — guide §2.3/§5).
+
+    Exactness: :func:`_tokens` splits on whitespace and the empty-token
+    filter drops '' — a token can never contain a space — so the
+    space-joined string is a bijective encoding of the token tuple, and
+    every k-prefix / k-suffix the KN ladder derives is an exact
+    ``substring_index()`` of the key. What this buys at the corpus-scale
+    (id, window) exchange (ngram_nll's dominant cost, measured GC-bound
+    in round 13): one UTF8 string per row instead of a 5-field struct —
+    one hash/compare per hash-agg probe instead of n, ~40% fewer
+    serialized bytes (no per-field null bits/offsets), and one object
+    per window in the explode instead of a struct + n slices.
+
+    Windows start at every position with >= 2 tokens remaining and carry
+    the next ``n`` tokens, CLIPPED at the document end (the packed string
+    of a clipped window simply has fewer tokens — the NULL padding of the
+    struct variant encodes as absence). ``__wlen`` (the window's token
+    count) is exposed as an AGGREGATE for the same Catalyst reason as in
+    :func:`_padded_window_counts`: a predicate on an aggregate output
+    cannot be pushed below the aggregation, so every per-order consumer
+    filters ABOVE the one shared corpus-scale exchange and the exchange
+    is planned — and executed — exactly once."""
+    toks_raw = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(toks_raw, lambda t: t != F.lit("")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = _nsize(toks)
+
+    def win(i):
+        return F.struct(
+            F.array_join(F.slice(toks, i, n), " ").alias("g"),
+            F.least(F.lit(n), sz - i + 1).cast("int").alias("l"),
+        )
+
+    wins = F.when(
+        sz >= 2, F.transform(F.sequence(F.lit(1), sz - 1), win)
+    ).otherwise(F.expr("cast(array() as array<struct<g:string,l:int>>)"))
+    exploded = staged.select(
+        F.col(id_col), F.explode(wins).alias("__w")
+    ).select(id_col, F.col("__w.g").alias("__g"), F.col("__w.l").alias("__l"))
+    return exploded.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max("__l").alias("__wlen"),
+    )
+
+
 def ngram_logprob(
     df: DataFrame,
     *,
@@ -2264,13 +2321,54 @@ def _kn_ngram_scored(
 ) -> DataFrame:
     """Shared interpolated-KN scorer behind :func:`ngram_logprob` (any
     order) and :func:`trigram_logprob`'s own-corpus case (n=3,
-    ``n_out_col="n_trigrams"``) — identical formula, identical output."""
+    ``n_out_col="n_trigrams"``) — identical formula, identical output.
+
+    Round 14 (VERDICT r13 item 4, guide §2.3/§5): every gram key — the
+    padded windows, the order tables, the continuation tables, all the
+    scoring join keys — is ONE space-joined string instead of n token
+    columns (see :func:`_padded_window_counts_packed` for the exactness
+    argument: the whitespace tokenizer makes the encoding bijective and
+    ``substring_index`` derives every prefix/suffix the ladder needs).
+    The n=5 struct keys were the round-13-measured GC bottleneck: the
+    corpus-scale exchange carried 5 UTF8 slices + struct overhead per
+    position, and every hash-agg/join probe hashed 5 strings. Outputs
+    are bit-identical: join match sets are unchanged (key encoding is
+    bijective; NULL keys in external lms tables still never match
+    because ``concat`` propagates NULL), and the deterministic fold
+    rebuilds the (w1..word) struct by splitting the gram, so the sort
+    order is the same tuple order as before."""
     D = F.lit(float(discount))
     names = [f"w{j}" for j in range(1, n)] + ["word"]
+    SEP = " "
 
-    def scoring_suffix(k: int) -> list[str]:
-        # the order-k gram ending at the scored word, in scoring names
-        return names[n - k:]
+    def pfx(col, k: int):
+        # first k tokens of a packed gram
+        return F.substring_index(col, SEP, k)
+
+    def sfx(col, k: int):
+        # last k tokens of a packed gram
+        return F.substring_index(col, SEP, -k)
+
+    def gram_key(cols: list[str]):
+        # packed key from token COLUMNS (external lms tables): concat —
+        # NOT concat_ws — so a NULL field yields a NULL key that never
+        # equi-joins, exactly like the old multi-column join.
+        parts: list = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit(SEP))
+            parts.append(F.col(c))
+        return F.concat(*parts)
+
+    # Join keys are re-exposed through coalesce(col, '') — a no-op on
+    # values (every own-corpus key is non-NULL past its __wlen filter)
+    # that makes the output non-nullable, so the optimizer does NOT
+    # infer isnotnull(key) filters on these build sides. Inferred key
+    # filters push below the shared aggregations into the explode stage
+    # and would split the one corpus-scale exchange into a filtered
+    # copy per joined table.
+    def nn(col: str, alias: str):
+        return F.coalesce(F.col(col), F.lit("")).alias(alias)
 
     cont: dict[int, DataFrame] = {}
     cctx: dict[int, DataFrame] = {}
@@ -2280,21 +2378,22 @@ def _kn_ngram_scored(
         # one scan + one corpus-scale gram shuffle per order. The
         # (id, window) pre-aggregation is shared verbatim with the
         # scoring join's per-doc table, so the corpus is read once.
-        pdw = _padded_window_counts(df, id_col=id_col, text_col=text_col, n=n)
-        T = pdw.groupBy(*names).agg(
+        pdw = _padded_window_counts_packed(
+            df, id_col=id_col, text_col=text_col, n=n
+        )
+        T = pdw.groupBy("__g").agg(
             F.sum("__cnt").alias("__w"), F.max("__wlen").alias("__wlen")
         )
 
         def order_table(k: int) -> DataFrame:
-            # order-k gram type table: counts of the non-NULL
-            # k-prefixes (__wlen >= k, see _padded_window_counts)
-            # reproduce ngram_lm_frequencies(n=k) exactly; same
-            # min_count pruning floor for k >= 3, order-2 table
-            # unpruned (the continuation-unigram base must cover the
-            # vocabulary).
+            # order-k gram type table: counts of the k-prefixes of
+            # windows with >= k tokens (__wlen >= k) reproduce
+            # ngram_lm_frequencies(n=k) exactly; same min_count pruning
+            # floor for k >= 3, order-2 table unpruned (the
+            # continuation-unigram base must cover the vocabulary).
             t = (
                 T.where(F.col("__wlen") >= k)
-                .groupBy(*names[:k])
+                .groupBy(pfx(F.col("__g"), k).alias("__g"))
                 .agg(F.sum("__w").alias("__n"))
             )
             # min_count floor for k >= 3; the k < 3 (and min_count=1)
@@ -2307,33 +2406,26 @@ def _kn_ngram_scored(
                 F.col("__n") >= (min_count if k >= 3 else 1)
             )
 
-        # Join keys are re-exposed through coalesce(col, '') — a no-op
-        # on values (every key is non-NULL past its __wlen filter) that
-        # makes the output non-nullable, so the optimizer does NOT
-        # infer isnotnull(key) filters on these build sides. Inferred
-        # key filters push below the shared aggregations into the
-        # explode stage and would split the one corpus-scale exchange
-        # into a filtered copy per joined table.
-        def nn(col: str, alias: str | None = None):
-            return F.coalesce(F.col(col), F.lit("")).alias(alias or col)
-
         tabs = {k: order_table(k) for k in range(2, n + 1)}
         top = tabs[n].select(
-            *[nn(c) for c in names],
+            nn("__g", "__g"),
             F.col("__n").cast("long").alias("__n_top"),
         )
         for k in range(n - 1, 1, -1):
-            suffix_src = names[1:k + 1]
-            tgt = scoring_suffix(k)
-            c = tabs[k + 1].groupBy(*suffix_src).agg(
-                F.count(F.lit(1)).alias(f"__nc_{k}")
-            ).select(
-                *[nn(a, b) for a, b in zip(suffix_src, tgt)],
-                F.col(f"__nc_{k}"),
+            # order-(k+1) TYPE rows grouped by their k-token suffix:
+            # count(1) IS the distinct-left-extension count N1p(.g_k).
+            c = (
+                tabs[k + 1]
+                .groupBy(sfx(F.col("__g"), k).alias("__s"))
+                .agg(F.count(F.lit(1)).alias(f"__nc_{k}"))
+                .select(nn("__s", f"__s{k}"), F.col(f"__nc_{k}"))
             )
             cont[k] = c
-        cont_uni = tabs[2].groupBy(nn(names[1], "word")).agg(
-            F.count(F.lit(1)).alias("__n_cu")
+        cont_uni = (
+            tabs[2]
+            .groupBy(sfx(F.col("__g"), 1).alias("__w1s"))
+            .agg(F.count(F.lit(1)).alias("__n_cu"))
+            .select(nn("__w1s", "__wd"), F.col("__n_cu"))
         )
         per_doc = pdw.where(F.col("__wlen") >= n).drop("__wlen")
     else:
@@ -2341,12 +2433,19 @@ def _kn_ngram_scored(
         # Normalize an order-2 table's bigram_frequencies naming.
         if "w_prev" in lms[-1].columns:
             lms[-1] = lms[-1].withColumnRenamed("w_prev", "w1")
+        missing = [c for c in names if c not in lms[0].columns]
+        if missing:
+            raise ValueError(
+                f"lms[0] (order {n}) is missing columns {missing} — "
+                f"expected {names} + n_occurrences"
+            )
         top = lms[0].select(
-            *names, F.col("n_occurrences").cast("long").alias("__n_top")
+            gram_key(names).alias("__g"),
+            F.col("n_occurrences").cast("long").alias("__n_top"),
         )
         # Middle orders k = n-1 .. 2: continuation tables from the
         # order-(k+1) TYPE set (rows are unique, so count(1) per suffix
-        # IS the distinct-left-extension count), in scoring names.
+        # IS the distinct-left-extension count).
         for k in range(n - 1, 1, -1):
             src = lms[n - 1 - k]  # order k+1: columns w1..wk, word
             src_names = [f"w{j}" for j in range(1, k + 1)] + ["word"]
@@ -2357,32 +2456,31 @@ def _kn_ngram_scored(
                     f"{missing} — expected {src_names} + n_occurrences"
                 )
             suffix_src = src_names[1:]
-            tgt = scoring_suffix(k)
-            # One aliased select, not sequential renames: the shifted
-            # names overlap (w2->w3 while w3 exists), which a one-shot
-            # projection handles and withColumnRenamed cannot.
-            c = src.groupBy(*suffix_src).agg(
-                F.count(F.lit(1)).alias(f"__nc_{k}")
-            ).select(
-                *[F.col(a).alias(b) for a, b in zip(suffix_src, tgt)],
-                F.col(f"__nc_{k}"),
+            c = (
+                src.select(gram_key(suffix_src).alias(f"__s{k}"))
+                .groupBy(f"__s{k}")
+                .agg(F.count(F.lit(1)).alias(f"__nc_{k}"))
             )
             cont[k] = c
         # Base: continuation unigram from the order-2 TYPE set.
         bi = lms[-1].select("w1", "word")
-        cont_uni = bi.groupBy("word").agg(F.count(F.lit(1)).alias("__n_cu"))
+        cont_uni = bi.groupBy(F.col("word").alias("__wd")).agg(
+            F.count(F.lit(1)).alias("__n_cu")
+        )
         per_doc = (
             _ngram_tuples(df, id_col=id_col, text_col=text_col, n=n)
-            .groupBy(id_col, *names)
+            .select(F.col(id_col), gram_key(names).alias("__g"))
+            .groupBy(id_col, "__g")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-    ctx_top = top.groupBy(*names[:-1]).agg(
+    ctx_top = top.groupBy(pfx(F.col("__g"), n - 1).alias("__gp")).agg(
         F.sum("__n_top").alias("__nctx_top"),
         F.count(F.lit(1)).alias("__t_top"),
     )
     for k in range(n - 1, 1, -1):
-        tgt = scoring_suffix(k)
-        cctx[k] = cont[k].groupBy(*tgt[:-1]).agg(
+        cctx[k] = cont[k].groupBy(
+            pfx(F.col(f"__s{k}"), k - 1).alias(f"__sp{k}")
+        ).agg(
             F.sum(f"__nc_{k}").alias(f"__ncc_{k}"),
             F.count(F.lit(1)).alias(f"__tc_{k}"),
         )
@@ -2396,14 +2494,22 @@ def _kn_ngram_scored(
         F.col("__B") + F.lit(float(smoothing_k)) * (F.col("__V") + F.lit(1))
     ).cast("double")
 
-    joined = per_doc.join(top, names, "left").join(
-        ctx_top, names[:-1], "left"
-    )
+    # Scoring join keys: every prefix/suffix derives from the one packed
+    # per-doc gram AFTER the shared exchange (a narrow projection), so
+    # the corpus-scale wire carries exactly (id, gram, count).
+    per_doc = per_doc.withColumn("__gp", pfx(F.col("__g"), n - 1))
     for k in range(n - 1, 1, -1):
-        joined = joined.join(cont[k], scoring_suffix(k), "left").join(
-            cctx[k], scoring_suffix(k)[:-1], "left"
+        per_doc = per_doc.withColumn(f"__s{k}", sfx(F.col("__g"), k))
+        per_doc = per_doc.withColumn(
+            f"__sp{k}", pfx(F.col(f"__s{k}"), k - 1)
         )
-    joined = joined.join(cont_uni, "word", "left").crossJoin(totals)
+    per_doc = per_doc.withColumn("__wd", sfx(F.col("__g"), 1))
+    joined = per_doc.join(top, "__g", "left").join(ctx_top, "__gp", "left")
+    for k in range(n - 1, 1, -1):
+        joined = joined.join(cont[k], f"__s{k}", "left").join(
+            cctx[k], f"__sp{k}", "left"
+        )
+    joined = joined.join(cont_uni, "__wd", "left").crossJoin(totals)
 
     p = (
         F.coalesce(F.col("__n_cu"), F.lit(0)) + F.lit(float(smoothing_k))
@@ -2429,13 +2535,21 @@ def _kn_ngram_scored(
     oov = F.when(
         F.col("__n_top").isNull(), F.col("__cnt")
     ).otherwise(F.lit(0))
+    # Deterministic fold: rebuild the (w1..word) token fields by
+    # splitting the packed gram so the array_sort order is the SAME
+    # tuple order as the unpacked implementation (sorting the packed
+    # string directly could diverge on tokens containing chars < ' ').
+    gparts = F.split(F.col("__g"), SEP)
     grouped = joined.groupBy(id_col).agg(
         F.sum("__cnt").alias(n_out_col),
         F.sum(oov).alias("__oov"),
         (
             F.collect_list(
                 F.struct(
-                    *[F.col(c) for c in names],
+                    *[
+                        F.element_at(gparts, j + 1).alias(names[j])
+                        for j in range(n)
+                    ],
                     (F.col("__cnt") * nll).alias("c"),
                 )
             )
