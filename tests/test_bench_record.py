@@ -8,12 +8,28 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
 
 
 def _detail() -> dict:
+    """The COMMITTED record (git HEAD) when available — a bench run in
+    the working tree overwrites BENCH_DETAIL.json with scratch output
+    (possibly at a different core count), and these gates are about the
+    committed comparison base, not whatever a measurement loop last
+    wrote (round 14: the round-13 driver's own 8-core bench output got
+    committed over the 32-core record and failed the BASELINE gate)."""
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=ROOT, capture_output=True, timeout=30,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout)
+    except (OSError, subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
     return json.loads((ROOT / "BENCH_DETAIL.json").read_text())
 
 

@@ -681,6 +681,7 @@ def test_corpus_clean_url_dedup_stage(tmp_path, spark):
     assert kept == {1, 3, 4}                   # min id kept; NULL url kept
 
 
+@pytest.mark.slow
 def test_cli_embeddings_index_and_search(spark, tmp_path):
     """embeddings-build-index + embeddings-search (round 11): the
     persisted IVF-PQ workflow end-to-end from the CLI, including the

@@ -106,6 +106,7 @@ def test_simhash_identical_and_near(spark, docs_with_dups):
         assert found.get((i, i + 100000)) == 0  # identical docs: hamming 0
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_vs_bruteforce_oracle(spark, sf_dir, oracle, docs):
     """Exact algorithm -> full differential test against an O(n^2) DuckDB join."""
     out = dedup.ngram_jaccard_pairs(
@@ -417,6 +418,7 @@ def test_dedup_keep_best_prefers_quality(spark):
     assert comp[2] == 1                        # component labeled by min id
 
 
+@pytest.mark.slow
 def test_max_bucket_size_skips_hot_buckets(spark):
     """A boilerplate mega-cluster (identical text) floods one bucket per
     band; the cap drops those buckets, bounding candidate pairs, while
@@ -450,6 +452,7 @@ def test_max_bucket_size_skips_hot_buckets(spark):
     assert not any(a < 100 and b < 100 for a, b in pairs)
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the loop's lineage pins from executor
     -local blocks to reliable-FS checkpoints: same labels either way,
@@ -514,6 +517,7 @@ def test_build_reliable_checkpoint(spark, tmp_path):
     assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
 
 
+@pytest.mark.slow
 def test_star_contraction_mid_size_chain_graph(spark):
     """Distributed star path on a graph too deep for comfortable
     propagation: 200 chains of 500 nodes (diameter 500, 99.8K edges).

@@ -608,6 +608,7 @@ def test_canonicalize_url_and_url_dedup(spark):
     assert kept == [1, 3, 5, 6, 7, 9, 10]
 
 
+@pytest.mark.slow
 def test_dsir_weights_prefer_target_like_docs(spark):
     """DSIR (round 10): documents sharing the target corpus's n-gram
     distribution must weigh higher than off-distribution ones; the two

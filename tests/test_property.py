@@ -588,6 +588,7 @@ def test_chunk_documents_reconstruction_property(
     ),
     lam=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
 )
+@pytest.mark.slow
 def test_bigram_logprob_matches_python_reference(spark, docs, lam):
     """bigram_logprob (self-LM) must agree with a direct python
     implementation of the interpolated model on any corpus, and its

@@ -568,6 +568,7 @@ def test_assign_factory_gates_literal_budget(spark, emb, monkeypatch):
     assert got3 == expected
 
 
+@pytest.mark.slow
 def test_assign_factory_semdedup_scale_plan_builds(spark):
     """The SemDeDup-cited configuration (50K clusters x 768 dims) must
     build an assignment plan: the expr kernel would need a ~400 MB SQL
@@ -888,6 +889,7 @@ def test_pq_join_kernel_is_bit_identical(spark, sf_dir):
     assert len(out) == 1 and len(out[0]["codes"]) == 16
 
 
+@pytest.mark.slow
 def test_ivf_pq_recall_and_rerank(spark, sf_dir):
     """IVF-PQ: candidates pruned to probed lists, ADC-scored; recall
     overlaps the exact neighbors well above chance, and rerank=True
@@ -947,6 +949,7 @@ def test_ivf_pq_recall_and_rerank(spark, sf_dir):
         assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ index returns exactly what the inline
     ivf_pq_topk computes for the same parameters, the scan it performs
@@ -1087,6 +1090,7 @@ def _recall_at_k(approx_df, exact: dict[int, set]) -> float:
     "seed", [0, pytest.param(1, marks=pytest.mark.slow),
              pytest.param(2, marks=pytest.mark.slow)]
 )
+@pytest.mark.slow
 def test_ann_recall_at_10_on_clustered_vectors(spark, seed):
     corpus = _clustered_vectors(spark, seed).cache()
     queries = corpus.where(F.col("vec_id") % 11 == 0)  # one per cluster
@@ -1373,6 +1377,7 @@ def test_sq_bq_empty_bounds_yield_null_not_error(spark):
     assert bgot == []
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_exact_reconstruction_identity(spark):
     """VERDICT r9 item 2: residual ADC scoring decomposes
     <q, c_j + r̂> / (|q| |c_j + r̂|) exactly. With ksub >= corpus size
@@ -1403,6 +1408,7 @@ def test_ivf_pq_residual_exact_reconstruction_identity(spark):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+@pytest.mark.slow
 def test_pq_train_local_path_matches_distributed(spark):
     """VERDICT r10 item 4: pq_train's size-gated single-collect path
     must produce the byte-identical codebook the m-TakeOrdered
@@ -1461,6 +1467,7 @@ def test_pq_train_local_path_matches_distributed(spark):
         similarity.pq_train(emb, corpus_id="vec_id", m=4, mode="bogus")
 
 
+@pytest.mark.slow
 def test_ivf_pq_explicit_codebook_defaults_to_raw_geometry(spark):
     """ADVICE r10: an explicit codebook= (a pq_train model, necessarily
     trained on raw vectors) must resolve residual=None to raw-vector
@@ -1504,6 +1511,7 @@ def test_ivf_pq_explicit_codebook_defaults_to_raw_geometry(spark):
     assert inline_default == inline_res
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_recall_beats_raw_at_nbits4(spark):
     """VERDICT r9 item 2 (recall property): on clustered data — the
     setting IVF exists for — residual encoding spends the 2^4 sub-codes
@@ -1548,6 +1556,7 @@ def test_ivf_pq_residual_recall_beats_raw_at_nbits4(spark):
     assert res >= 0.5  # measured 0.55 vs raw 0.40 at these settings
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_meta_and_legacy_raw(spark, sf_dir, tmp_path):
     """The persisted index records its encoding geometry: a residual
     index's meta table says so and search matches the inline residual
@@ -1585,6 +1594,7 @@ def test_ivf_pq_index_meta_and_legacy_raw(spark, sf_dir, tmp_path):
     assert legacy == inline_raw
 
 
+@pytest.mark.slow
 def test_opq_rotation_invariance_and_recall(spark):
     """VERDICT r9 item 6 (OPQ rung): rotate_vectors applies a seeded
     orthogonal map, so exact cosine ranking is invariant; on ANISOTROPIC
@@ -1656,6 +1666,7 @@ def test_opq_rotation_invariance_and_recall(spark):
     assert out[1] is None and out[2] is None and out[3] is None
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_with_rotation(spark, tmp_path):
     """Round 11: the persisted OPQ + IVF-PQ composition. An index built
     with rotation= quantizes everything in the rotated space, persists
@@ -1718,6 +1729,7 @@ def test_ivf_pq_index_with_rotation(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_opq_parametric_beats_seeded_on_anisotropic_data(spark):
     """VERDICT r10 item 6 (parametric OPQ): the data-adaptive
     encode -> Procrustes-SVD -> re-rotate alternation, trained on a
@@ -2374,6 +2386,7 @@ def test_rp_probe_expr_nan_vector_matches_arrow(spark):
     assert out["expr"] == out["arrow"]
 
 
+@pytest.mark.slow
 def test_ivf_pq_append_frozen_model(spark, tmp_path):
     """ivf_pq_append (VERDICT r11 item 5): new rows encode against the
     FROZEN persisted model — appended codes are byte-identical to

@@ -154,6 +154,7 @@ def test_stream_stream_asof_matches_batch(spark, tmp_path, stream_dirs, strict):
     assert e2["f__score"] == (None if strict else 40.0)
 
 
+@pytest.mark.slow
 def test_stream_stream_embargo_and_lookback(spark, tmp_path, stream_dirs):
     froot, lroot = stream_dirs
     joined = streaming_asof_join(
@@ -303,6 +304,7 @@ def test_stream_static_asof_map_payload(spark, tmp_path, stream_dirs):
     )
 
 
+@pytest.mark.slow
 def test_stream_stream_asof_map_payload(spark, tmp_path):
     """Map payloads round-trip the stateful JSON codec too."""
     from pyspark.sql.types import MapType
@@ -566,6 +568,7 @@ def test_stateless_text_operators_compose_with_streams(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.slow
 def test_near_dedup_batch_registry_semantics(spark, tmp_path):
     """The batch kernel of streaming near-dedup: within-batch greedy
     keep-smallest-id, cross-batch registry drops, and agreement with a
@@ -633,6 +636,7 @@ def test_near_dedup_batch_registry_semantics(spark, tmp_path):
     assert {9, 12, 14} <= set(got) and 13 not in got
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_replay_matches_batch_kernel(spark, tmp_path):
     """foreachBatch replay: the streamed survivors equal running the
     batch kernel over the same micro-batches with a fresh registry."""
